@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.Reports
+import graft.etl.Etl
+import graft.gen.HealthcareGenerator
+import graft.marts.FactPatientEncounters
+import graft.model.Config
+import graft.staging.Staging
+
+/** End-to-end healthcare pipeline queries over the seeded generator —
+  * the reference-parity surface (generator → ETL → staging → fact →
+  * reports) runnable without external input. Deterministic: seed 42,
+  * fixed asOf. These back the `hc_*` entries in [[SparkEntry.queries]].
+  */
+object HealthcareQueries {
+
+  private val cfg = Config.default
+  private def gen = new HealthcareGenerator(42L, cfg.asOf.toLocalDateTime.toLocalDate)
+
+  /** Enriched ETL output for n generated messages (parse→filter→enrich). */
+  def enriched(spark: SparkSession, n: Long): DataFrame =
+    gen.messagesJson(spark, n).toDF("value").transform(Etl.pipeline(cfg))
+
+  def processedVitals(spark: SparkSession, n: Long): DataFrame =
+    enriched(spark, n).transform(Etl.routeVitals)
+  def processedClaims(spark: SparkSession, n: Long): DataFrame =
+    enriched(spark, n).transform(Etl.routeClaims)
+  def processedEhr(spark: SparkSession, n: Long): DataFrame =
+    enriched(spark, n).transform(Etl.routeEhr)
+
+  def stgVitals(spark: SparkSession, n: Long): DataFrame =
+    processedVitals(spark, n).transform(Staging.stgPatientVitals(cfg))
+  def stgClaims(spark: SparkSession, n: Long): DataFrame =
+    processedClaims(spark, n).transform(Staging.stgInsuranceClaims(cfg))
+  def stgEhr(spark: SparkSession, n: Long): DataFrame =
+    processedEhr(spark, n).transform(Staging.stgEhrRecords(cfg))
+
+  def factEncounters(spark: SparkSession, n: Long): DataFrame =
+    FactPatientEncounters.build(cfg)(
+      stgVitals(spark, n), stgClaims(spark, n), stgEhr(spark, n))
+
+  def dailyMonitoring(spark: SparkSession, n: Long): DataFrame =
+    Reports.patientMonitoringReport(cfg)(factEncounters(spark, n))
+
+  def claimsReport(spark: SparkSession, n: Long): DataFrame =
+    Reports.claimsProcessingReport(cfg)(factEncounters(spark, n))
+}

@@ -1,0 +1,498 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver's deterministic test tables (TESTDATA.md). */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's Parquet
+    * reader rejects; read nanos as long and truncate to microseconds —
+    * bit-identical to DuckDB's `CAST(ts AS TIMESTAMP)` (verified: integer
+    * `div 1000` truncation on both engines).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** The oracle-checked query inventory: every operator family of SURVEY §2
+  * expressed over the driver's test tables, each paired with equivalent
+  * DuckDB SQL in [[SparkEntry.oracleSql]].
+  *
+  * Determinism rules used throughout (these queries are hash-compared
+  * against DuckDB by the driver):
+  *  - double SUM/AVG go through DECIMAL so the result is order-independent
+  *    and engine-independent: `SUM(CAST(x AS DECIMAL(...)))` then cast back
+  *    to double (both engines do exact decimal addition; per-row
+  *    double→decimal conversion is identical);
+  *  - every query ends in a total ORDER BY with unique tie-breaks;
+  *  - window ORDER BYs carry unique tie-break columns;
+  *  - `CURRENT_TIMESTAMP`-style anchors are fixed literals.
+  */
+object Queries {
+  import Tables.{events, t}
+
+  private val D = DecimalType(18, 2)
+  private val DP = DecimalType(24, 8) // for products of price-like doubles
+
+  private def decSum(c: Column, dt: DecimalType = D): Column = sum(c.cast(dt)).cast("double")
+
+  /** A1/A2 wide aggregation with conditional counts (TPC-H Q1 shape;
+    * mirrors `fact_patient_encounters.sql:188-196`). Single hash-agg with
+    * partial map-side combine; no join, one shuffle on the 6-value group
+    * key — optimal at any scale.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), DP).as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), DP).as("sum_charge"),
+        (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (decSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        sum(when(col("l_quantity") > 30, 1).otherwise(0)).cast("long").as("high_qty_lines"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order,
+      |  CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty_lines
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1+J3+W1+O2: proximity band LEFT JOIN + as-of closest-match selection,
+    * the exact shape of `fact_patient_encounters.sql:81-115` (equi key +
+    * theta band residual, ROW_NUMBER rank, rank=1 filter). Each purchase
+    * event finds its temporally nearest click by the same user within ±6h.
+    *
+    * Scale: both the join and the window cluster on `user_id`, so Catalyst
+    * plans ONE shuffle; the window adds only a sort (HashPartitioning on
+    * the join key satisfies the window's ClusteredDistribution). The
+    * rank=1 filter triggers Spark's WindowGroupLimit top-k pushdown.
+    */
+  def q02AsofBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val diff = abs(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+    p.join(c, col("user_id") === col("c_user") && diff <= 21600000000L, "left")
+      .withColumn("diff_us", diff)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("p_id")).orderBy(diff.asc, col("c_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("c_id").as("nearest_click_id"), col("diff_us"))
+      .orderBy("p_id")
+  }
+
+  val q02Sql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id AS c_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts FROM events WHERE event_type = 'click'),
+      |     j AS (SELECT p.p_id, p.user_id, c.c_id,
+      |             abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS diff_us,
+      |             ROW_NUMBER() OVER (PARTITION BY p.user_id, p.p_id
+      |               ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) ASC, c.c_id ASC) AS rn
+      |           FROM p LEFT JOIN c ON p.user_id = c.c_user
+      |             AND abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) <= 21600000000)
+      |SELECT p_id, user_id, c_id AS nearest_click_id, diff_us FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
+
+  /** Multi-way star join with broadcast dims (TPC-H Q5 shape): revenue by
+    * nation for one region over a date range. Dims (`region`, `nation`) are
+    * broadcast explicitly; `customer` stays well under the AQE broadcast
+    * threshold at every SF, so the only real shuffle is orders⋈lineitem.
+    */
+  def q03RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nationRegion = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    t(spark, dir, "customer")
+      .join(broadcast(nationRegion), col("c_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), DP).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q03Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS line_count
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN orders ON c_custkey = o_custkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** W1/O2: per-group top-k via ROW_NUMBER + rank filter (the
+    * rank-then-keep pattern of `fact_patient_encounters.sql:107-110,
+    * 173-186`, expressed the `filter(rank<=k)` way so Spark's
+    * InferWindowGroupLimit turns it into a per-partition top-k instead of
+    * a full sort — SURVEY §4).
+    */
+  def q04TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+
+  val q04Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** A7: daily monitoring report — group by day, conditional alert counts,
+    * averages, ordered DESC (`healthcare_data_pipeline_dag.py:215-228`
+    * mapped onto events; fixed as-of anchor 2024-01-31).
+    */
+  def q05DailyEventReport(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-24 00:00:00")))
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        count(when(col("event_type") === "error", 1)).as("error_count"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
+        count(when(col("value") > 400, 1)).as("high_value_count"),
+        (decSum(col("value")) / count(lit(1))).as("avg_value"))
+      .orderBy(col("date").desc)
+
+  val q05Sql: String =
+    """SELECT CAST(ts AS DATE) AS date,
+      |  COUNT(*) AS total_events,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+      |  COUNT(CASE WHEN value > 400 THEN 1 END) AS high_value_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value
+      |FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
+      |GROUP BY CAST(ts AS DATE) ORDER BY date DESC""".stripMargin
+
+  /** A8: claims-processing daily report shape
+    * (`healthcare_data_pipeline_dag.py:243-255` on orders: daily volumes,
+    * value, per-status conditional counts, averages).
+    */
+  def q06OrderDailyReport(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-06-01 00:00:00")))
+      .groupBy(to_date(col("o_orderdate")).as("date"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        decSum(col("o_totalprice")).as("total_value"),
+        count(when(col("o_orderstatus") === "F", 1)).as("finished_orders"),
+        count(when(col("o_orderstatus") === "O", 1)).as("open_orders"),
+        count(when(col("o_orderstatus") === "P", 1)).as("pending_orders"),
+        (decSum(col("o_totalprice")) / count(lit(1))).as("avg_order_value"))
+      .orderBy(col("date").desc)
+
+  val q06Sql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS date,
+      |  COUNT(*) AS total_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_order_value
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+      |GROUP BY CAST(o_orderdate AS DATE) ORDER BY date DESC""".stripMargin
+
+  /** A11: the row-wise quality-score fold (start 1.0, fixed penalties,
+    * clamp ≥0 — `healthcare_etl_pipeline.py:143-159`) aggregated per type.
+    */
+  def q07QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val score = greatest(lit(0.0),
+      lit(1.0)
+        - when(col("value") > 400, 0.3).otherwise(0.0)
+        - when(col("event_type") === "error", 0.2).otherwise(0.0)
+        - when(col("props").isNull, 0.2).otherwise(0.0))
+    events(spark, dir)
+      .withColumn("q", score)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("q").cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as("avg_quality"),
+        min(col("q")).as("min_quality"),
+        max(col("q")).as("max_quality"))
+      .orderBy("event_type")
+  }
+
+  val q07Sql: String =
+    """WITH scored AS (
+      |  SELECT event_type,
+      |    greatest(0.0, 1.0
+      |      - (CASE WHEN value > 400 THEN 0.3 ELSE 0.0 END)
+      |      - (CASE WHEN event_type = 'error' THEN 0.2 ELSE 0.0 END)
+      |      - (CASE WHEN props IS NULL THEN 0.2 ELSE 0.0 END)) AS q
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_quality,
+      |  MIN(q) AS min_quality, MAX(q) AS max_quality
+      |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** P2+P5: range-validate-to-NULL projection plus anomaly flags, per row
+    * (`stg_patient_vitals.sql:24-58` / `healthcare_etl_pipeline.py:84-100`
+    * shape on events).
+    */
+  def q08RangeValidate(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      col("user_id"),
+      when(col("value").between(1.0, 450.0), col("value")).as("value_validated"),
+      when(col("value").between(1.0, 450.0), false).otherwise(true).as("value_anomaly"),
+      when(col("event_type").isin("click", "view", "purchase", "signup", "error"), col("event_type"))
+        .as("event_type_validated"))
+      .orderBy("event_id")
+
+  val q08Sql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN value BETWEEN 1.0 AND 450.0 THEN value END AS value_validated,
+      |  CASE WHEN value BETWEEN 1.0 AND 450.0 THEN FALSE ELSE TRUE END AS value_anomaly,
+      |  CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN event_type END AS event_type_validated
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P1+P3: required-field + range quality filter
+    * (`healthcare_etl_pipeline.py:109-121` shape).
+    */
+  def q09QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type").isNotNull && col("props").isNotNull &&
+        col("value").between(0.01, 100000.0) && !(col("value") > 450))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  val q09Sql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_type IS NOT NULL AND props IS NOT NULL
+      |  AND value BETWEEN 0.01 AND 100000.0 AND NOT (value > 450)
+      |ORDER BY event_id""".stripMargin
+
+  /** F22/F17: chained CASE bucketing + lifecycle mapping
+    * (`stg_insurance_claims.sql:120-159` shape) with grouped rollup.
+    */
+  def q10ValueCategorize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("value_category",
+        when(col("o_totalprice") < 1000, "low_value")
+          .when(col("o_totalprice") < 10000, "medium_value")
+          .when(col("o_totalprice") < 100000, "high_value")
+          .otherwise("very_high_value"))
+      .withColumn("lifecycle_stage",
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "P", "pending")
+          .otherwise("unknown"))
+      .groupBy("value_category", "lifecycle_stage")
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_value"))
+      .orderBy("value_category", "lifecycle_stage")
+
+  val q10Sql: String =
+    """SELECT
+      |  CASE WHEN o_totalprice < 1000 THEN 'low_value'
+      |       WHEN o_totalprice < 10000 THEN 'medium_value'
+      |       WHEN o_totalprice < 100000 THEN 'high_value'
+      |       ELSE 'very_high_value' END AS value_category,
+      |  CASE WHEN o_orderstatus = 'O' THEN 'open'
+      |       WHEN o_orderstatus = 'F' THEN 'finished'
+      |       WHEN o_orderstatus = 'P' THEN 'pending'
+      |       ELSE 'unknown' END AS lifecycle_stage,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders GROUP BY 1, 2 ORDER BY value_category, lifecycle_stage""".stripMargin
+
+  /** A5+A10+F6: freshness & staleness probe with a fixed as-of anchor
+    * (`healthcare_data_pipeline_dag.py:163-169,312-317`).
+    * Anchor 2024-01-31T00:00:00Z = 1706659200000000 µs.
+    */
+  def q11Freshness(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      count(when(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-30 00:00:00")), 1))
+        .as("recent_records"),
+      max(col("ts")).as("latest_timestamp"),
+      ((lit(1706659200000000L) - unix_micros(max(col("ts")))) / lit(60000000L)).cast("long")
+        .as("minutes_since_last_update"))
+
+  val q11Sql: String =
+    """SELECT
+      |  COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 END) AS recent_records,
+      |  MAX(CAST(ts AS TIMESTAMP)) AS latest_timestamp,
+      |  CAST((1706659200000000 - epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 60000000 AS BIGINT) AS minutes_since_last_update
+      |FROM events""".stripMargin
+
+  /** O1/O3: ordered top-10 page (`hipaa_compliance_checker.py:183-190`). */
+  def q12TopEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .orderBy(col("value").desc, col("event_id").asc)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(10)
+
+  val q12Sql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY value DESC, event_id ASC LIMIT 10""".stripMargin
+
+  /** §2.7 set operation: INTERSECT of two filtered projections. */
+  def q13BuyerErrorUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.filter(col("event_type") === "purchase").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "error").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  val q13Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** Text analysis — token counting (whitespace) + dedup-grade content
+    * hash (F15/F16 + the text-pipeline token-count operator). md5 parity
+    * with the oracle validates the hash-based dedup path end-to-end.
+    */
+  def q14DocTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("word_count"),
+        size(array_distinct(split(col("text"), " "))).as("distinct_words"),
+        md5(col("text")).as("text_md5"))
+      .withColumn("dup_word_ratio",
+        round(lit(1.0) - col("distinct_words").cast("double") / col("word_count"), 6))
+      .orderBy("doc_id")
+
+  val q14Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  len(string_split(text, ' ')) AS word_count,
+      |  len(list_distinct(string_split(text, ' '))) AS distinct_words,
+      |  md5(text) AS text_md5,
+      |  round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 6) AS dup_word_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact deduplication by key (hash-groupBy dedup): collapse each
+    * customer's orders to the earliest, reporting duplicate cardinality —
+    * the canonical exact-dedup shape (groupBy key → keeper + count).
+    */
+  def q15ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("keeper_orderkey"),
+        decSum(col("o_totalprice")).as("total_value"))
+      .filter(col("n_orders") > 1)
+      .orderBy("o_custkey")
+
+  val q15Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders, MIN(o_orderkey) AS keeper_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1 ORDER BY o_custkey""".stripMargin
+
+  /** Text quality scoring: stopword ratio via higher-order array functions
+    * (codegen-free but still native, no UDF), length stats, quality bucket
+    * (the text-pipeline quality-score operator).
+    */
+  def q16TextQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("word_count", size(split(col("text"), " ")))
+      .withColumn("stopword_count",
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))"))
+      .withColumn("stopword_ratio",
+        round(col("stopword_count").cast("double") / col("word_count"), 6))
+      .withColumn("avg_word_len",
+        round(col("n_chars").cast("double") / col("word_count"), 6))
+      .withColumn("quality_bucket",
+        when(col("word_count") < 16, "too_short")
+          .when(col("stopword_ratio") > 0.25, "boilerplate")
+          .when(col("stopword_ratio") > 0.05, "good")
+          .otherwise("low_stopword"))
+      .select("doc_id", "word_count", "stopword_count", "stopword_ratio", "avg_word_len", "quality_bucket")
+      .orderBy("doc_id")
+
+  val q16Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS word_count,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and'))) AS stopword_count
+      |  FROM documents)
+      |SELECT doc_id, word_count, stopword_count,
+      |  round(CAST(stopword_count AS DOUBLE)/word_count, 6) AS stopword_ratio,
+      |  round(CAST(n_chars AS DOUBLE)/word_count, 6) AS avg_word_len,
+      |  CASE WHEN word_count < 16 THEN 'too_short'
+      |       WHEN round(CAST(stopword_count AS DOUBLE)/word_count, 6) > 0.25 THEN 'boilerplate'
+      |       WHEN round(CAST(stopword_count AS DOUBLE)/word_count, 6) > 0.05 THEN 'good'
+      |       ELSE 'low_stopword' END AS quality_bucket
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-k over the embedding column — the ANN
+    * baseline. Query set = vec_id < 5 (broadcast); corpus = the rest.
+    * Dot/norm computed as sequential double folds (identical fold order in
+    * both engines), cosine rounded to 6dp BEFORE ranking so the rank
+    * comparison is engine-stable; unique tie-break on neighbor id.
+    *
+    * Scale: query side broadcast, corpus scanned once, per-partition
+    * top-k via WindowGroupLimit — no shuffle of the corpus. The
+    * LSH-bucketed variant for huge corpora is `VectorOps.cosineLshTopK`.
+    */
+  def q17AnnCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val em = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = em.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = em.filter(col("vec_id") >= 5)
+    corpus.crossJoin(broadcast(q))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(emb, q_emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(emb, 0D, (acc, x) -> acc + x * x)")) *
+            sqrt(expr("aggregate(q_emb, 0D, (acc, x) -> acc + x * x)"))), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  val q17Sql: String =
+    """WITH em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM em WHERE vec_id < 5),
+      |c AS (SELECT vec_id, emb FROM em WHERE vec_id >= 5),
+      |s AS (SELECT q.q_id, c.vec_id,
+      |        round(list_dot_product(c.emb, q.q_emb) /
+      |          (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+      |      FROM c CROSS JOIN q),
+      |r AS (SELECT q_id, vec_id, cosine,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+      |      FROM s)
+      |SELECT q_id, vec_id AS neighbor_id, cosine, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+}

@@ -1,13 +1,70 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY §2 (plus the
+  * training-data extension operators) to a runnable DataFrame; `oracleSql`
+  * holds the DuckDB-equivalent SQL for hash-compared correctness. Queries
+  * without an oracle entry (the healthcare end-to-end pipeline over
+  * generated data, and ops not expressible in portable SQL) get the
+  * driver's rows-only check and are covered by ScalaTest golden tests
+  * instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: the full healthcare
+    * pipeline — generate messages → ETL → staging → fact_patient_encounters
+    * (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = HealthcareQueries.factEncounters(spark, 4000)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01PricingSummary _),
+    "q02_asof_band_join" -> (Queries.q02AsofBandJoin _),
+    "q03_regional_revenue" -> (Queries.q03RegionalRevenue _),
+    "q04_top_orders_per_customer" -> (Queries.q04TopOrdersPerCustomer _),
+    "q05_daily_event_report" -> (Queries.q05DailyEventReport _),
+    "q06_order_daily_report" -> (Queries.q06OrderDailyReport _),
+    "q07_quality_score" -> (Queries.q07QualityScore _),
+    "q08_range_validate" -> (Queries.q08RangeValidate _),
+    "q09_quality_filter" -> (Queries.q09QualityFilter _),
+    "q10_value_categorize" -> (Queries.q10ValueCategorize _),
+    "q11_freshness" -> (Queries.q11Freshness _),
+    "q12_top_events" -> (Queries.q12TopEvents _),
+    "q13_buyer_error_users" -> (Queries.q13BuyerErrorUsers _),
+    "q14_doc_tokens" -> (Queries.q14DocTokens _),
+    "q15_exact_dedup" -> (Queries.q15ExactDedup _),
+    "q16_text_quality" -> (Queries.q16TextQuality _),
+    "q17_ann_cosine_topk" -> (Queries.q17AnnCosineTopK _),
+    // Healthcare end-to-end (reference parity; rows-only check, golden
+    // ScalaTest coverage in src/test)
+    "hc_fact_encounters" -> ((s: SparkSession, _: String) => HealthcareQueries.factEncounters(s, 4000)),
+    "hc_stg_vitals" -> ((s: SparkSession, _: String) => HealthcareQueries.stgVitals(s, 4000)),
+    "hc_stg_claims" -> ((s: SparkSession, _: String) => HealthcareQueries.stgClaims(s, 4000)),
+    "hc_stg_ehr" -> ((s: SparkSession, _: String) => HealthcareQueries.stgEhr(s, 4000)),
+    "hc_daily_monitoring" -> ((s: SparkSession, _: String) => HealthcareQueries.dailyMonitoring(s, 4000)),
+    "hc_claims_report" -> ((s: SparkSession, _: String) => HealthcareQueries.claimsReport(s, 4000))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Queries.q01Sql,
+    "q02_asof_band_join" -> Queries.q02Sql,
+    "q03_regional_revenue" -> Queries.q03Sql,
+    "q04_top_orders_per_customer" -> Queries.q04Sql,
+    "q05_daily_event_report" -> Queries.q05Sql,
+    "q06_order_daily_report" -> Queries.q06Sql,
+    "q07_quality_score" -> Queries.q07Sql,
+    "q08_range_validate" -> Queries.q08Sql,
+    "q09_quality_filter" -> Queries.q09Sql,
+    "q10_value_categorize" -> Queries.q10Sql,
+    "q11_freshness" -> Queries.q11Sql,
+    "q12_top_events" -> Queries.q12Sql,
+    "q13_buyer_error_users" -> Queries.q13Sql,
+    "q14_doc_tokens" -> Queries.q14Sql,
+    "q15_exact_dedup" -> Queries.q15Sql,
+    "q16_text_quality" -> Queries.q16Sql,
+    "q17_ann_cosine_topk" -> Queries.q17Sql
+  )
 }

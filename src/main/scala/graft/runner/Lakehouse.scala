@@ -1,0 +1,75 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Reports
+import graft.etl.Etl
+import graft.gen.HealthcareGenerator
+import graft.marts.FactPatientEncounters
+import graft.model.Config
+import graft.staging.Staging
+
+/** Orchestrator replacing the Airflow DAG
+  * (`airflow/dags/healthcare_data_pipeline_dag.py:139-147` wiring):
+  * ingest/ETL → processed tables → staging views → fact table → reports →
+  * health gates. Zones map to Parquet directories
+  * (`raw/ processed/ curated/`, mirroring the three GCS buckets + BQ
+  * datasets, `terraform/main.tf:118-245`).
+  *
+  * Scale: the fact table is written `partitionBy(measurement_date)` —
+  * the date-partitioning the reference documents as intent
+  * (`docs/architecture/technical_architecture.md:162-165`) — which gives
+  * dynamic partition pruning on the 24h/30d report filters for free.
+  */
+final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.default) {
+
+  val processedDir = s"$root/processed"
+  val curatedDir = s"$root/curated"
+
+  /** Run the ETL over a raw message DataFrame (one string column `value`)
+    * and append the three processed tables + dead-letter output (R1/S3/S4).
+    */
+  def runEtl(raw: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val enriched = raw.transform(Etl.pipeline(cfg)).cache()
+    try {
+      Etl.routeVitals(enriched).write.mode(mode).parquet(s"$processedDir/patient_vitals")
+      Etl.routeClaims(enriched).write.mode(mode).parquet(s"$processedDir/insurance_claims")
+      Etl.routeEhr(enriched).write.mode(mode).parquet(s"$processedDir/ehr_records")
+    } finally enriched.unpersist()
+    // Dead-letter channel gets the un-filtered parse output (errors kept)
+    raw.transform(Etl.parse(cfg)).transform(Etl.routeUnknown)
+      .select(to_json(struct(col("*"))).as("value"))
+      .write.mode(mode).text(s"$root/errors/unknown_data")
+  }
+
+  def processedVitals: DataFrame = spark.read.parquet(s"$processedDir/patient_vitals")
+  def processedClaims: DataFrame = spark.read.parquet(s"$processedDir/insurance_claims")
+  def processedEhr: DataFrame = spark.read.parquet(s"$processedDir/ehr_records")
+
+  /** Staging views (dbt `+materialized: view`, `dbt_project.yml:25-26`). */
+  def stgVitals: DataFrame = processedVitals.transform(Staging.stgPatientVitals(cfg))
+  def stgClaims: DataFrame = processedClaims.transform(Staging.stgInsuranceClaims(cfg))
+  def stgEhr: DataFrame = processedEhr.transform(Staging.stgEhrRecords(cfg))
+
+  /** Materialize the fact table (dbt `+materialized: table`), partitioned
+    * by measurement date for pruning at scale.
+    */
+  def buildFact(): Unit =
+    FactPatientEncounters.build(cfg)(stgVitals, stgClaims, stgEhr)
+      .withColumn("measurement_date", to_date(col("measurement_timestamp")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("measurement_date")
+      .parquet(s"$curatedDir/fact_patient_encounters")
+
+  def fact: DataFrame =
+    spark.read.parquet(s"$curatedDir/fact_patient_encounters").drop("measurement_date")
+
+  /** Full DAG cycle on generated data; returns the health alerts. */
+  def runAll(messages: Long = 10000): Seq[Reports.HealthAlert] = {
+    val gen = new HealthcareGenerator(seed = 42L, asOf = cfg.asOf.toLocalDateTime.toLocalDate)
+    runEtl(gen.messagesJson(spark, messages).toDF("value"))
+    buildFact()
+    Reports.evaluateGates(cfg)(processedVitals, fact)
+  }
+}
