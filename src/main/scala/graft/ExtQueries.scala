@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis, VectorOps}
+
+/** Training-data-pipeline operator queries (SURVEY §7.4 extensions) over
+  * the driver's documents/embeddings tables. Oracle-checked where the
+  * semantics are portable SQL; the LSH/sketch operators are checked by
+  * ScalaTest golden/property tests instead (approximate structure isn't
+  * expressible in DuckDB SQL without re-implementing the sketch).
+  */
+object ExtQueries {
+  import Tables.t
+
+  /** MinHash-LSH near-duplicate candidate pairs over documents. */
+  def q18MinHashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(t(spark, dir, "documents"), "doc_id", "text",
+      numHashes = 32, bands = 8, minJaccard = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-duplicate candidate pairs (Hamming ≤ 3 of 64 bits). */
+  def q19SimHashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashDedup(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard pairs (inverted-index verification stage). */
+  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(spark, dir, "documents"), "doc_id", "text",
+      k = 3, minJaccard = 0.2, maxDocFreq = 200)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-duplicate pairs via hyperplane LSH.
+    * The driver's embeddings are near-random (max pairwise cosine ≈0.51,
+    * so a true near-dup set is empty); we plant 20 deterministic
+    * near-duplicates (vec_id+100000, each component nudged by +0.01) so
+    * the operator's recall is observable: it must recover exactly those
+    * planted pairs at θ=0.95.
+    */
+  def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.01)).as("vec"))
+    VectorOps.embeddingNearDup(base.unionByName(planted), "vec_id", "vec", threshold = 0.95)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Heuristic language ID vs the labeled lang column. */
+  def q22LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("lid", TextAnalysis.langId(col("text")))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("lid.predicted_lang").as("predicted_lang"),
+        round(col("lid.confidence"), 6).as("confidence"))
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprints per document. */
+  def q23Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprintDocs(t(spark, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("n_fingerprints"), col("content_id"))
+      .orderBy("doc_id")
+
+  /** Token counting (whitespace + regex + BPE estimate) — oracle-checked:
+    * the regex dialect subset used is identical in Java regex and RE2.
+    */
+  def q24TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("ws_tokens"), col("regex_tokens"), col("bpe_est_tokens"))
+      .orderBy("doc_id")
+
+  val q24Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS regex_tokens,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Approximate ANN (hyperplane LSH buckets + exact re-rank) — same
+    * query set as the brute-force baseline q17 so recall is measurable.
+    */
+  def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val em = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    VectorOps.cosineLshTopK(
+      em.filter(col("vec_id") >= 5).withColumnRenamed("vec_id", "id").withColumnRenamed("v", "vec"),
+      em.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qvec"),
+      k = 10)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rn")
+  }
+
+  /** Multimodal feature extraction over a deterministic synthetic media
+    * corpus (decode stubbed — see Multimodal scaladoc; Spark-side schema,
+    * batching and metadata flow are real).
+    */
+  def q26MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticCorpus(spark, 2000))
+    feats.toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"), col("payload_hash"),
+        round(expr("aggregate(feature, 0D, (a, x) -> a + x)"), 4).as("feature_sum"))
+      .orderBy("media_id")
+  }
+
+  /** Text quality features composite (language-model corpus filter). */
+  def q27TextQualityFeatures(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("avg_word_len"), 6).as("avg_word_len"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("dup_word_ratio"), 6).as("dup_word_ratio"),
+        col("quality_score"))
+      .orderBy("doc_id")
+}

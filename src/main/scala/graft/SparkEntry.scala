@@ -38,6 +38,16 @@ object SparkEntry {
     "q15_exact_dedup" -> (Queries.q15ExactDedup _),
     "q16_text_quality" -> (Queries.q16TextQuality _),
     "q17_ann_cosine_topk" -> (Queries.q17AnnCosineTopK _),
+    "q18_minhash_dedup" -> (ExtQueries.q18MinHashDedup _),
+    "q19_simhash_dedup" -> (ExtQueries.q19SimHashDedup _),
+    "q20_ngram_jaccard" -> (ExtQueries.q20NgramJaccard _),
+    "q21_embedding_neardup" -> (ExtQueries.q21EmbeddingNearDup _),
+    "q22_lang_id" -> (ExtQueries.q22LangId _),
+    "q23_fingerprint" -> (ExtQueries.q23Fingerprint _),
+    "q24_token_counts" -> (ExtQueries.q24TokenCounts _),
+    "q25_ann_lsh" -> (ExtQueries.q25AnnLsh _),
+    "q26_media_features" -> (ExtQueries.q26MediaFeatures _),
+    "q27_text_quality_features" -> (ExtQueries.q27TextQualityFeatures _),
     // Healthcare end-to-end (reference parity; rows-only check, golden
     // ScalaTest coverage in src/test)
     "hc_fact_encounters" -> ((s: SparkSession, _: String) => HealthcareQueries.factEncounters(s, 4000)),
@@ -45,7 +55,8 @@ object SparkEntry {
     "hc_stg_claims" -> ((s: SparkSession, _: String) => HealthcareQueries.stgClaims(s, 4000)),
     "hc_stg_ehr" -> ((s: SparkSession, _: String) => HealthcareQueries.stgEhr(s, 4000)),
     "hc_daily_monitoring" -> ((s: SparkSession, _: String) => HealthcareQueries.dailyMonitoring(s, 4000)),
-    "hc_claims_report" -> ((s: SparkSession, _: String) => HealthcareQueries.claimsReport(s, 4000))
+    "hc_claims_report" -> ((s: SparkSession, _: String) => HealthcareQueries.claimsReport(s, 4000)),
+    "hc_stream_etl" -> ((s: SparkSession, _: String) => HealthcareQueries.streamEtl(s, 4000))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -65,6 +76,7 @@ object SparkEntry {
     "q14_doc_tokens" -> Queries.q14Sql,
     "q15_exact_dedup" -> Queries.q15Sql,
     "q16_text_quality" -> Queries.q16Sql,
-    "q17_ann_cosine_topk" -> Queries.q17Sql
+    "q17_ann_cosine_topk" -> Queries.q17Sql,
+    "q24_token_counts" -> ExtQueries.q24Sql
   )
 }

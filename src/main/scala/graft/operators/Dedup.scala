@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Design for 100 TB: every method is a pure DataFrame transform built on
+  * native expressions (`xxhash64`, higher-order array functions) — no
+  * UDFs, no driver-side loops. Candidate generation always goes through
+  * bucket keys (LSH bands / simhash chunks / shared shingles) so the
+  * pairwise work is a bucket-local equi-join, never an n² cross join.
+  * Skewed buckets (boilerplate shingles, empty-text hash) are capped with
+  * a per-bucket row limit before pairing.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one representative row per key (first by
+    * tie-break), reporting duplicate cardinality. One shuffle on the key.
+    */
+  def exact(df: DataFrame, key: Seq[String], tieBreak: String): DataFrame =
+    df.groupBy(key.map(col): _*)
+      .agg(min(col(tieBreak)).as("keeper"), count(lit(1)).as("dup_count"))
+
+  /** Word k-shingles of a text column, distinct, lowercase.
+    * Uses 1-based `slice`; texts shorter than k yield the whole text as a
+    * single shingle so short docs can still collide.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(lower(text), " ")
+    array_distinct(
+      when(size(toks) < k, array(lower(text)))
+        .otherwise(expr(s"transform(sequence(1, size(split(lower(text), ' ')) - ${k - 1}), i -> concat_ws(' ', slice(split(lower(text), ' '), i, $k)))")))
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes per document,
+    * one column `sig` of ArrayType(Long). The "independent hash functions"
+    * are `xxhash64(shingle, seed_i)` — deterministic, shuffle-free to
+    * evaluate; the groupBy(doc) is the only exchange.
+    *
+    * Input: (idCol, textCol). Output: (idCol, n_shingles, sig).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 32, k: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+    val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), hashAggs: _*)
+      .select(col(idCol), col("n_shingles"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate duplicate pairs with estimated Jaccard.
+    *
+    * bands × rowsPerBand must equal the signature length. Each band's
+    * 4-hash slice is hashed to a bucket key; documents sharing any
+    * (band, bucket) are candidates. Pair generation is a self-equi-join
+    * on the bucket key (shuffle on bucket, never n²); `maxBucket` caps
+    * degenerate buckets. Estimated Jaccard = fraction of matching
+    * signature positions; pairs below `minJaccard` are dropped.
+    *
+    * Output: (id_a, id_b, est_jaccard), id_a < id_b, distinct.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
+      k: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, k)
+
+    // band buckets: hash of each contiguous rows-slice of the signature
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // cap pathological buckets (all-identical boilerplate) to bound join fan-out
+      .withColumn("bn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+          .orderBy(col(idCol))))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))").cast("double") /
+          lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash of a text column's token multiset. Tokens are hashed
+    * with xxhash64; each of the 64 bit positions accumulates +1/−1 per
+    * token and the sign becomes the output bit. Expressed as one
+    * fold over the token array per bit — wide but fully codegen'd,
+    * shuffle-free (per-row computation).
+    */
+  def simHash(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val bitCols = (0 until 64).map { j =>
+      // net vote for bit j: count(tokens with bit set) - count(without)
+      val votes = expr(
+        s"aggregate(split(lower(text), ' '), 0L, (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), $j) & 1) = 1 THEN 1 ELSE -1 END)")
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidate pairs within Hamming distance
+    * `maxHamming` (< 16). Pigeonhole: split the 64-bit hash into 4
+    * 16-bit chunks; any pair within distance ≤3 must agree on ≥1 chunk,
+    * so candidates are a bucket equi-join on (chunk_idx, chunk_value) —
+    * same scale shape as LSH banding.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, distinct.
+    */
+  def simHashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol), simHash(col(textCol)).as("sh"))
+    val chunks = hashed.select(col(idCol), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
+      .select(col(idCol), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunks.select(col("ci"), col("cv"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = chunks.select(col("ci"), col("cv"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing at least one
+    * shingle (inverted-index co-count — the standard exact verification
+    * stage behind MinHash candidates).
+    *
+    * |A∩B| comes from the shingle-level self-join; |A∪B| = |A|+|B|−|A∩B|.
+    * `maxDocFreq` drops stop-shingles (present in more than that many
+    * docs) before pairing — the classic skew guard: a boilerplate shingle
+    * shared by 1M docs would otherwise produce 10¹² pairs.
+    *
+    * Output: (id_a, id_b, jaccard) with jaccard ≥ minJaccard.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+    val co = filtered.select(col("shingle"), col(idCol).as("id_a"))
+      .join(filtered.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    co
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All native
+  * column expressions — per-row, shuffle-free, codegen-friendly — so they
+  * cost one scan regardless of corpus size.
+  */
+object TextAnalysis {
+
+  /** Marker-token sets for the n-gram/stopword language heuristic. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
+    "zh" -> Seq.empty // handled by charset below
+  )
+
+  /** Heuristic language identification: CJK charset ratio short-circuits
+    * to zh; otherwise the language with the highest marker-token hit rate
+    * wins (ties broken alphabetically for determinism). Returns a struct
+    * (predicted_lang, confidence).
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    def score(lang: String): Column =
+      if (markers(lang).isEmpty) lit(0.0)
+      else size(filter(toks, t => t.isin(markers(lang).map(lit(_)): _*))).cast("double") / nToks
+    val cjkRatio =
+      (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+    val scored = markers.keys.toSeq.sorted.filter(markers(_).nonEmpty)
+      .map(l => struct(score(l).as("s"), lit(l).as("l")))
+    val best = greatest(scored: _*)
+    when(cjkRatio > 0.2, struct(lit("zh").as("predicted_lang"), cjkRatio.as("confidence")))
+      .otherwise(struct(best.getField("l").as("predicted_lang"), best.getField("s").as("confidence")))
+  }
+
+  /** Quality-scoring features (length / punctuation / stopword / word
+    * stats) plus a composite [0,1] score with fixed weights — the
+    * text-pipeline analogue of the reference's data_quality_score fold
+    * (`healthcare_etl_pipeline.py:143-159`).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val words = split(text, "\\s+")
+    df
+      .withColumn("n_chars_calc", length(text))
+      .withColumn("n_words", size(words))
+      .withColumn("avg_word_len", length(text).cast("double") / greatest(size(words), lit(1)))
+      .withColumn("punct_ratio",
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          greatest(length(text), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(words, w => w.isin(markers("en").map(lit(_)): _*))).cast("double") /
+          greatest(size(words), lit(1)))
+      .withColumn("dup_word_ratio",
+        lit(1.0) - size(array_distinct(words)).cast("double") / greatest(size(words), lit(1)))
+      .withColumn("quality_score",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(1.0)
+            - when(col("n_words") < 8, 0.4).otherwise(0.0)
+            - when(col("punct_ratio") > 0.3, 0.3).otherwise(0.0)
+            - when(col("dup_word_ratio") > 0.7, 0.3).otherwise(0.0)
+            - when(col("avg_word_len") < 2.0 || col("avg_word_len") > 12.0, 0.2).otherwise(0.0))))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish sub-word estimate
+    * (regex word/digit/punct pieces, then ~4 chars per BPE token).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    df
+      .withColumn("ws_tokens", size(split(text, "\\s+")))
+      .withColumn("regex_tokens", regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")))
+      .withColumn("bpe_est_tokens", ceil(length(text).cast("double") / 4.0).cast("long"))
+  }
+
+  /** Winnowing document fingerprint: rolling xxhash64 over character
+    * k-grams, minimum per sliding window of w hashes, distinct mins kept.
+    * Two docs sharing content share fingerprints — the standard
+    * plagiarism/near-dup sketch (Schleimer et al., SIGMOD'03).
+    * Returns array<long>.
+    */
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(k))))
+    val windowMins = transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w))))
+    array_distinct(windowMins)
+  }
+
+  /** Fingerprint summary per document: count + a stable content id
+    * (xxhash64 of the fingerprint set).
+    */
+  def fingerprintDocs(df: DataFrame, idCol: String, textCol: String = "text",
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+      winnowingFingerprint(col(textCol), k, w).as("fingerprints"))
+      .select(col(idCol),
+        size(col("fingerprints")).as("n_fingerprints"),
+        xxhash64(to_json(struct(col("fingerprints")))).as("content_id"),
+        col("fingerprints"))
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BandJoin, Dedup, Multimodal, TextAnalysis, VectorOps}
+
+/** Extension-operator semantics: dedup family, vector similarity, text
+  * analysis, multimodal plumbing, bucketed band join.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+    (3L, "spark executes distributed queries with catalyst optimizer and tungsten engine"),
+    (4L, "completely different content about databases and storage engines here"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one representative per key with dup counts") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.count() == 4)
+    assert(out.filter($"dup_count" === 2).select($"keeper").head().getLong(0) == 1L)
+  }
+
+  test("minhash LSH finds the near-dup and exact-dup pairs, not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", numHashes = 32, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 5L))) // exact dup: est_jaccard = 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 5L))).get._3 == 1.0)
+    assert(ids.contains((1L, 2L)) || ids.contains((2L, 5L))) // near dup collides
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at distance 0; near-dups closer than unrelated docs") {
+    val pairs = Dedup.simHashDedup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 5L)) == 0) // exact dup guaranteed by pigeonhole at d<=3
+    // hash-level property (bucketing guarantees only d<=3): near-dup pair is
+    // strictly closer in Hamming space than unrelated pairs
+    val hashes = docs.select($"doc_id", Dedup.simHash($"text").as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(ham(1L, 2L) < ham(1L, 4L))
+    assert(ham(1L, 2L) < ham(1L, 3L))
+  }
+
+  test("ngram jaccard computes exact overlap ratio") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.3, maxDocFreq = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 5L)) == 1.0)
+    // docs 1 and 2: 14 tokens → 12 shingles each, 11 shared:
+    // J = 11 / (12 + 12 - 11) = 11/13
+    assert(math.abs(pairs((1L, 2L)) - 11.0 / 13.0) < 1e-9)
+  }
+
+  test("cosine and brute-force top-k match hand computation") {
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0, 0.0)),
+      (11L, Array(0.9, 0.1, 0.0)),
+      (12L, Array(0.0, 1.0, 0.0)),
+      (13L, Array(-1.0, 0.0, 0.0))).toDF("id", "vec")
+    val queries = Seq((1L, Array(1.0, 0.0, 0.0))).toDF("qid", "qvec")
+    val top = VectorOps.cosineTopK(corpus, queries, 2).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    val expected11 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(top(1).getAs[Double]("cosine") - expected11) < 1e-12)
+  }
+
+  test("embedding near-dup via LSH recovers planted duplicates") {
+    val base = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 17.0 + d * 3.0)))
+    }
+    val planted = base.take(5).map { case (i, v) => (i + 1000L, v.map(_ + 0.001)) }
+    val df = (base ++ planted).toDF("id", "vec")
+    val pairs = VectorOps.embeddingNearDup(df, "id", "vec", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing planted pair $i"))
+  }
+
+  test("LSH top-k achieves decent recall vs brute force on clustered data") {
+    val corpus = (0L until 200L).map { i =>
+      val center = (i % 4).toDouble
+      (i, Array.tabulate(16)(d => center + 0.1 * math.sin(i * 13.0 + d)))
+    }.toDF("id", "vec")
+    val queries = (0L until 4L).map { q =>
+      (q, Array.tabulate(16)(d => q.toDouble + 0.1 * math.cos(q * 7.0 + d)))
+    }.toDF("qid", "qvec")
+    val exact = VectorOps.cosineTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = VectorOps.cosineLshTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("langId: CJK charset wins zh; English markers win en") {
+    val out = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "机器学习模型训练数据处理系统")).toDF("doc_id", "text")
+      .withColumn("lid", TextAnalysis.langId($"text"))
+      .select($"doc_id", $"lid.predicted_lang".as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "zh")
+  }
+
+  test("token counts: whitespace, regex and BPE estimate") {
+    val r = TextAnalysis.tokenCounts(Seq((1L, "Hello world, 42 tests!")).toDF("doc_id", "text")).head()
+    assert(r.getAs[Int]("ws_tokens") == 4)
+    // [Hello][world][,][4][2][tests][!] = 7
+    assert(r.getAs[Int]("regex_tokens") == 7)
+    assert(r.getAs[Long]("bpe_est_tokens") == math.ceil(22 / 4.0).toLong)
+  }
+
+  test("winnowing fingerprints: identical docs share all, different docs share none") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "totally unrelated text with zero ngram overlap whatsoever")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprintDocs(df, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("fingerprints").toSet).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L).intersect(fp(3L)).isEmpty)
+  }
+
+  test("quality features: clean text scores high, degenerate text scores low, always in [0,1]") {
+    val out = TextAnalysis.qualityFeatures(Seq(
+      (1L, "this is a perfectly reasonable sentence with normal words and structure"),
+      (2L, "a a a a a a a a a a a a a a a a a a a a"),
+      (3L, "x")).toDF("doc_id", "text"))
+      .select($"doc_id", $"quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) < 0.5)
+    assert(out(3L) < 1.0)
+    out.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
+  test("multimodal: feature extraction is deterministic, schema intact; frame sampling expands video") {
+    val corpus = Multimodal.syntheticCorpus(spark, 30)
+    val f1 = Multimodal.extractFeatures(corpus).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(corpus).collect().sortBy(_.media_id)
+    assert(f1.map(_.payload_hash).toSeq == f2.map(_.payload_hash).toSeq)
+    assert(f1.forall(_.feature.length == 16))
+    val frames = Multimodal.frameSample(corpus, everyMs = 500)
+    assert(frames.count() > 10)
+    assert(frames.columns.contains("frame_ts_ms"))
+    val resized = Multimodal.resize(corpus, 32, 32).filter(r => r.meta.media_type == "image").head()
+    assert(resized.meta.width == 32 && resized.meta.height == 32)
+  }
+
+  test("bucketed band join ≡ naive band left join (scale-path rewrite correctness)") {
+    val left = (1L to 60L).map { i =>
+      (i, s"K${i % 7}", java.sql.Date.valueOf(java.time.LocalDate.parse("2026-01-01").plusDays(i * 3 % 50)))
+    }.toDF("lid", "key", "ldate")
+    val right = (1L to 40L).map { j =>
+      (s"R$j", s"K${j % 7}", java.sql.Date.valueOf(java.time.LocalDate.parse("2026-01-01").plusDays(j * 5 % 50)))
+    }.toDF("rid", "key", "rdate")
+
+    val naive = left.join(right,
+      left("key") === right("key") && abs(datediff($"ldate", $"rdate")) <= 7, "left")
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val bucketed = BandJoin.bandedLeftJoinById(left, right, "lid", "key", "ldate", "rdate", 7)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(bucketed == naive)
+  }
+}
