@@ -14,20 +14,29 @@ import graft.operators.{Dedup, Multimodal, TextAnalysis, VectorOps}
 object ExtQueries {
   import Tables.t
 
+  /** The documents/embeddings tables arrive as a single Parquet file →
+    * one input partition; the compute-heavy per-row operators (hashing,
+    * folds) would run on one core. An explicit repartition costs one
+    * tiny shuffle (~MBs) and buys full parallelism — the same idiom a
+    * 100 TB deployment gets from many input files.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   /** MinHash-LSH near-duplicate candidate pairs over documents. */
   def q18MinHashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(t(spark, dir, "documents"), "doc_id", "text",
+    Dedup.minHashLsh(spread(spark, t(spark, dir, "documents")), "doc_id", "text",
       numHashes = 32, bands = 8, minJaccard = 0.3)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-duplicate candidate pairs (Hamming ≤ 3 of 64 bits). */
   def q19SimHashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashDedup(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    Dedup.simHashDedup(spread(spark, t(spark, dir, "documents")), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   /** Exact n-gram Jaccard pairs (inverted-index verification stage). */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(t(spark, dir, "documents"), "doc_id", "text",
+    Dedup.ngramJaccard(spread(spark, t(spark, dir, "documents")), "doc_id", "text",
       k = 3, minJaccard = 0.2, maxDocFreq = 200)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
@@ -40,7 +49,7 @@ object ExtQueries {
     * planted pairs at θ=0.95.
     */
   def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "embeddings")
+    val base = spread(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val planted = base.filter(col("vec_id") < 20)
       .select((col("vec_id") + 100000).as("vec_id"),
@@ -52,7 +61,7 @@ object ExtQueries {
 
   /** Heuristic language ID vs the labeled lang column. */
   def q22LangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    spread(spark, t(spark, dir, "documents"))
       .withColumn("lid", TextAnalysis.langId(col("text")))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         col("lid.predicted_lang").as("predicted_lang"),
@@ -61,7 +70,7 @@ object ExtQueries {
 
   /** Winnowing fingerprints per document. */
   def q23Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprintDocs(t(spark, dir, "documents"), "doc_id")
+    TextAnalysis.fingerprintDocs(spread(spark, t(spark, dir, "documents")), "doc_id")
       .select(col("doc_id"), col("n_fingerprints"), col("content_id"))
       .orderBy("doc_id")
 
@@ -108,7 +117,7 @@ object ExtQueries {
 
   /** Text quality features composite (language-model corpus filter). */
   def q27TextQualityFeatures(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityFeatures(t(spark, dir, "documents"))
+    TextAnalysis.qualityFeatures(spread(spark, t(spark, dir, "documents")))
       .select(col("doc_id"), col("n_words"),
         round(col("avg_word_len"), 6).as("avg_word_len"),
         round(col("punct_ratio"), 6).as("punct_ratio"),

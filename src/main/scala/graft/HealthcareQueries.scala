@@ -37,9 +37,16 @@ object HealthcareQueries {
   def stgEhr(spark: SparkSession, n: Long): DataFrame =
     processedEhr(spark, n).transform(Staging.stgEhrRecords(cfg))
 
-  def factEncounters(spark: SparkSession, n: Long): DataFrame =
+  def factEncounters(spark: SparkSession, n: Long): DataFrame = {
+    // One generation+ETL pass shared by the three staging branches
+    // (cache() is lazy; the first action populates it, the other two
+    // branches and reruns reuse the same cached plan).
+    val e = enriched(spark, n).cache()
     FactPatientEncounters.build(cfg)(
-      stgVitals(spark, n), stgClaims(spark, n), stgEhr(spark, n))
+      Etl.routeVitals(e).transform(Staging.stgPatientVitals(cfg)),
+      Etl.routeClaims(e).transform(Staging.stgInsuranceClaims(cfg)),
+      Etl.routeEhr(e).transform(Staging.stgEhrRecords(cfg)))
+  }
 
   def dailyMonitoring(spark: SparkSession, n: Long): DataFrame =
     Reports.patientMonitoringReport(cfg)(factEncounters(spark, n))

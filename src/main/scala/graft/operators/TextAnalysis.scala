@@ -90,9 +90,22 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => xxhash64(text.substr(i, lit(k))))
-    val windowMins = transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      j => array_min(slice(grams, j, lit(w))))
+    // Shifted-zip formulation: window j's min = least(g[j], …, g[j+w-1]),
+    // computed by zipping w shifted copies of the gram array. The grams
+    // subtree is evaluated w+1 times total (once per slice) — O(n·w) per
+    // row. Two naive formulations measured and rejected:
+    // transform+slice-per-position re-evaluates grams per window (O(n²)
+    // hashes); an aggregate fold appending to an accumulator array copies
+    // the accumulator per element (O(n²) copies).
+    // m derives from length(text), NOT size(grams) — referencing grams
+    // here would re-evaluate the whole gram subtree per slice argument.
+    val m = greatest(greatest(length(text) - (k - 1), lit(1)) - (w - 1), lit(1))
+    val shifted = (0 until w).map(j => slice(grams, lit(j + 1), m).as(s"g$j"))
+    val zipped = arrays_zip(shifted: _*)
+    // arrays_zip pads shorter slices with null; least() ignores nulls, so
+    // texts with fewer than w grams degrade to the min of what exists.
+    val windowMins = transform(zipped, s =>
+      least((0 until w).map(j => s.getField(s"g$j")): _*))
     array_distinct(windowMins)
   }
 

@@ -45,6 +45,10 @@ class OperatorsSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
     assert(ham(1L, 2L) < ham(1L, 4L))
     assert(ham(1L, 2L) < ham(1L, 3L))
+    // the codegen agg path must produce identical hashes to the column fold
+    val aggHashes = Dedup.simHashDf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aggHashes == hashes)
   }
 
   test("ngram jaccard computes exact overlap ratio") {
