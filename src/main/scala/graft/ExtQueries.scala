@@ -103,6 +103,20 @@ object ExtQueries {
       .orderBy("qid", "rn")
   }
 
+  /** IVF approximate ANN — same query set as the q17 brute-force
+    * baseline; probes 4 of 16 clusters (inverted-file scale path).
+    */
+  def q28AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val em = spread(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.operators.IvfIndex.cosineTopK(spark,
+      em.filter(col("vec_id") >= 5).withColumnRenamed("vec_id", "id").withColumnRenamed("v", "vec"),
+      em.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qvec"),
+      k = 10, nClusters = 16, nprobe = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rn")
+  }
+
   /** Multimodal feature extraction over a deterministic synthetic media
     * corpus (decode stubbed — see Multimodal scaladoc; Spark-side schema,
     * batching and metadata flow are real).

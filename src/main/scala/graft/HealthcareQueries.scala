@@ -54,6 +54,20 @@ object HealthcareQueries {
   def claimsReport(spark: SparkSession, n: Long): DataFrame =
     Reports.claimsProcessingReport(cfg)(factEncounters(spark, n))
 
+  /** Dimension models (architecture-doc gap, SURVEY §7.4 optional). */
+  def dimPatients(spark: SparkSession, n: Long): DataFrame = {
+    val e = enriched(spark, n).cache()
+    graft.marts.Dimensions.dimPatients(cfg)(
+      Etl.routeVitals(e), Etl.routeClaims(e), Etl.routeEhr(e))
+      .orderBy("patient_id")
+  }
+
+  def dimProviders(spark: SparkSession, n: Long): DataFrame = {
+    val e = enriched(spark, n).cache()
+    graft.marts.Dimensions.dimProviders(cfg)(Etl.routeClaims(e), Etl.routeEhr(e))
+      .orderBy("provider_id")
+  }
+
   /** Streaming ETL demo: replay n generated messages through the
     * Structured Streaming pipeline (AvailableNow trigger), then report
     * per-table row counts from the streamed sinks. Exercises R1-R4

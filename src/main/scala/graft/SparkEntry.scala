@@ -48,6 +48,9 @@ object SparkEntry {
     "q25_ann_lsh" -> (ExtQueries.q25AnnLsh _),
     "q26_media_features" -> (ExtQueries.q26MediaFeatures _),
     "q27_text_quality_features" -> (ExtQueries.q27TextQualityFeatures _),
+    "q28_ann_ivf" -> (ExtQueries.q28AnnIvf _),
+    "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
+    "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
     // ScalaTest coverage in src/test)
     "hc_fact_encounters" -> ((s: SparkSession, _: String) => HealthcareQueries.factEncounters(s, 4000)),

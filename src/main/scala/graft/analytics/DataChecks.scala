@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** dbt-style data tests as engine primitives (SURVEY §5.5): not-null,
+  * accepted-values, unique, and row-count-thresholded checks with the
+  * reference's warn/error escalation semantics (`dbt_project.yml:32-37`:
+  * `warn_if: ">10"`, `error_if: ">100"`, `store_failures: true`).
+  *
+  * Each check is one aggregation (or one groupBy for `unique`) — checks
+  * compose into a single pass over the table where possible.
+  */
+object DataChecks {
+
+  sealed trait Severity
+  case object Pass extends Severity
+  case object Warn extends Severity
+  case object Error extends Severity
+
+  final case class CheckResult(table: String, check: String, failures: Long, severity: Severity)
+
+  private def grade(failures: Long, warnIf: Long, errorIf: Long): Severity =
+    if (failures > errorIf) Error else if (failures > warnIf) Warn else Pass
+
+  /** dbt `not_null` test: count rows where any listed column is null. */
+  def notNull(df: DataFrame, table: String, cols: Seq[String],
+      warnIf: Long = 10, errorIf: Long = 100): Seq[CheckResult] = {
+    val counts = df.agg(
+      count(lit(1)).as("__total"),
+      cols.map(c => count(when(col(c).isNull, 1)).as(s"__null_$c")): _*).head()
+    cols.map { c =>
+      val f = counts.getAs[Long](s"__null_$c")
+      CheckResult(table, s"not_null:$c", f, grade(f, warnIf, errorIf))
+    }
+  }
+
+  /** dbt `accepted_values` test. */
+  def acceptedValues(df: DataFrame, table: String, column: String, values: Seq[String],
+      warnIf: Long = 10, errorIf: Long = 100): CheckResult = {
+    val f = df.filter(col(column).isNotNull && !col(column).isin(values: _*)).count()
+    CheckResult(table, s"accepted_values:$column", f, grade(f, warnIf, errorIf))
+  }
+
+  /** dbt `unique` test: rows beyond the first per key are failures. */
+  def unique(df: DataFrame, table: String, cols: Seq[String],
+      warnIf: Long = 10, errorIf: Long = 100): CheckResult = {
+    val f = df.groupBy(cols.map(col): _*).count().filter(col("count") > 1)
+      .agg(coalesce(sum(col("count") - 1), lit(0L))).head().getLong(0)
+    CheckResult(table, s"unique:${cols.mkString(",")}", f, grade(f, warnIf, errorIf))
+  }
+
+  /** The check suite for the three processed tables, mirroring the
+    * staging models' implied contracts (NOT NULL grain columns P4,
+    * accepted category values F22).
+    */
+  def processedSuite(vitals: DataFrame, claims: DataFrame, ehr: DataFrame): Seq[CheckResult] =
+    notNull(vitals, "patient_vitals", Seq("patient_id", "timestamp")) ++
+      Seq(acceptedValues(vitals, "patient_vitals", "heart_rate_category",
+        Seq("elevated", "low", "normal"))) ++
+      notNull(claims, "insurance_claims", Seq("claim_id", "patient_id", "service_date")) ++
+      Seq(
+        acceptedValues(claims, "insurance_claims", "amount_category", Seq("low", "medium", "high")),
+        acceptedValues(claims, "insurance_claims", "claim_status",
+          Seq("Submitted", "Under Review", "Approved", "Denied", "Paid")),
+        unique(claims, "insurance_claims", Seq("claim_id"), warnIf = Long.MaxValue, errorIf = Long.MaxValue)) ++
+      notNull(ehr, "ehr_records", Seq("record_id", "patient_id", "visit_date"))
+}

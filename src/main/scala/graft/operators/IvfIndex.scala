@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path for similarity search alongside hyperplane LSH (VectorOps).
+  *
+  * Standard IVF structure (à la FAISS IVFFlat, re-expressed relationally):
+  *  1. pick k centroids (deterministic sample of the corpus, optionally
+  *     refined by Lloyd iterations — each iteration is one groupBy);
+  *  2. assign every corpus vector to its nearest centroid (one narrow
+  *     map with the broadcast centroid table) → the "inverted lists"
+  *     are just a `cluster_id` column, physically co-located by
+  *     repartition/bucketing on it;
+  *  3. a query probes only the `nprobe` nearest clusters: candidate set
+  *     = corpus rows whose cluster_id ∈ those, joined by cluster_id —
+  *     an equi-join touching nprobe/k of the data instead of all of it.
+  *
+  * Everything is DataFrame ops: centroids live in a broadcast table, the
+  * argmin is a per-row fold over the (small) centroid array, candidate
+  * selection is an equi-join Catalyst can plan as broadcast or shuffle.
+  */
+object IvfIndex {
+
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic centroid selection: the k corpus vectors with the
+    * smallest xxhash64(id) (a seeded uniform sample without an RNG),
+    * refined by `iters` Lloyd iterations (each: assign + mean).
+    */
+  def centroids(corpus: DataFrame, id: String, vec: String, k: Int, iters: Int = 2): DataFrame = {
+    var cents = corpus
+      .withColumn("__h", xxhash64(col(id)))
+      .orderBy(col("__h")).limit(k)
+      .select(monotonically_increasing_id().as("cluster_id"), col(vec).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, cents, id, vec)
+      cents = assigned
+        .join(corpus, Seq(id))
+        .select(col("cluster_id"), posexplode(col(vec)))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (id, cluster_id). The centroid table is
+    * collected (k rows, small by construction) and broadcast as a literal
+    * array; the argmin is one fold per row — no shuffle of the corpus.
+    */
+  def assign(corpus: DataFrame, cents: DataFrame, id: String, vec: String): DataFrame = {
+    val centArr = cents.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centStructs = array(centArr.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), typedLit(c).as("c"))
+    }: _*)
+    val best = aggregate(
+      centStructs,
+      struct(lit(Long.MaxValue).as("cid"), lit(Double.MaxValue).as("d")),
+      (acc, cs) => {
+        val d = sqDist(col(vec), cs.getField("c"))
+        when(d < acc.getField("d"), struct(cs.getField("cid").as("cid"), d.as("d"))).otherwise(acc)
+      })
+    corpus.select(col(id), best.getField("cid").as("cluster_id"))
+  }
+
+  /** IVF cosine top-k: probe the nprobe nearest clusters per query, exact
+    * cosine re-rank within candidates only.
+    */
+  def cosineTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "id", vec: String = "vec", qid: String = "qid", qvec: String = "qvec",
+      nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, id, vec, nClusters).cache()
+    val corpusAssigned = corpus.join(assign(corpus, cents, id, vec), Seq(id))
+
+    // query-side: rank clusters per query, keep nprobe nearest
+    val qCents = queries.crossJoin(broadcast(cents))
+      .withColumn("d", sqDist(col(qvec), col("centroid")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("d").asc, col("cluster_id").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col(qid), col(qvec), col("cluster_id"))
+
+    corpusAssigned.join(qCents, Seq("cluster_id"))
+      .withColumn("cosine", VectorOps.cosine(col(vec), col(qvec)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)))
+      .filter(col("rn") <= k)
+      .select(col(qid), col(id).as("neighbor_id"), col("cosine"), col("rn"))
+  }
+}

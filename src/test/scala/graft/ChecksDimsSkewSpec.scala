@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.DataChecks
+import graft.marts.Dimensions
+import graft.model.Config
+import graft.operators.{IvfIndex, Skew, VectorOps}
+
+/** Data checks, dimension models, skew primitives, IVF ANN. */
+class ChecksDimsSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("data checks: not_null / accepted_values / unique grade with warn/error thresholds") {
+    val df = Seq(("a", "Paid"), (null, "Paid"), ("c", "Bogus"), ("a", "Denied"))
+      .toDF("claim_id", "claim_status")
+    val nn = DataChecks.notNull(df, "t", Seq("claim_id"), warnIf = 0, errorIf = 100)
+    assert(nn.head.failures == 1 && nn.head.severity == DataChecks.Warn)
+    val av = DataChecks.acceptedValues(df, "t", "claim_status",
+      Seq("Paid", "Denied"), warnIf = 0, errorIf = 0)
+    assert(av.failures == 1 && av.severity == DataChecks.Error)
+    val uq = DataChecks.unique(df, "t", Seq("claim_id"), warnIf = 0, errorIf = 100)
+    assert(uq.failures == 1) // "a" appears twice -> 1 extra row
+  }
+
+  test("data checks: processed suite passes on generated pipeline output") {
+    val e = HealthcareQueries.enriched(spark, 2000).cache()
+    val results = DataChecks.processedSuite(
+      graft.etl.Etl.routeVitals(e), graft.etl.Etl.routeClaims(e), graft.etl.Etl.routeEhr(e))
+    assert(results.nonEmpty)
+    // claim_id uniqueness can legitimately collide (random 6-digit ids);
+    // every contract check must pass
+    assert(results.filterNot(_.check.startsWith("unique"))
+      .forall(_.severity == DataChecks.Pass))
+  }
+
+  test("dimensions: per-patient and per-provider rollups aggregate correctly") {
+    val vitals = Seq(("P1", ts("2026-08-11 10:00:00"), 70, 1.0), ("P1", ts("2026-08-11 11:00:00"), 90, 1.0))
+      .toDF("patient_id", "timestamp", "heart_rate", "data_quality_score")
+      .withColumn("temperature", lit(37.0))
+    val claims = Seq(("C1", "P1", "DR1", 100.0, 5, "Paid", d("2026-08-01")),
+      ("C2", "P1", "DR1", 300.0, 10, "Denied", d("2026-08-02")))
+      .toDF("claim_id", "patient_id", "provider_id", "total_amount", "processing_days", "claim_status", "service_date")
+    val ehr = Seq(("E1", "P1", "DR1", 2, d("2026-08-03")))
+      .toDF("record_id", "patient_id", "provider_id", "medication_count", "visit_date")
+
+    val dp = Dimensions.dimPatients(Config.default)(vitals, claims, ehr).head()
+    assert(dp.getAs[Long]("vitals_count") == 2)
+    assert(dp.getAs[Double]("avg_heart_rate") == 80.0)
+    assert(dp.getAs[Double]("lifetime_claim_value") == 400.0)
+    assert(dp.getAs[Long]("ehr_count") == 1)
+
+    val dr = Dimensions.dimProviders(Config.default)(claims, ehr).head()
+    assert(dr.getAs[Long]("claims_count") == 2)
+    assert(dr.getAs[Double]("denial_rate") == 0.5)
+    assert(dr.getAs[Double]("avg_medications") == 2.0)
+  }
+
+  test("salted aggregation equals plain aggregation (skew rewrite correctness)") {
+    val df = ((1 to 500).map(i => ("hot", i.toDouble)) ++ (1 to 50).map(i => (s"k${i % 7}", i.toDouble)))
+      .toDF("key", "v")
+    val plain = df.groupBy($"key").agg(sum($"v").as("v_sum"), count(lit(1)).as("row_count"),
+      min($"v").as("v_min"), max($"v").as("v_max"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val salted = Skew.saltedAgg(df, Seq("key"), 8, sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val probe = (1 to 300).map(i => (if (i % 2 == 0) "hot" else s"k$i", i)).toDF("key", "pv")
+    val build = Seq(("hot", 1), ("k1", 2), ("k3", 3)).toDF("key", "bv")
+    val plain = probe.join(build, Seq("key")).select($"key", $"pv", $"bv")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val salted = Skew.saltedJoin(probe, build, "key", 8)
+      .select($"key", $"pv", $"bv")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("IVF ANN: perfect recall when clusters separate the data") {
+    val corpus = (0L until 200L).map { i =>
+      val center = (i % 4).toDouble * 10.0
+      (i, Array.tabulate(8)(dd => center + 0.1 * math.sin(i * 13.0 + dd)))
+    }.toDF("id", "vec")
+    val queries = (0L until 4L).map { q =>
+      (q, Array.tabulate(8)(dd => q.toDouble * 10.0 + 0.05 * math.cos(q + dd)))
+    }.toDF("qid", "qvec")
+    val exact = VectorOps.cosineTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = IvfIndex.cosineTopK(spark, corpus, queries, 5, nClusters = 8, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def d(s: String) = java.sql.Date.valueOf(s)
+}
