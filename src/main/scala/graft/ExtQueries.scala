@@ -41,6 +41,28 @@ object ExtQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
 
+  /** DuckDB twin of q20: shingling via list comprehension, inverted-index
+    * co-count, exact Jaccard — filter on the unrounded value (like the
+    * operator), round for output parity.
+    */
+  val q20Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS shingles
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+      |df AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 200),
+      |fex AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN df USING (shingle)),
+      |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |       FROM fex a JOIN fex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |j AS (SELECT co.id_a, co.id_b,
+      |        CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) AS jac
+      |      FROM co JOIN sizes sa ON sa.doc_id = co.id_a JOIN sizes sb ON sb.doc_id = co.id_b)
+      |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH.
     * The driver's embeddings are near-random (max pairwise cosine ≈0.51,
     * so a true near-dup set is empty); we plant 20 deterministic

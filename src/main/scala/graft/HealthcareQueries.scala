@@ -42,10 +42,13 @@ object HealthcareQueries {
     // (cache() is lazy; the first action populates it, the other two
     // branches and reruns reuse the same cached plan).
     val e = enriched(spark, n).cache()
+    // cache() on the fact too: several hc_* queries consume the same
+    // fact build; Spark's cache manager matches by logical plan, so
+    // repeated invocations (reports after the fact query) reuse it.
     FactPatientEncounters.build(cfg)(
       Etl.routeVitals(e).transform(Staging.stgPatientVitals(cfg)),
       Etl.routeClaims(e).transform(Staging.stgInsuranceClaims(cfg)),
-      Etl.routeEhr(e).transform(Staging.stgEhrRecords(cfg)))
+      Etl.routeEhr(e).transform(Staging.stgEhrRecords(cfg))).cache()
   }
 
   def dailyMonitoring(spark: SparkSession, n: Long): DataFrame =

@@ -80,6 +80,7 @@ object SparkEntry {
     "q15_exact_dedup" -> Queries.q15Sql,
     "q16_text_quality" -> Queries.q16Sql,
     "q17_ann_cosine_topk" -> Queries.q17Sql,
+    "q20_ngram_jaccard" -> ExtQueries.q20Sql,
     "q24_token_counts" -> ExtQueries.q24Sql
   )
 }
