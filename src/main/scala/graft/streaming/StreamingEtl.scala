@@ -69,6 +69,19 @@ object StreamingEtl {
       }
       .start()
 
+  /** Streaming exact deduplication: drop re-delivered messages by id
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`,
+    * Spark 3.5+) — the streaming twin of `operators.Dedup.exact`. State
+    * holds one entry per key only until the watermark passes, so memory
+    * is bounded by the delay window, not the stream length; at-least-once
+    * sources (Pub/Sub, Kafka with retries) become effectively-once.
+    */
+  def dedupStream(parsed: DataFrame, idCols: Seq[String], delay: String = "10 minutes"): DataFrame =
+    parsed
+      .withColumn("event_ts", coalesce(to_timestamp(col("timestamp")), col("processed_at")))
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** R2+R5: the 60-second tumbling-window count metric as an event-time
     * windowed aggregation (per data_type), with a watermark bounding
     * state. Input: the parsed stream (needs `timestamp`/`data_type`).
