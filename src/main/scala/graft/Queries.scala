@@ -483,6 +483,68 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** Engine-completeness window functions beyond the reference's
+    * ROW_NUMBER: lag/lead with event-time deltas per user session.
+    */
+  def q29WindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("prev_purchase_id", lag(col("event_id"), 1).over(w))
+      .withColumn("next_purchase_id", lead(col("event_id"), 1).over(w))
+      .withColumn("us_since_prev", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("purchase_seq", row_number().over(w))
+      .select(col("event_id"), col("user_id"), col("purchase_seq"),
+        col("prev_purchase_id"), col("next_purchase_id"), col("us_since_prev"))
+      .orderBy("event_id")
+  }
+
+  val q29Sql: String =
+    """SELECT event_id, user_id,
+      |  ROW_NUMBER() OVER w AS purchase_seq,
+      |  LAG(event_id, 1) OVER w AS prev_purchase_id,
+      |  LEAD(event_id, 1) OVER w AS next_purchase_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS us_since_prev
+      |FROM events WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  /** Rollup aggregation (multi-level subtotals in one pass). */
+  def q30Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_value"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q30Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Semi + anti joins: customers who bought in 2001 but never with
+    * priority 1-URGENT (left semi against one subquery, left anti against
+    * another — the classic EXISTS / NOT EXISTS pair).
+    */
+  def q31SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val orders2001 = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+    val urgent = t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    t(spark, dir, "customer")
+      .join(orders2001, col("c_custkey") === orders2001("o_custkey"), "left_semi")
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val q31Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   val q17Sql: String =
     """WITH em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM em WHERE vec_id < 5),

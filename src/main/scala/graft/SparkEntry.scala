@@ -39,6 +39,9 @@ object SparkEntry {
     "q16_text_quality" -> (Queries.q16TextQuality _),
     "q17_ann_cosine_topk" -> (Queries.q17AnnCosineTopK _),
     "q18_minhash_dedup" -> (ExtQueries.q18MinHashDedup _),
+    "q29_window_lag" -> (Queries.q29WindowLag _),
+    "q30_rollup" -> (Queries.q30Rollup _),
+    "q31_semi_anti" -> (Queries.q31SemiAnti _),
     "q19_simhash_dedup" -> (ExtQueries.q19SimHashDedup _),
     "q20_ngram_jaccard" -> (ExtQueries.q20NgramJaccard _),
     "q21_embedding_neardup" -> (ExtQueries.q21EmbeddingNearDup _),
@@ -81,6 +84,9 @@ object SparkEntry {
     "q16_text_quality" -> Queries.q16Sql,
     "q17_ann_cosine_topk" -> Queries.q17Sql,
     "q20_ngram_jaccard" -> ExtQueries.q20Sql,
+    "q29_window_lag" -> Queries.q29Sql,
+    "q30_rollup" -> Queries.q30Sql,
+    "q31_semi_anti" -> Queries.q31Sql,
     "q24_token_counts" -> ExtQueries.q24Sql
   )
 }
