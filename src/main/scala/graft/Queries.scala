@@ -42,7 +42,14 @@ object Queries {
   private val D = DecimalType(18, 2)
   private val DP = DecimalType(24, 8) // for products of price-like doubles
 
-  private def decSum(c: Column, dt: DecimalType = D): Column = sum(c.cast(dt)).cast("double")
+  /** Order-independent double sum via DECIMAL, rounded to 4dp after the
+    * cast back: the decimal sum is exact and engine-identical, but
+    * DuckDB's int128→double conversion is not correctly rounded at
+    * magnitudes ≳1e9 (diverges from the JVM in the last ulp) — rounding
+    * well above that noise keeps hash parity at every scale factor.
+    */
+  private def decSum(c: Column, dt: DecimalType = D): Column =
+    round(sum(c.cast(dt)).cast("double"), 4)
 
   /** A1/A2 wide aggregation with conditional counts (TPC-H Q1 shape;
     * mirrors `fact_patient_encounters.sql:188-196`). Single hash-agg with
@@ -67,13 +74,13 @@ object Queries {
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+      |  round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_disc_price,
+      |  round(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_charge,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)/COUNT(*) AS avg_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)/COUNT(*) AS avg_price,
+      |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)/COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order,
       |  CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty_lines
       |FROM lineitem
@@ -142,7 +149,7 @@ object Queries {
 
   val q03Sql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+      |  round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue,
       |  COUNT(*) AS line_count
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
@@ -197,7 +204,7 @@ object Queries {
       |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
       |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
       |  COUNT(CASE WHEN value > 400 THEN 1 END) AS high_value_count,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)/COUNT(*) AS avg_value
       |FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
       |GROUP BY CAST(ts AS DATE) ORDER BY date DESC""".stripMargin
 
@@ -221,11 +228,11 @@ object Queries {
   val q06Sql: String =
     """SELECT CAST(o_orderdate AS DATE) AS date,
       |  COUNT(*) AS total_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value,
       |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
       |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
       |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_order_value
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)/COUNT(*) AS avg_order_value
       |FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
       |GROUP BY CAST(o_orderdate AS DATE) ORDER BY date DESC""".stripMargin
 
@@ -239,7 +246,10 @@ object Queries {
         - when(col("event_type") === "error", 0.2).otherwise(0.0)
         - when(col("props").isNull, 0.2).otherwise(0.0))
     events(spark, dir)
-      .withColumn("q", score)
+      // rounded to 6dp: Spark computes the penalties in binary doubles
+      // (1.0-0.3-0.2 = 0.4999...94) while DuckDB folds the same literals
+      // as exact decimals (= 0.5); rounding reconciles the two
+      .withColumn("q", round(score, 6))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -252,13 +262,13 @@ object Queries {
   val q07Sql: String =
     """WITH scored AS (
       |  SELECT event_type,
-      |    greatest(0.0, 1.0
+      |    round(greatest(0.0, 1.0
       |      - (CASE WHEN value > 400 THEN 0.3 ELSE 0.0 END)
       |      - (CASE WHEN event_type = 'error' THEN 0.2 ELSE 0.0 END)
-      |      - (CASE WHEN props IS NULL THEN 0.2 ELSE 0.0 END)) AS q
+      |      - (CASE WHEN props IS NULL THEN 0.2 ELSE 0.0 END)), 6) AS q
       |  FROM events)
       |SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_quality,
+      |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE), 4)/COUNT(*) AS avg_quality,
       |  MIN(q) AS min_quality, MAX(q) AS max_quality
       |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -329,7 +339,7 @@ object Queries {
       |       WHEN o_orderstatus = 'P' THEN 'pending'
       |       ELSE 'unknown' END AS lifecycle_stage,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
       |FROM orders GROUP BY 1, 2 ORDER BY value_category, lifecycle_stage""".stripMargin
 
   /** A5+A10+F6: freshness & staleness probe with a fixed as-of anchor
@@ -416,7 +426,7 @@ object Queries {
 
   val q15Sql: String =
     """SELECT o_custkey, COUNT(*) AS n_orders, MIN(o_orderkey) AS keeper_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1 ORDER BY o_custkey""".stripMargin
 
   /** Text quality scoring: stopword ratio via higher-order array functions
@@ -472,10 +482,10 @@ object Queries {
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = em.filter(col("vec_id") >= 5)
     corpus.crossJoin(broadcast(q))
+      // codegen'd VecDot — same left-to-right fold order as the DuckDB
+      // oracle's list_dot_product, rounded to 6dp before ranking
       .withColumn("cosine", round(
-        expr("aggregate(zip_with(emb, q_emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (sqrt(expr("aggregate(emb, 0D, (acc, x) -> acc + x * x)")) *
-            sqrt(expr("aggregate(q_emb, 0D, (acc, x) -> acc + x * x)"))), 6))
+        graft.operators.VectorOps.fastCosine(spark)(col("emb"), col("q_emb")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)))
       .filter(col("rn") <= 10)
@@ -518,7 +528,7 @@ object Queries {
 
   val q30Sql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 

@@ -1,0 +1,108 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product for `array<double>` — the one place in the
+  * engine where a custom Expression is genuinely warranted (SURVEY §2.10
+  * reserves custom Catalyst surface for the 100 TB extension operators).
+  *
+  * The built-in formulation `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0D, (acc,x) -> acc+x)` allocates an intermediate array and evaluates
+  * two interpreted lambdas per element — HigherOrderFunction expressions
+  * don't participate in whole-stage codegen. This expression generates a
+  * tight primitive loop (`doGenCode`), no allocation, and stays inside
+  * the codegen'd stage. Used on the ANN hot paths (cosine top-k scans
+  * every corpus×query pair).
+  *
+  * Null semantics: null array → null; null ELEMENTS contribute 0
+  * (consistent with the coalesce-to-zero convention in VectorOps).
+  * Length mismatch: iterates the shorter length (zip semantics).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<double> arguments, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration, both styles:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *    (cluster-wide injection at session build);
+  *  - [[GraftFunctions.register]] for imperative registration on an
+  *    existing session (the library path — works on sessions we didn't
+  *    construct, e.g. the driver's).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.vecDotDescriptor)
+}
+
+object GraftFunctions {
+  private[graft] val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_dot takes exactly 2 arguments")
+      VecDot(children.head, children(1))
+    })
+
+  /** Idempotently register graft functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("vec_dot"))) {
+      val (id, info, builder) = vecDotDescriptor
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}

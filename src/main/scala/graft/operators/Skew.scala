@@ -17,11 +17,11 @@ object Skew {
     * final aggregation through one reducer; salting splits that reducer
     * `saltBuckets` ways.
     *
-    * `aggs` must be algebraic (sum/count/min/max — mergeable partials).
-    * Example:
+    * Aggregates must be algebraic (sum/count/min/max — mergeable
+    * partials); pass the columns per aggregate kind:
     * {{{
-    * saltedAgg(df, Seq("user_id"), 16,
-    *   Seq(sum("v") -> "v_sum", count(lit(1)) -> "n"))
+    * saltedAgg(df, keys = Seq("user_id"), saltBuckets = 16,
+    *   sums = Seq("v"), mins = Seq("v"))   // → v_sum, row_count, v_min
     * }}}
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
@@ -55,6 +55,11 @@ object Skew {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // build-side replication preserves only probe-side join semantics;
+    // right/full would emit each unmatched build row saltBuckets times
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoin supports probe-side join types only, got $joinType")
     val p = probe.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)).cast("int"))
     val b = build.withColumn("__salt",

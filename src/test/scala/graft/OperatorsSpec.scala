@@ -60,6 +60,21 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 11.0 / 13.0) < 1e-9)
   }
 
+  test("VecDot codegen expression is bit-identical to the HOF fold and type-checks") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (0L until 200L).map(i => (i, Array.tabulate(64)(d => math.sin(i * 7.0 + d)),
+      Array.tabulate(64)(d => math.cos(i * 3.0 + d)))).toDF("id", "a", "b")
+    val both = df.select(
+      VectorOps.dot($"a", $"b").as("fold"),
+      call_function("vec_dot", $"a", $"b").as("codegen")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bitwise equal
+    // type error surfaces cleanly at analysis
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("vec_dot", $"id", $"a")).collect()
+    }
+    assert(err.getMessage.contains("vec_dot") || err.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("cosine and brute-force top-k match hand computation") {
     val corpus = Seq(
       (10L, Array(1.0, 0.0, 0.0)),
