@@ -151,6 +151,47 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** PII redaction over documents with planted identifiers (the driver's
+    * docs contain no PII, so each doc gets a deterministic synthetic
+    * email/phone/SSN suffix keyed by doc_id; the operator must scrub all
+    * of them). Oracle-checked — patterns are in the Java∩RE2 regex
+    * subset.
+    */
+  def q32PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents")
+      .withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+    TextAnalysis.redactPiiDf(planted)
+      .select(col("doc_id"),
+        substring(col("redacted_text"), -60, 60).as("redacted_tail"),
+        col("n_emails"), col("n_phones"), col("n_ssns"))
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or 555-123-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |      ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+      |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted_text,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |    CAST(len(regexp_extract_all(text, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_phones,
+      |    CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssns
+      |  FROM planted)
+      |SELECT doc_id, substring(redacted_text, -60) AS redacted_tail,
+      |  n_emails, n_phones, n_ssns
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** Text quality features composite (language-model corpus filter). */
   def q27TextQualityFeatures(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(spread(spark, t(spark, dir, "documents")))

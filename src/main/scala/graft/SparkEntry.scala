@@ -52,6 +52,7 @@ object SparkEntry {
     "q26_media_features" -> (ExtQueries.q26MediaFeatures _),
     "q27_text_quality_features" -> (ExtQueries.q27TextQualityFeatures _),
     "q28_ann_ivf" -> (ExtQueries.q28AnnIvf _),
+    "q32_pii_redact" -> (ExtQueries.q32PiiRedact _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -87,6 +88,7 @@ object SparkEntry {
     "q29_window_lag" -> Queries.q29Sql,
     "q30_rollup" -> Queries.q30Sql,
     "q31_semi_anti" -> Queries.q31Sql,
-    "q24_token_counts" -> ExtQueries.q24Sql
+    "q24_token_counts" -> ExtQueries.q24Sql,
+    "q32_pii_redact" -> ExtQueries.q32Sql
   )
 }

@@ -193,9 +193,9 @@ final class HealthcareGenerator(seed: Long = 42L, asOf: LocalDate = LocalDate.pa
     * mixed ~60/20/10 vitals/claims/EHR with ~10% junk-free margin
     * reproduced as unknown-type records for dead-letter testing.
     */
-  def messagesJson(spark: SparkSession, n: Long): Dataset[String] = {
+  def messagesJson(spark: SparkSession, n: Long, offset: Long = 0L): Dataset[String] = {
     import spark.implicits._
-    spark.range(n).map { id =>
+    spark.range(offset, offset + n).map { id =>
       val r = rng(4, id)
       val roll = r.nextDouble()
       if (roll < 0.6) toJson(vitals(id), "patient_vitals")

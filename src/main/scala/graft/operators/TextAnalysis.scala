@@ -80,6 +80,32 @@ object TextAnalysis {
       .withColumn("bpe_est_tokens", ceil(length(text).cast("double") / 4.0).cast("long"))
   }
 
+  /** PII redaction for training-data curation (and the healthcare PHI
+    * "minimum necessary" rule): regex-based scrubbing of emails, phone
+    * numbers, and SSN-shaped identifiers, replaced with typed tokens.
+    * Patterns stay within the regex subset shared by Java regex and RE2
+    * so the operator is oracle-checkable. Complement of
+    * [[graft.analytics.Compliance.deidentify]] (which pseudonymizes
+    * structured keys; this scrubs free text).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, token)) =>
+      regexp_replace(c, pat, token)
+    }
+
+  /** Redaction report: scrubbed text + per-category hit counts. */
+  def redactPiiDf(df: DataFrame, textCol: String = "text"): DataFrame =
+    df
+      .withColumn("redacted_text", redactPii(col(textCol)))
+      .withColumn("n_emails", regexp_count(col(textCol), lit(piiPatterns(0)._1)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(piiPatterns(1)._1)))
+      .withColumn("n_ssns", regexp_count(col(textCol), lit(piiPatterns(2)._1)))
+
   /** Winnowing document fingerprint: rolling xxhash64 over character
     * k-grams, minimum per sliding window of w hashes, distinct mins kept.
     * Two docs sharing content share fingerprints — the standard

@@ -42,6 +42,20 @@ class ComplianceStreamDedupSpec extends SparkSpec {
     assert(other != ids(0))
   }
 
+  test("PII redaction scrubs emails, phones, SSNs and counts hits") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+test@hospital.org or (555) 123-4567 thanks"),
+      (2L, "ssn on file 123-45-6789 and backup 987-65-4321"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPiiDf(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("redacted_text") == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(1L).getAs[Int]("n_emails") == 1 && out(1L).getAs[Int]("n_phones") == 1)
+    assert(out(2L).getAs[String]("redacted_text") == "ssn on file <SSN> and backup <SSN>")
+    assert(out(2L).getAs[Int]("n_ssns") == 2)
+    assert(out(3L).getAs[String]("redacted_text") == "nothing sensitive here at all")
+  }
+
   test("streaming dedup drops redelivered messages across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
