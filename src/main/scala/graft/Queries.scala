@@ -555,6 +555,71 @@ object Queries {
       |                    AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Sessionization (batch twin of the streaming `session_window`): a new
+    * session starts after a >30-minute gap per user; classic lag +
+    * cumulative-sum formulation, then per-session stats.
+    */
+  def q33Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapped = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L)).cast("long")
+          .as("duration_s"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val q33Sql: String =
+    """WITH g AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    LAG(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_s,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+      |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
+  /** Exact interpolated percentiles per group (both engines use linear
+    * interpolation over the sorted values — order-independent and
+    * engine-portable; rounded 6dp for residual float safety).
+    */
+  def q34Percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(expr("percentile(value, 1.0)"), 6).as("p100"))
+      .orderBy("event_type")
+
+  val q34Sql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  round(quantile_cont(value, 1.0), 6) AS p100
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q17Sql: String =
     """WITH em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM em WHERE vec_id < 5),

@@ -53,6 +53,8 @@ object SparkEntry {
     "q27_text_quality_features" -> (ExtQueries.q27TextQualityFeatures _),
     "q28_ann_ivf" -> (ExtQueries.q28AnnIvf _),
     "q32_pii_redact" -> (ExtQueries.q32PiiRedact _),
+    "q33_sessionize" -> (Queries.q33Sessionize _),
+    "q34_percentiles" -> (Queries.q34Percentiles _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -89,6 +91,8 @@ object SparkEntry {
     "q30_rollup" -> Queries.q30Sql,
     "q31_semi_anti" -> Queries.q31Sql,
     "q24_token_counts" -> ExtQueries.q24Sql,
-    "q32_pii_redact" -> ExtQueries.q32Sql
+    "q32_pii_redact" -> ExtQueries.q32Sql,
+    "q33_sessionize" -> Queries.q33Sql,
+    "q34_percentiles" -> Queries.q34Sql
   )
 }

@@ -69,6 +69,22 @@ object StreamingEtl {
       }
       .start()
 
+  /** Session windows per patient (the gap-based analogue of the batch
+    * sessionization query q33): sessions close after `gap` of inactivity;
+    * watermark bounds state. Works identically over static frames (Spark
+    * evaluates session_window in batch) — which is how the spec pins the
+    * merge semantics deterministically.
+    */
+  def sessionStats(parsed: DataFrame, gap: String = "30 minutes"): DataFrame =
+    parsed
+      .withColumn("event_ts", coalesce(to_timestamp(col("timestamp")), col("processed_at")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(session_window(col("event_ts"), gap), col("patient_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("patient_id"), col("n_events"))
+
   /** Streaming exact deduplication: drop re-delivered messages by id
     * within the watermark horizon (`dropDuplicatesWithinWatermark`,
     * Spark 3.5+) — the streaming twin of `operators.Dedup.exact`. State

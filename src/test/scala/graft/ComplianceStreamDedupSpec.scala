@@ -56,6 +56,18 @@ class ComplianceStreamDedupSpec extends SparkSpec {
     assert(out(3L).getAs[String]("redacted_text") == "nothing sensitive here at all")
   }
 
+  test("session windows merge by gap: 3 near readings = 1 session, distant = new session") {
+    val df = Seq(
+      ("P1", "2026-08-11T10:00:00"), ("P1", "2026-08-11T10:10:00"), ("P1", "2026-08-11T10:25:00"),
+      ("P1", "2026-08-11T12:00:00"), // > 30 min gap -> new session
+      ("P2", "2026-08-11T10:00:00"))
+      .toDF("patient_id", "timestamp")
+      .withColumn("processed_at", lit(java.sql.Timestamp.valueOf("2026-08-12 00:00:00")))
+    val out = StreamingEtl.sessionStats(df).collect()
+      .map(r => (r.getAs[String]("patient_id"), r.getAs[Long]("n_events"))).toList.sorted
+    assert(out == List(("P1", 1L), ("P1", 3L), ("P2", 1L)))
+  }
+
   test("streaming dedup drops redelivered messages across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
