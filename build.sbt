@@ -15,6 +15,10 @@ Test / fork := true
 // interleave.
 Test / parallelExecution := false
 run / fork := true
+// The driver parses Bench/Verify stdout as JSON; sbt's default
+// LoggedOutput prefixes forked output with "[info] ", which breaks that.
+// StdoutOutput passes the forked JVM's stdout/stderr through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

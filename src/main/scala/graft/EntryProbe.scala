@@ -1,0 +1,13 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object EntryProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"ENTRY_ROWS=${SparkEntry.entry(spark).count()}")
+    spark.stop()
+  }
+}

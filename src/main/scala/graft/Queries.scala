@@ -587,10 +587,10 @@ object Queries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)),
       |s AS (
-      |  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+      |  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL
       |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
       |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM g)
       |SELECT user_id, session_seq, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
