@@ -81,7 +81,53 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Heuristic language ID vs the labeled lang column. */
+  /** Exact near-duplicate verification (brute-force all-pairs cosine) —
+    * the exact baseline behind the LSH-blocked q21, oracle-checked
+    * against DuckDB's list_dot_product. Same planted duplicates as q21,
+    * so this also pins q21's expected recall set. Norms are computed once
+    * per vector before the pair join, so each of the O(n²) pairs costs a
+    * single codegen'd [[graft.expressions.VecDot]]. At 100 TB scale the
+    * pair source would be LSH candidates (q21); the math per pair is
+    * identical.
+    */
+  def q35NearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val base = spread(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.01)).as("vec"))
+    val withNorm = base.unionByName(planted)
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("vec"), col("vec"))))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        call_function("vec_dot", col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q35Sql: String =
+    """WITH av AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+      |  FROM embeddings WHERE vec_id < 20),
+      |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM av),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 6) AS cosine
+      |FROM p WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin
+
+  /** Heuristic language ID vs the labeled lang column. Oracle-checked:
+    * the marker-token hit rates and the CJK charset ratio are portable
+    * SQL (DuckDB list_filter + RE2 \x{...} class), and the
+    * highest-score/greatest-struct tie-break maps to list_sort(...)[-1].
+    */
   def q22LangId(spark: SparkSession, dir: String): DataFrame =
     spread(spark, t(spark, dir, "documents"))
       .withColumn("lid", TextAnalysis.langId(col("text")))
@@ -89,6 +135,29 @@ object ExtQueries {
         col("lid.predicted_lang").as("predicted_lang"),
         round(col("lid.confidence"), 6).as("confidence"))
       .orderBy("doc_id")
+
+  val q22Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |    string_split_regex(lower(text), '\s+') AS toks,
+      |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS cjk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, cjk,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS DOUBLE) / greatest(len(toks),1) AS s_en,
+      |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS DOUBLE) / greatest(len(toks),1) AS s_de,
+      |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS DOUBLE) / greatest(len(toks),1) AS s_es,
+      |    CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est','que'], x))) AS DOUBLE) / greatest(len(toks),1) AS s_fr
+      |  FROM t),
+      |b AS (
+      |  SELECT doc_id, lang AS labeled_lang, cjk,
+      |    list_sort([{'s': s_de, 'l': 'de'}, {'s': s_en, 'l': 'en'}, {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'}])[-1] AS best
+      |  FROM s)
+      |SELECT doc_id, labeled_lang,
+      |  CASE WHEN cjk > 0.2 THEN 'zh' ELSE best.l END AS predicted_lang,
+      |  round(CASE WHEN cjk > 0.2 THEN cjk ELSE best.s END, 6) AS confidence
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** Winnowing fingerprints per document. */
   def q23Fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -100,7 +169,7 @@ object ExtQueries {
     * the regex dialect subset used is identical in Java regex and RE2.
     */
   def q24TokenCounts(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenCounts(t(spark, dir, "documents"))
+    TextAnalysis.tokenCounts(spread(spark, t(spark, dir, "documents")))
       .select(col("doc_id"), col("ws_tokens"), col("regex_tokens"), col("bpe_est_tokens"))
       .orderBy("doc_id")
 
@@ -158,7 +227,7 @@ object ExtQueries {
     * subset.
     */
   def q32PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val planted = t(spark, dir, "documents")
+    val planted = spread(spark, t(spark, dir, "documents"))
       .withColumn("text",
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 555-123-"),
@@ -192,7 +261,11 @@ object ExtQueries {
       |  n_emails, n_phones, n_ssns
       |FROM r ORDER BY doc_id""".stripMargin
 
-  /** Text quality features composite (language-model corpus filter). */
+  /** Text quality features composite (language-model corpus filter).
+    * Oracle-checked; quality_score is rounded 6dp on both sides because
+    * DuckDB's 0.1-quantum literals are exact decimals while Spark's are
+    * binary doubles (1.0-0.4-0.3 = 0.3 vs 0.30000000000000004).
+    */
   def q27TextQualityFeatures(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(spread(spark, t(spark, dir, "documents")))
       .select(col("doc_id"), col("n_words"),
@@ -200,6 +273,31 @@ object ExtQueries {
         round(col("punct_ratio"), 6).as("punct_ratio"),
         round(col("stopword_ratio"), 6).as("stopword_ratio"),
         round(col("dup_word_ratio"), 6).as("dup_word_ratio"),
-        col("quality_score"))
+        round(col("quality_score"), 6).as("quality_score"))
       .orderBy("doc_id")
+
+  val q27Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(text, '\s+') AS words FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS INT) AS n_words,
+      |    CAST(length(text) AS DOUBLE) / greatest(len(words), 1) AS avg_word_len,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a','in','is','that'], w))) AS DOUBLE)
+      |      / greatest(len(words), 1) AS stopword_ratio,
+      |    1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS dup_word_ratio
+      |  FROM t)
+      |SELECT doc_id, n_words,
+      |  round(avg_word_len, 6) AS avg_word_len,
+      |  round(punct_ratio, 6) AS punct_ratio,
+      |  round(stopword_ratio, 6) AS stopword_ratio,
+      |  round(dup_word_ratio, 6) AS dup_word_ratio,
+      |  CAST(round(greatest(0.0, least(1.0, 1.0
+      |    - CASE WHEN n_words < 8 THEN 0.4 ELSE 0.0 END
+      |    - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+      |    - CASE WHEN dup_word_ratio > 0.7 THEN 0.3 ELSE 0.0 END
+      |    - CASE WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 0.2 ELSE 0.0 END)), 6) AS DOUBLE) AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin
 }

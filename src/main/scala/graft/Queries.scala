@@ -434,7 +434,11 @@ object Queries {
     * (the text-pipeline quality-score operator).
     */
   def q16TextQuality(spark: SparkSession, dir: String): DataFrame =
+    // documents arrives as one parquet partition; repartition buys full
+    // parallelism for the per-row splits (result has a total ORDER BY,
+    // so layout can't affect the oracle hash)
     t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("word_count", size(split(col("text"), " ")))
       .withColumn("stopword_count",
         expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))"))

@@ -55,6 +55,7 @@ object SparkEntry {
     "q32_pii_redact" -> (ExtQueries.q32PiiRedact _),
     "q33_sessionize" -> (Queries.q33Sessionize _),
     "q34_percentiles" -> (Queries.q34Percentiles _),
+    "q35_neardup_exact" -> (ExtQueries.q35NearDupExact _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -93,6 +94,9 @@ object SparkEntry {
     "q24_token_counts" -> ExtQueries.q24Sql,
     "q32_pii_redact" -> ExtQueries.q32Sql,
     "q33_sessionize" -> Queries.q33Sql,
-    "q34_percentiles" -> Queries.q34Sql
+    "q34_percentiles" -> Queries.q34Sql,
+    "q35_neardup_exact" -> ExtQueries.q35Sql,
+    "q22_lang_id" -> ExtQueries.q22Sql,
+    "q27_text_quality_features" -> ExtQueries.q27Sql
   )
 }

@@ -26,29 +26,27 @@ object Dedup {
   /** Word k-shingles of a text column, distinct, lowercase.
     * Uses 1-based `slice`; texts shorter than k yield the whole text as a
     * single shingle so short docs can still collide.
+    *
+    * Shifted-zip formulation (same idiom as the winnowing window-min):
+    * zip k shifted slices of the token array and join each zipped tuple —
+    * the token split evaluates k+2 times total, O(n·k) per row. Two
+    * rejected alternatives, both O(n²) per row: transform+slice-per-
+    * position re-evaluates the token subtree per window, and a ring-
+    * buffer fold copies its growing output accumulator on every
+    * array_append.
     */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(lower(text), " ")
-    // Single O(n·k) fold with a ring buffer of the last k-1 tokens.
-    // (A transform(sequence(...), i -> slice(tokens, i, k)) formulation
-    // re-evaluates the tokens subtree per position — O(n²) per row.)
-    val folded = aggregate(
-      toks,
-      struct(
-        array().cast("array<string>").as("buf"),
-        array().cast("array<string>").as("out")),
-      (acc, t) => {
-        val window = concat(acc.getField("buf"), array(t))
-        struct(
-          when(size(window) >= k, slice(window, lit(2), lit(k - 1))).otherwise(window).as("buf"),
-          when(size(window) >= k, array_append(acc.getField("out"), concat_ws(" ", window)))
-            .otherwise(acc.getField("out")).as("out"))
-      },
-      // texts shorter than k tokens yield the whole text as one shingle
-      // so short docs can still collide
-      acc => when(size(acc.getField("out")) > 0, acc.getField("out"))
-        .otherwise(array(concat_ws(" ", acc.getField("buf")))))
-    array_distinct(folded)
+    // m = window count, derived from a size() re-evaluation of the split
+    // (cheap) rather than a shared subtree (which HOFs would re-evaluate
+    // per element).
+    val m = greatest(size(toks) - (k - 1), lit(1))
+    val shifted = (0 until k).map(j => slice(toks, lit(j + 1), m).as(s"t$j"))
+    val grams = transform(arrays_zip(shifted: _*), s =>
+      concat_ws(" ", (0 until k).map(j => s.getField(s"t$j")): _*))
+    array_distinct(
+      when(size(toks) >= k, grams)
+        .otherwise(array(concat_ws(" ", toks))))
   }
 
   /** MinHash signature: `numHashes` independent min-hashes per document,

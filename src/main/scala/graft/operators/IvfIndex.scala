@@ -37,9 +37,7 @@ object IvfIndex {
       .orderBy(col("__h")).limit(k)
       .select(monotonically_increasing_id().as("cluster_id"), col(vec).as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus, cents, id, vec)
-      cents = assigned
-        .join(corpus, Seq(id))
+      cents = assign(corpus, cents, id, vec)
         .select(col("cluster_id"), posexplode(col(vec)))
         .groupBy(col("cluster_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -50,24 +48,30 @@ object IvfIndex {
     cents
   }
 
-  /** Nearest-centroid assignment: (id, cluster_id). The centroid table is
-    * collected (k rows, small by construction) and broadcast as a literal
-    * array; the argmin is one fold per row — no shuffle of the corpus.
+  /** Nearest-centroid assignment: the corpus rows plus a `cluster_id`
+    * column. The centroid table is collected (k rows, small by
+    * construction) and embedded as literals; the argmin is
+    * `least()` over k per-centroid (score, cid) structs, where
+    * score = |c|² − 2⟨a,c⟩ (the |a|² term is common to every centroid and
+    * drops out of the argmin — the FAISS trick). Each score is one
+    * codegen'd [[graft.expressions.VecDot]] against a constant array, so
+    * the whole assignment runs inside one whole-stage-codegen'd scan with
+    * no shuffle. (The previous interpreted fold re-evaluated a
+    * zip_with+aggregate sqDist twice per centroid per row — the classic
+    * HOF re-evaluation trap — and needed an id-join to recover the
+    * corpus columns.) Ties in score break toward the smaller cluster_id.
     */
   def assign(corpus: DataFrame, cents: DataFrame, id: String, vec: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val centArr = cents.select(col("cluster_id"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val centStructs = array(centArr.map { case (cid, c) =>
-      struct(lit(cid).as("cid"), typedLit(c).as("c"))
-    }: _*)
-    val best = aggregate(
-      centStructs,
-      struct(lit(Long.MaxValue).as("cid"), lit(Double.MaxValue).as("d")),
-      (acc, cs) => {
-        val d = sqDist(col(vec), cs.getField("c"))
-        when(d < acc.getField("d"), struct(cs.getField("cid").as("cid"), d.as("d"))).otherwise(acc)
-      })
-    corpus.select(col(id), best.getField("cid").as("cluster_id"))
+    val scored = centArr.map { case (cid, c) =>
+      val n2 = c.map(x => x * x).sum
+      struct(
+        (lit(n2) - lit(2.0) * call_function("vec_dot", col(vec), typedLit(c))).as("d"),
+        lit(cid).as("cid"))
+    }
+    corpus.withColumn("cluster_id", least(scored.toIndexedSeq: _*).getField("cid"))
   }
 
   /** IVF cosine top-k: probe the nprobe nearest clusters per query, exact
@@ -77,7 +81,7 @@ object IvfIndex {
       id: String = "id", vec: String = "vec", qid: String = "qid", qvec: String = "qvec",
       nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = centroids(corpus, id, vec, nClusters).cache()
-    val corpusAssigned = corpus.join(assign(corpus, cents, id, vec), Seq(id))
+    val corpusAssigned = assign(corpus, cents, id, vec)
 
     // query-side: rank clusters per query, keep nprobe nearest
     val qCents = queries.crossJoin(broadcast(cents))
@@ -88,7 +92,7 @@ object IvfIndex {
       .select(col(qid), col(qvec), col("cluster_id"))
 
     corpusAssigned.join(qCents, Seq("cluster_id"))
-      .withColumn("cosine", VectorOps.cosine(col(vec), col(qvec)))
+      .withColumn("cosine", VectorOps.fastCosine(spark)(col(vec), col(qvec)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)))
       .filter(col("rn") <= k)

@@ -19,7 +19,11 @@ class BucketedSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val e = HealthcareQueries.enriched(spark, 3000).cache()
+      // enrichedFresh: a memoized `enriched` would make the plain fact's
+      // plan canonically equal to the globally cached fact → the cache
+      // manager would swap in InMemoryRelation and erase the joins this
+      // test asserts on.
+      val e = HealthcareQueries.enrichedFresh(spark, 3000).cache()
       val lake = new BucketedLakehouse(spark, "graft_bucketed_test", buckets = 4)
       lake.writeProcessed(Etl.routeVitals(e), Etl.routeClaims(e), Etl.routeEhr(e))
 
