@@ -624,6 +624,220 @@ object Queries {
       |  round(quantile_cont(value, 1.0), 6) AS p100
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CUBE with grouping_id: all 4 subtotal combinations in one pass
+    * (completes the grouping-set family next to q30's ROLLUP).
+    */
+  def q36Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_value"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q36Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Pivot: per-day event counts, one column per event type (fixed value
+    * list for schema determinism; coalesce to 0 because pivot yields null
+    * for absent combinations while conditional COUNT yields 0).
+    */
+  def q37Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      .orderBy("day")
+  }
+
+  val q37Sql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Correlated scalar aggregate: per customer, orders priced above that
+    * customer's own average. Spark formulation is the decorrelated
+    * groupBy+join plan (what Catalyst rewrites the subquery to); the
+    * oracle keeps the correlated-subquery form. The average is an exact
+    * decimal sum cast to double, so both engines compare against the
+    * identical value.
+    */
+  def q38AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val avgs = o.groupBy(col("o_custkey").as("ak"))
+      .agg((sum(col("o_totalprice").cast(D)).cast("double") / count(lit(1))).as("avg_price"))
+    o.join(avgs, col("o_custkey") === col("ak"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_above"), decSum(col("o_totalprice")).as("value_above"))
+      .orderBy("o_custkey")
+  }
+
+  val q38Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_above,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS value_above
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Explode/unnest + top-k: the 20 most frequent (lang, word) pairs
+    * across the corpus (generator/flatMap operator family).
+    */
+  def q39WordTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang"), col("word"))
+      .limit(20)
+
+  val q39Sql: String =
+    """SELECT lang, word, COUNT(*) AS n
+      |FROM (SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY lang, word
+      |ORDER BY n DESC, lang, word LIMIT 20""".stripMargin
+
+  /** ntile deciles over account balance with per-decile stats (global
+    * analytic window — inherently single-partition sort; at 100 TB the
+    * same shape runs per-partition-key or via approx quantiles, q34).
+    */
+  def q40Deciles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy("decile")
+
+  val q40Sql: String =
+    """WITH d AS (
+      |  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+      |  FROM customer)
+      |SELECT decile, COUNT(*) AS n_customers, MIN(c_acctbal) AS min_bal,
+      |  MAX(c_acctbal) AS max_bal,
+      |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_bal
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** Weekly revenue with a running cumulative total. The cumulative sum
+    * runs over DECIMAL so the running value is exact in both engines
+    * (sequential double accumulation would be engine-private).
+    */
+  def q41WeeklyCumulative(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(to_date(date_trunc("week", col("o_orderdate"))).as("wk"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(D)).as("wk_rev_d"))
+      .withColumn("cum_rev", round(sum(col("wk_rev_d")).over(
+        Window.orderBy(col("wk").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"), 4))
+      .select(col("wk"), col("n_orders"),
+        round(col("wk_rev_d").cast("double"), 4).as("wk_rev"), col("cum_rev"))
+      .orderBy("wk")
+
+  val q41Sql: String =
+    """WITH w AS (
+      |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS wk_rev_d
+      |  FROM orders GROUP BY 1)
+      |SELECT wk, n_orders, round(CAST(wk_rev_d AS DOUBLE), 4) AS wk_rev,
+      |  round(CAST(SUM(wk_rev_d) OVER (ORDER BY wk ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cum_rev
+      |FROM w ORDER BY wk""".stripMargin
+
+  /** String-function suite over customer names (all in the portable
+    * Java∩DuckDB semantics subset; names are ASCII).
+    */
+  def q42Strings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        translate(col("c_name"), "0123456789", "##########").as("masked"),
+        levenshtein(lower(col("c_name")), lit("customer")).as("lev"),
+        length(col("c_name")).as("len"))
+      .orderBy("c_custkey")
+
+  val q42Sql: String =
+    """SELECT c_custkey, upper(c_name) AS uname, lpad(c_name, 25, '*') AS padded,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  translate(c_name, '0123456789', '##########') AS masked,
+      |  CAST(levenshtein(lower(c_name), 'customer') AS INT) AS lev,
+      |  CAST(length(c_name) AS INT) AS len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** As-of join ([[graft.operators.AsOfJoin]]): each error event picks up
+    * the user's latest preceding purchase (point-in-time enrichment).
+    * Oracle is DuckDB's native ASOF LEFT JOIN. Purchases are
+    * pre-aggregated to one row per (user, ts) — both the sweep and ASOF
+    * need tie-free right sides for determinism.
+    */
+  def q43AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("event_id")).as("pid"), max(col("value")).as("pval"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(err, pur,
+        "user_id", "user_id", "ts", "pts", Seq("pts", "pid", "pval"))
+      .orderBy("event_id")
+  }
+
+  val q43Sql: String =
+    """WITH pur AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+      |    max(event_id) AS pid, max(value) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |err AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'error')
+      |SELECT err.event_id, err.user_id, err.ts, pur.pts, pur.pid, pur.pval
+      |FROM err ASOF LEFT JOIN pur
+      |  ON err.user_id = pur.user_id AND pur.pts <= err.ts
+      |ORDER BY err.event_id""".stripMargin
+
+  /** JSON extraction + aggregation over the events.props payload
+    * (semi-structured column family: get_json_object ↔ ->> ).
+    */
+  def q44Json(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        (sum(col("k").cast(D)).cast("double") / count(lit(1))).as("avg_k_raw"))
+      .select(col("event_type"), col("n"), col("min_k"), col("max_k"),
+        round(col("avg_k_raw"), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  val q44Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+      |  CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k,
+      |  round(CAST(SUM(CAST(CAST(props->>'$.k' AS INT) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q17Sql: String =
     """WITH em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM em WHERE vec_id < 5),

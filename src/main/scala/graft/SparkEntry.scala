@@ -56,6 +56,15 @@ object SparkEntry {
     "q33_sessionize" -> (Queries.q33Sessionize _),
     "q34_percentiles" -> (Queries.q34Percentiles _),
     "q35_neardup_exact" -> (ExtQueries.q35NearDupExact _),
+    "q36_cube" -> (Queries.q36Cube _),
+    "q37_pivot" -> (Queries.q37Pivot _),
+    "q38_above_avg" -> (Queries.q38AboveAvg _),
+    "q39_word_topk" -> (Queries.q39WordTopK _),
+    "q40_deciles" -> (Queries.q40Deciles _),
+    "q41_weekly_cumulative" -> (Queries.q41WeeklyCumulative _),
+    "q42_strings" -> (Queries.q42Strings _),
+    "q43_asof_join" -> (Queries.q43AsofJoin _),
+    "q44_json" -> (Queries.q44Json _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -97,6 +106,15 @@ object SparkEntry {
     "q34_percentiles" -> Queries.q34Sql,
     "q35_neardup_exact" -> ExtQueries.q35Sql,
     "q22_lang_id" -> ExtQueries.q22Sql,
-    "q27_text_quality_features" -> ExtQueries.q27Sql
+    "q27_text_quality_features" -> ExtQueries.q27Sql,
+    "q36_cube" -> Queries.q36Sql,
+    "q37_pivot" -> Queries.q37Sql,
+    "q38_above_avg" -> Queries.q38Sql,
+    "q39_word_topk" -> Queries.q39Sql,
+    "q40_deciles" -> Queries.q40Sql,
+    "q41_weekly_cumulative" -> Queries.q41Sql,
+    "q42_strings" -> Queries.q42Sql,
+    "q43_asof_join" -> Queries.q43Sql,
+    "q44_json" -> Queries.q44Sql
   )
 }
