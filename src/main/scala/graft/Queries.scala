@@ -838,6 +838,23 @@ object Queries {
       |  round(CAST(SUM(CAST(CAST(props->>'$.k' AS INT) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact COUNT(DISTINCT) per group outside the fact grain (the HLL
+    * approximate twin is spec-checked against this in SamplingHllSpec —
+    * sketches aren't portable SQL).
+    */
+  def q45DistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"))
+      .orderBy("event_type")
+
+  val q45Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_active_days
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q17Sql: String =
     """WITH em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM em WHERE vec_id < 5),

@@ -65,6 +65,7 @@ object SparkEntry {
     "q42_strings" -> (Queries.q42Strings _),
     "q43_asof_join" -> (Queries.q43AsofJoin _),
     "q44_json" -> (Queries.q44Json _),
+    "q45_distinct_users" -> (Queries.q45DistinctUsers _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -115,6 +116,7 @@ object SparkEntry {
     "q41_weekly_cumulative" -> Queries.q41Sql,
     "q42_strings" -> Queries.q42Sql,
     "q43_asof_join" -> Queries.q43Sql,
-    "q44_json" -> Queries.q44Sql
+    "q44_json" -> Queries.q44Sql,
+    "q45_distinct_users" -> Queries.q45Sql
   )
 }

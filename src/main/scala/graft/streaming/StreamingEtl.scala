@@ -32,15 +32,48 @@ import graft.model.Config
   */
 object StreamingEtl {
 
+  /** Where the message stream comes from. The ETL graph is
+    * source-agnostic: every variant yields a single string `value`
+    * column (one JSON message per row), the contract `Etl.parse`
+    * consumes.
+    */
+  sealed trait MessageSource
+  /** JSON-lines directory — the local stand-in for the Pub/Sub topic. */
+  final case class FileSource(dir: String, maxFilesPerTrigger: Int = 100) extends MessageSource
+  /** Kafka topics (the production Pub/Sub-equivalent path). Rate-limited
+    * per micro-batch via maxOffsetsPerTrigger (the backpressure analogue
+    * of the reference's worker autoscaling ceiling). Requires the
+    * spark-sql-kafka connector jar on the classpath at runtime; the
+    * format is resolved by name, so this module compiles without it.
+    */
+  final case class KafkaSource(bootstrapServers: String, topics: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Long = 100000L) extends MessageSource
+
+  def readMessages(spark: SparkSession, src: MessageSource): DataFrame = src match {
+    case FileSource(dir, maxFiles) =>
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFiles)
+        .text(dir)
+        .toDF("value")
+    case KafkaSource(servers, topics, offsets, maxOffsets) =>
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", offsets)
+        .option("maxOffsetsPerTrigger", maxOffsets)
+        .load()
+        .select(col("value").cast("string").as("value"))
+  }
+
   /** Open the message stream from a JSON-lines directory (the local
-    * stand-in for the Pub/Sub topic; swap `format` for Kafka in prod —
-    * the rest of the graph is unchanged).
+    * stand-in for the Pub/Sub topic; pass a [[KafkaSource]] to the
+    * overload for the production path — the rest of the graph is
+    * unchanged).
     */
   def readMessages(spark: SparkSession, inputDir: String, maxFilesPerTrigger: Int = 100): DataFrame =
-    spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(inputDir)
-      .toDF("value")
+    readMessages(spark, FileSource(inputDir, maxFilesPerTrigger))
 
   /** The full streaming ETL with foreachBatch fan-out. Each micro-batch
     * runs the identical batch pipeline then routes to the three
@@ -49,7 +82,11 @@ object StreamingEtl {
   def start(spark: SparkSession, inputDir: String, outRoot: String,
       cfg: Config = Config.default,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
-    readMessages(spark, inputDir)
+    start(spark, FileSource(inputDir), outRoot, cfg, trigger)
+
+  def start(spark: SparkSession, src: MessageSource, outRoot: String,
+      cfg: Config, trigger: Trigger): StreamingQuery =
+    readMessages(spark, src)
       .writeStream
       .queryName("healthcare_etl")
       .option("checkpointLocation", s"$outRoot/_checkpoints/etl")
