@@ -855,6 +855,63 @@ object Queries {
       |  COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_active_days
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The full ranking-function family over one deterministic ordering
+    * (rank/dense_rank ties are real: o_totalprice collides). percent_rank
+    * and cume_dist are exact small-integer ratios — identical IEEE
+    * division in both engines.
+    */
+  def q46RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .filter(col("rn") <= 50)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val q46Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |    round(percent_rank() OVER w, 6) AS prank, round(cume_dist() OVER w, 6) AS cdist
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC))
+      |SELECT * FROM r WHERE rn <= 50 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Date/time function suite in the portable Spark∩DuckDB subset:
+    * extract family, truncation, date arithmetic, last_day.
+    */
+  def q47DatetimeSuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(to_date(col("o_orderdate")), 90).as("due_date"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), to_date(col("o_orderdate"))).as("age_days"))
+      .orderBy("o_orderkey")
+
+  val q47Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_date,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+      |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin
+
   val q17Sql: String =
     """WITH em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM em WHERE vec_id < 5),

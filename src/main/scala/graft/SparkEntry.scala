@@ -66,6 +66,8 @@ object SparkEntry {
     "q43_asof_join" -> (Queries.q43AsofJoin _),
     "q44_json" -> (Queries.q44Json _),
     "q45_distinct_users" -> (Queries.q45DistinctUsers _),
+    "q46_rank_family" -> (Queries.q46RankFamily _),
+    "q47_datetime_suite" -> (Queries.q47DatetimeSuite _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -117,6 +119,8 @@ object SparkEntry {
     "q42_strings" -> Queries.q42Sql,
     "q43_asof_join" -> Queries.q43Sql,
     "q44_json" -> Queries.q44Sql,
-    "q45_distinct_users" -> Queries.q45Sql
+    "q45_distinct_users" -> Queries.q45Sql,
+    "q46_rank_family" -> Queries.q46Sql,
+    "q47_datetime_suite" -> Queries.q47Sql
   )
 }

@@ -85,14 +85,16 @@ object VectorOps {
 
   /** numBits-bit hyperplane signature of a vector column. Bit p = sign of
     * ⟨vec, plane_p⟩. `dims` must match the embedding dimensionality.
+    * Each projection is one codegen'd [[graft.expressions.VecDot]]
+    * against a constant plane literal (VecDot's zip-to-shorter +
+    * null-elements-as-0 semantics equal the previous
+    * zip_with+coalesce fold bit-for-bit, without interpreted HOF
+    * lambdas). Callers must register GraftFunctions on the session
+    * ([[lshBucketed]] does).
     */
   def hyperplaneSignature(vec: Column, numBits: Int = 16, dims: Int = 64): Column = {
     val bits = (0 until numBits).map { p =>
-      // zip_with pads the shorter side with nulls; coalesce-to-0 makes
-      // vectors shorter than `dims` project onto their actual dimensions
-      val proj = aggregate(
-        zip_with(vec, typedLit(plane(p, dims)), (x, c) => coalesce(x * c, lit(0.0))),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = call_function("vec_dot", vec, typedLit(plane(p, dims)))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -104,6 +106,7 @@ object VectorOps {
     */
   def lshBucketed(df: DataFrame, vec: String, numBits: Int = 16, bands: Int = 4): DataFrame = {
     require(numBits % bands == 0)
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val bitsPerBand = numBits / bands
     val mask = (1L << bitsPerBand) - 1
     df.withColumn("sig", hyperplaneSignature(col(vec), numBits))
