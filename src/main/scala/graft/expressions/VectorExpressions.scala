@@ -84,8 +84,10 @@ case class VecDot(left: Expression, right: Expression)
   *    construct, e.g. the driver's).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.vecDotDescriptor)
+    ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
+  }
 }
 
 object GraftFunctions {
@@ -97,12 +99,18 @@ object GraftFunctions {
       VecDot(children.head, children(1))
     })
 
-  /** Idempotently register graft functions on an existing session. */
+  /** Idempotently register graft functions and optimizer rules on an
+    * existing session (the band-join rewrite stays inert until its conf
+    * flag enables it).
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("vec_dot"))) {
       val (id, info, builder) = vecDotDescriptor
       registry.registerFunction(id, info, builder)
     }
+    val em = spark.experimental
+    if (!em.extraOptimizations.exists(_.isInstanceOf[graft.plans.BandJoinRewrite]))
+      em.extraOptimizations = em.extraOptimizations :+ graft.plans.BandJoinRewrite(spark)
   }
 }
