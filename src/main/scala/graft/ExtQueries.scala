@@ -14,29 +14,20 @@ import graft.operators.{Dedup, Multimodal, TextAnalysis, VectorOps}
 object ExtQueries {
   import Tables.t
 
-  /** The documents/embeddings tables arrive as a single Parquet file →
-    * one input partition; the compute-heavy per-row operators (hashing,
-    * folds) would run on one core. An explicit repartition costs one
-    * tiny shuffle (~MBs) and buys full parallelism — the same idiom a
-    * 100 TB deployment gets from many input files.
-    */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
-
   /** MinHash-LSH near-duplicate candidate pairs over documents. */
   def q18MinHashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(spread(spark, t(spark, dir, "documents")), "doc_id", "text",
+    Dedup.minHashLsh(t(spark, dir, "documents"), "doc_id", "text",
       numHashes = 32, bands = 8, minJaccard = 0.3)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-duplicate candidate pairs (Hamming ≤ 3 of 64 bits). */
   def q19SimHashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashDedup(spread(spark, t(spark, dir, "documents")), "doc_id", "text", maxHamming = 3)
+    Dedup.simHashDedup(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   /** Exact n-gram Jaccard pairs (inverted-index verification stage). */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(spread(spark, t(spark, dir, "documents")), "doc_id", "text",
+    Dedup.ngramJaccard(t(spark, dir, "documents"), "doc_id", "text",
       k = 3, minJaccard = 0.2, maxDocFreq = 200)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
@@ -71,7 +62,7 @@ object ExtQueries {
     * planted pairs at θ=0.95.
     */
   def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val base = spread(spark, t(spark, dir, "embeddings"))
+    val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val planted = base.filter(col("vec_id") < 20)
       .select((col("vec_id") + 100000).as("vec_id"),
@@ -92,7 +83,7 @@ object ExtQueries {
     */
   def q35NearDupExact(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val base = spread(spark, t(spark, dir, "embeddings"))
+    val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val planted = base.filter(col("vec_id") < 20)
       .select((col("vec_id") + 100000).as("vec_id"),
@@ -129,7 +120,7 @@ object ExtQueries {
     * highest-score/greatest-struct tie-break maps to list_sort(...)[-1].
     */
   def q22LangId(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, t(spark, dir, "documents"))
+    t(spark, dir, "documents")
       .withColumn("lid", TextAnalysis.langId(col("text")))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         col("lid.predicted_lang").as("predicted_lang"),
@@ -161,7 +152,7 @@ object ExtQueries {
 
   /** Winnowing fingerprints per document. */
   def q23Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprintDocs(spread(spark, t(spark, dir, "documents")), "doc_id")
+    TextAnalysis.fingerprintDocs(t(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), col("n_fingerprints"), col("content_id"))
       .orderBy("doc_id")
 
@@ -169,7 +160,7 @@ object ExtQueries {
     * the regex dialect subset used is identical in Java regex and RE2.
     */
   def q24TokenCounts(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenCounts(spread(spark, t(spark, dir, "documents")))
+    TextAnalysis.tokenCounts(t(spark, dir, "documents"))
       .select(col("doc_id"), col("ws_tokens"), col("regex_tokens"), col("bpe_est_tokens"))
       .orderBy("doc_id")
 
@@ -198,7 +189,7 @@ object ExtQueries {
     * baseline; probes 4 of 16 clusters (inverted-file scale path).
     */
   def q28AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val em = spread(spark, t(spark, dir, "embeddings"))
+    val em = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     graft.operators.IvfIndex.cosineTopK(spark,
       em.filter(col("vec_id") >= 5).withColumnRenamed("vec_id", "id").withColumnRenamed("v", "vec"),
@@ -227,7 +218,7 @@ object ExtQueries {
     * subset.
     */
   def q32PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val planted = spread(spark, t(spark, dir, "documents"))
+    val planted = t(spark, dir, "documents")
       .withColumn("text",
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 555-123-"),
@@ -267,7 +258,7 @@ object ExtQueries {
     * binary doubles (1.0-0.4-0.3 = 0.3 vs 0.30000000000000004).
     */
   def q27TextQualityFeatures(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityFeatures(spread(spark, t(spark, dir, "documents")))
+    TextAnalysis.qualityFeatures(t(spark, dir, "documents"))
       .select(col("doc_id"), col("n_words"),
         round(col("avg_word_len"), 6).as("avg_word_len"),
         round(col("punct_ratio"), 6).as("punct_ratio"),
