@@ -924,6 +924,36 @@ object Queries {
       |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
       |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin
 
+  /** Sliding time-range window frame (RANGE BETWEEN interval PRECEDING):
+    * per event, activity of the same user in the trailing hour — the
+    * batch twin of a streaming sliding-window aggregation. Both engines
+    * frame over epoch-second integers so the range arithmetic is exact.
+    */
+  def q48SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    // Frame over epoch MICROseconds as exact integers: unix_timestamp
+    // would truncate to seconds while DuckDB's epoch() keeps fractions —
+    // boundary rows would land in different frames.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(spark, dir)
+      .filter(col("event_type") === "click")
+      .withColumn("epoch_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("clicks_trailing_hour"),
+        round(sum(col("value").cast(D)).over(w).cast("double"), 4).as("value_trailing_hour"))
+      .orderBy("event_id")
+  }
+
+  val q48Sql: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  COUNT(*) OVER w AS clicks_trailing_hour,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS value_trailing_hour
+      |FROM events WHERE event_type = 'click'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val q17Sql: String =
     """WITH em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM em WHERE vec_id < 5),

@@ -68,6 +68,7 @@ object SparkEntry {
     "q45_distinct_users" -> (Queries.q45DistinctUsers _),
     "q46_rank_family" -> (Queries.q46RankFamily _),
     "q47_datetime_suite" -> (Queries.q47DatetimeSuite _),
+    "q48_sliding_window" -> (Queries.q48SlidingWindow _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -121,6 +122,7 @@ object SparkEntry {
     "q44_json" -> Queries.q44Sql,
     "q45_distinct_users" -> Queries.q45Sql,
     "q46_rank_family" -> Queries.q46Sql,
-    "q47_datetime_suite" -> Queries.q47Sql
+    "q47_datetime_suite" -> Queries.q47Sql,
+    "q48_sliding_window" -> Queries.q48Sql
   )
 }

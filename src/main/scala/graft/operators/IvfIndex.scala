@@ -37,13 +37,20 @@ object IvfIndex {
       .orderBy(col("__h")).limit(k)
       .select(monotonically_increasing_id().as("cluster_id"), col(vec).as("centroid"))
     for (_ <- 0 until iters) {
-      cents = assign(corpus, cents, id, vec)
+      val means = assign(corpus, cents, id, vec)
         .select(col("cluster_id"), posexplode(col(vec)))
         .groupBy(col("cluster_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("cluster_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+        .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("new_centroid"))
+      // A cluster that attracted no members has no mean and would vanish,
+      // silently shrinking the index from k to k-1 lists (and the probe
+      // math with it). Keep its previous centroid instead — the standard
+      // empty-cluster fallback; it can re-acquire members next iteration.
+      cents = cents.join(means, Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
     }
     cents
   }
