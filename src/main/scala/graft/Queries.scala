@@ -924,6 +924,38 @@ object Queries {
       |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
       |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin
 
+  /** Set-operation chain — ((A UNION B) EXCEPT C) INTERSECT D — with
+    * regexp_extract capture groups on the way out (both engines return ''
+    * on no-match). Completes §2.7 beyond q13's INTERSECT and q31's
+    * EXISTS/NOT EXISTS pair.
+    */
+  def q49SetOpsRegexp(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val excl = c.filter(col("c_nationkey") < 5).select("c_custkey")
+    val withOrders = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val keys = a.union(b).distinct().except(excl).intersect(withOrders)
+    keys.join(c, "c_custkey")
+      .select(col("c_custkey"), col("c_name"),
+        regexp_extract(col("c_name"), "Customer#([0-9]+)", 1).cast("long").as("cust_num"))
+      .orderBy("c_custkey")
+  }
+
+  val q49Sql: String =
+    """WITH k AS (
+      |  ((SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    UNION
+      |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |   EXCEPT
+      |   SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders)
+      |SELECT c.c_custkey, c.c_name,
+      |  CAST(regexp_extract(c.c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS cust_num
+      |FROM k JOIN customer c ON k.c_custkey = c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** Sliding time-range window frame (RANGE BETWEEN interval PRECEDING):
     * per event, activity of the same user in the trailing hour — the
     * batch twin of a streaming sliding-window aggregation. Both engines

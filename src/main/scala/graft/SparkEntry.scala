@@ -69,6 +69,7 @@ object SparkEntry {
     "q46_rank_family" -> (Queries.q46RankFamily _),
     "q47_datetime_suite" -> (Queries.q47DatetimeSuite _),
     "q48_sliding_window" -> (Queries.q48SlidingWindow _),
+    "q49_setops_regexp" -> (Queries.q49SetOpsRegexp _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -123,6 +124,7 @@ object SparkEntry {
     "q45_distinct_users" -> Queries.q45Sql,
     "q46_rank_family" -> Queries.q46Sql,
     "q47_datetime_suite" -> Queries.q47Sql,
-    "q48_sliding_window" -> Queries.q48Sql
+    "q48_sliding_window" -> Queries.q48Sql,
+    "q49_setops_regexp" -> Queries.q49Sql
   )
 }
