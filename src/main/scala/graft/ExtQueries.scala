@@ -114,6 +114,48 @@ object ExtQueries {
       |SELECT id_a, id_b, round(cos, 6) AS cosine
       |FROM p WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin
 
+  /** Benchmark-contamination sweep: max n-gram containment of each "test"
+    * doc (deterministic doc_id%10 holdout — SQL-expressible, unlike the
+    * production hash split of [[graft.operators.Sampling]]) against any
+    * "train" doc. Oracle-checked via the q20-style DuckDB shingle
+    * machinery.
+    */
+  def q50Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contamination(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text", k = 3, minContainment = 0.2, maxDocFreq = 1000)
+      .select(col("test_id"), col("train_id"), round(col("containment"), 6).as("containment"))
+      .orderBy("test_id")
+  }
+
+  val q50Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS shingles
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |tr AS (SELECT doc_id AS train_id, shingle FROM ex WHERE doc_id % 10 < 8),
+      |te AS (SELECT doc_id AS test_id, shingle FROM ex WHERE doc_id % 10 >= 8),
+      |tsz AS (SELECT test_id, count(*) AS n_test FROM te GROUP BY 1),
+      |trf AS (SELECT train_id, shingle FROM (
+      |  SELECT train_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM tr)
+      |  WHERE df <= 1000),
+      |co AS (SELECT te.test_id, trf.train_id, count(*) AS inter
+      |       FROM te JOIN trf USING (shingle) GROUP BY 1, 2),
+      |cm AS (SELECT co.test_id, co.train_id,
+      |         CAST(co.inter AS DOUBLE) / tsz.n_test AS containment
+      |       FROM co JOIN tsz USING (test_id)
+      |       WHERE CAST(co.inter AS DOUBLE) / tsz.n_test >= 0.2),
+      |b AS (SELECT test_id, train_id, containment,
+      |        row_number() OVER (PARTITION BY test_id
+      |          ORDER BY containment DESC, train_id ASC) AS rn
+      |      FROM cm)
+      |SELECT test_id, train_id, round(containment, 6) AS containment
+      |FROM b WHERE rn = 1 ORDER BY test_id""".stripMargin
+
   /** Heuristic language ID vs the labeled lang column. Oracle-checked:
     * the marker-token hit rates and the CJK charset ratio are portable
     * SQL (DuckDB list_filter + RE2 \x{...} class), and the

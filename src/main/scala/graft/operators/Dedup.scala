@@ -184,6 +184,42 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Train→test contamination check: for each test document, the maximum
+    * n-gram containment against any training document — the standard
+    * benchmark-decontamination sweep (a test doc whose shingles are
+    * largely inside some training doc is leaked). Containment
+    * |T∩R|/|T| (not Jaccard) so a short test doc fully embedded in a
+    * long train doc still scores 1.0.
+    *
+    * Same scale shape as [[ngramJaccard]]: inverted-index equi-join on
+    * the shingle, stop-shingle cap, per-pair co-count — never n².
+    * Output: one row per test doc with any overlap ≥ minContainment:
+    * (test id, best train id, containment), ties broken by smaller
+    * train id.
+    */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minContainment: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+    val tr = train.select(col(idCol).as("train_id"), explode(shingles(col(textCol), k)).as("shingle"))
+    val te = test.select(col(idCol).as("test_id"), explode(shingles(col(textCol), k)).as("shingle"))
+    val teSizes = te.groupBy(col("test_id")).agg(count(lit(1)).as("n_test"))
+    val trFiltered = tr
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+    te.join(trFiltered, Seq("shingle"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(teSizes, Seq("test_id"))
+      .select(col("test_id"), col("train_id"),
+        (col("inter").cast("double") / col("n_test")).as("containment"))
+      .filter(col("containment") >= minContainment)
+      .groupBy(col("test_id"))
+      .agg(max(struct(col("containment"), (-col("train_id")).as("neg"))).as("best"))
+      .select(col("test_id"), (-col("best.neg")).cast("long").as("train_id"),
+        col("best.containment").as("containment"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing at least one
     * shingle (inverted-index co-count — the standard exact verification
     * stage behind MinHash candidates).
