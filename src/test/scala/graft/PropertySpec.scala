@@ -92,4 +92,57 @@ class PropertySpec extends SparkSpec {
       .select($"n_fingerprints").collect().map(_.getInt(0))
     assert(out.forall(_ >= 1))
   }
+
+  test("as-of join: every match respects ts ordering and is the latest eligible") {
+    val r = new Random(21)
+    val rights = (0 until 120).map(i => ("K" + r.nextInt(6), r.nextInt(1000).toLong, i.toDouble))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // tie-free per (key, ts)
+      .toDF("k", "rts", "px")
+    val lefts = (0 until 80).map(i => ("K" + r.nextInt(8), r.nextInt(1100).toLong, i.toLong))
+      .toDF("k", "lts", "id")
+    val out = operators.AsOfJoin.asOf(lefts, rights, "k", "k", "lts", "rts", Seq("rts", "px"))
+    val rMap = rights.collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    out.collect().foreach { row =>
+      val (k, lts) = (row.getString(0), row.getLong(1))
+      if (!row.isNullAt(3)) {
+        val rts = row.getLong(3)
+        assert(rts <= lts, s"matched ts $rts must precede left ts $lts")
+        // no eligible right row strictly between the match and the left ts
+        assert(!rMap.exists { case (rk, t) => rk == k && t > rts && t <= lts })
+      } else {
+        assert(!rMap.exists { case (rk, t) => rk == k && t <= lts },
+          s"null match for ($k,$lts) but an eligible right row exists")
+      }
+    }
+  }
+
+  test("contamination: containment is in (0,1] and self-contamination is exactly 1") {
+    val r = new Random(34)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def text() = Seq.fill(6 + r.nextInt(20))(words(r.nextInt(words.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, text()))
+    // test split = exact copies of some train docs (guaranteed leak)
+    val train = base.toDF("doc_id", "text")
+    val test = base.take(5).map { case (id, t) => (id + 1000, t) }.toDF("doc_id", "text")
+    val out = operators.Dedup.contamination(train, test, "doc_id", "text",
+      minContainment = 0.01, maxDocFreq = 10000)
+    val rows = out.collect()
+    assert(rows.length == 5, "every copied doc must be flagged")
+    rows.foreach { row =>
+      val c = row.getDouble(2)
+      assert(c > 0.0 && c <= 1.0)
+      assert(c == 1.0, s"an exact copy must have containment 1.0, got $c")
+    }
+  }
+
+  test("hash split: fractions converge and reseeding changes assignment") {
+    val ids = (0 until 2000).map(_.toLong).toDF("id")
+    val s1 = operators.Sampling.split(ids, "id", Seq("a" -> 0.5, "b" -> 0.5), seed = 1)
+    val n1 = s1.filter($"split" === "a").count()
+    assert(math.abs(n1 - 1000) < 120, s"0.5 split of 2000 gave $n1")
+    val s2 = operators.Sampling.split(ids, "id", Seq("a" -> 0.5, "b" -> 0.5), seed = 2)
+    val moved = s1.withColumnRenamed("split", "x").join(s2, "id")
+      .filter($"x" =!= $"split").count()
+    assert(moved > 500, "different seeds must reshuffle a large fraction")
+  }
 }
