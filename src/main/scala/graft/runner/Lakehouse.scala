@@ -13,7 +13,7 @@ import graft.staging.Staging
 /** Orchestrator replacing the Airflow DAG
   * (`airflow/dags/healthcare_data_pipeline_dag.py:139-147` wiring):
   * ingest/ETL → processed tables → staging views → fact table → reports →
-  * health gates. Zones map to Parquet directories
+  * health gates. Zones map to columnar directories (Parquet by default, ORC pluggable via the `format` param)
   * (`raw/ processed/ curated/`, mirroring the three GCS buckets + BQ
   * datasets, `terraform/main.tf:118-245`).
   *
@@ -22,10 +22,21 @@ import graft.staging.Staging
   * (`docs/architecture/technical_architecture.md:162-165`) — which gives
   * dynamic partition pruning on the 24h/30d report filters for free.
   */
-final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.default) {
+final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.default,
+    format: String = "parquet") {
+
+  require(Seq("parquet", "orc").contains(format),
+    s"zone format must be a schema-preserving columnar format, got $format")
 
   val processedDir = s"$root/processed"
   val curatedDir = s"$root/curated"
+
+  private def write(df: DataFrame, mode: SaveMode, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode).format(format)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+  }
+  private def read(path: String): DataFrame = spark.read.format(format).load(path)
 
   /** Run the ETL over a raw message DataFrame (one string column `value`)
     * and append the three processed tables + dead-letter output (R1/S3/S4).
@@ -33,9 +44,9 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
   def runEtl(raw: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit = {
     val enriched = raw.transform(Etl.pipeline(cfg)).cache()
     try {
-      Etl.routeVitals(enriched).write.mode(mode).parquet(s"$processedDir/patient_vitals")
-      Etl.routeClaims(enriched).write.mode(mode).parquet(s"$processedDir/insurance_claims")
-      Etl.routeEhr(enriched).write.mode(mode).parquet(s"$processedDir/ehr_records")
+      write(Etl.routeVitals(enriched), mode, s"$processedDir/patient_vitals")
+      write(Etl.routeClaims(enriched), mode, s"$processedDir/insurance_claims")
+      write(Etl.routeEhr(enriched), mode, s"$processedDir/ehr_records")
     } finally enriched.unpersist()
     // Dead-letter channel gets the un-filtered parse output (errors kept)
     raw.transform(Etl.parse(cfg)).transform(Etl.routeUnknown)
@@ -43,9 +54,9 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
       .write.mode(mode).text(s"$root/errors/unknown_data")
   }
 
-  def processedVitals: DataFrame = spark.read.parquet(s"$processedDir/patient_vitals")
-  def processedClaims: DataFrame = spark.read.parquet(s"$processedDir/insurance_claims")
-  def processedEhr: DataFrame = spark.read.parquet(s"$processedDir/ehr_records")
+  def processedVitals: DataFrame = read(s"$processedDir/patient_vitals")
+  def processedClaims: DataFrame = read(s"$processedDir/insurance_claims")
+  def processedEhr: DataFrame = read(s"$processedDir/ehr_records")
 
   /** Staging views (dbt `+materialized: view`, `dbt_project.yml:25-26`). */
   def stgVitals: DataFrame = processedVitals.transform(Staging.stgPatientVitals(cfg))
@@ -56,14 +67,13 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     * by measurement date for pruning at scale.
     */
   def buildFact(): Unit =
-    FactPatientEncounters.build(cfg)(stgVitals, stgClaims, stgEhr)
-      .withColumn("measurement_date", to_date(col("measurement_timestamp")))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("measurement_date")
-      .parquet(s"$curatedDir/fact_patient_encounters")
+    write(FactPatientEncounters.build(cfg)(stgVitals, stgClaims, stgEhr)
+        .withColumn("measurement_date", to_date(col("measurement_timestamp"))),
+      SaveMode.Overwrite, s"$curatedDir/fact_patient_encounters",
+      partitionCols = Seq("measurement_date"))
 
   def fact: DataFrame =
-    spark.read.parquet(s"$curatedDir/fact_patient_encounters").drop("measurement_date")
+    read(s"$curatedDir/fact_patient_encounters").drop("measurement_date")
 
   /** Fact slice for time-bounded report queries WITH partition pruning:
     * the timestamp predicate alone cannot prune (the table is partitioned
@@ -73,7 +83,7 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     * one day and scanning seven years for the 24h monitoring report.
     */
   def factSince(since: java.sql.Timestamp): DataFrame =
-    spark.read.parquet(s"$curatedDir/fact_patient_encounters")
+    read(s"$curatedDir/fact_patient_encounters")
       .filter(col("measurement_date") >= to_date(lit(since)) &&
         col("measurement_timestamp") >= lit(since))
       .drop("measurement_date")
@@ -104,9 +114,9 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
   def refreshFactIncremental(raw: DataFrame): Seq[java.sql.Date] = {
     val enriched = raw.transform(Etl.pipeline(cfg)).cache()
     try {
-      Etl.routeVitals(enriched).write.mode(SaveMode.Append).parquet(s"$processedDir/patient_vitals")
-      Etl.routeClaims(enriched).write.mode(SaveMode.Append).parquet(s"$processedDir/insurance_claims")
-      Etl.routeEhr(enriched).write.mode(SaveMode.Append).parquet(s"$processedDir/ehr_records")
+      write(Etl.routeVitals(enriched), SaveMode.Append, s"$processedDir/patient_vitals")
+      write(Etl.routeClaims(enriched), SaveMode.Append, s"$processedDir/insurance_claims")
+      write(Etl.routeEhr(enriched), SaveMode.Append, s"$processedDir/ehr_records")
 
       val vDates = Etl.routeVitals(enriched)
         .select(to_date(col("timestamp")).as("d"))
@@ -125,11 +135,10 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
-        graft.marts.FactPatientEncounters.build(cfg)(stgV, stgClaims, stgEhr)
-          .withColumn("measurement_date", to_date(col("measurement_timestamp")))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("measurement_date")
-          .parquet(s"$curatedDir/fact_patient_encounters")
+        write(graft.marts.FactPatientEncounters.build(cfg)(stgV, stgClaims, stgEhr)
+            .withColumn("measurement_date", to_date(col("measurement_timestamp"))),
+          SaveMode.Overwrite, s"$curatedDir/fact_patient_encounters",
+          partitionCols = Seq("measurement_date"))
       } finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
