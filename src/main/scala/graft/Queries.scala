@@ -924,6 +924,47 @@ object Queries {
       |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
       |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin
 
+  /** Episode extraction over the event stream: maximal runs of ≥3
+    * consecutive high-value events per user (the oracle-gated face of
+    * [[graft.operators.Episodes]]; same lag+cumsum run-id idiom with the
+    * q33 tie-break discipline — (ts, event_id) total order per user).
+    */
+  def q51Episodes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("abn", col("value") > 50.0)
+      .withColumn("entered",
+        when(col("abn") && !coalesce(lag(col("abn"), 1).over(w), lit(false)), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("entered")).over(run))
+      .filter(col("abn"))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"), round(max(col("value")), 4).as("peak_value"))
+      .filter(col("n_events") >= 3)
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"), col("peak_value"))
+      .orderBy("user_id", "start_ts")
+  }
+
+  val q51Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    value > 50.0 AS abn,
+      |    LAG(value > 50.0, 1) OVER w AS prev_abn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)),
+      |r AS (
+      |  SELECT *, CAST(SUM(CASE WHEN abn AND NOT COALESCE(prev_abn, false)
+      |      THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+      |  COUNT(*) AS n_events, round(MAX(value), 4) AS peak_value
+      |FROM r WHERE abn GROUP BY user_id, run_id
+      |HAVING COUNT(*) >= 3
+      |ORDER BY user_id, start_ts""".stripMargin
+
   /** Set-operation chain — ((A UNION B) EXCEPT C) INTERSECT D — with
     * regexp_extract capture groups on the way out (both engines return ''
     * on no-match). Completes §2.7 beyond q13's INTERSECT and q31's

@@ -71,6 +71,7 @@ object SparkEntry {
     "q48_sliding_window" -> (Queries.q48SlidingWindow _),
     "q49_setops_regexp" -> (Queries.q49SetOpsRegexp _),
     "q50_contamination" -> (ExtQueries.q50Contamination _),
+    "q51_episodes" -> (Queries.q51Episodes _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -127,6 +128,7 @@ object SparkEntry {
     "q47_datetime_suite" -> Queries.q47Sql,
     "q48_sliding_window" -> Queries.q48Sql,
     "q49_setops_regexp" -> Queries.q49Sql,
-    "q50_contamination" -> ExtQueries.q50Sql
+    "q50_contamination" -> ExtQueries.q50Sql,
+    "q51_episodes" -> Queries.q51Sql
   )
 }
