@@ -965,6 +965,45 @@ object Queries {
       |HAVING COUNT(*) >= 3
       |ORDER BY user_id, start_ts""".stripMargin
 
+  /** Value-positional window functions (first/last/nth over an explicit
+    * ROWS frame — the default RANGE frame cuts last_value at the current
+    * row, so the full-partition frame is spelled out identically in both
+    * engines) plus boolean aggregates.
+    */
+  def q52ValueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("first_order")).as("first_order"),
+        max(col("last_order")).as("last_order"),
+        max(col("second_order")).as("second_order"),
+        count(lit(1)).as("n_orders"),
+        bool_and(col("o_orderkey") > 0).as("all_positive"),
+        bool_or(col("o_orderkey") % 100 === 0).as("any_century"))
+      .orderBy("o_custkey")
+  }
+
+  val q52Sql: String =
+    """WITH v AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    first_value(o_orderkey) OVER w AS first_order,
+      |    last_value(o_orderkey) OVER w AS last_order,
+      |    nth_value(o_orderkey, 2) OVER w AS second_order
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT o_custkey, MAX(first_order) AS first_order, MAX(last_order) AS last_order,
+      |  MAX(second_order) AS second_order, COUNT(*) AS n_orders,
+      |  bool_and(o_orderkey > 0) AS all_positive,
+      |  bool_or(o_orderkey % 100 = 0) AS any_century
+      |FROM v GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** Set-operation chain — ((A UNION B) EXCEPT C) INTERSECT D — with
     * regexp_extract capture groups on the way out (both engines return ''
     * on no-match). Completes §2.7 beyond q13's INTERSECT and q31's
