@@ -156,6 +156,59 @@ object ExtQueries {
       |SELECT test_id, train_id, round(containment, 6) AS containment
       |FROM b WHERE rn = 1 ORDER BY test_id""".stripMargin
 
+  /** Gopher-style repetition signals for corpus filtering: the fraction
+    * of a document occupied by its most frequent word and 2-gram (high
+    * values mean boilerplate/templated text). Argmax tie-breaks to the
+    * lexicographically smallest gram in both engines via min over
+    * (-count, gram).
+    */
+  def q53Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = split(lower(col("text")), " ")
+    val m = greatest(size(toks) - 1, lit(0))
+    val bigrams = transform(
+      arrays_zip(slice(toks, lit(1), m).as("a"), slice(toks, lit(2), m).as("b")),
+      s => concat_ws(" ", s.getField("a"), s.getField("b")))
+
+    def topFraction(grams: org.apache.spark.sql.Column, what: String): DataFrame =
+      docs.select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$what"),
+          min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("m"))
+        .select(col("doc_id"), col(s"n_$what"),
+          col("m.g").as(s"top_$what"),
+          round((-col("m.nc")).cast("double") / col(s"n_$what"), 6).as(s"top_${what}_fraction"))
+
+    topFraction(toks, "word")
+      .join(topFraction(bigrams, "bigram"), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val q53Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |wx AS (SELECT doc_id, unnest(toks) AS gram FROM tk),
+      |wc AS (SELECT doc_id, gram, count(*) AS c FROM wx GROUP BY 1, 2),
+      |wr AS (SELECT doc_id, gram, c, sum(c) OVER (PARTITION BY doc_id) AS n,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+      |       FROM wc),
+      |w AS (SELECT doc_id, n AS n_word, gram AS top_word,
+      |        round(CAST(c AS DOUBLE) / n, 6) AS top_word_fraction
+      |      FROM wr WHERE rn = 1),
+      |bx AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+      |         ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] END) AS gram
+      |       FROM tk),
+      |bc AS (SELECT doc_id, gram, count(*) AS c FROM bx GROUP BY 1, 2),
+      |br AS (SELECT doc_id, gram, c, sum(c) OVER (PARTITION BY doc_id) AS n,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+      |       FROM bc),
+      |b AS (SELECT doc_id, n AS n_bigram, gram AS top_bigram,
+      |        round(CAST(c AS DOUBLE) / n, 6) AS top_bigram_fraction
+      |      FROM br WHERE rn = 1)
+      |SELECT w.doc_id, w.n_word, w.top_word, w.top_word_fraction,
+      |  b.n_bigram, b.top_bigram, b.top_bigram_fraction
+      |FROM w JOIN b ON w.doc_id = b.doc_id ORDER BY w.doc_id""".stripMargin
+
   /** Heuristic language ID vs the labeled lang column. Oracle-checked:
     * the marker-token hit rates and the CJK charset ratio are portable
     * SQL (DuckDB list_filter + RE2 \x{...} class), and the

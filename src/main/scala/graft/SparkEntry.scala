@@ -73,6 +73,7 @@ object SparkEntry {
     "q50_contamination" -> (ExtQueries.q50Contamination _),
     "q51_episodes" -> (Queries.q51Episodes _),
     "q52_value_windows" -> (Queries.q52ValueWindows _),
+    "q53_repetition" -> (ExtQueries.q53Repetition _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -131,6 +132,7 @@ object SparkEntry {
     "q49_setops_regexp" -> Queries.q49Sql,
     "q50_contamination" -> ExtQueries.q50Sql,
     "q51_episodes" -> Queries.q51Sql,
-    "q52_value_windows" -> Queries.q52Sql
+    "q52_value_windows" -> Queries.q52Sql,
+    "q53_repetition" -> ExtQueries.q53Sql
   )
 }
