@@ -106,6 +106,29 @@ object StreamingEtl {
       }
       .start()
 
+  /** Streaming incremental fact maintenance: each micro-batch of raw
+    * messages flows through [[graft.runner.Lakehouse.refreshFactIncremental]]
+    * — append to the processed zone, then rebuild ONLY the fact
+    * partitions the batch touched (dynamic partition overwrite). The
+    * curated fact stays continuously fresh at the cost of a few date
+    * partitions per trigger instead of the reference's full 15-minute
+    * dbt rebuild. Pair with [[dedupStream]] upstream for
+    * effectively-once processed rows (the refresh itself is
+    * at-least-once per batch, see Lakehouse scaladoc).
+    */
+  def startIncrementalFact(spark: SparkSession, src: MessageSource,
+      lake: graft.runner.Lakehouse, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    readMessages(spark, src)
+      .writeStream
+      .queryName("incremental_fact")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { lake.refreshFactIncremental(batch); () }
+      }
+      .start()
+
   /** Session windows per patient (the gap-based analogue of the batch
     * sessionization query q33): sessions close after `gap` of inactivity;
     * watermark bounds state. Works identically over static frames (Spark
