@@ -199,16 +199,27 @@ object Dedup {
     */
   def contamination(train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minContainment: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    val tr = train.select(col(idCol).as("train_id"), explode(shingles(col(textCol), k)).as("shingle"))
-    val te = test.select(col(idCol).as("test_id"), explode(shingles(col(textCol), k)).as("shingle"))
-    val teSizes = te.groupBy(col("test_id")).agg(count(lit(1)).as("n_test"))
-    val trFiltered = tr
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
-    te.join(trFiltered, Seq("shingle"))
-      .groupBy(col("test_id"), col("train_id"))
+    // Same posting-list shape as [[ngramJaccard]]: one groupBy(shingle)
+    // collecting both sides' doc lists (collect_list drops the nulls the
+    // side-marker CASE produces), docFreq from the train list's size,
+    // test×train pairs generated list-locally — no per-row Window sort
+    // and no cross-relation shingle join.
+    val tr = train.select(explode(shingles(col(textCol), k)).as("shingle"),
+      col(idCol).as("id"), lit(1).as("side"))
+    val te = test.select(explode(shingles(col(textCol), k)).as("shingle"),
+      col(idCol).as("id"), lit(0).as("side"))
+    val teSizes = test.select(col(idCol).as("test_id"),
+      size(shingles(col(textCol), k)).as("n_test"))
+    val postings = te.unionByName(tr).groupBy(col("shingle"))
+      .agg(collect_list(when(col("side") === 0, col("id"))).as("test_ids"),
+        collect_list(when(col("side") === 1, col("id"))).as("train_ids"))
+      .filter(size(col("test_ids")) >= 1 &&
+        size(col("train_ids")).between(1, maxDocFreq))
+    val pairArr = flatten(transform(col("test_ids"), t =>
+      transform(col("train_ids"), r => struct(t.as("t"), r.as("r")))))
+    postings
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.t").as("test_id"), col("p.r").as("train_id"))
       .agg(count(lit(1)).as("inter"))
       .join(teSizes, Seq("test_id"))
       .select(col("test_id"), col("train_id"),
@@ -233,17 +244,25 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Int = 100): DataFrame = {
+    // Inverted index as ONE groupBy(shingle) with a sorted posting list:
+    //  - docFreq = size of the list (the old per-row Window sort is gone);
+    //  - candidate pairs generate list-locally, ordered (a < b follows
+    //    from the sort), so there is no shingle self-join — a self-join
+    //    would also re-compute the whole scan+explode subtree per side
+    //    (Spark does not reuse common subplans across join inputs).
+    //  - per-doc shingle counts come straight from the per-row shingle
+    //    array — no shuffle at all on that branch.
     val sh = df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val filtered = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
-    val co = filtered.select(col("shingle"), col(idCol).as("id_a"))
-      .join(filtered.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    val sizes = df.select(col(idCol), size(shingles(col(textCol), k)).as("n"))
+    val postings = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
+    val pairArr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val co = postings
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     co
       .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
