@@ -93,19 +93,23 @@ object Dedup {
     val buckets = sigs
       .select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // cap pathological buckets (all-identical boilerplate) to bound join fan-out
-      .withColumn("bn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-          .orderBy(col(idCol))))
-      .filter(col("bn") <= maxBucket)
-      .drop("bn")
 
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))").cast("double") /
+    // Posting list per (band, bucket): the signature pipeline runs ONCE
+    // (a bucket self-join would recompute it per join side), the id-sorted
+    // slice caps pathological buckets (all-identical boilerplate), and
+    // ordered pairs generate list-locally.
+    val posts = buckets.groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("s")))),
+        1, maxBucket).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairArr = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("s").as("sig_a"), y.getField("s").as("sig_b")))))
+    posts
+      .select(explode(pairArr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        (expr("size(filter(zip_with(p.sig_a, p.sig_b, (x, y) -> x = y), m -> m))").cast("double") /
           lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
       .groupBy(col("id_a"), col("id_b"))
@@ -173,12 +177,19 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"), shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
       .select(col(idCol), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    val a = chunks.select(col("ci"), col("cv"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = chunks.select(col("ci"), col("cv"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("ci", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+    // posting list per chunk bucket — the simhash pipeline runs once, not
+    // once per self-join side (see ngramJaccard)
+    val posts = chunks.groupBy(col("ci"), col("cv"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sh").as("h")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairArr = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("h").as("sh_a"), y.getField("h").as("sh_b")))))
+    posts
+      .select(explode(pairArr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))

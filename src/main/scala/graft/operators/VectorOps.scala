@@ -150,17 +150,23 @@ object VectorOps {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 48, bands: Int = 6): DataFrame = {
-    // Candidate pairs carry ONLY ids through the bucket join and the
+    // Candidate pairs carry ONLY ids through the bucket stage and the
     // distinct — shuffling and dedup-hashing the vectors themselves
     // (hundreds of bytes each) measured 8.5s vs ~1s on 1k vectors. The
     // vectors re-attach afterwards via two joins against the (narrow)
-    // input, which AQE broadcasts when small.
-    val b = lshBucketed(df, vecCol, numBits, bands)
-      .select(col("band"), col("bucket"), col(idCol))
-    val pairs = b
-      .join(b.withColumnRenamed(idCol, "__id_b"), Seq("band", "bucket"))
-      .filter(col(idCol) < col("__id_b"))
-      .select(col(idCol).as("id_a"), col("__id_b").as("id_b"))
+    // input, which AQE broadcasts when small. Pairs generate from a
+    // per-bucket posting list, so the signature computation runs once,
+    // not once per self-join side.
+    val posts = lshBucketed(df, vecCol, numBits, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairArr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val pairs = posts
+      .select(explode(pairArr).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     val vecs = df.select(col(idCol), col(vecCol))
     pairs
