@@ -1004,6 +1004,62 @@ object Queries {
       |  bool_or(o_orderkey % 100 = 0) AS any_century
       |FROM v GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Conditional null-handling suite: nullif / ifnull / least / greatest
+    * with nulls (both engines skip nulls in least/greatest) over primary
+    * claim-ish shapes.
+    */
+  def q54NullFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)")).as("seg_defaulted"),
+        least(col("c_acctbal"), lit(0.0)).as("neg_part"),
+        greatest(col("c_acctbal"), lit(0.0)).as("pos_part"),
+        when(col("c_acctbal") < 0, col("c_acctbal")).as("bal_if_neg"),
+        least(when(col("c_acctbal") < 0, col("c_acctbal")), lit(-1.0)).as("least_with_null"))
+      .orderBy("c_custkey")
+
+  val q54Sql: String =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_defaulted,
+      |  least(c_acctbal, 0.0) AS neg_part,
+      |  greatest(c_acctbal, 0.0) AS pos_part,
+      |  CASE WHEN c_acctbal < 0 THEN c_acctbal END AS bal_if_neg,
+      |  least(CASE WHEN c_acctbal < 0 THEN c_acctbal END, -1.0) AS least_with_null
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Statistical aggregates with engine-portable determinism: variance
+    * and stddev derived from exact decimal Σx and Σx² (the built-in
+    * stddev/var are single-pass float accumulations whose result depends
+    * on partitioning), rounded 4dp.
+    */
+  def q55Stats(spark: SparkSession, dir: String): DataFrame = {
+    val sx = sum(col("value").cast(DP))
+    val sx2 = sum((col("value") * col("value")).cast(DP))
+    val n = count(lit(1)).cast("double")
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(((sx2.cast("double") - sx.cast("double") * sx.cast("double") / n) / (n - 1)), 4)
+          .as("var_samp"),
+        round(sqrt((sx2.cast("double") - sx.cast("double") * sx.cast("double") / n) / (n - 1)), 4)
+          .as("stddev_samp"))
+      .orderBy("event_type")
+  }
+
+  val q55Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round((CAST(SUM(CAST(value*value AS DECIMAL(24,8))) AS DOUBLE)
+      |    - CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE)
+      |      * CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1), 4) AS var_samp,
+      |  round(sqrt((CAST(SUM(CAST(value*value AS DECIMAL(24,8))) AS DOUBLE)
+      |    - CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE)
+      |      * CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1)), 4) AS stddev_samp
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Set-operation chain — ((A UNION B) EXCEPT C) INTERSECT D — with
     * regexp_extract capture groups on the way out (both engines return ''
     * on no-match). Completes §2.7 beyond q13's INTERSECT and q31's

@@ -74,6 +74,8 @@ object SparkEntry {
     "q51_episodes" -> (Queries.q51Episodes _),
     "q52_value_windows" -> (Queries.q52ValueWindows _),
     "q53_repetition" -> (ExtQueries.q53Repetition _),
+    "q54_null_funcs" -> (Queries.q54NullFuncs _),
+    "q55_stats" -> (Queries.q55Stats _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -133,6 +135,8 @@ object SparkEntry {
     "q50_contamination" -> ExtQueries.q50Sql,
     "q51_episodes" -> Queries.q51Sql,
     "q52_value_windows" -> Queries.q52Sql,
-    "q53_repetition" -> ExtQueries.q53Sql
+    "q53_repetition" -> ExtQueries.q53Sql,
+    "q54_null_funcs" -> Queries.q54Sql,
+    "q55_stats" -> Queries.q55Sql
   )
 }
