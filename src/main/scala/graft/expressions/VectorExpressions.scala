@@ -76,6 +76,39 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise vector-sum aggregate as a typed [[org.apache.spark.sql.expressions.Aggregator]]
+  * (SURVEY §7.4's "custom Aggregator" surface): sums `array<double>`
+  * columns component-wise with a mutable primitive buffer — partial
+  * (map-side) aggregation and merge come from the Aggregator contract,
+  * so a vector mean is ONE groupBy over |rows| rows instead of
+  * posexplode + per-(group, position) aggregation over |rows|·dims
+  * exploded rows. Pick by dims: at 128 dims the codegen'd exploded
+  * hash-agg measured FASTER (ObjectHashAggregate pays per-update object
+  * overhead), so IvfIndex keeps posexplode; at LLM-embedding dims
+  * (1536-4096) the dims explosion factor dominates and this wins.
+  * Rows shorter than the longest vector contribute to their prefix;
+  * empty input yields an empty array. Equality with the posexplode
+  * formulation is pinned in OperatorsSpec.
+  */
+object VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  private def add(b: Array[Double], a: Seq[Double]): Array[Double] = {
+    if (a == null) return b
+    val out = if (b.length >= a.length) b else java.util.Arrays.copyOf(b, a.length)
+    var i = 0
+    val it = a.iterator
+    while (it.hasNext) { out(i) += it.next(); i += 1 }
+    out
+  }
+  override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = add(b, a)
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] = add(x, y.toSeq)
+  override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 /** Registration, both styles:
   *  - [[GraftExtensions]] for `spark.sql.extensions=graft.expressions.GraftExtensions`
   *    (cluster-wide injection at session build);

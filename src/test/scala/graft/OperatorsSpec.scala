@@ -187,4 +187,25 @@ class OperatorsSpec extends SparkSpec {
       .select($"lid", $"rid").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(bucketed == naive)
   }
+
+  test("VecSumAgg equals the posexplode vector sum (incl. ragged lengths)") {
+    import org.apache.spark.sql.functions.udaf
+    val df = Seq(
+      (0L, Seq(1.0, 2.0, 3.0)), (0L, Seq(10.0, 20.0, 30.0)),
+      (1L, Seq(0.5, -0.5)), (1L, Seq(1.5, 2.5, 4.0)), // ragged within group
+      (2L, Seq.empty[Double])
+    ).toDF("g", "v")
+    val vecSum = udaf(graft.expressions.VecSumAgg)
+    val agg = df.groupBy($"g").agg(vecSum($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(agg(0L) == Seq(11.0, 22.0, 33.0))
+    assert(agg(1L) == Seq(2.0, 2.0, 4.0))
+    assert(agg(2L) == Seq.empty[Double])
+    val exploded = df.select($"g", posexplode($"v"))
+      .groupBy($"g", $"pos").agg(sum($"col").as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    agg.foreach { case (g, s) =>
+      s.zipWithIndex.foreach { case (x, i) => assert(exploded((g, i)) == x) }
+    }
+  }
 }
