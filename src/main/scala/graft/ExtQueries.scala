@@ -189,7 +189,8 @@ object ExtQueries {
     """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
       |wx AS (SELECT doc_id, unnest(toks) AS gram FROM tk),
       |wc AS (SELECT doc_id, gram, count(*) AS c FROM wx GROUP BY 1, 2),
-      |wr AS (SELECT doc_id, gram, c, sum(c) OVER (PARTITION BY doc_id) AS n,
+      |wr AS (SELECT doc_id, gram, c,
+      |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
       |       FROM wc),
       |w AS (SELECT doc_id, n AS n_word, gram AS top_word,
@@ -199,7 +200,8 @@ object ExtQueries {
       |         ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] END) AS gram
       |       FROM tk),
       |bc AS (SELECT doc_id, gram, count(*) AS c FROM bx GROUP BY 1, 2),
-      |br AS (SELECT doc_id, gram, c, sum(c) OVER (PARTITION BY doc_id) AS n,
+      |br AS (SELECT doc_id, gram, c,
+      |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
       |       FROM bc),
       |b AS (SELECT doc_id, n AS n_bigram, gram AS top_bigram,
