@@ -19,6 +19,11 @@ run / fork := true
 // LoggedOutput prefixes forked output with "[info] ", which breaks that.
 // StdoutOutput passes the forked JVM's stdout/stderr through untouched.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's closing "[success] Total time: N s" line lands AFTER the
+// JSON (round 2: BENCH parsed:null because the driver reads the last
+// line). Suppress it so the Bench/Verify JSON is the final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,10 +28,19 @@ object HealthcareQueries {
     * DataFrame explicitly. Derived queries (reports, dims, staging) all
     * share one generation + ETL + fact build per session.
     */
+  // Keyed WEAKLY on the session (not identityHashCode): a stopped
+  // session's cached DataFrames become collectable with it, and a new
+  // session can never collide with a GC'd one's hash.
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame]
-  private def memoized(spark: SparkSession, key: String, n: Long)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(spark), key, n), build.cache())
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, Long), DataFrame]]()
+  private def memoized(spark: SparkSession, key: String, n: Long)(build: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; memo.put(spark, m) }
+      m
+    }
+    perSession.getOrElseUpdate((key, n), build.cache())
+  }
 
   /** Enriched ETL output for n generated messages (parse→filter→enrich). */
   def enriched(spark: SparkSession, n: Long): DataFrame =

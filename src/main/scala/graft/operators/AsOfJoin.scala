@@ -36,6 +36,10 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val internal = Seq("__k", "__ts", "__side", "__match", "__r")
+    val clash = leftCols.filter(c => internal.contains(c) || payload.contains(c))
+    require(clash.isEmpty,
+      s"asOf: left columns collide with internal/payload names: ${clash.mkString(", ")}")
     val payloadStruct = struct(payload.map(col): _*)
     val rNorm = right.select(
       col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),

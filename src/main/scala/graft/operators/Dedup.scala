@@ -171,16 +171,22 @@ object Dedup {
     *
     * Output: (id_a, id_b, hamming), id_a < id_b, distinct.
     */
-  def simHashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val hashed = simHashDf(df, idCol, textCol)
     val chunks = hashed.select(col(idCol), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"), shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
       .select(col(idCol), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
     // posting list per chunk bucket — the simhash pipeline runs once, not
-    // once per self-join side (see ngramJaccard)
+    // once per self-join side (see ngramJaccard). The id-sorted slice caps
+    // degenerate buckets (boilerplate docs sharing a 16-bit chunk) so the
+    // per-row pair array stays O(maxBucket²), not O(bucket²) — an uncapped
+    // hot chunk value would build the whole quadratic candidate set in one
+    // row (2 GB array limit / executor OOM at corpus scale).
     val posts = chunks.groupBy(col("ci"), col("cv"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sh").as("h")))).as("ms"))
+      .agg(slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sh").as("h")))),
+        1, maxBucket).as("ms"))
       .filter(size(col("ms")) >= 2)
     val pairArr = flatten(transform(col("ms"), (x, i) =>
       transform(slice(col("ms"), i + lit(2), size(col("ms"))),
@@ -236,10 +242,14 @@ object Dedup {
       .select(col("test_id"), col("train_id"),
         (col("inter").cast("double") / col("n_test")).as("containment"))
       .filter(col("containment") >= minContainment)
+      // argmax by (containment desc, train_id asc) without touching the
+      // id's type: min of (−containment, id) is lexicographic, so the id
+      // column passes through as-is — works for string ids too (a negate-
+      // and-cast tie-break would throw under ANSI for non-numeric ids).
       .groupBy(col("test_id"))
-      .agg(max(struct(col("containment"), (-col("train_id")).as("neg"))).as("best"))
-      .select(col("test_id"), (-col("best.neg")).cast("long").as("train_id"),
-        col("best.containment").as("containment"))
+      .agg(min(struct((-col("containment")).as("negc"), col("train_id").as("train_id"))).as("best"))
+      .select(col("test_id"), col("best.train_id").as("train_id"),
+        (-col("best.negc")).as("containment"))
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing at least one

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0,1) weight from a stable id (xxhash64 → positive double). */
+  /** Uniform [0,1) weight from a stable id (xxhash64 → positive double).
+    * pmod, not abs(...) % ...: abs(Long.MinValue) overflows, which under
+    * ANSI mode (the Spark 4 default) throws ARITHMETIC_OVERFLOW for the
+    * one-in-2⁶⁴ id that hashes there — pmod is always non-negative with
+    * no overflow path.
+    */
   def splitWeight(idCol: Column, seed: Int = 42): Column =
-    (abs(xxhash64(idCol, lit(seed))) % lit(1000000000L)).cast("double") / lit(1e9)
+    pmod(xxhash64(idCol, lit(seed)), lit(1000000000L)).cast("double") / lit(1e9)
 
   /** Deterministic train/validation/test split: adds a `split` column.
     * Fractions must sum to ≤ 1; any remainder falls into the last split.

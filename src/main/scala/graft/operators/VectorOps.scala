@@ -149,17 +149,20 @@ object VectorOps {
     * recall lever, bits-per-band the precision lever.)
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numBits: Int = 48, bands: Int = 6): DataFrame = {
+      threshold: Double = 0.95, numBits: Int = 48, bands: Int = 6,
+      maxBucket: Int = 1000): DataFrame = {
     // Candidate pairs carry ONLY ids through the bucket stage and the
     // distinct — shuffling and dedup-hashing the vectors themselves
     // (hundreds of bytes each) measured 8.5s vs ~1s on 1k vectors. The
     // vectors re-attach afterwards via two joins against the (narrow)
     // input, which AQE broadcasts when small. Pairs generate from a
     // per-bucket posting list, so the signature computation runs once,
-    // not once per self-join side.
+    // not once per self-join side. The sorted slice caps degenerate
+    // buckets (e.g. a zero-vector bucket collecting half the corpus) so
+    // one row never materializes an O(bucket²) pair array.
     val posts = lshBucketed(df, vecCol, numBits, bands)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(slice(sort_array(collect_list(col(idCol))), 1, maxBucket).as("ids"))
       .filter(size(col("ids")) >= 2)
     val pairArr = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
