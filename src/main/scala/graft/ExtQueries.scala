@@ -388,4 +388,85 @@ object ExtQueries {
       |    - CASE WHEN dup_word_ratio > 0.7 THEN 0.3 ELSE 0.0 END
       |    - CASE WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 0.2 ELSE 0.0 END)), 6) AS DOUBLE) AS quality_score
       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Dedup cluster resolution: n-gram Jaccard near-dup PAIRS (q20's exact
+    * parameters) closed into duplicate GROUPS via distributed connected
+    * components ([[graft.operators.ConnectedComponents]] min-label
+    * propagation). Output: every clustered doc with its cluster
+    * representative (min doc_id — the canonical keeper) and cluster size.
+    * The DuckDB oracle computes the same transitive closure with a
+    * recursive CTE — closure semantics, not just pair semantics, are
+    * hash-checked.
+    */
+  def q58DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(t(spark, dir, "documents"), "doc_id", "text",
+      k = 3, minJaccard = 0.2, maxDocFreq = 200)
+    graft.operators.ConnectedComponents.clusters(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val q58Sql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS shingles
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+      |df AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 200),
+      |fex AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN df USING (shingle)),
+      |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |       FROM fex a JOIN fex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT co.id_a, co.id_b
+      |      FROM co JOIN sizes sa ON sa.doc_id = co.id_a JOIN sizes sb ON sb.doc_id = co.id_b
+      |      WHERE CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) >= 0.2),
+      |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (SELECT DISTINCT a AS id, a AS r FROM und
+      |          UNION
+      |          SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      |SELECT id AS doc_id, component,
+      |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+      |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** Token-budget sequence packing ([[graft.operators.Packing]]): greedy
+    * first-fit of documents (whitespace token counts, doc_id order,
+    * per-source pack streams) into 1000-token training shards. The
+    * DuckDB oracle replays the identical sequential fold as a recursive
+    * CTE stepping one doc per source per iteration — the stateful
+    * per-group semantics, not just row counts, are hash-checked.
+    */
+  def q59PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.Packing.greedyPack(docs, "source", "doc_id", "n_tokens", budget = 1000L)
+      .select(col("group").as("source"), col("doc_id"), col("n_tokens"),
+        col("shard"), col("offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  val q59Sql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT source, doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |      FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, n_tokens, rn,
+      |    CAST(0 AS BIGINT) AS shard, CAST(0 AS BIGINT) AS "offset",
+      |    n_tokens AS acc
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+      |    CASE WHEN p.acc + d.n_tokens > 1000 THEN p.shard + 1 ELSE p.shard END,
+      |    CASE WHEN p.acc + d.n_tokens > 1000 THEN CAST(0 AS BIGINT) ELSE p.acc END,
+      |    CASE WHEN p.acc + d.n_tokens > 1000 THEN d.n_tokens ELSE p.acc + d.n_tokens END
+      |  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      |SELECT source, doc_id, n_tokens, shard, "offset" AS offset
+      |FROM packed ORDER BY source, doc_id""".stripMargin
 }

@@ -1134,4 +1134,104 @@ object Queries {
       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
       |      FROM s)
       |SELECT q_id, vec_id AS neighbor_id, cosine, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  /** Correlation / linear-regression aggregates (corr, covar, slope,
+    * intercept, r²) from exact decimal moments Σx, Σy, Σxy, Σx², Σy² —
+    * the built-in corr/regr_* are single-pass float accumulations whose
+    * low bits depend on partitioning, so both engines derive the
+    * statistics from the same order-independent decimal sums instead
+    * (same final double formula on both sides). One hash-agg, one
+    * shuffle on the group key — the moment sums combine map-side, so
+    * this scales like q01 (partial aggregation, no row movement beyond
+    * the 3-value key).
+    */
+  def q56CorrRegr(spark: SparkSession, dir: String): DataFrame = {
+    val DW = DecimalType(38, 8)
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val sx = sum(x.cast(DW)).cast("double")
+    val sy = sum(y.cast(DW)).cast("double")
+    val sxy = sum((x * y).cast(DW)).cast("double")
+    val sxx = sum((x * x).cast(DW)).cast("double")
+    val syy = sum((y * y).cast(DW)).cast("double")
+    val n = count(lit(1)).cast("double")
+    val covNum = sxy - sx * sy / n
+    val varXNum = sxx - sx * sx / n
+    val varYNum = syy - sy * sy / n
+    val slope = covNum / varXNum
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(covNum / (n - 1), 4).as("covar_samp"),
+        round(covNum / sqrt(varXNum * varYNum), 6).as("corr"),
+        round(slope, 6).as("regr_slope"),
+        round((sy - slope * sx) / n, 4).as("regr_intercept"),
+        round((covNum * covNum) / (varXNum * varYNum), 6).as("regr_r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val q56Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((sxy - sx*sy/n) / (n - 1), 4) AS covar_samp,
+      |  round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS corr,
+      |  round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS regr_slope,
+      |  round((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 4) AS regr_intercept,
+      |  round(((sxy - sx*sy/n) * (sxy - sx*sy/n)) / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS regr_r2
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Time-series gap-fill: per-user daily activity re-gridded onto the
+    * full calendar span (dense date scaffold via sequence/explode), with
+    * missing days flagged and forward-filled from the last observed
+    * value (`last(…, ignoreNulls)` over an unbounded-preceding frame —
+    * the standard LOCF resample).
+    *
+    * Scale: the scaffold is |users| × |days| rows built by a broadcast
+    * cross join of two tiny aggregates; the fill is one window sorted
+    * within the existing per-user partitioning. No shuffle touches the
+    * raw events beyond the daily pre-aggregation.
+    */
+  def q57GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).filter(col("user_id") < 30)
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(decSum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_value").isNull.as("was_gap"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
+      .orderBy("user_id", "d")
+  }
+
+  val q57Sql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events WHERE user_id < 30),
+      |daily AS (SELECT user_id, d,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS day_value,
+      |    count(*) AS n_events
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+      |grid AS (SELECT u.user_id, CAST(g.d AS DATE) AS d
+      |  FROM (SELECT DISTINCT user_id FROM ev) u,
+      |       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b) g)
+      |SELECT grid.user_id, grid.d,
+      |  CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
+      |  daily.day_value IS NULL AS was_gap,
+      |  last_value(daily.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY grid.user_id ORDER BY grid.d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+      |FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.d = daily.d
+      |ORDER BY grid.user_id, grid.d""".stripMargin
 }

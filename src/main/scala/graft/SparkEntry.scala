@@ -76,6 +76,10 @@ object SparkEntry {
     "q53_repetition" -> (ExtQueries.q53Repetition _),
     "q54_null_funcs" -> (Queries.q54NullFuncs _),
     "q55_stats" -> (Queries.q55Stats _),
+    "q56_corr_regr" -> (Queries.q56CorrRegr _),
+    "q57_gapfill" -> (Queries.q57GapFill _),
+    "q58_dedup_clusters" -> (ExtQueries.q58DedupClusters _),
+    "q59_pack_sequences" -> (ExtQueries.q59PackSequences _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -137,6 +141,10 @@ object SparkEntry {
     "q52_value_windows" -> Queries.q52Sql,
     "q53_repetition" -> ExtQueries.q53Sql,
     "q54_null_funcs" -> Queries.q54Sql,
-    "q55_stats" -> Queries.q55Sql
+    "q55_stats" -> Queries.q55Sql,
+    "q56_corr_regr" -> Queries.q56Sql,
+    "q57_gapfill" -> Queries.q57Sql,
+    "q58_dedup_clusters" -> ExtQueries.q58Sql,
+    "q59_pack_sequences" -> ExtQueries.q59Sql
   )
 }
