@@ -469,4 +469,24 @@ object ExtQueries {
       |  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
       |SELECT source, doc_id, n_tokens, shard, "offset" AS offset
       |FROM packed ORDER BY source, doc_id""".stripMargin
+
+  /** Bloom-pruned semi join ([[graft.operators.BloomJoin]]): orders with
+    * at least one very-high-value line item. The Bloom phase only prunes
+    * probe rows ahead of the shuffle (false positives die in the exact
+    * semi join), so the result — and the oracle — is the plain EXISTS.
+    */
+  def q60BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val hot = t(spark, dir, "lineitem").filter(col("l_extendedprice") > 95000)
+    graft.operators.BloomJoin.prunedLeftSemi(orders, hot, "o_orderkey", "l_orderkey",
+        expectedItems = 100000L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  val q60Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 95000)
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -80,6 +80,7 @@ object SparkEntry {
     "q57_gapfill" -> (Queries.q57GapFill _),
     "q58_dedup_clusters" -> (ExtQueries.q58DedupClusters _),
     "q59_pack_sequences" -> (ExtQueries.q59PackSequences _),
+    "q60_bloom_semi_join" -> (ExtQueries.q60BloomSemiJoin _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -145,6 +146,7 @@ object SparkEntry {
     "q56_corr_regr" -> Queries.q56Sql,
     "q57_gapfill" -> Queries.q57Sql,
     "q58_dedup_clusters" -> ExtQueries.q58Sql,
-    "q59_pack_sequences" -> ExtQueries.q59Sql
+    "q59_pack_sequences" -> ExtQueries.q59Sql,
+    "q60_bloom_semi_join" -> ExtQueries.q60Sql
   )
 }
