@@ -56,4 +56,54 @@ object BandJoin {
     matched.select((left.columns ++ right.columns.filterNot(_ == key)).map(col): _*)
       .unionByName(unmatched)
   }
+
+  /** Measured fan-out of the naive plan vs the bucketed rewrite:
+    * (naive pairs = Σ_key m_k·n_k, bucketed pairs = Σ_{key,b} m_{k,b}·
+    * (n_{k,b-1}+n_{k,b}+n_{k,b+1})). Both come from per-key(-bucket)
+    * COUNT aggregates — map-side-combined, so the statistics job touches
+    * orders of magnitude fewer rows than the join it sizes up. This is
+    * the "fan-out statistics" the auto toggle decides on, not a guess
+    * from table sizes.
+    */
+  def pairCounts(left: DataFrame, right: DataFrame, key: String,
+      leftDateCol: String, rightDateCol: String, band: Int): (Long, Long) = {
+    val width = band + 1
+    val epoch = lit("1970-01-01").cast("date")
+    val lc = left.groupBy(col(key).as("k"),
+        floor(datediff(col(leftDateCol), epoch) / width).as("b"))
+      .agg(count(lit(1)).as("m"))
+    val rc = right.groupBy(col(key).as("k"),
+        floor(datediff(col(rightDateCol), epoch) / width).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val naive = lc.groupBy("k").agg(sum("m").as("m"))
+      .join(rc.groupBy("k").agg(sum("n").as("n")), "k")
+      .agg(coalesce(sum(col("m") * col("n")), lit(0L)).as("p"))
+      .head().getLong(0)
+    val bucketed = lc.withColumn("b", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+      .join(rc, Seq("k", "b"))
+      .agg(coalesce(sum(col("m") * col("n")), lit(0L)).as("p"))
+      .head().getLong(0)
+    (naive, bucketed)
+  }
+
+  /** Auto-toggled band join: measure the fan-out, use the bucketed
+    * rewrite only when the naive plan would materialize `ratio`× more
+    * intermediate pairs (and enough absolute pairs to matter —
+    * `minPairs` keeps small inputs on the simpler plan, where the 3×
+    * probe duplication costs more than it saves). Returns the chosen
+    * plan; both produce identical rows (BandJoinRewriteSpec /
+    * OperatorsSpec pin the equivalence).
+    */
+  def autoBandedLeftJoin(left: DataFrame, right: DataFrame, leftId: String,
+      key: String, leftDateCol: String, rightDateCol: String, band: Int,
+      ratio: Double = 3.0, minPairs: Long = 10000000L): DataFrame = {
+    val (naive, bucketed) = pairCounts(left, right, key, leftDateCol, rightDateCol, band)
+    if (naive >= minPairs && naive > ratio * math.max(1L, bucketed))
+      bandedLeftJoinById(left, right, leftId, key, leftDateCol, rightDateCol, band)
+    else
+      left.join(right.withColumnRenamed(key, "__rkey"),
+          col(key) === col("__rkey") &&
+            abs(datediff(col(leftDateCol), col(rightDateCol))) <= band, "left")
+        .drop("__rkey")
+  }
 }

@@ -186,6 +186,37 @@ class OperatorsSpec extends SparkSpec {
     val bucketed = BandJoin.bandedLeftJoinById(left, right, "lid", "key", "ldate", "rdate", 7)
       .select($"lid", $"rid").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(bucketed == naive)
+
+    // auto toggle: measured fan-out statistics are exact, and the chosen
+    // plan (naive here — tiny input) still matches
+    val (naivePairs, bucketedPairs) =
+      BandJoin.pairCounts(left, right, "key", "ldate", "rdate", 7)
+    val expectedNaive = left.groupBy("key").count().withColumnRenamed("count", "m")
+      .join(right.groupBy("key").count().withColumnRenamed("count", "n"), "key")
+      .agg(sum($"m" * $"n")).head().getLong(0)
+    assert(naivePairs == expectedNaive)
+    assert(bucketedPairs <= naivePairs)
+    val auto = BandJoin.autoBandedLeftJoin(left, right, "lid", "key", "ldate", "rdate", 7)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(auto == naive)
+
+    // hot key + wide date spread: bucketing wins by the measured ratio,
+    // auto picks the rewrite (forced via minPairs=0) and stays correct
+    val hotLeft = (1L to 300L).map { i =>
+      (i, "HOT", java.sql.Date.valueOf(java.time.LocalDate.parse("2026-01-01").plusDays(i)))
+    }.toDF("lid", "key", "ldate")
+    val hotRight = (1L to 300L).map { j =>
+      (s"R$j", "HOT", java.sql.Date.valueOf(java.time.LocalDate.parse("2026-01-01").plusDays(j)))
+    }.toDF("rid", "key", "rdate")
+    val (hn, hb) = BandJoin.pairCounts(hotLeft, hotRight, "key", "ldate", "rdate", 7)
+    assert(hn == 300L * 300L && hb < hn / 3)
+    val hotNaive = hotLeft.join(hotRight,
+      hotLeft("key") === hotRight("key") && abs(datediff($"ldate", $"rdate")) <= 7, "left")
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val hotAuto = BandJoin.autoBandedLeftJoin(hotLeft, hotRight, "lid", "key", "ldate", "rdate", 7,
+        minPairs = 0L)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(hotAuto == hotNaive)
   }
 
   test("VecSumAgg equals the posexplode vector sum (incl. ragged lengths)") {
