@@ -1234,4 +1234,96 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
       |FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.d = daily.d
       |ORDER BY grid.user_id, grid.d""".stripMargin
+
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    * duplicate cardinalities, unlike q49's distinct-set chain: a customer
+    * appearing 3× on one side and 1× on the other survives EXCEPT ALL
+    * twice. Operands are the per-order customer keys of two disjoint
+    * status slices, so duplicates are real.
+    */
+  def q61BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val closed = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val exceptAll = open.exceptAll(closed)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_except_all"))
+    val intersectAll = open.intersectAll(closed)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_intersect_all"))
+    exceptAll.join(intersectAll, Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+      .orderBy("o_custkey")
+  }
+
+  val q61Sql: String =
+    """WITH open_k AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |closed_k AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |ea AS (SELECT o_custkey, count(*) AS n_except_all
+      |       FROM (SELECT * FROM open_k EXCEPT ALL SELECT * FROM closed_k) GROUP BY 1),
+      |ia AS (SELECT o_custkey, count(*) AS n_intersect_all
+      |       FROM (SELECT * FROM open_k INTERSECT ALL SELECT * FROM closed_k) GROUP BY 1)
+      |SELECT coalesce(ea.o_custkey, ia.o_custkey) AS o_custkey,
+      |  CAST(coalesce(ea.n_except_all, 0) AS BIGINT) AS n_except_all,
+      |  CAST(coalesce(ia.n_intersect_all, 0) AS BIGINT) AS n_intersect_all
+      |FROM ea FULL JOIN ia ON ea.o_custkey = ia.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Array aggregation + element access suite: collect per-order line
+    * quantities into a sorted array, then read it back with element/
+    * slice/containment/fold functions — the ARRAY column surface
+    * (collect_list/sort_array/element_at/slice/array_contains/
+    * aggregate) against DuckDB's list functions.
+    */
+  def q62ArraySuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qtys"))
+      .select(col("l_orderkey"),
+        // arrays stringify for the cross-engine hash (ndarray vs list
+        // renderings differ); the array ops themselves stay native
+        array_join(col("qtys"), ",").as("qtys_csv"),
+        size(col("qtys")).as("n_lines"),
+        element_at(col("qtys"), 1).as("min_qty"),
+        element_at(col("qtys"), -1).as("max_qty"),
+        array_join(slice(col("qtys"), 1, 2), ",").as("two_smallest_csv"),
+        array_contains(col("qtys"), 30).as("has_qty_30"),
+        aggregate(col("qtys"), lit(0), (a, x) => a + x).as("sum_qty"))
+      .orderBy("l_orderkey")
+
+  val q62Sql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qtys
+      |  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey)
+      |SELECT l_orderkey, array_to_string(qtys, ',') AS qtys_csv,
+      |  CAST(len(qtys) AS INT) AS n_lines,
+      |  qtys[1] AS min_qty,
+      |  qtys[-1] AS max_qty,
+      |  array_to_string(qtys[1:2], ',') AS two_smallest_csv,
+      |  list_contains(qtys, 30) AS has_qty_30,
+      |  CAST(list_sum(qtys) AS INT) AS sum_qty
+      |FROM g ORDER BY l_orderkey""".stripMargin
+
+  /** Native tumbling event-time window (`window($"ts", "6 hours")`) in
+    * batch — the same groupBy(window) that runs under Structured
+    * Streaming (R2's fixed windows, here at 6h). Oracle buckets by epoch
+    * arithmetic (Spark's window origin is the epoch; 6h divides a day so
+    * the boundaries are engine-independent).
+    */
+  def q63TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  val q63Sql: String =
+    """SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600) AS TIMESTAMP) AS w_start,
+      |  CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 + 21600) AS TIMESTAMP) AS w_end,
+      |  event_type, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin
 }

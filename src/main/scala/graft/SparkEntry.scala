@@ -81,6 +81,9 @@ object SparkEntry {
     "q58_dedup_clusters" -> (ExtQueries.q58DedupClusters _),
     "q59_pack_sequences" -> (ExtQueries.q59PackSequences _),
     "q60_bloom_semi_join" -> (ExtQueries.q60BloomSemiJoin _),
+    "q61_bag_setops" -> (Queries.q61BagSetOps _),
+    "q62_array_suite" -> (Queries.q62ArraySuite _),
+    "q63_tumbling_window" -> (Queries.q63TumblingWindow _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden
@@ -147,6 +150,9 @@ object SparkEntry {
     "q57_gapfill" -> Queries.q57Sql,
     "q58_dedup_clusters" -> ExtQueries.q58Sql,
     "q59_pack_sequences" -> ExtQueries.q59Sql,
-    "q60_bloom_semi_join" -> ExtQueries.q60Sql
+    "q60_bloom_semi_join" -> ExtQueries.q60Sql,
+    "q61_bag_setops" -> Queries.q61Sql,
+    "q62_array_suite" -> Queries.q62Sql,
+    "q63_tumbling_window" -> Queries.q63Sql
   )
 }

@@ -52,16 +52,15 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("bcomp")).as("nbr_min"))
+      // carry the previous label through the update so the convergence
+      // check is a filter on the checkpointed result, not another join
       val updated = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("comp") =!= col("old")).isEmpty
+      labels = updated.select(col("id"), col("comp"))
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
