@@ -296,6 +296,24 @@ object ExtQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Residual-quantized IVF ANN (compressed (cluster,code) index +
+    * approximate scoring against broadcast reconstructions + exact
+    * re-rank of survivors) — same query set as q17/q25/q28 so recall is
+    * directly comparable. Rows-only: the two k-means levels are
+    * hash-seeded, not SQL-portable; semantics pinned in
+    * ChecksDimsSkewSpec.
+    */
+  def q64AnnIvfRq(spark: SparkSession, dir: String): DataFrame = {
+    val em = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.operators.IvfIndex.rqCosineTopK(spark,
+      em.filter(col("vec_id") >= 5).withColumnRenamed("vec_id", "id").withColumnRenamed("v", "vec"),
+      em.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qvec"),
+      k = 10, nClusters = 16, nprobe = 4, codebookSize = 16, refine = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rn")
+  }
+
   /** Multimodal feature extraction over a deterministic synthetic media
     * corpus (decode stubbed — see Multimodal scaladoc; Spark-side schema,
     * batching and metadata flow are real).

@@ -84,6 +84,7 @@ object SparkEntry {
     "q61_bag_setops" -> (Queries.q61BagSetOps _),
     "q62_array_suite" -> (Queries.q62ArraySuite _),
     "q63_tumbling_window" -> (Queries.q63TumblingWindow _),
+    "q64_ann_ivf_rq" -> (ExtQueries.q64AnnIvfRq _),
     "hc_dim_patients" -> ((s: SparkSession, _: String) => HealthcareQueries.dimPatients(s, 4000)),
     "hc_dim_providers" -> ((s: SparkSession, _: String) => HealthcareQueries.dimProviders(s, 4000)),
     // Healthcare end-to-end (reference parity; rows-only check, golden

@@ -111,4 +111,89 @@ object IvfIndex {
       .filter(col("rn") <= k)
       .select(col(qid), col(id).as("neighbor_id"), col("cosine"), col("rn"))
   }
+
+  // ---------------------------------------------------------------------
+  // Residual quantization (IVF-RQ, à la FAISS IVF+RQ/PQ): compress each
+  // vector to (cluster_id, code) where code indexes a second-level
+  // codebook trained on the RESIDUALS v − centroid. The index table
+  // carries ~16 bytes/vector instead of 8·dims — at 100 TB the probe
+  // scan reads the code column only; full vectors are fetched for just
+  // the refine·k survivors per query.
+  // ---------------------------------------------------------------------
+
+  /** Residuals of assigned corpus rows: (id, list_id, rvec). */
+  private def residuals(corpus: DataFrame, cents: DataFrame, id: String, vec: String): DataFrame =
+    assign(corpus, cents, id, vec)
+      .join(broadcast(cents), "cluster_id")
+      .select(col(id), col("cluster_id").as("list_id"),
+        zip_with(col(vec), col("centroid"), (x, c) => x - c).as("rvec"))
+
+  /** Second-level codebook: k-means over the residuals (reuses the
+    * level-1 machinery — residual k-means IS k-means on the rvec frame).
+    */
+  def residualCodebook(corpus: DataFrame, cents: DataFrame, id: String, vec: String,
+      codebookSize: Int, iters: Int = 2): DataFrame =
+    centroids(residuals(corpus, cents, id, vec), id, "rvec", codebookSize, iters)
+      .withColumnRenamed("cluster_id", "code")
+      .withColumnRenamed("centroid", "codeword")
+
+  /** Compressed index: (id, cluster_id, code). This is the table that
+    * lives at scale — the full vectors stay in the corpus table and are
+    * only joined back for the final re-rank.
+    */
+  def encode(corpus: DataFrame, cents: DataFrame, codebook: DataFrame,
+      id: String, vec: String): DataFrame = {
+    val r = residuals(corpus, cents, id, vec)
+    assign(r, codebook.select(col("code").as("cluster_id"), col("codeword").as("centroid")),
+        id, "rvec")
+      .select(col(id), col("list_id").as("cluster_id"), col("cluster_id").as("code"))
+  }
+
+  /** All |cents|×|codebook| reconstructed vectors centroid+codeword —
+    * small by construction, broadcast to score encoded rows without
+    * touching original vectors.
+    */
+  def reconstructions(cents: DataFrame, codebook: DataFrame): DataFrame =
+    cents.crossJoin(codebook)
+      .select(col("cluster_id"), col("code"),
+        zip_with(col("centroid"), col("codeword"), (c, w) => c + w).as("recon"))
+
+  /** IVF-RQ cosine top-k: probe nprobe clusters reading ONLY the
+    * compressed codes, rank candidates by approximate cosine against the
+    * broadcast reconstructions, then exact-re-rank the top refine·k with
+    * the true vectors. Recall is governed by (nprobe, refine); bytes
+    * scanned per probe by codebookSize (fixed 16B/row here).
+    */
+  def rqCosineTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "id", vec: String = "vec", qid: String = "qid", qvec: String = "qvec",
+      nClusters: Int = 16, nprobe: Int = 4, codebookSize: Int = 16, refine: Int = 4): DataFrame = {
+    val cents = centroids(corpus, id, vec, nClusters).cache()
+    val codebook = residualCodebook(corpus, cents, id, vec, codebookSize).cache()
+    val enc = encode(corpus, cents, codebook, id, vec)
+    val recon = reconstructions(cents, codebook)
+
+    val qCents = queries.crossJoin(broadcast(cents))
+      .withColumn("d", sqDist(col(qvec), col("centroid")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("d").asc, col("cluster_id").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col(qid), col(qvec), col("cluster_id"))
+
+    // approximate stage: codes only + broadcast recon table
+    val approx = enc.join(qCents, Seq("cluster_id"))
+      .join(broadcast(recon), Seq("cluster_id", "code"))
+      .withColumn("approx_cos", VectorOps.fastCosine(spark)(col("recon"), col(qvec)))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("approx_cos").desc, col(id).asc)))
+      .filter(col("arn") <= k * refine)
+      .select(col(qid), col(qvec), col(id))
+
+    // exact re-rank: fetch true vectors for the survivors only
+    approx.join(corpus.select(col(id), col(vec)), Seq(id))
+      .withColumn("cosine", VectorOps.fastCosine(spark)(col(vec), col(qvec)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)))
+      .filter(col("rn") <= k)
+      .select(col(qid), col(id).as("neighbor_id"), col("cosine"), col("rn"))
+  }
 }

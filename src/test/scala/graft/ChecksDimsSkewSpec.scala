@@ -94,6 +94,51 @@ class ChecksDimsSkewSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 
+  test("IVF-RQ: compressed index keeps recall; reconstruction beats centroid-only") {
+    // clusters get distinct DIRECTIONS (cosine separates them); the
+    // per-vector noise makes within-cluster ranking non-trivial
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(dd =>
+        math.sin((i % 4) * 7.3 + dd * 1.7) + 0.05 * math.sin(i * 13.0 + dd)))
+    }.toDF("id", "vec")
+    val queries = (0L until 4L).map { q =>
+      (q, Array.tabulate(8)(dd => math.sin(q * 7.3 + dd * 1.7) + 0.02 * math.cos(q + dd)))
+    }.toDF("qid", "qvec")
+    val exact = VectorOps.cosineTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val rq = IvfIndex.rqCosineTopK(spark, corpus, queries, 5,
+        nClusters = 8, nprobe = 3, codebookSize = 8, refine = 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(rq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-RQ recall too low: $recall")
+    // exact re-rank ⇒ reported cosines are true cosines (match brute force)
+    val bf = VectorOps.cosineTopK(corpus, queries, 5).collect()
+      .map(r => ((r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id")), r.getAs[Double]("cosine"))).toMap
+    IvfIndex.rqCosineTopK(spark, corpus, queries, 5,
+        nClusters = 8, nprobe = 3, codebookSize = 8, refine = 10)
+      .collect().foreach { r =>
+        val key = (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))
+        bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+      }
+
+    // residual codebook reduces quantization error vs centroid-only
+    val cents = IvfIndex.centroids(corpus, "id", "vec", 8).cache()
+    val cb = IvfIndex.residualCodebook(corpus, cents, "id", "vec", 8)
+    val enc = IvfIndex.encode(corpus, cents, cb, "id", "vec")
+    val recon = IvfIndex.reconstructions(cents, cb)
+    val errRq = enc.join(recon, Seq("cluster_id", "code"))
+      .join(corpus, "id")
+      .select(aggregate(zip_with($"vec", $"recon", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x).as("e"))
+      .agg(sum($"e")).head().getDouble(0)
+    val errCent = IvfIndex.assign(corpus, cents, "id", "vec")
+      .join(cents, "cluster_id")
+      .select(aggregate(zip_with($"vec", $"centroid", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x).as("e"))
+      .agg(sum($"e")).head().getDouble(0)
+    assert(errRq < errCent, s"RQ error $errRq should beat centroid-only $errCent")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
   private def d(s: String) = java.sql.Date.valueOf(s)
 }
