@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{RangeJoin, ZOrder}
+
+/** Round-3 oracle-checked queries: grouping sets, ordered list
+  * aggregation + engine-agnostic mode, bucketized range join, TPC-H
+  * Q7/Q18-shaped multi-joins, Z-order curve values, and an exact
+  * integer-cents histogram. Same determinism rules as [[Queries]]
+  * (decimal sums rounded 4dp, total ORDER BY with unique tie-breaks,
+  * identical aliases on both engines).
+  */
+object Queries3 {
+  import Tables.t
+
+  private val D = DecimalType(18, 2)
+  private val DP = DecimalType(24, 8)
+
+  private def decSum(c: org.apache.spark.sql.Column, dt: DecimalType = D) =
+    round(sum(c.cast(dt)).cast("double"), 4)
+
+  /** GROUPING SETS with an explicit set list — finer than ROLLUP/CUBE
+    * (q30/q36): ((status, priority), (status), ()) but NOT (priority)
+    * alone. One pass, Expand-based: Catalyst plans a single aggregation
+    * over an Expand that replicates each row once per set — no
+    * re-reading the table per set, which is what a UNION ALL of three
+    * GROUP BYs would do at 100 TB.
+    */
+  def q65GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_value"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q65Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Ordered list aggregation (LISTAGG/STRING_AGG) + engine-agnostic
+    * MODE: per order year, the sorted distinct statuses as a csv and the
+    * most frequent priority. Mode is computed as an explicit two-level
+    * aggregate with a total tie-break (count desc, value asc) rather
+    * than either engine's native `mode()` — native modes break ties
+    * nondeterministically, which can never hash-match across engines.
+    * The csv goes through sort_array(collect_set(...)) so the result is
+    * independent of partial-aggregation order — collect_list order is
+    * execution-dependent and must never reach query output.
+    */
+  def q66ListaggMode(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"), col("o_orderpriority"))
+    val mode = base.groupBy(col("yr"), col("o_orderpriority")).agg(count(lit(1)).as("c"))
+      .groupBy(col("yr"))
+      .agg(min(struct((-col("c")).as("negc"), col("o_orderpriority").as("p"))).as("best"))
+      .select(col("yr"), col("best.p").as("mode_priority"), (-col("best.negc")).as("mode_count"))
+    base.groupBy(col("yr"))
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses_csv"),
+        count(lit(1)).as("n_orders"))
+      .join(mode, Seq("yr"))
+      .select(col("yr"), col("statuses_csv"), col("mode_priority"), col("mode_count"), col("n_orders"))
+      .orderBy("yr")
+  }
+
+  val q66Sql: String =
+    """WITH base AS (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS yr, o_orderstatus, o_orderpriority FROM orders
+      |), pc AS (
+      |  SELECT yr, o_orderpriority AS p, COUNT(*) AS c FROM base GROUP BY 1, 2
+      |), md AS (
+      |  SELECT yr, p AS mode_priority, c AS mode_count,
+      |    ROW_NUMBER() OVER (PARTITION BY yr ORDER BY c DESC, p ASC) AS rn
+      |  FROM pc
+      |)
+      |SELECT b.yr AS yr, array_to_string(list_sort(list_distinct(list(b.o_orderstatus))), ',') AS statuses_csv,
+      |  ANY_VALUE(md.mode_priority) AS mode_priority,
+      |  CAST(ANY_VALUE(md.mode_count) AS BIGINT) AS mode_count,
+      |  COUNT(*) AS n_orders
+      |FROM base b JOIN md ON md.yr = b.yr AND md.rn = 1
+      |GROUP BY b.yr
+      |ORDER BY 1""".stripMargin
+
+  /** Bucketized point-in-interval join ([[RangeJoin.pointInInterval]]):
+    * lineitem prices against OVERLAPPING price bands (overlap is what
+    * makes this a real range join — a non-overlapping banding is just
+    * width_bucket). The oracle is the naive BETWEEN theta join; the
+    * Spark side runs the grid-cell equi-join, so the hash match also
+    * certifies the rewrite's correctness at sf scale.
+    */
+  def q67RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val bands = Seq(
+      ("band_00", 0.0, 10000.0), ("band_01", 5000.0, 20000.0),
+      ("band_02", 15000.0, 40000.0), ("band_03", 30000.0, 70000.0),
+      ("band_04", 60000.0, 120000.0)).toDF("band", "lo", "hi")
+    RangeJoin.pointInInterval(
+      t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      "l_extendedprice", bands, "lo", "hi", bucketWidth = 5000.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"), decSum(col("l_extendedprice")).as("band_value"))
+      .orderBy("band")
+  }
+
+  val q67Sql: String =
+    """SELECT b.band, COUNT(*) AS n_items,
+      |  round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS band_value
+      |FROM lineitem l
+      |JOIN (VALUES ('band_00', 0.0, 10000.0), ('band_01', 5000.0, 20000.0),
+      |             ('band_02', 15000.0, 40000.0), ('band_03', 30000.0, 70000.0),
+      |             ('band_04', 60000.0, 120000.0)) b(band, lo, hi)
+      |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+      |GROUP BY b.band ORDER BY b.band""".stripMargin
+
+  /** TPC-H Q7-shaped volume shipping: bidirectional nation-pair revenue
+    * by ship year through a 5-way star join (lineitem ⋈ orders ⋈
+    * supplier ⋈ customer ⋈ nation×2). All four dimension sides are
+    * small → AQE broadcasts every one; the only shuffle left is the
+    * final 3-column aggregation. The nation filter pushes into BOTH
+    * nation scans before the joins (PushedFilters), so the big fact
+    * side is filtered by two broadcast joins, never materializing the
+    * unfiltered join.
+    */
+  def q68VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+        lit(java.sql.Timestamp.valueOf("1996-12-31 00:00:00"))))
+    val n1 = t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+    val n2 = t(spark, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+    li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), DP).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q68Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  EXTRACT(year FROM l.l_shipdate) AS l_year,
+      |  round(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey AND n1.n_name IN ('NATION_1','NATION_2')
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey AND n2.n_name IN ('NATION_1','NATION_2')
+      |WHERE l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume orders: HAVING-filtered aggregate as
+    * a semi-join back onto the fact. The inner aggregate groups the
+    * full lineitem by orderkey; only qualifying keys (sum qty > 250)
+    * join back — at scale the qualifying set is small, so AQE turns the
+    * re-join into a broadcast. The whole query is two shuffles (the
+    * groupBy, then nothing: both back-joins broadcast).
+    */
+  def q69LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity").cast(D)).cast("double"), 4).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+  }
+
+  val q69Sql: String =
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, q.sum_qty
+      |FROM (SELECT l_orderkey,
+      |        round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
+      |      FROM lineitem GROUP BY 1
+      |      HAVING round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) > 250.0) q
+      |JOIN orders o ON q.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY q.sum_qty DESC, o.o_orderkey ASC""".stripMargin
+
+  /** Z-order curve positions ([[ZOrder.zValue]]): the Morton interleave
+    * of (custkey, order epoch-day) as a plain column expression, hash-
+    * checked against DuckDB computing the identical bit arithmetic.
+    * This pins the curve math the [[ZOrder.cluster]] layout job sorts
+    * by (the layout itself — file-level min/max narrowing — is asserted
+    * in LayoutSpec, since file statistics aren't SQL-observable).
+    */
+  def q70ZOrderValues(spark: SparkSession, dir: String): DataFrame = {
+    val epochDay = datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1970-01-01")))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        ZOrder.zValue(Seq(
+          col("o_custkey").bitwiseAND(lit(65535L)),
+          epochDay.cast("long").bitwiseAND(lit(65535L))), bits = 16).as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(1000)
+  }
+
+  val q70Sql: String =
+    """SELECT o_orderkey, CAST(list_sum(list_transform(range(0, 16), i ->
+      |    (((o_custkey & 65535) >> i) & 1) * (1::BIGINT << (2*i)) +
+      |    (((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535) >> i) & 1) * (1::BIGINT << (2*i + 1))
+      |  )) AS BIGINT) AS zval
+      |FROM orders
+      |ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin
+
+  /** Exact equi-width histogram over prices, computed in integer cents
+    * so bucket edges are exact on both engines (TPC-H prices are
+    * cents-exact doubles; `round(x*100)` reconstructs the integer
+    * before the truncating division — no float-boundary ambiguity).
+    * Shape: single hash aggregation on the derived bucket id.
+    */
+  def q71Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("bucket", expr("cents div 500000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy("bucket")
+
+  val q71Sql: String =
+    """SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 500000 AS bucket,
+      |  COUNT(*) AS n_items,
+      |  round(MIN(l_extendedprice), 2) AS min_price,
+      |  round(MAX(l_extendedprice), 2) AS max_price
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+}
