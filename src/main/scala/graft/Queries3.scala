@@ -247,4 +247,90 @@ object Queries3 {
       |  round(MIN(l_extendedprice), 2) AS min_price,
       |  round(MAX(l_extendedprice), 2) AS max_price
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Two-phase salted aggregation ([[graft.operators.Skew.saltedAgg]])
+    * hash-matched against a PLAIN GROUP BY oracle — the match certifies
+    * that salting is semantically invisible: the salt only splits the
+    * hot key's reducer, the phase-2 merge reconstructs the exact
+    * aggregate. The summed column is pre-cast to DECIMAL so the
+    * extra merge level cannot introduce float reassociation drift
+    * (double addition is not associative; decimal is).
+    */
+  def q72SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val in = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast(D).as("price_dec"),
+        col("l_quantity").cast(D).as("qty_dec"))
+    graft.operators.Skew.saltedAgg(in, keys = Seq("l_returnflag"), saltBuckets = 16,
+      sums = Seq("price_dec", "qty_dec"), mins = Seq("price_dec"), maxs = Seq("price_dec"))
+      .select(col("l_returnflag"),
+        round(col("price_dec_sum").cast("double"), 4).as("sum_price"),
+        round(col("qty_dec_sum").cast("double"), 4).as("sum_qty"),
+        col("row_count"),
+        round(col("price_dec_min").cast("double"), 2).as("min_price"),
+        round(col("price_dec_max").cast("double"), 2).as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q72Sql: String =
+    """SELECT l_returnflag,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+      |  COUNT(*) AS row_count,
+      |  round(CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price,
+      |  round(CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** SCD2 snapshot replay ([[graft.operators.Scd2.snapshot]]): orders
+    * date-sliced into three update batches, folded through three
+    * snapshot passes; the FULL resulting version history — closed and
+    * current rows, valid_from/valid_to chains — is hash-matched against
+    * a DuckDB window derivation (per key: latest row per batch, lead()
+    * for the closing timestamp). Updates are pre-deduplicated to one
+    * row per (key, updated_at) with a max-orderkey tie-break, because
+    * SCD2's "latest per key per batch" is otherwise nondeterministic on
+    * same-timestamp ties.
+    */
+  def q73Scd2Replay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scd2
+    val orders = t(spark, dir, "orders")
+    val upd = orders
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val cuts = Seq("1997-01-01 00:00:00", "1999-01-01 00:00:00").map(java.sql.Timestamp.valueOf)
+    val batches = Seq(
+      upd.filter(col("o_orderdate") < cuts(0)),
+      upd.filter(col("o_orderdate") >= cuts(0) && col("o_orderdate") < cuts(1)),
+      upd.filter(col("o_orderdate") >= cuts(1)))
+    val hist = batches.foldLeft(Scd2.emptyHistory(spark, upd, "o_orderdate")) {
+      (h, b) => Scd2.snapshot(h, b, "o_custkey", "o_orderdate").localCheckpoint(true)
+    }
+    hist.select(col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").as("valid_from"), col("valid_to"))
+      .orderBy(col("o_custkey"), col("valid_from"))
+  }
+
+  val q73Sql: String =
+    """WITH d AS (
+      |  SELECT o_custkey, o_totalprice, o_orderdate,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders
+      |), u AS (
+      |  SELECT o_custkey, o_totalprice, o_orderdate,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00' THEN 0
+      |         WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00' THEN 1
+      |         ELSE 2 END AS b
+      |  FROM d WHERE rn = 1
+      |), lat AS (
+      |  SELECT o_custkey, o_totalprice, o_orderdate, b,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey, b ORDER BY o_orderdate DESC) AS rn
+      |  FROM u
+      |)
+      |SELECT o_custkey, o_totalprice, o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY b) AS valid_to
+      |FROM lat WHERE rn = 1
+      |ORDER BY o_custkey, valid_from""".stripMargin
 }

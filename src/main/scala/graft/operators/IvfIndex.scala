@@ -32,7 +32,13 @@ object IvfIndex {
     * refined by `iters` Lloyd iterations (each: assign + mean).
     */
   def centroids(corpus: DataFrame, id: String, vec: String, k: Int, iters: Int = 2): DataFrame = {
-    var cents = corpus
+    // Every Lloyd iteration re-executes the corpus plan (the argmin
+    // assignment is an action via the centroid collect, plus the mean
+    // groupBy): cache it once. For the residual-codebook call the input
+    // is itself a derived assign+join — uncached, iters+1 full
+    // recomputations of that join.
+    val corpusC = corpus.cache()
+    var cents = corpusC
       .withColumn("__h", xxhash64(col(id)))
       .orderBy(col("__h")).limit(k)
       .select(monotonically_increasing_id().as("cluster_id"), col(vec).as("centroid"))
@@ -43,7 +49,7 @@ object IvfIndex {
       // these dims (1.8s vs 2.2s for the whole q28 at 128 dims) — the
       // Aggregator only wins when the dims explosion factor dominates
       // (thousands of dims); see VecSumAgg scaladoc.
-      val means = assign(corpus, cents, id, vec)
+      val means = assign(corpusC, cents, id, vec)
         .select(col("cluster_id"), posexplode(col(vec)))
         .groupBy(col("cluster_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -136,6 +142,9 @@ object IvfIndex {
     centroids(residuals(corpus, cents, id, vec), id, "rvec", codebookSize, iters)
       .withColumnRenamed("cluster_id", "code")
       .withColumnRenamed("centroid", "codeword")
+  // (centroids caches its input, so the residual frame materializes once
+  // for the codebook's Lloyd iterations rather than re-running the
+  // assign+join per pass.)
 
   /** Compressed index: (id, cluster_id, code). This is the table that
     * lives at scale — the full vectors stay in the corpus table and are
