@@ -333,4 +333,51 @@ object Queries3 {
       |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY b) AS valid_to
       |FROM lat WHERE rn = 1
       |ORDER BY o_custkey, valid_from""".stripMargin
+
+  /** Corpus document-frequency / IDF table
+    * ([[graft.operators.TextAnalysis.docFrequency]]) restricted to
+    * boilerplate-grade terms (df ≥ 100 over ~N/5 docs). The IDF builder
+    * behind q75; also the "scrub list" a C4-style cleaner would subtract.
+    */
+  def q74DocFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.docFrequency(t(spark, dir, "documents"), "doc_id")
+      .filter(col("doc_freq") >= 100)
+      .orderBy(col("doc_freq").desc, col("term").asc)
+
+  val q74Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+      |  FROM documents
+      |), df AS (
+      |  SELECT term, COUNT(*) AS doc_freq FROM terms GROUP BY 1
+      |)
+      |SELECT term, doc_freq,
+      |  round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / doc_freq), 6) AS idf
+      |FROM df WHERE doc_freq >= 100
+      |ORDER BY doc_freq DESC, term ASC""".stripMargin
+
+  /** TF-IDF top-3 terms per document
+    * ([[graft.operators.TextAnalysis.tfIdfTopTerms]]): rank order is
+    * engine-stable because both factors round before composing (see the
+    * operator scaladoc for the 2·ln(20) = ln(400) hazard).
+    */
+  def q75TfIdf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", k = 3)
+      .orderBy(col("doc_id"), col("rn"))
+
+  val q75Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tfc AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+      |), idf AS (
+      |  SELECT term, round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / COUNT(DISTINCT doc_id)), 6) AS idf
+      |  FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tfc.doc_id, tfc.term, tfc.tf, round(tfc.tf * idf.idf, 6) AS tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY tfc.doc_id ORDER BY round(tfc.tf * idf.idf, 6) DESC, tfc.term ASC) AS rn
+      |  FROM tfc JOIN idf USING (term)
+      |)
+      |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, tfidf FROM scored WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
 }

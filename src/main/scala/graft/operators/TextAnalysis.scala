@@ -146,4 +146,52 @@ object TextAnalysis {
         size(col("fingerprints")).as("n_fingerprints"),
         xxhash64(to_json(struct(col("fingerprints")))).as("content_id"),
         col("fingerprints"))
+
+  /** Corpus document-frequency table — the IDF builder and boilerplate
+    * detector in one: for every term, the number of documents containing
+    * it and `idf = ln(N / df)`. Terms with df near N are boilerplate
+    * (stopwords, template text — candidates for scrubbing); rare terms
+    * get high retrieval weight. Two shuffles at any corpus size: one
+    * distinct on (doc, term) — the per-doc dedup — and one count by
+    * term. N rides along as a broadcast scalar (one-row cross join), so
+    * no driver-side constant capture that would pin the plan to a
+    * collected value.
+    *
+    * idf is rounded to 6dp AT THE SOURCE: downstream products must
+    * compose from the rounded value so cross-engine libm `ln`
+    * last-ulp differences can never propagate into rankings.
+    */
+  def docFrequency(df: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val n = df.select(count(lit(1)).as("__n"))
+    df.select(col(idCol), explode(array_distinct(split(lower(col(textCol)), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("doc_freq"),
+        round(log(col("__n").cast("double") / col("doc_freq")), 6).as("idf"))
+  }
+
+  /** TF-IDF top terms per document — the classic sparse retrieval
+    * representation, kept top-k to bound output width. tf is the raw
+    * in-doc term count; the score is `tf · idf` with idf pre-rounded by
+    * [[docFrequency]] and the product rounded again, so rank order is
+    * engine-stable (two mathematically equal scores computed via
+    * different factorizations — e.g. 2·ln(20) vs ln(400) — land on the
+    * same rounded value and fall through to the term tie-break).
+    * Shape: the tf aggregation shuffles on (doc, term); the idf join
+    * broadcasts (vocabulary ≪ corpus); top-k is a WindowGroupLimit,
+    * not a full sort.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = docFrequency(df, idCol, textCol)
+    tf.join(broadcast(idf.select(col("term"), col("idf"))), Seq("term"))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("term"), col("tf"), col("tfidf"))
+  }
 }
