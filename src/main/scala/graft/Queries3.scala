@@ -300,6 +300,9 @@ object Queries3 {
           .orderBy(col("o_orderkey").desc)))
       .filter(col("__rn") === 1)
       .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      // three batch filters + three snapshot passes all re-derive this
+      // frame; materialize the scan+window once
+      .localCheckpoint(true)
     val cuts = Seq("1997-01-01 00:00:00", "1999-01-01 00:00:00").map(java.sql.Timestamp.valueOf)
     val batches = Seq(
       upd.filter(col("o_orderdate") < cuts(0)),
@@ -380,4 +383,37 @@ object Queries3 {
       |)
       |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, tfidf FROM scored WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
+
+  /** Custom bounded-heap top-k aggregate
+    * ([[graft.expressions.TopKAgg]], a TypedImperativeAggregate): the
+    * five largest prices per (returnflag, linestatus) as a sorted-desc
+    * array, carrying at most k doubles per group per task at every
+    * stage (vs collect_list's whole-group buffers or the window sort).
+    * Hash-matched against DuckDB's list aggregation — the oracle
+    * certifies the heap's update/merge/serialize path end to end,
+    * including map-side partials across 32 input partitions.
+    */
+  def q76TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(call_function("topk_agg", col("l_extendedprice"), lit(5)).as("top5"),
+        count(lit(1)).as("n_items"))
+      // flattened to scalar columns: the driver's hash compare sorts rows
+      // by value, which array cells break
+      .select(Seq(col("l_returnflag"), col("l_linestatus")) ++
+        (1 to 5).map(i => element_at(col("top5"), i).as(s"p$i")) ++ Seq(col("n_items")): _*)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q76Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    (list_sort(list(l_extendedprice), 'DESC'))[1:5] AS top5,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus,
+      |  top5[1] AS p1, top5[2] AS p2, top5[3] AS p3, top5[4] AS p4, top5[5] AS p5,
+      |  n_items
+      |FROM t ORDER BY 1, 2""".stripMargin
 }

@@ -119,6 +119,7 @@ object VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[Seq[Double]
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.vecDotDescriptor)
+    ext.injectFunction(GraftFunctions.topKDescriptor)
     ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
   }
 }
@@ -136,10 +137,22 @@ object GraftFunctions {
     * existing session (the band-join rewrite stays inert until its conf
     * flag enables it).
     */
+  private[graft] val topKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_agg"),
+    new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "topk_agg takes exactly 2 arguments (col, k)")
+      TopKAgg(children.head, children(1))
+    })
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("vec_dot"))) {
       val (id, info, builder) = vecDotDescriptor
+      registry.registerFunction(id, info, builder)
+    }
+    if (!registry.functionExists(FunctionIdentifier("topk_agg"))) {
+      val (id, info, builder) = topKDescriptor
       registry.registerFunction(id, info, builder)
     }
     val em = spark.experimental
