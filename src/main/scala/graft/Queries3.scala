@@ -416,4 +416,60 @@ object Queries3 {
       |  top5[1] AS p1, top5[2] AS p2, top5[3] AS p3, top5[4] AS p4, top5[5] AS p5,
       |  n_items
       |FROM t ORDER BY 1, 2""".stripMargin
+
+  /** Schema-evolution union: two extracts of the same entity with
+    * DIFFERENT column sets (an old and a new pipeline version) combined
+    * with `unionByName(allowMissingColumns = true)` — absent columns
+    * null-fill. This is the lakehouse ingest reality (schema drift
+    * between landing batches), and positional UNION silently corrupts
+    * it; by-name resolution is the operator under test.
+    */
+  def q77SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  val q77Sql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+      |) ORDER BY o_orderkey""".stripMargin
+
+  /** UNPIVOT (melt) — the inverse of q37's pivot: wide per-status
+    * conditional counts unpivoted to (status, metric, val) long form
+    * via `Dataset.unpivot`. Long form is what downstream metric stores
+    * and chart layers ingest; keeping the transform relational (Expand
+    * under the hood, one pass) beats per-metric UNION ALL re-scans.
+    */
+  def q78Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+        sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("n_low"),
+        count(lit(1)).as("n_total"))
+    wide.unpivot(
+      ids = Array(col("o_orderstatus")),
+      values = Array(col("n_urgent"), col("n_low"), col("n_total")),
+      variableColumnName = "metric", valueColumnName = "val")
+      .orderBy("o_orderstatus", "metric")
+  }
+
+  val q78Sql: String =
+    """WITH wide AS (
+      |  SELECT o_orderstatus,
+      |    CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+      |    CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low,
+      |    COUNT(*) AS n_total
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderstatus, metric, val
+      |FROM wide UNPIVOT (val FOR metric IN (n_urgent, n_low, n_total))
+      |ORDER BY o_orderstatus, metric""".stripMargin
 }
