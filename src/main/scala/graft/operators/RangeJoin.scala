@@ -35,12 +35,10 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double, maxCellsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val clash = points.columns.toSet.intersect(intervals.columns.toSet) + "__cell"
-    require(!points.columns.exists(c => c == "__cell") &&
-      !intervals.columns.exists(c => c == "__cell"),
+    require(!(points.columns ++ intervals.columns).contains("__cell"),
       "__cell is reserved by pointInInterval")
-    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
-      s"point/interval column overlap: ${clash.mkString(", ")}")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty, s"point/interval column overlap: ${clash.mkString(", ")}")
     val loCell = floor(col(loCol) / bucketWidth).cast("long")
     // hi is exclusive; a hi exactly on a cell edge contributes nothing to
     // that cell, but keeping it costs one residual-filtered candidate and

@@ -154,4 +154,38 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     buildFact()
     Reports.evaluateGates(cfg)(processedVitals, fact)
   }
+
+  /** Small-files compaction for a (non-partitioned) zone table — the
+    * operational complement to [[refreshFactIncremental]]: every
+    * append-mode micro-batch leaves one-or-more files per trigger, and
+    * after a day of 15-minute cycles a 100 TB table is tens of
+    * thousands of KB-sized files whose open/footer costs dominate scan
+    * time. Compaction rewrites the table into ⌈bytes/targetFileBytes⌉
+    * files: read → repartition → write to a temp sibling → atomic-ish
+    * directory swap (the two-rename window is the standard non-
+    * transactional lakehouse tradeoff; table formats with a metadata
+    * log do the swap in the log instead — same data motion).
+    * Partitioned tables compact per partition directory with the same
+    * routine. Returns the new file count.
+    */
+  def compact(path: String, targetFileBytes: Long = 128L << 20): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    read(path).repartition(nFiles)
+      .write.format(format).mode(SaveMode.Overwrite).save(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    require(fs.rename(p, old), s"compact: could not move $p aside")
+    require(fs.rename(tmp, p), s"compact: could not activate $tmp")
+    fs.delete(old, true)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(formatSuffix))
+  }
+
+  private def formatSuffix: String = format match {
+    case "orc" => ".orc"
+    case _ => ".parquet"
+  }
 }

@@ -50,4 +50,31 @@ class LakehouseSpec extends SparkSpec {
       assert(pruned.count() == expected)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("compact: many append files collapse to the target count with identical data") {
+    import org.apache.spark.sql.functions._
+    import graft.gen.HealthcareGenerator
+    val root = java.nio.file.Files.createTempDirectory("lake3_").toString
+    val lake = new Lakehouse(spark, root, Config.default)
+    val gen = new HealthcareGenerator(seed = 7L,
+      asOf = Config.default.asOf.toLocalDateTime.toLocalDate)
+    // three append cycles with multi-partition writers → many small files
+    (0 until 3).foreach { _ =>
+      lake.runEtl(gen.messagesJson(spark, 600).toDF("value"),
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    val path = s"$root/processed/patient_vitals"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    def multiset() = lake.processedVitals.collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val before = multiset()
+    assert(parquetFiles() > 3, s"expected many small files, got ${parquetFiles()}")
+
+    val n = lake.compact(path) // default 128 MB target → 1 file here
+    assert(n == 1 && parquetFiles() == 1)
+    assert(multiset() == before)
+  }
 }

@@ -145,4 +145,22 @@ class PropertySpec extends SparkSpec {
       .filter($"x" =!= $"split").count()
     assert(moved > 500, "different seeds must reshuffle a large fraction")
   }
+
+  test("range join ≡ naive theta join over randomized intervals and widths") {
+    val rnd = new Random(23)
+    for (round <- 0 until 3) {
+      val points = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 1000 - 100))
+        .toDF("pid", "v")
+      val intervals = (0 until 40).map { i =>
+        val lo = rnd.nextDouble() * 1000 - 150
+        (s"iv$i", lo, lo + rnd.nextDouble() * 120) // overlapping, some negative
+      }.toDF("iv", "lo", "hi")
+      val width = Seq(3.0, 47.0, 333.0)(round)
+      val got = operators.RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", width)
+        .select("pid", "iv").as[(Long, String)].collect().toSet
+      val want = points.join(intervals, $"v" >= $"lo" && $"v" < $"hi")
+        .select("pid", "iv").as[(Long, String)].collect().toSet
+      assert(got == want, s"round=$round width=$width")
+    }
+  }
 }
