@@ -57,17 +57,28 @@ object ZOrder {
   def cluster(df: DataFrame, keys: Seq[String], numFiles: Int, bits: Int = 12,
       quantile: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "cluster: need at least one key")
+    // date/timestamp keys: normalize to epoch numbers first (a direct
+    // date→double cast throws under ANSI mode)
+    def numeric(k: String): Column = df.schema(k).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(k), lit(java.sql.Date.valueOf("1970-01-01"))).cast("double")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_timestamp(col(k)).cast("double")
+      case _ => col(k).cast("double")
+    }
+    // empty input: nothing to lay out, and min/max below would be null
+    if (df.isEmpty) return df
     val cells: Seq[Column] =
       if (quantile) {
         val nb = 1 << bits
         keys.map { k =>
           val probs = (1 until nb).map(_.toDouble / nb).toArray
-          val bounds = df.select(col(k).cast("double").as(k))
+          val bounds = df.select(numeric(k).as(k))
             .stat.approxQuantile(k, probs, 1.0 / (4 * nb))
           // distinct-ify: heavy hitters repeat boundaries; bucket = count
           // of boundaries <= v (monotone, so equal to binary search).
           val uniq = bounds.distinct.sorted
-          val v = col(k).cast("double")
+          val v = numeric(k)
           // O(|uniq|) interpreted per row — layout-time cost only; the
           // uniform path below is the hot default.
           size(filter(lit(uniq), b => b <= v)).cast("long")
@@ -75,14 +86,16 @@ object ZOrder {
       } else {
         val nb = (1 << bits) - 1
         val stats = df.agg(
-          keys.map(k => min(col(k).cast("double")).as(s"__mn_$k")).head,
-          (keys.tail.map(k => min(col(k).cast("double")).as(s"__mn_$k")) ++
-            keys.map(k => max(col(k).cast("double")).as(s"__mx_$k"))): _*).head()
+          keys.map(k => min(numeric(k)).as(s"__mn_$k")).head,
+          (keys.tail.map(k => min(numeric(k)).as(s"__mn_$k")) ++
+            keys.map(k => max(numeric(k)).as(s"__mx_$k"))): _*).head()
         keys.zipWithIndex.map { case (k, i) =>
+          require(!stats.isNullAt(i) && !stats.isNullAt(keys.size + i),
+            s"cluster: key '$k' is entirely null — cannot derive layout bounds")
           val mn = stats.getDouble(i)
           val mx = stats.getDouble(keys.size + i)
           val w = if (mx > mn) (mx - mn) / (nb + 1) else 1.0
-          least(floor((col(k).cast("double") - lit(mn)) / lit(w)), lit(nb.toLong)).cast("long")
+          least(floor((numeric(k) - lit(mn)) / lit(w)), lit(nb.toLong)).cast("long")
         }
       }
     df.withColumn("__z", zValue(cells, bits))

@@ -172,6 +172,13 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
+    // Refuse partitioned roots: a flat read+rewrite would inline the
+    // partition columns into the data files and silently destroy the
+    // layout. Compact each leaf partition directory instead.
+    val subdirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compact: $path contains partition directories (${subdirs.take(3).mkString(", ")}…) — " +
+        "compact each leaf partition directory individually")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")

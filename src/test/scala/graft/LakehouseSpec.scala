@@ -76,5 +76,14 @@ class LakehouseSpec extends SparkSpec {
     val n = lake.compact(path) // default 128 MB target → 1 file here
     assert(n == 1 && parquetFiles() == 1)
     assert(multiset() == before)
+
+    // partitioned roots are refused (a flat rewrite would inline the
+    // partition columns and destroy the layout)
+    val partRoot = java.nio.file.Files.createTempDirectory("lakep_").toString + "/t"
+    lake.processedVitals
+      .withColumn("d", to_date(col("timestamp")))
+      .write.partitionBy("d").parquet(partRoot)
+    val ex = intercept[IllegalArgumentException] { lake.compact(partRoot) }
+    assert(ex.getMessage.contains("partition"))
   }
 }

@@ -97,6 +97,16 @@ class LayoutSpec extends SparkSpec {
     assert(zordered.count() == n)
   }
 
+  test("cluster accepts date keys (epoch normalization) and empty input") {
+    val dated = Seq(
+      (1, java.sql.Date.valueOf("2026-01-01")),
+      (2, java.sql.Date.valueOf("2026-06-01")),
+      (3, java.sql.Date.valueOf("2026-12-01"))).toDF("id", "d")
+    assert(ZOrder.cluster(dated, Seq("id", "d"), numFiles = 2).count() == 3)
+    val empty = dated.filter(col("id") < 0)
+    assert(ZOrder.cluster(empty, Seq("id", "d"), numFiles = 2).count() == 0)
+  }
+
   test("cluster quantile mode handles heavy skew (all mass at one value)") {
     val df = ((0 until 1000).map(_ => 5) ++ (0 until 24).map(i => i * 100))
       .zipWithIndex.map { case (v, i) => (v, i) }.toDF("x", "rid")
