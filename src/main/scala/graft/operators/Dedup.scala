@@ -97,19 +97,20 @@ object Dedup {
     // Posting list per (band, bucket): the signature pipeline runs ONCE
     // (a bucket self-join would recompute it per join side), the id-sorted
     // slice caps pathological buckets (all-identical boilerplate), and
-    // ordered pairs generate list-locally.
+    // ordered pairs generate list-locally via explode-then-pair: two
+    // chained generators STREAM the i<j combinations row by row, so the
+    // per-row transient is one ≤maxBucket slice — never the O(cap²)
+    // flattened pair array the previous formulation materialized per
+    // posting row.
     val posts = buckets.groupBy(col("band"), col("bucket"))
       .agg(slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("s")))),
         1, maxBucket).as("ms"))
       .filter(size(col("ms")) >= 2)
-    val pairArr = flatten(transform(col("ms"), (x, i) =>
-      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          x.getField("s").as("sig_a"), y.getField("s").as("sig_b")))))
     posts
-      .select(explode(pairArr).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        (expr("size(filter(zip_with(p.sig_a, p.sig_b, (x, y) -> x = y), m -> m))").cast("double") /
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+      .select(col("x"), explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("y"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (expr("size(filter(zip_with(x.s, y.s, (a, b) -> a = b), m -> m))").cast("double") /
           lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
       .groupBy(col("id_a"), col("id_b"))
@@ -180,22 +181,19 @@ object Dedup {
       .select(col(idCol), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
     // posting list per chunk bucket — the simhash pipeline runs once, not
     // once per self-join side (see ngramJaccard). The id-sorted slice caps
-    // degenerate buckets (boilerplate docs sharing a 16-bit chunk) so the
-    // per-row pair array stays O(maxBucket²), not O(bucket²) — an uncapped
-    // hot chunk value would build the whole quadratic candidate set in one
-    // row (2 GB array limit / executor OOM at corpus scale).
+    // degenerate buckets (boilerplate docs sharing a 16-bit chunk) to
+    // bound candidate FAN-OUT; the pairs themselves stream via
+    // explode-then-pair, so no row ever materializes a quadratic array.
     val posts = chunks.groupBy(col("ci"), col("cv"))
       .agg(slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sh").as("h")))),
         1, maxBucket).as("ms"))
       .filter(size(col("ms")) >= 2)
-    val pairArr = flatten(transform(col("ms"), (x, i) =>
-      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          x.getField("h").as("sh_a"), y.getField("h").as("sh_b")))))
+    // explode-then-pair streams i<j combinations (see minHashLsh)
     posts
-      .select(explode(pairArr).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("int").as("hamming"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+      .select(col("x"), explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("y"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
@@ -232,11 +230,15 @@ object Dedup {
         collect_list(when(col("side") === 1, col("id"))).as("train_ids"))
       .filter(size(col("test_ids")) >= 1 &&
         size(col("train_ids")).between(1, maxDocFreq))
-    val pairArr = flatten(transform(col("test_ids"), t =>
-      transform(col("train_ids"), r => struct(t.as("t"), r.as("r")))))
+    // explode-then-pair: the test×train cross product streams row by
+    // row — the previous single flattened array was O(|test_ids| ×
+    // maxDocFreq) structs in ONE row, the uncapped-fan-out pattern the
+    // round-2 advisor flagged on simHashDedup (test_ids has no df cap;
+    // only the train side is bounded).
     postings
-      .select(explode(pairArr).as("p"))
-      .groupBy(col("p.t").as("test_id"), col("p.r").as("train_id"))
+      .select(explode(col("test_ids")).as("test_id"), col("train_ids"))
+      .select(col("test_id"), explode(col("train_ids")).as("train_id"))
+      .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("inter"))
       .join(teSizes, Seq("test_id"))
       .select(col("test_id"), col("train_id"),
@@ -278,12 +280,11 @@ object Dedup {
     val postings = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))
-    val pairArr = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("a"), y.as("b")))))
+    // explode-then-pair streams i<j combinations (see minHashLsh)
     val co = postings
-      .select(explode(pairArr).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     co
       .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))

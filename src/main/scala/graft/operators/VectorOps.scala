@@ -164,12 +164,11 @@ object VectorOps {
       .groupBy(col("band"), col("bucket"))
       .agg(slice(sort_array(collect_list(col(idCol))), 1, maxBucket).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val pairArr = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("a"), y.as("b")))))
+    // explode-then-pair streams i<j combinations (see Dedup.minHashLsh)
     val pairs = posts
-      .select(explode(pairArr).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
     val vecs = df.select(col(idCol), col(vecCol))
     pairs
