@@ -195,4 +195,26 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     case "orc" => ".orc"
     case _ => ".parquet"
   }
+
+  /** [[compact]] for a partitioned table: walk to the leaf partition
+    * directories (those containing data files, not further `k=v` dirs)
+    * and compact each independently. Partition independence is the
+    * scale property: at 100 TB the sweep parallelizes trivially across
+    * partitions and a failed leaf leaves every other partition intact.
+    * Returns (leaf directories compacted, total files after).
+    */
+  def compactPartitioned(root: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(hconf)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subdirs = fs.listStatus(p).filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("_")) // _SUCCESS markers etc.
+      if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    val ls = leaves(rp).filter(p => fs.listStatus(p)
+      .exists(_.getPath.getName.endsWith(formatSuffix)))
+    val counts = ls.map(p => compact(p.toString, targetFileBytes))
+    (ls.length, counts.sum)
+  }
 }

@@ -78,12 +78,23 @@ class LakehouseSpec extends SparkSpec {
     assert(multiset() == before)
 
     // partitioned roots are refused (a flat rewrite would inline the
-    // partition columns and destroy the layout)
+    // partition columns and destroy the layout)...
     val partRoot = java.nio.file.Files.createTempDirectory("lakep_").toString + "/t"
     lake.processedVitals
       .withColumn("d", to_date(col("timestamp")))
+      .repartition(4) // several files per partition dir
       .write.partitionBy("d").parquet(partRoot)
     val ex = intercept[IllegalArgumentException] { lake.compact(partRoot) }
     assert(ex.getMessage.contains("partition"))
+
+    // ...compactPartitioned sweeps the leaves instead, preserving the
+    // partition layout and the data (including the partition column)
+    val beforePart = spark.read.parquet(partRoot).collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val (nLeaves, nFiles) = lake.compactPartitioned(partRoot)
+    assert(nLeaves >= 1 && nFiles == nLeaves, s"$nLeaves leaves, $nFiles files")
+    val afterPart = spark.read.parquet(partRoot).collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(afterPart == beforePart)
   }
 }
