@@ -168,13 +168,33 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     * Partitioned tables compact per partition directory with the same
     * routine. Returns the new file count.
     */
-  def compact(path: String, targetFileBytes: Long = 128L << 20): Int = {
+  def compact(path: String, targetFileBytes: Long = 128L << 20): Int =
+    swapRewrite(path, targetFileBytes)((df, n) => df.repartition(n))
+
+  /** Z-order layout job ([[graft.operators.ZOrder.cluster]]) with the
+    * same swap-rewrite mechanics as [[compact]]: rewrites the table so
+    * every file's min/max range is narrow in EVERY `keys` dimension —
+    * parquet's footer stats then let scans with a predicate on any one
+    * key skip most files. Run periodically like compaction (it IS a
+    * compaction with a smarter row order).
+    */
+  def optimizeZOrder(path: String, keys: Seq[String],
+      targetFileBytes: Long = 128L << 20, bits: Int = 12): Int =
+    swapRewrite(path, targetFileBytes)((df, n) =>
+      graft.operators.ZOrder.cluster(df, keys, numFiles = n, bits = bits))
+
+  /** Shared rewrite-and-swap: relayout to ⌈bytes/target⌉ files via
+    * `relayout`, write to a temp sibling, swap directories. Returns the
+    * new file count.
+    */
+  private def swapRewrite(path: String, targetFileBytes: Long)(
+      relayout: (DataFrame, Int) => DataFrame): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     // Refuse partitioned roots: a flat read+rewrite would inline the
     // partition columns into the data files and silently destroy the
-    // layout. Compact each leaf partition directory instead.
+    // layout. Rewrite each leaf partition directory instead.
     val subdirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
     require(subdirs.isEmpty,
       s"compact: $path contains partition directories (${subdirs.take(3).mkString(", ")}…) — " +
@@ -182,7 +202,7 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    read(path).repartition(nFiles)
+    relayout(read(path), nFiles)
       .write.format(format).mode(SaveMode.Overwrite).save(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     require(fs.rename(p, old), s"compact: could not move $p aside")

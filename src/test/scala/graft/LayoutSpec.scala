@@ -107,6 +107,41 @@ class LayoutSpec extends SparkSpec {
     assert(ZOrder.cluster(empty, Seq("id", "d"), numFiles = 2).count() == 0)
   }
 
+  test("optimizeZOrder: on-disk file stats narrow on both keys; most files skippable") {
+    import graft.runner.Lakehouse
+    val root = java.nio.file.Files.createTempDirectory("zopt_").toString
+    val path = s"$root/t"
+    val n = 4096
+    (0 until n).map(i => (i % 64, i / 64)).toDF("x", "y")
+      .orderBy(rand(42)) // worst-case starting layout: random
+      .repartition(8).write.parquet(path)
+
+    val lake = new Lakehouse(spark, root, graft.model.Config.default)
+    // ~16 files: z-segments of 256 cells = 16×16 blocks, so a point
+    // predicate on either key touches ~1/4 of the files
+    val nFiles = lake.optimizeZOrder(path, Seq("x", "y"), targetFileBytes = 1L << 10, bits = 6)
+    assert(nFiles > 8, s"want many files to make skipping meaningful, got $nFiles")
+
+    // read each FILE separately: its real parquet footer range
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    val ranges = files.map { f =>
+      spark.read.parquet(f).agg(min("x"), max("x"), min("y"), max("y")).head()
+    }
+    def span(r: org.apache.spark.sql.Row, lo: Int, hi: Int) = r.getInt(hi) - r.getInt(lo)
+    val avgX = ranges.map(span(_, 0, 1)).sum.toDouble / ranges.length
+    val avgY = ranges.map(span(_, 2, 3)).sum.toDouble / ranges.length
+    assert(avgX < 40 && avgY < 40, s"avg file spans x=$avgX y=$avgY of domain 63")
+    // point predicate x=7: most files' [min,max] exclude it entirely
+    val skippable = ranges.count(r => r.getInt(1) < 7 || r.getInt(0) > 7)
+    assert(skippable * 2 > ranges.length,
+      s"only $skippable of ${ranges.length} files skippable for x=7")
+    // data intact
+    assert(spark.read.parquet(path).count() == n)
+  }
+
   test("cluster quantile mode handles heavy skew (all mass at one value)") {
     val df = ((0 until 1000).map(_ => 5) ++ (0 until 24).map(i => i * 100))
       .zipWithIndex.map { case (v, i) => (v, i) }.toDF("x", "rid")
