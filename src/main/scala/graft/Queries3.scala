@@ -472,4 +472,35 @@ object Queries3 {
       |SELECT o_orderstatus, metric, val
       |FROM wide UNPIVOT (val FOR metric IN (n_urgent, n_low, n_total))
       |ORDER BY o_orderstatus, metric""".stripMargin
+
+  /** Bucketed band join certified at SF scale
+    * ([[graft.operators.BandJoin.bandedLeftJoinById]]): orders LEFT
+    * band-joined to their lineitems shipped within ±30 days, through
+    * the date-grid rewrite (probe exploded into adjacent buckets, pure
+    * equi-join, residual re-check) — while the ORACLE runs the naive
+    * BETWEEN band join. The hash match certifies rewrite ≡ naive on
+    * real data, the same pattern q67 uses for the range join. Output
+    * aggregated per order so LEFT semantics are visible (unmatched
+    * orders keep n_lines = 0).
+    */
+  def q79BandJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    graft.operators.BandJoin.bandedLeftJoinById(
+      orders, li, leftId = "o_orderkey", key = "o_orderkey",
+      leftDateCol = "o_orderdate", rightDateCol = "l_shipdate", band = 30)
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_linenumber")).as("n_lines"),
+        decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val q79Sql: String =
+    """SELECT o.o_orderkey, COUNT(l.l_linenumber) AS n_lines,
+      |  round(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
+      |FROM orders o LEFT JOIN lineitem l
+      |  ON o.o_orderkey = l.l_orderkey
+      |  AND abs(date_diff('day', CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE))) <= 30
+      |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
 }
