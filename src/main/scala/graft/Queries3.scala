@@ -486,7 +486,8 @@ object Queries3 {
   def q79BandJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")
     val li = t(spark, dir, "lineitem")
-      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"),
+        col("l_linenumber"), col("l_quantity"))
     graft.operators.BandJoin.bandedLeftJoinById(
       orders, li, leftId = "o_orderkey", key = "o_orderkey",
       leftDateCol = "o_orderdate", rightDateCol = "l_shipdate", band = 30)
