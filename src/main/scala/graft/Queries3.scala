@@ -504,4 +504,65 @@ object Queries3 {
       |  ON o.o_orderkey = l.l_orderkey
       |  AND abs(date_diff('day', CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE))) <= 30
       |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit
+    * binary-heap hierarchy parent(k) = k div 2 over customer keys from
+    * root key 1, emitting each node's depth — the org-chart /
+    * BOM-explosion query shape. Output is the per-depth roll-up.
+    * Recursion depth is log₂(max key) (~14 at sf0.1), far under
+    * Spark's recursion row/level limits; each step is one equi-join —
+    * the same iterate-join-agg shape ConnectedComponents hand-rolls,
+    * here expressed declaratively.
+    */
+  def q80RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH RECURSIVE r(k, depth) AS (
+        |  SELECT c_custkey, 0 FROM customer_v WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, r.depth + 1
+        |  FROM customer_v c JOIN r ON c.c_custkey DIV 2 = r.k
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes, MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM r GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q80Sql: String =
+    """WITH RECURSIVE r(k, depth) AS (
+      |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, r.depth + 1
+      |  FROM customer c JOIN r ON c.c_custkey // 2 = r.k
+      |)
+      |SELECT depth, COUNT(*) AS n_nodes, MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM r GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** Native batch `session_window` (the streaming R2 operator run in
+    * batch) certified against a first-principles DuckDB islands
+    * derivation (lag-gap break + running sum). Boundary semantics
+    * verified empirically: an event exactly gap minutes after the
+    * previous one MERGES (break strictly >), and session end = last
+    * event + gap.
+    */
+  def q81SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val q81Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (SELECT user_id, ts,
+      |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, ts,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 }
