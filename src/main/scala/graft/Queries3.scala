@@ -565,4 +565,39 @@ object Queries3 {
       |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Correlated LATERAL subquery with per-row LIMIT: for every region,
+    * the top-2 nations by customer count — the "top-n related rows per
+    * outer row" shape. Catalyst decorrelates the lateral into a
+    * DomainJoin-based plan; the per-group ORDER BY + LIMIT is the
+    * lateral analogue of the q04 WindowGroupLimit pattern, expressed
+    * as the SQL a BI tool would emit.
+    */
+  def q82LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT r.n_regionkey, t.n_name, t.n_cust
+        |FROM (SELECT DISTINCT n_regionkey FROM nation_v) r,
+        |LATERAL (
+        |  SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+        |  FROM nation_v n LEFT JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.n_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_cust DESC, n.n_name ASC LIMIT 2
+        |) t
+        |ORDER BY r.n_regionkey, t.n_cust DESC, t.n_name""".stripMargin)
+  }
+
+  val q82Sql: String =
+    """SELECT r.n_regionkey, t.n_name, t.n_cust
+      |FROM (SELECT DISTINCT n_regionkey FROM nation) r,
+      |LATERAL (
+      |  SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+      |  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.n_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY n_cust DESC, n.n_name ASC LIMIT 2
+      |) t
+      |ORDER BY r.n_regionkey, t.n_cust DESC, t.n_name""".stripMargin
 }
