@@ -600,4 +600,39 @@ object Queries3 {
       |  ORDER BY n_cust DESC, n.n_name ASC LIMIT 2
       |) t
       |ORDER BY r.n_regionkey, t.n_cust DESC, t.n_name""".stripMargin
+
+  /** TPC-H Q11-shaped share-of-total HAVING: nations whose revenue
+    * exceeds 5% of GLOBAL revenue — an uncorrelated scalar subquery
+    * inside HAVING. Catalyst plans the scalar as an independent
+    * one-row subplan joined in (computed once, broadcast), so the big
+    * aggregation runs exactly once — not once per group, and not twice
+    * (the naive "compute total then re-aggregate" rewrite). Decimal
+    * sums keep the share comparison exact on both engines.
+    */
+  def q83HavingShare(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT n.n_name,
+        |  round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS nation_value
+        |FROM nation_v n
+        |JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders_v o ON o.o_custkey = c.c_custkey
+        |GROUP BY n.n_name
+        |HAVING SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) >
+        |  0.05 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders_v)
+        |ORDER BY nation_value DESC, n_name""".stripMargin)
+  }
+
+  val q83Sql: String =
+    """SELECT n.n_name,
+      |  round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS nation_value
+      |FROM nation n
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY n.n_name
+      |HAVING SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) >
+      |  0.05 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      |ORDER BY nation_value DESC, n_name""".stripMargin
 }

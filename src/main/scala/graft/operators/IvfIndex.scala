@@ -177,8 +177,18 @@ object IvfIndex {
       id: String = "id", vec: String = "vec", qid: String = "qid", qvec: String = "qvec",
       nClusters: Int = 16, nprobe: Int = 4, codebookSize: Int = 16, refine: Int = 4): DataFrame = {
     val cents = centroids(corpus, id, vec, nClusters).cache()
-    val codebook = residualCodebook(corpus, cents, id, vec, codebookSize).cache()
-    val enc = encode(corpus, cents, codebook, id, vec)
+    // materialize the residual frame ONCE: the codebook's Lloyd passes
+    // and the encode step both consume it, and the two call sites would
+    // otherwise each rebuild the assign+join (lambda-bearing plans defeat
+    // cache-manager matching across separately-constructed copies)
+    val r = residuals(corpus, cents, id, vec).cache()
+    val codebook = centroids(r, id, "rvec", codebookSize)
+      .withColumnRenamed("cluster_id", "code")
+      .withColumnRenamed("centroid", "codeword")
+      .cache()
+    val enc = assign(r, codebook.select(col("code").as("cluster_id"), col("codeword").as("centroid")),
+        id, "rvec")
+      .select(col(id), col("list_id").as("cluster_id"), col("cluster_id").as("code"))
     val recon = reconstructions(cents, codebook)
 
     val qCents = queries.crossJoin(broadcast(cents))
