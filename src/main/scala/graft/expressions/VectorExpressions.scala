@@ -120,6 +120,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.vecDotDescriptor)
     ext.injectFunction(GraftFunctions.topKDescriptor)
+    ext.injectFunction(GraftFunctions.shinglesDescriptor)
     ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
   }
 }
@@ -145,6 +146,14 @@ object GraftFunctions {
       TopKAgg(children.head, children(1))
     })
 
+  private[graft] val shinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingles_gen"),
+    new ExpressionInfo(classOf[Shingles].getName, "shingles_gen"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "shingles_gen takes exactly 2 arguments (text, k)")
+      Shingles(children.head, children(1))
+    })
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("vec_dot"))) {
@@ -153,6 +162,10 @@ object GraftFunctions {
     }
     if (!registry.functionExists(FunctionIdentifier("topk_agg"))) {
       val (id, info, builder) = topKDescriptor
+      registry.registerFunction(id, info, builder)
+    }
+    if (!registry.functionExists(FunctionIdentifier("shingles_gen"))) {
+      val (id, info, builder) = shinglesDescriptor
       registry.registerFunction(id, info, builder)
     }
     val em = spark.experimental
