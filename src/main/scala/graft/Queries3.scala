@@ -635,4 +635,36 @@ object Queries3 {
       |HAVING SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) >
       |  0.05 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
       |ORDER BY nation_value DESC, n_name""".stripMargin
+
+  /** Column profiling ([[graft.analytics.DataChecks.profile]]): the
+    * data-catalog statistics table over orders in ONE scan (single wide
+    * agg with Expand-planned multi-distinct, exploded to long form).
+    * Price is pre-cast to DECIMAL so the rendered min/max string is
+    * engine-identical (raw double→string rendering differs).
+    */
+  def q84Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.DataChecks.profile(
+      t(spark, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast(D)),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+      .orderBy("column_name")
+
+  val q84Sql: String = {
+    def one(c: String, expr: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($expr) AS n_nulls,
+         |  COUNT(DISTINCT $expr) AS n_distinct,
+         |  CAST(MIN($expr) AS VARCHAR) AS min_value,
+         |  CAST(MAX($expr) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin
+    Seq(
+      one("o_orderkey", "o_orderkey"),
+      one("o_custkey", "o_custkey"),
+      one("o_orderstatus", "o_orderstatus"),
+      one("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+      one("o_orderdate", "o_orderdate"),
+      one("o_orderpriority", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }

@@ -65,4 +65,30 @@ object DataChecks {
           Seq("Submitted", "Under Review", "Approved", "Denied", "Paid")),
         unique(claims, "insurance_claims", Seq("claim_id"), warnIf = Long.MaxValue, errorIf = Long.MaxValue)) ++
       notNull(ehr, "ehr_records", Seq("record_id", "patient_id", "visit_date"))
+
+  /** Column profile — the data-catalog/dbt-docs statistics table: per
+    * column, row count, null count, exact distinct count, and min/max
+    * rendered as strings. ONE scan regardless of column count: a single
+    * wide aggregation row (Catalyst plans the multi-distinct via one
+    * Expand) is exploded into long form lazily — no per-column re-scan,
+    * no driver-side collection. Min/max stringify AFTER the typed
+    * aggregation, so ordering semantics are the column type's, not
+    * lexicographic. Callers should pre-cast doubles to DECIMAL if the
+    * rendered value feeds a cross-engine comparison.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
 }
