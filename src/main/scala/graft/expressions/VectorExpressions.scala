@@ -122,6 +122,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.topKDescriptor)
     ext.injectFunction(GraftFunctions.shinglesDescriptor)
     ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }
 }
 
@@ -171,5 +172,7 @@ object GraftFunctions {
     val em = spark.experimental
     if (!em.extraOptimizations.exists(_.isInstanceOf[graft.plans.BandJoinRewrite]))
       em.extraOptimizations = em.extraOptimizations :+ graft.plans.BandJoinRewrite(spark)
+    if (!em.extraOptimizations.exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+      em.extraOptimizations = em.extraOptimizations :+ graft.plans.RangeJoinRewrite(spark)
   }
 }
