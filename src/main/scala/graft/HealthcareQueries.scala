@@ -28,13 +28,17 @@ object HealthcareQueries {
     * DataFrame explicitly. Derived queries (reports, dims, staging) all
     * share one generation + ETL + fact build per session.
     */
-  // Keyed WEAKLY on the session (not identityHashCode): a stopped
-  // session's cached DataFrames become collectable with it, and a new
-  // session can never collide with a GC'd one's hash.
+  // NOT a WeakHashMap: the cached DataFrame values strongly reference
+  // their SparkSession key (Dataset holds sparkSession), which per
+  // WeakHashMap's documented pitfall would pin every entry forever.
+  // Instead entries for stopped sessions are purged eagerly on each
+  // access — the map only ever holds a handful of live sessions.
   private val memo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, Long), DataFrame]]()
+    new java.util.HashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, Long), DataFrame]]()
   private def memoized(spark: SparkSession, key: String, n: Long)(build: => DataFrame): DataFrame = {
     val perSession = memo.synchronized {
+      val it = memo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       var m = memo.get(spark)
       if (m == null) { m = scala.collection.concurrent.TrieMap.empty; memo.put(spark, m) }
       m

@@ -400,9 +400,11 @@ object Queries3 {
       .agg(call_function("topk_agg", col("l_extendedprice"), lit(5)).as("top5"),
         count(lit(1)).as("n_items"))
       // flattened to scalar columns: the driver's hash compare sorts rows
-      // by value, which array cells break
+      // by value, which array cells break. try_element_at: a group with
+      // fewer than 5 rows null-fills (DuckDB slice semantics) instead of
+      // throwing INVALID_ARRAY_INDEX under ANSI mode.
       .select(Seq(col("l_returnflag"), col("l_linestatus")) ++
-        (1 to 5).map(i => element_at(col("top5"), i).as(s"p$i")) ++ Seq(col("n_items")): _*)
+        (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"p$i")) ++ Seq(col("n_items")): _*)
       .orderBy("l_returnflag", "l_linestatus")
   }
 

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** observe() names must be unique within a query; a monotone counter
+    * keeps repeated operator calls in one plan from colliding.
+    */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+  private[operators] def nextObsName(prefix: String): String =
+    s"${prefix}_${obsCounter.incrementAndGet()}"
+
   /** Exact dedup: keep one representative row per key (first by
     * tie-break), reporting duplicate cardinality. One shuffle on the key.
     */
@@ -184,10 +191,18 @@ object Dedup {
     // degenerate buckets (boilerplate docs sharing a 16-bit chunk) to
     // bound candidate FAN-OUT; the pairs themselves stream via
     // explode-then-pair, so no row ever materializes a quadratic array.
+    // The cap reduces recall when it binds; surface that via an observed
+    // metric (CollectMetrics — readable from a QueryExecutionListener or
+    // sql.Observation) instead of truncating silently.
     val posts = chunks.groupBy(col("ci"), col("cv"))
-      .agg(slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sh").as("h")))),
-        1, maxBucket).as("ms"))
+      .agg(count(lit(1)).as("__n"),
+        slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sh").as("h")))),
+          1, maxBucket).as("ms"))
       .filter(size(col("ms")) >= 2)
+      .observe(Dedup.nextObsName("simhash_dedup"),
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"),
+        max(col("__n")).as("max_bucket_size"))
+      .drop("__n")
     // explode-then-pair streams i<j combinations (see minHashLsh)
     posts
       .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))

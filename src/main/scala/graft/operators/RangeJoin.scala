@@ -46,8 +46,11 @@ object RangeJoin {
     val hiCell = floor(col(hiCol) / bucketWidth).cast("long")
     // Fail loudly on a degenerate wide interval instead of silently
     // truncating its matches (a capped slice here would be a wrong-answer
-    // bug, not an optimization).
-    val guarded = assert_true(hiCell - loCell <= maxCellsPerInterval,
+    // bug, not an optimization). A null lo/hi makes the width comparison
+    // null — coalesce it to true so the row falls through to the null
+    // sequence (explode of null → no candidates, matching the naive theta
+    // join's no-match) instead of tripping the assert.
+    val guarded = assert_true(coalesce(hiCell - loCell <= maxCellsPerInterval, lit(true)),
       lit(s"pointInInterval: an interval spans more than $maxCellsPerInterval cells; " +
         "widen bucketWidth or raise maxCellsPerInterval"))
     val iv = intervals

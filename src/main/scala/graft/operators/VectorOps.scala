@@ -160,10 +160,18 @@ object VectorOps {
     // not once per self-join side. The sorted slice caps degenerate
     // buckets (e.g. a zero-vector bucket collecting half the corpus) so
     // one row never materializes an O(bucket²) pair array.
+    // Capped buckets lose candidate pairs — observable via CollectMetrics
+    // (QueryExecutionListener / sql.Observation), mirroring Dedup's
+    // truncation metric rather than silently reducing recall.
     val posts = lshBucketed(df, vecCol, numBits, bands)
       .groupBy(col("band"), col("bucket"))
-      .agg(slice(sort_array(collect_list(col(idCol))), 1, maxBucket).as("ids"))
+      .agg(count(lit(1)).as("__n"),
+        slice(sort_array(collect_list(col(idCol))), 1, maxBucket).as("ids"))
       .filter(size(col("ids")) >= 2)
+      .observe(Dedup.nextObsName("embedding_neardup"),
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"),
+        max(col("__n")).as("max_bucket_size"))
+      .drop("__n")
     // explode-then-pair streams i<j combinations (see Dedup.minHashLsh)
     val pairs = posts
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))

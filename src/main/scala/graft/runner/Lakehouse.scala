@@ -206,7 +206,16 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
       .write.format(format).mode(SaveMode.Overwrite).save(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     require(fs.rename(p, old), s"compact: could not move $p aside")
-    require(fs.rename(tmp, p), s"compact: could not activate $tmp")
+    // If activating the new layout fails, put the original back before
+    // rethrowing — otherwise a transient FS error between the two renames
+    // strands the table in __precompact with NOTHING at `path`.
+    if (!fs.rename(tmp, p)) {
+      val restored = fs.rename(old, p)
+      throw new IllegalStateException(
+        s"compact: could not activate $tmp; " +
+          (if (restored) s"restored original at $p"
+           else s"RESTORE FAILED — data is at $old, manual rename required"))
+    }
     fs.delete(old, true)
     fs.listStatus(p).count(_.getPath.getName.endsWith(formatSuffix))
   }
