@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{FuzzyJoin, Merge}
+
+/** Round-4 oracle-checked queries: decorrelated-subquery TPC-H shapes
+  * (Q17/Q21/Q22/Q16), a full-outer reconciliation, MERGE upsert,
+  * token-blocked fuzzy join, Misra-Gries heavy hitters with exact
+  * verify, and bit-exact md5 hash sampling. Same determinism rules as
+  * [[Queries]] (decimal sums, total ORDER BY, identical aliases on
+  * both engines).
+  */
+object Queries4 {
+  import Tables.{events, t}
+
+  private val D = DecimalType(18, 2)
+  private val DP = DecimalType(24, 8)
+
+  private def decSum(c: org.apache.spark.sql.Column, dt: DecimalType = D) =
+    round(sum(c.cast(dt)).cast("double"), 4)
+
+  /** TPC-H Q17 shape: lines whose quantity is below 20% of their part's
+    * average — a correlated aggregate subquery, implemented in its
+    * decorrelated form (per-part aggregate, then equi-join back). The
+    * threshold compare is exact integer/decimal arithmetic
+    * (qty * cnt * 5 < sum(qty)) so no engine ever rounds a boundary.
+    *
+    * Scale: one extra aggregation of lineitem on l_partkey (map-side
+    * partial combine), then a shuffle join on l_partkey reused by the
+    * aggregate's own partitioning; part is broadcast. A window
+    * formulation (avg over partition by partkey) would instead sort
+    * every lineitem row — strictly worse.
+    */
+  def q85SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val pa = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(D)).as("sumq"))
+    li.join(pa, Seq("l_partkey"))
+      .filter(col("l_quantity").cast(D) * col("cnt") * 5 < col("sumq"))
+      .join(broadcast(t(spark, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), decSum(col("l_extendedprice")).as("lost_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q85Sql: String =
+    """WITH pa AS (SELECT l_partkey, COUNT(*) AS cnt, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sumq
+      |            FROM lineitem GROUP BY l_partkey)
+      |SELECT p_brand, COUNT(*) AS n_small,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),4) AS lost_revenue
+      |FROM lineitem JOIN pa USING (l_partkey) JOIN part ON p_partkey = l_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sumq
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    * multi-supplier order — EXISTS plus NOT EXISTS self-joins (left-semi
+    * then left-anti), each an equi-join on l_orderkey with a
+    * supplier-inequality residual. "Late" = shipped >180 days after the
+    * order date.
+    *
+    * Scale: the late set is computed once (join on orderkey, orders side
+    * projected to two columns); semi and anti reuse the same orderkey
+    * hash partitioning, so the three exchanges align; supplier is
+    * broadcast for the name lookup.
+    */
+  def q86SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    late
+      .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(t(spark, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q86Sql: String =
+    """WITH late AS (SELECT l.l_orderkey, l.l_suppkey FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |              WHERE l.l_shipdate > o.o_orderdate + INTERVAL 180 DAY)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier, late l1
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** TPC-H Q22 shape: rich-but-recently-idle customers — a scalar
+    * aggregate subquery (average positive balance, 6dp-rounded so both
+    * engines compare against the identical literal-like threshold) and
+    * a NOT EXISTS anti-join against recent orders.
+    *
+    * Scale: the scalar is a one-row broadcast cross join (no driver
+    * collect); the anti join shuffles on custkey; the date filter on
+    * orders prunes before the exchange.
+    */
+  def q87IdleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val thresh = cust.filter(col("c_acctbal") > 0.0)
+      .agg(round(sum(col("c_acctbal").cast(D)).cast("double") / count(lit(1)), 6).as("avg_bal"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-06-01 00:00:00")))
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(thresh))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("numcust"), decSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q87Sql: String =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),4) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q16 shape: distinct supplier counts per brand/type,
+    * excluding a NOT IN supplier subquery. s_suppkey is non-nullable so
+    * the null-aware NOT IN reduces to a plain anti join (documented
+    * equivalence — with a nullable subquery column NOT IN would need
+    * Spark's null-aware anti, which the SQL form plans automatically).
+    *
+    * Scale: the exclusion list is tiny (suppliers in debt) — broadcast
+    * anti join, no shuffle; COUNT(DISTINCT) expands to a two-level
+    * aggregate with partial dedup before the exchange.
+    */
+  def q88BrandSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val debt = t(spark, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(debt), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(t(spark, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  val q88Sql: String =
+    """SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  /** FULL OUTER JOIN reconciliation: orders vs the revenue actually on
+    * their lines, classified into close / divergent / no_lines /
+    * orphan_lines. The one join type the inventory lacked; both sides
+    * aggregate or arrive keyed on orderkey so the full-outer is a
+    * single aligned shuffle. Both engines compute identical doubles
+    * (decSum revenue, IEEE products for the band edges), so even an
+    * exact-boundary row classifies identically.
+    */
+  def q89OrderReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), DP).as("revenue"))
+    t(spark, dir, "orders")
+      .join(rev, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNull, "orphan_lines")
+          .when(col("l_orderkey").isNull, "no_lines")
+          .when(col("revenue").between(col("o_totalprice") * 0.9, col("o_totalprice") * 1.1), "close")
+          .otherwise("divergent").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("status"))
+  }
+
+  val q89Sql: String =
+    """WITH rev AS (SELECT l_orderkey,
+      |    round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT CASE WHEN o_orderkey IS NULL THEN 'orphan_lines'
+      |            WHEN l_orderkey IS NULL THEN 'no_lines'
+      |            WHEN revenue BETWEEN o_totalprice*0.9 AND o_totalprice*1.1 THEN 'close'
+      |            ELSE 'divergent' END AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders FULL OUTER JOIN rev ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** MERGE upsert ([[Merge.upsert]]): a corrections feed (every 7th
+    * order, totalprice revised ×1.05 in exact decimal, status 'R')
+    * merged into the pre-2000 order book — matched keys update,
+    * unmatched insert. The revised price is DECIMAL(18,2)×DECIMAL(3,2)
+    * (exact, identical on both engines) cast back to double.
+    */
+  def q90MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val target = orders.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+    val source = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), lit("R").as("o_orderstatus"),
+        (col("o_totalprice").cast(D) * lit(BigDecimal("1.05")).cast(DecimalType(3, 2)))
+          .cast("double").as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    Merge.upsert(target, source, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_orders"), decSum(col("o_totalprice"), DP).as("total_value"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q90Sql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+      |src AS (SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+      |    o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0),
+      |merged AS (SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+      |  FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE),4) AS total_value
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Token-blocked fuzzy self-join ([[FuzzyJoin.tokenBlocked]]) on part
+    * names: name pairs sharing a token within edit distance 3, with row
+    * multiplicities. The oracle replicates the same blocked semantics
+    * (shared token + levenshtein bound) over the distinct vocabulary.
+    */
+  def q91FuzzyNames(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.tokenBlocked(t(spark, dir, "part").select(col("p_name")), "p_name", maxDist = 3)
+      .select(col("a").as("name_a"), col("b").as("name_b"),
+        col("dist").cast("int").as("dist"), col("n_row_pairs").cast("long").as("n_row_pairs"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val q91Sql: String =
+    """WITH vocab AS (SELECT p_name AS s, COUNT(*) AS n_rows FROM part GROUP BY p_name),
+      |toks AS (SELECT DISTINCT s, unnest(string_split(s, ' ')) AS tok FROM vocab),
+      |pairs AS (SELECT DISTINCT a.s AS name_a, b.s AS name_b
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.s < b.s
+      |  WHERE levenshtein(a.s, b.s) <= 3)
+      |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist,
+      |  CAST(va.n_rows * vb.n_rows AS BIGINT) AS n_row_pairs
+      |FROM pairs JOIN vocab va ON va.s = name_a JOIN vocab vb ON vb.s = name_b
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** Heavy hitters, candidates-then-verify: a Misra-Gries sketch
+    * ([[graft.expressions.MisraGriesAgg]], capacity 1024) finds every
+    * user POSSIBLY above the n/1024 support threshold in one bounded-
+    * state pass (piggybacking the exact total count on the same scan),
+    * then a second filtered pass recounts the ≤1024 candidates exactly
+    * — so the result is EXACT (identical to GROUP BY HAVING) while no
+    * stage ever holds per-distinct-key state.
+    */
+  def q92HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    graft.expressions.GraftFunctions.register(spark)
+    val sketch = ev.agg(
+      expr("mg_topk(user_id, 1024)").as("cand"), count(lit(1)).as("total"))
+    val candidates = sketch.select(explode(col("cand")).as("user_id"), col("total"))
+    ev.join(broadcast(candidates), Seq("user_id"), "inner")
+      .groupBy(col("user_id"), col("total"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") * 1024 > col("total"))
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  val q92Sql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY user_id
+      |HAVING COUNT(*) * 1024 > (SELECT COUNT(*) FROM events)
+      |ORDER BY n_events DESC, user_id""".stripMargin
+
+  /** Deterministic hash sampling with a CROSS-ENGINE-exact predicate:
+    * md5 of the key as lowercase hex compares identically everywhere
+    * (unlike xxhash64/murmur whose seeds differ per engine), so a
+    * sample defined as md5(key) < threshold is reproducible from Spark
+    * to DuckDB to any warehouse — the growth-insensitive split idea of
+    * [[graft.operators.Sampling]] certified bit-exact against another
+    * engine. Threshold keeps ~1/10 of orders.
+    */
+  def q93HashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(md5(col("o_orderkey").cast("string")) < "1999999999999999999999999999999a")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n"), decSum(col("o_totalprice")).as("sampled_value"))
+      .orderBy(col("o_orderstatus"))
+
+  val q93Sql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),4) AS sampled_value
+      |FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1999999999999999999999999999999a'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+}

@@ -121,6 +121,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.vecDotDescriptor)
     ext.injectFunction(GraftFunctions.topKDescriptor)
     ext.injectFunction(GraftFunctions.shinglesDescriptor)
+    ext.injectFunction(GraftFunctions.mgTopKDescriptor)
     ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }
@@ -155,6 +156,14 @@ object GraftFunctions {
       Shingles(children.head, children(1))
     })
 
+  private[graft] val mgTopKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_topk"),
+    new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_topk"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "mg_topk takes exactly 2 arguments (key, capacity)")
+      MisraGriesAgg(children.head, children(1))
+    })
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("vec_dot"))) {
@@ -167,6 +176,10 @@ object GraftFunctions {
     }
     if (!registry.functionExists(FunctionIdentifier("shingles_gen"))) {
       val (id, info, builder) = shinglesDescriptor
+      registry.registerFunction(id, info, builder)
+    }
+    if (!registry.functionExists(FunctionIdentifier("mg_topk"))) {
+      val (id, info, builder) = mgTopKDescriptor
       registry.registerFunction(id, info, builder)
     }
     val em = spark.experimental
