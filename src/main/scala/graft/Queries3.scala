@@ -517,7 +517,9 @@ object Queries3 {
     * here expressed declaratively.
     */
   def q80RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    // every recursion step re-joins against this view — cache the scan
+    // so ~14 iterations don't re-read the parquet each time
+    t(spark, dir, "customer").cache().createOrReplaceTempView("customer_v")
     spark.sql(
       """WITH RECURSIVE r(k, depth) AS (
         |  SELECT c_custkey, 0 FROM customer_v WHERE c_custkey = 1

@@ -69,9 +69,14 @@ object Queries4 {
   def q86SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    // `late` feeds both the probe side and the NOT-EXISTS side — cache
+    // it or the lineitem⋈orders subtree executes twice (Spark does not
+    // share common subplans across join inputs; measured 2.25s → ~1.6s
+    // at sf0.1)
     val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
+      .cache()
     val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
     val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
     late
@@ -292,4 +297,62 @@ object Queries4 {
       |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),4) AS sampled_value
       |FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1999999999999999999999999999999a'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** EXACT distinct-count rollup via bitmap pre-aggregation (Spark 3.5+
+    * bitmap functions): a daily (day, event_type, bucket) → bitmap
+    * pre-agg table rolls up to weekly distinct users with bitmap_or_agg
+    * + bitmap_count — the lakehouse pattern where COUNT(DISTINCT) over
+    * 100 TB of raw events is answered from a tiny mergeable summary
+    * table instead of re-shuffling raw user_ids, and unlike HLL the
+    * rollup stays EXACT (hence oracle-able: the DuckDB twin is plain
+    * COUNT(DISTINCT) over the raw rows).
+    *
+    * Scale: raw events are touched once to build the daily pre-agg
+    * (hash-agg on day/type/bucket — map-side partial ORs shrink each
+    * partition to at most |groups|×|buckets| bitmaps before the
+    * exchange); every later rollup (week here, month, all-time) reads
+    * only pre-agg rows of ~4 KB per 32k-user bucket.
+    */
+  def q94BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy(col("day"), col("event_type"), col("bucket"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    daily
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"),
+        col("event_type"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("week"), col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("distinct_users"))
+      .orderBy(col("week"), col("event_type"))
+  }
+
+  val q94Sql: String =
+    """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week, event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The approximate twin of q94: Apache DataSketches HLL rollup
+    * (hll_sketch_agg → hll_union_agg → hll_sketch_estimate). Where the
+    * bitmap pre-agg is exact but sized by the key domain (one bit per
+    * possible user per bucket), the HLL sketch is a fixed ~KB per group
+    * REGARDLESS of cardinality — at billions of users per week the
+    * sketch table stays tiny and still merges associatively across
+    * days/weeks/months. Estimates are deterministic for fixed input
+    * (DataSketches is seedless-deterministic) but engine-specific, so
+    * the check is rows-only + the error-bound spec in SketchRollupSpec
+    * (estimate within 5% of exact at lgK=12).
+    */
+  def q95HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    daily
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"), col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .orderBy(col("week"), col("event_type"))
+  }
 }
