@@ -247,11 +247,29 @@ object ExtQueries {
       |  round(CASE WHEN cjk > 0.2 THEN cjk ELSE best.s END, 6) AS confidence
       |FROM b ORDER BY doc_id""".stripMargin
 
-  /** Winnowing fingerprints per document. */
+  /** Winnowing fingerprints per document, portable-hash variant so the
+    * full pipeline (k-gram hash → sliding min → distinct → set digest)
+    * is hash-compared against a DuckDB list-comprehension twin. The
+    * xxhash64 production path is pinned separately by OperatorsSpec/
+    * PropertySpec.
+    */
   def q23Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprintDocs(t(spark, dir, "documents"), "doc_id")
+    TextAnalysis.fingerprintDocs(t(spark, dir, "documents"), "doc_id", portable = true)
       .select(col("doc_id"), col("n_fingerprints"), col("content_id"))
       .orderBy("doc_id")
+
+  val q23Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [substring(md5(substring(text, i, 8)), 1, 16) FOR i IN generate_series(1, greatest(length(text)-7, 1))] AS grams
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_min(grams[j:least(j+3, len(grams))]) FOR j IN generate_series(1, greatest(len(grams)-3, 1))]) AS fps
+      |  FROM g)
+      |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+      |  md5(array_to_string(list_sort(fps), ',')) AS content_id
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** Token counting (whitespace + regex + BPE estimate) — oracle-checked:
     * the regex dialect subset used is identical in Java regex and RE2.

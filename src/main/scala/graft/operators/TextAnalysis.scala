@@ -106,16 +106,27 @@ object TextAnalysis {
       .withColumn("n_phones", regexp_count(col(textCol), lit(piiPatterns(1)._1)))
       .withColumn("n_ssns", regexp_count(col(textCol), lit(piiPatterns(2)._1)))
 
-  /** Winnowing document fingerprint: rolling xxhash64 over character
+  /** Winnowing document fingerprint: rolling hash over character
     * k-grams, minimum per sliding window of w hashes, distinct mins kept.
     * Two docs sharing content share fingerprints — the standard
     * plagiarism/near-dup sketch (Schleimer et al., SIGMOD'03).
-    * Returns array<long>.
+    *
+    * Hash choice: default is xxhash64 (codegen'd 64-bit arithmetic — the
+    * 100 TB path; returns array<long>). `portable = true` hashes each
+    * gram as the first 16 hex chars of its md5 instead (returns
+    * array<string>; lexicographic min on fixed-length lowercase hex =
+    * numeric min) — identical in every engine that has md5, which makes
+    * the whole fingerprint DuckDB-oracle-checkable (q23). ~5× the
+    * per-gram cost of xxhash64; fine for certification runs, switch off
+    * at scale.
     */
-  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4,
+      portable: Boolean = false): Column = {
+    val hash: Column => Column =
+      if (portable) g => substring(md5(g), 1, 16) else g => xxhash64(g)
     val grams = transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => xxhash64(text.substr(i, lit(k))))
+      i => hash(text.substr(i, lit(k))))
     // Shifted-zip formulation: window j's min = least(g[j], …, g[j+w-1]),
     // computed by zipping w shifted copies of the gram array. The grams
     // subtree is evaluated w+1 times total (once per slice) — O(n·w) per
@@ -139,13 +150,20 @@ object TextAnalysis {
     * (xxhash64 of the fingerprint set).
     */
   def fingerprintDocs(df: DataFrame, idCol: String, textCol: String = "text",
-      k: Int = 8, w: Int = 4): DataFrame =
+      k: Int = 8, w: Int = 4, portable: Boolean = false): DataFrame = {
+    // content_id summarizes the fingerprint SET (sorted first — the
+    // distinct-mins order is positional, not canonical); the portable
+    // variant composes only engine-portable pieces (sort, join, md5).
+    val contentId =
+      if (portable) md5(array_join(array_sort(col("fingerprints")), ","))
+      else xxhash64(to_json(struct(col("fingerprints"))))
     df.select(col(idCol),
-      winnowingFingerprint(col(textCol), k, w).as("fingerprints"))
+      winnowingFingerprint(col(textCol), k, w, portable).as("fingerprints"))
       .select(col(idCol),
         size(col("fingerprints")).as("n_fingerprints"),
-        xxhash64(to_json(struct(col("fingerprints")))).as("content_id"),
+        contentId.as("content_id"),
         col("fingerprints"))
+  }
 
   /** Corpus document-frequency table — the IDF builder and boilerplate
     * detector in one: for every term, the number of documents containing
