@@ -15,15 +15,80 @@ object ExtQueries {
   import Tables.t
 
   /** MinHash-LSH near-duplicate candidate pairs over documents. */
+  /** MinHash+LSH candidate pairs, portable-hash variant: 31-bit md5
+    * base hash + the shared linear permutations (Dedup.permA/permB) so
+    * the WHOLE pipeline — shingles → minhash signature → banded buckets
+    * → candidate pairs → signature-agreement estimate — hash-compares
+    * against a DuckDB twin generated from the same constants. The
+    * xxhash64 production path keeps OperatorsSpec/PropertySpec coverage.
+    */
   def q18MinHashDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(t(spark, dir, "documents"), "doc_id", "text",
-      numHashes = 32, bands = 8, minJaccard = 0.3)
+      numHashes = 32, bands = 8, minJaccard = 0.3, portable = true)
       .orderBy("id_a", "id_b")
 
+  val q18Sql: String = {
+    val a = Dedup.permA.take(32).mkString("[", ",", "]")
+    val b = Dedup.permB.take(32).mkString("[", ",", "]")
+    // 31-bit base from the first 8 md5 hex chars, positionally
+    val baseTerms = (1 to 8)
+      .map(p => s"(strpos('0123456789abcdef', substring(x,$p,1))-1)*${1L << (4 * (8 - p))}")
+      .mkString(" + ")
+    s"""WITH ab AS (SELECT $a AS pa, $b AS pb),
+       |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+       |      ELSE [array_to_string(w, ' ')] END) AS shs
+       |  FROM toks),
+       |base AS (SELECT doc_id, [(($baseTerms) & 2147483647) FOR x IN [md5(s) FOR s IN shs]] AS vals FROM sh),
+       |sig AS (SELECT doc_id,
+       |    [list_min([(pa[i]*v + pb[i]) % 2147483647 FOR v IN vals]) FOR i IN generate_series(1,32)] AS sig
+       |  FROM base, ab),
+       |bands AS (SELECT doc_id, sig, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bucket
+       |  FROM sig, generate_series(0,7) AS t(b)),
+       |pairs AS (SELECT DISTINCT a2.doc_id AS id_a, b2.doc_id AS id_b, a2.sig AS sa, b2.sig AS sb
+       |  FROM bands a2 JOIN bands b2 ON a2.b = b2.b AND a2.bucket = b2.bucket AND a2.doc_id < b2.doc_id)
+       |SELECT id_a, id_b,
+       |  len([i FOR i IN generate_series(1,32) IF sa[i] = sb[i]])/32.0 AS est_jaccard
+       |FROM pairs
+       |WHERE len([i FOR i IN generate_series(1,32) IF sa[i] = sb[i]])/32.0 >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** SimHash near-duplicate candidate pairs (Hamming ≤ 3 of 64 bits). */
+  /** SimHash near-dup pairs, portable-hash variant (md5-derived 64-bit
+    * token hash) so the full pipeline — token hash → 64 bit-votes →
+    * fingerprint → 16-bit pigeonhole chunks → bucket pairs → hamming
+    * verify — is hash-compared against a DuckDB twin. The xxhash64
+    * production path keeps its OperatorsSpec coverage. The twin joins
+    * chunks directly (uncapped): valid while no chunk bucket exceeds
+    * maxBucket (measured max 291 at sf0.1 vs cap 1000; the observed
+    * truncated_buckets metric guards the regime).
+    */
   def q19SimHashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashDedup(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    Dedup.simHashDedup(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3,
+      portable = true)
       .orderBy("id_a", "id_b")
+
+  val q19Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hx, 16 - j//4, 1)) - 1) >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h, generate_series(0, 63) AS t(j)
+      |  GROUP BY doc_id, j),
+      |fp AS (SELECT doc_id,
+      |    bit_or(CASE WHEN v > 0 THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << j) END) ELSE 0::BIGINT END) AS sh
+      |  FROM votes GROUP BY doc_id),
+      |chunks AS (SELECT doc_id, sh, ci, (sh >> (ci*16)) & 65535 AS cv
+      |  FROM fp, (VALUES (0),(1),(2),(3)) c(ci)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      |  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+      |SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b""".stripMargin
 
   /** Exact n-gram Jaccard pairs (inverted-index verification stage). */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -63,10 +63,33 @@ object Dedup {
     *
     * Input: (idCol, textCol). Output: (idCol, n_shingles, sig).
     */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 32, k: Int = 3): DataFrame = {
+  /** Portable permutation constants for the md5-based minhash variant:
+    * h_i(x) = (a_i·x + b_i) mod (2³¹−1) over a 31-bit base hash. 31-bit
+    * operands keep every product < 2⁶² — no signed-64 overflow in Spark
+    * (ANSI throws) or DuckDB (BIGINT errors); the identical literals are
+    * embedded in the DuckDB oracle SQL (ExtQueries.q18Sql).
+    */
+  private[graft] val MinHashP = 2147483647L
+  private[graft] val (permA, permB) = {
+    val r = new java.util.Random(0x5EED)
+    (Array.fill(64)(1L + r.nextInt(2147483646)), Array.fill(64)(r.nextInt(2147483647).toLong))
+  }
+
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 32,
+      k: Int = 3, portable: Boolean = false): DataFrame = {
+    require(!portable || numHashes <= permA.length, s"portable minhash caps at ${permA.length} hashes")
     val exploded = df
       .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
-    val hashAggs = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val hashAggs =
+      if (portable) {
+        // ONE md5 per shingle; the numHashes permutations are arithmetic
+        // over the shared 31-bit base — same per-row cost shape as the
+        // xxhash64 path (which also hashes once per (shingle, seed))
+        val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL))
+        (0 until numHashes).map(i =>
+          min((base * lit(permA(i)) + lit(permB(i))) % lit(MinHashP)).as(s"h$i"))
+      } else (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     exploded
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"), hashAggs: _*)
@@ -87,15 +110,19 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
-      k: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      k: Int = 3, maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, k)
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, k, portable)
 
     // band buckets: hash of each contiguous rows-slice of the signature
+    // (portable mode uses the raw values as a csv key instead of
+    // xxhash64 — an equality key needs no hash, and it's engine-neutral)
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*).as("bucket"))
+      val bucket =
+        if (portable) concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r).cast("string")): _*)
+        else xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*).cast("string")
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
     val buckets = sigs
       .select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("bb"))
@@ -157,10 +184,22 @@ object Dedup {
     * zip_with fold) evaluates interpreted lambdas and measured ~10×
     * slower on wide corpora; same output, use this for bulk dedup.
     */
-  def simHashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashDf(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    // portable: token hash = first 16 md5 hex chars parsed as a 64-bit
+    // value (two 32-bit halves — a single conv() of 16 chars can exceed
+    // Long and null out under ANSI). Identical in any engine with md5,
+    // which is what lets q19 hash-compare the whole dedup against a
+    // DuckDB twin; xxhash64 stays the fast default.
+    val tokHash: org.apache.spark.sql.Column =
+      if (portable) {
+        val hx = md5(col("tok"))
+        shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
+      } else xxhash64(col("tok"))
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .select(col(idCol), tokHash.as("h"))
     val voteAggs = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
     }
@@ -180,8 +219,8 @@ object Dedup {
     * Output: (id_a, id_b, hamming), id_a < id_b, distinct.
     */
   def simHashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val hashed = simHashDf(df, idCol, textCol)
+      maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+    val hashed = simHashDf(df, idCol, textCol, portable)
     val chunks = hashed.select(col(idCol), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"), shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
