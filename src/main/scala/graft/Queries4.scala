@@ -314,18 +314,13 @@ object Queries4 {
     * only pre-agg rows of ~4 KB per 32k-user bucket.
     */
   def q94BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
-      .select(to_date(col("ts")).as("day"), col("event_type"),
-        expr("bitmap_bucket_number(user_id)").as("bucket"),
-        expr("bitmap_bit_position(user_id)").as("pos"))
-      .groupBy(col("day"), col("event_type"), col("bucket"))
-      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
-    daily
-      .groupBy(to_date(date_trunc("week", col("day"))).as("week"),
-        col("event_type"), col("bucket"))
-      .agg(expr("bitmap_or_agg(bm)").as("bm"))
-      .groupBy(col("week"), col("event_type"))
-      .agg(sum(expr("bitmap_count(bm)")).as("distinct_users"))
+    import graft.operators.SketchRollup
+    val daily = SketchRollup.dailyBitmaps(
+      events(spark, dir).select(to_date(col("ts")).as("day"), col("event_type"), col("user_id")),
+      "user_id", Seq("day", "event_type"))
+    SketchRollup.distinctRollup(daily,
+        Seq("week" -> to_date(date_trunc("week", col("day"))), "event_type" -> col("event_type")),
+        countName = "distinct_users")
       .orderBy(col("week"), col("event_type"))
   }
 
@@ -355,4 +350,75 @@ object Queries4 {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
       .orderBy(col("week"), col("event_type"))
   }
+
+  /** TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    * revenue — an aggregated view referenced twice (once for rows, once
+    * for its scalar max), the equality-on-aggregate keeping ties. The
+    * revenue CTE materializes once per reference; the scalar max is a
+    * one-row broadcast, supplier is broadcast for the name.
+    */
+  def q96TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), DP).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    t(spark, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q96Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS total_revenue
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Z-score outlier detection per group — the data-quality screen a
+    * training pipeline runs before ingestion. Group moments come from
+    * exact decimal sums (order-independent), are rounded at the source
+    * (6dp) so sqrt/division ulps can't diverge engines, and variance
+    * uses explicit multiplication, not libm pow. One aggregation + one
+    * broadcast join back; no window over raw rows.
+    */
+  def q97ZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val D4 = DecimalType(18, 4)
+    val ev = events(spark, dir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(
+        round(sum(col("value").cast(D4)).cast("double") / count(lit(1)), 6).as("mu"),
+        round(sqrt(greatest(
+          sum((col("value").cast(D4) * col("value").cast(D4))).cast("double") / count(lit(1)) -
+            (sum(col("value").cast(D4)).cast("double") / count(lit(1))) *
+            (sum(col("value").cast(D4)).cast("double") / count(lit(1))),
+          lit(0.0))), 6).as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val q97Sql: String =
+    """WITH stats AS (
+      |  SELECT event_type,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 6) AS mu,
+      |    round(sqrt(greatest(
+      |      CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*)
+      |      - (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*))
+      |        * (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*)), 0)), 6) AS sigma
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value, round((value - mu)/sigma, 4) AS z
+      |FROM events e JOIN stats USING (event_type)
+      |WHERE abs(value - mu) > 3 * sigma
+      |ORDER BY event_id""".stripMargin
 }

@@ -40,6 +40,28 @@ class SketchRollupSpec extends SparkSpec {
     assert(viaRollup == direct)
   }
 
+  test("bitmap summary: incremental fold over batches equals one-shot build; rollup stays exact") {
+    import graft.operators.SketchRollup
+    val ev = df.select(col("day"), col("etype"), col("user_id"))
+    val oneShot = SketchRollup.dailyBitmaps(ev, "user_id", Seq("day", "etype"))
+    // three arbitrary (overlapping-day) deltas folded via mergeBitmaps —
+    // the streaming foreachBatch maintenance path
+    val parts = Seq(ev.filter(col("user_id") % 3 === 0), ev.filter(col("user_id") % 3 === 1),
+      ev.filter(col("user_id") % 3 === 2))
+    val incremental = parts.map(SketchRollup.dailyBitmaps(_, "user_id", Seq("day", "etype")))
+      .reduce(SketchRollup.mergeBitmaps)
+    val roll = (s: org.apache.spark.sql.DataFrame) =>
+      SketchRollup.distinctRollup(s,
+          Seq("week" -> to_date(date_trunc("week", col("day"))), "etype" -> col("etype")), "n")
+        .as[(java.sql.Date, String, Long)].collect().toSet
+    assert(roll(incremental) == roll(oneShot))
+    val direct = df
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"), col("etype"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    assert(roll(incremental) == direct)
+  }
+
   test("hll rollup: union-of-daily estimate within 5% of exact weekly distinct") {
     val daily = df.groupBy(col("day"), col("etype"))
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
