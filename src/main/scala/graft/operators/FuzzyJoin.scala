@@ -47,9 +47,17 @@ object FuzzyJoin {
     val toks = vocab.select(col("s"), explode(split(col("s"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .distinct() // a value contributes each of its tokens once
+    // Stop-token blocks are dropped entirely (not sliced), which loses
+    // pairs certifiable ONLY through that token; surface how often via
+    // an observed metric (same fail-observably stance as Dedup's
+    // maxBucket caps) instead of filtering silently.
     val postings = toks.groupBy(col("tok"))
-      .agg(sort_array(collect_set(col("s"))).as("vals"))
+      .agg(count(lit(1)).as("__n"), sort_array(collect_set(col("s"))).as("vals"))
+      .observe(Dedup.nextObsName("fuzzy_join"),
+        sum(when(col("__n") > maxTokenFreq, 1L).otherwise(0L)).as("dropped_stop_tokens"),
+        max(col("__n")).as("max_token_freq"))
       .filter(size(col("vals")).between(2, maxTokenFreq))
+      .drop("__n")
     val candidates = postings
       .select(col("vals"), posexplode(col("vals")).as(Seq("i", "a")))
       .select(col("a"), explode(slice(col("vals"), col("i") + lit(2), size(col("vals")))).as("b"))

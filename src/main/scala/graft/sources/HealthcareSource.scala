@@ -87,7 +87,9 @@ private[sources] class HealthcareTable(options: CaseInsensitiveStringMap)
     new HealthcareScanBuilder(tpe,
       Option(options.get("n")).map(_.toLong).getOrElse(1000L),
       Option(options.get("seed")).map(_.toLong).getOrElse(42L),
-      Option(options.get("partitions")).map(_.toInt).getOrElse(8))
+      // a non-positive partitions option would make the range stride
+      // degenerate (n single-row partitions); clamp loudly instead
+      math.max(1, Option(options.get("partitions")).map(_.toInt).getOrElse(8)))
 }
 
 private[sources] class HealthcareScanBuilder(tpe: String, n: Long, seed: Long, partitions: Int)
