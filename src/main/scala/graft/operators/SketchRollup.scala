@@ -56,4 +56,43 @@ object SketchRollup {
       .groupBy(regroup.map(n => col(n._1)): _*)
       .agg(sum(expr("bitmap_count(bm)")).as(countName))
   }
+
+  /** Merge a raw-event delta into a parquet summary table in place —
+    * the `foreachBatch` maintenance step. The merged frame is pinned
+    * with `localCheckpoint` (summaries are KB-to-MB scale) so the
+    * overwrite doesn't read its own input files.
+    *
+    * Recovery story: the summary is DERIVED state, exactly rebuildable
+    * from the raw zone with [[dailyBitmaps]] — a crash mid-overwrite is
+    * repaired by rebuild, and a replayed micro-batch re-ORs bits that
+    * are already set (bitwise idempotent), so at-least-once delivery
+    * never inflates counts. That is why this sink can stay simpler
+    * than the fact table's partition-swap path.
+    */
+  def updateSummaryTable(path: String, delta: DataFrame, keyCol: String,
+      groupCols: Seq[String]): Unit = {
+    val spark = delta.sparkSession
+    val deltaSum = dailyBitmaps(delta, keyCol, groupCols)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        mergeBitmaps(spark.read.parquet(path), deltaSum)
+      else deltaSum
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+  }
+
+  /** Streaming wiring: maintain the summary table from an event stream. */
+  def startSummaryStream(events: DataFrame, path: String, checkpoint: String,
+      keyCol: String, groupCols: Seq[String],
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds")): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .queryName("sketch_summary")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) updateSummaryTable(path, batch, keyCol, groupCols)
+      }
+      .start()
 }

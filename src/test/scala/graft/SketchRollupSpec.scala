@@ -62,6 +62,33 @@ class SketchRollupSpec extends SparkSpec {
     assert(roll(incremental) == direct)
   }
 
+  test("streaming maintenance: foreachBatch-built summary equals batch build and exact counts") {
+    import graft.operators.SketchRollup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sketch_stream").toString
+    val path = s"$root/summary"
+    // three bounded runs over one summary table — the scheduled
+    // incremental-maintenance shape (AvailableNow per run)
+    rows.grouped(7000).zipWithIndex.foreach { case (b, i) =>
+      val mem = MemoryStream[(java.sql.Date, String, Long)]
+      mem.addData(b: _*)
+      val q = SketchRollup.startSummaryStream(
+        mem.toDF().toDF("day", "etype", "user_id"), path, s"$root/cp$i", "user_id",
+        Seq("day", "etype"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val roll = SketchRollup.distinctRollup(spark.read.parquet(path),
+        Seq("week" -> to_date(date_trunc("week", col("day"))), "etype" -> col("etype")), "n")
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    val direct = df
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"), col("etype"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    assert(roll == direct)
+  }
+
   test("hll rollup: union-of-daily estimate within 5% of exact weekly distinct") {
     val daily = df.groupBy(col("day"), col("etype"))
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
