@@ -408,6 +408,34 @@ object Queries4 {
       .orderBy(col("event_id"))
   }
 
+  /** TPC-H Q13 shape: customer order-count distribution — a LEFT OUTER
+    * join with a non-key residual predicate, counted per customer (the
+    * outer join preserving zero-order customers as count 0), then a
+    * second aggregation over the first's result. Two shuffles: the join
+    * + first groupBy share the custkey clustering; the histogram groupBy
+    * exchanges only (count, 1) pairs.
+    */
+  def q98CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q98Sql: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val q97Sql: String =
     """WITH stats AS (
       |  SELECT event_type,
