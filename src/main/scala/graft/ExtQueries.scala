@@ -126,6 +126,16 @@ object ExtQueries {
     * the operator's recall is observable: it must recover exactly those
     * planted pairs at θ=0.95.
     */
+  /** LSH-blocked embedding near-dup pairs — oracle-checked: the DuckDB
+    * twin embeds the SAME hyperplane literals (VectorOps.plane values,
+    * printed by Scala and re-parsed by DuckDB's correctly-rounded
+    * strtod), replicates the 48-bit signature / 6-band bucketing with
+    * plain bit arithmetic, and verifies with the identical
+    * dot/(‖a‖·‖b‖) expression shape q35 already proved engine-exact.
+    * The twin joins buckets uncapped — valid while no bucket nears
+    * maxBucket (measured 28 at sf0.1 vs cap 1000; the observed
+    * truncation metric guards the regime).
+    */
   def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
@@ -135,6 +145,29 @@ object ExtQueries {
     VectorOps.embeddingNearDup(base.unionByName(planted), "vec_id", "vec", threshold = 0.95)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id_a", "id_b")
+  }
+
+  val q21Sql: String = {
+    val pl = (0 until 48).map(p => VectorOps.plane(p, 64).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val sigTerms = (0 until 48).map(p =>
+      s"(CASE WHEN list_dot_product(vec, pl[${p + 1}]) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH planes AS (SELECT $pl AS pl),
+       |av AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+       |  FROM embeddings WHERE vec_id < 20),
+       |sig AS (SELECT vec_id, vec, $sigTerms AS sig FROM av, planes),
+       |bb AS (SELECT vec_id, sig, b, (sig >> (b*8)) & 255 AS bucket FROM sig, generate_series(0,5) t(b)),
+       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM bb a JOIN bb b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |res AS (SELECT id_a, id_b,
+       |    list_dot_product(na.vec, nb.vec) / (sqrt(list_dot_product(na.vec, na.vec)) * sqrt(list_dot_product(nb.vec, nb.vec))) AS cos
+       |  FROM pairs JOIN av na ON na.vec_id = id_a JOIN av nb ON nb.vec_id = id_b)
+       |SELECT id_a, id_b, round(cos, 6) AS cosine FROM res WHERE cos >= 0.95
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Exact near-duplicate verification (brute-force all-pairs cosine) —
@@ -354,6 +387,12 @@ object ExtQueries {
   /** Approximate ANN (hyperplane LSH buckets + exact re-rank) — same
     * query set as the brute-force baseline q17 so recall is measurable.
     */
+  /** LSH ANN top-k — oracle-checked like q21: the DuckDB twin embeds
+    * the same 16 hyperplane literals, replicates the 4-band bucketing,
+    * and re-ranks candidates with the engine-exact cosine; rank order
+    * (unrounded cosine desc, id asc) is deterministic because the
+    * doubles are identical on both engines.
+    */
   def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val em = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -363,6 +402,28 @@ object ExtQueries {
       k = 10)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("qid", "rn")
+  }
+
+  val q25Sql: String = {
+    val pl = (0 until 16).map(p => VectorOps.plane(p, 64).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val sigTerms = (0 until 16).map(p =>
+      s"(CASE WHEN list_dot_product(vec, pl[${p + 1}]) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH planes AS (SELECT $pl AS pl),
+       |av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |sig AS (SELECT vec_id, vec, $sigTerms AS sig FROM av, planes),
+       |bb AS (SELECT vec_id, sig, b, (sig >> (b*4)) & 15 AS bucket FROM sig, generate_series(0,3) t(b)),
+       |cand AS (SELECT DISTINCT c.vec_id AS id, q.vec_id AS qid
+       |  FROM bb c JOIN bb q ON c.b = q.b AND c.bucket = q.bucket
+       |  WHERE c.vec_id >= 5 AND q.vec_id < 5),
+       |res AS (SELECT qid, id,
+       |    list_dot_product(cv.vec, qv.vec) / (sqrt(list_dot_product(cv.vec, cv.vec)) * sqrt(list_dot_product(qv.vec, qv.vec))) AS cos
+       |  FROM cand JOIN av cv ON cv.vec_id = id JOIN av qv ON qv.vec_id = qid),
+       |rk AS (SELECT qid, id AS neighbor_id, round(cos, 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rn
+       |  FROM res)
+       |SELECT qid, neighbor_id, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
   }
 
   /** IVF approximate ANN — same query set as the q17 brute-force

@@ -74,7 +74,7 @@ object VectorOps {
     * executors do pure multiply-adds (no per-element hashing; the hashed
     * formulation measured ~5× slower).
     */
-  private def plane(p: Int, dims: Int): Array[Double] =
+  private[graft] def plane(p: Int, dims: Int): Array[Double] =
     Array.tabulate(dims) { d =>
       var z = 0x9E3779B97F4A7C15L * (p * 1024L + d + 1)
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
