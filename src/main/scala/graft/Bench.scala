@@ -29,6 +29,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
+      finally CacheScope.drain() // bound cached blocks to one query's scope
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -519,7 +519,9 @@ object Queries3 {
   def q80RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
     // every recursion step re-joins against this view — cache the scan
     // so ~14 iterations don't re-read the parquet each time
-    t(spark, dir, "customer").cache().createOrReplaceTempView("customer_v")
+    // (CacheScope-tracked: unpersisted after the query's terminal action)
+    CacheScope.track(t(spark, dir, "customer").cache())
+      .createOrReplaceTempView("customer_v")
     spark.sql(
       """WITH RECURSIVE r(k, depth) AS (
         |  SELECT c_custkey, 0 FROM customer_v WHERE c_custkey = 1

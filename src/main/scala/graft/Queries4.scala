@@ -72,11 +72,13 @@ object Queries4 {
     // `late` feeds both the probe side and the NOT-EXISTS side — cache
     // it or the lineitem⋈orders subtree executes twice (Spark does not
     // share common subplans across join inputs; measured 2.25s → ~1.6s
-    // at sf0.1)
-    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .cache()
+    // at sf0.1). CacheScope-tracked: Bench/Verify unpersist after the
+    // terminal action, so blocks don't outlive the query.
+    val late = CacheScope.track(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .cache())
     val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
     val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
     late

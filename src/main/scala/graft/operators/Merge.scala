@@ -57,7 +57,12 @@ object Merge {
         if (keys.contains(c)) coalesce(col(s"__t_$c"), col(s"__s_$c"))
         else if (updatable.contains(c) && sourceCols.contains(c))
           when(col(s"__s_${keys.head}").isNotNull, col(s"__s_$c")).otherwise(col(s"__t_$c"))
-        else if (sourceCols.contains(c)) coalesce(col(s"__t_$c"), col(s"__s_$c"))
+        else if (sourceCols.contains(c))
+          // Resolve by matched-ness, not null-ness: a matched row keeps its
+          // target value even when that value is legitimately NULL (the
+          // caller excluded this column from updates); only pure inserts
+          // take the source value.
+          when(col(s"__t_${keys.head}").isNotNull, col(s"__t_$c")).otherwise(col(s"__s_$c"))
         else col(s"__t_$c") // insert of a source row null-fills this column
       out.as(c)
     }
@@ -65,7 +70,10 @@ object Merge {
     // names (WHEN MATCHED AND cond THEN DELETE, cond over updated values).
     val withFlag = joined.select(resolved :+ matched.as("__matched"): _*)
     deleteMatched
-      .map(pred => withFlag.filter(!(col("__matched") && pred)))
+      // NULL-evaluating predicates must NOT delete (SQL MERGE: WHEN MATCHED
+      // AND <null> THEN DELETE keeps the row), so default the predicate to
+      // false before negating.
+      .map(pred => withFlag.filter(!(col("__matched") && coalesce(pred, lit(false)))))
       .getOrElse(withFlag)
       .drop("__matched")
   }

@@ -204,10 +204,15 @@ private[sources] case class HealthcareFilterEval(schema: StructType, filters: Ar
     }
   }
   private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: String, y: String) => x.compareTo(y)
+    // Strings compare via UTF8String's UTF-8 binary ordering — the order
+    // Spark itself uses — NOT java.lang.String.compareTo (UTF-16 code
+    // units), which diverges on supplementary-plane code points. Accepted
+    // filters are REMOVED from the Spark plan, so this must match exactly.
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
     case (x: Int, y: Number) => java.lang.Double.compare(x.toDouble, y.doubleValue())
     case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
-    case (x: UTF8String, y: String) => x.toString.compareTo(y)
+    case (x: UTF8String, y: String) => x.compareTo(UTF8String.fromString(y))
     case _ => throw new IllegalArgumentException(s"healthcare-gen: can't compare $a to $b")
   }
   def apply(row: InternalRow): Boolean = filters.forall {
@@ -216,7 +221,11 @@ private[sources] case class HealthcareFilterEval(schema: StructType, filters: Ar
     case GreaterThanOrEqual(a, v) => val x = value(row, a); x != null && cmp(x, v) >= 0
     case LessThan(a, v) => val x = value(row, a); x != null && cmp(x, v) < 0
     case LessThanOrEqual(a, v) => val x = value(row, a); x != null && cmp(x, v) <= 0
-    case In(a, vs) => val x = value(row, a); x != null && vs.exists(v => cmp(x, v) == 0)
+    // NULLs in the IN list can never equal a non-null row value (standard
+    // IN-with-null semantics for the satisfied branch) — drop them rather
+    // than letting cmp(x, null) throw.
+    case In(a, vs) =>
+      val x = value(row, a); x != null && vs.exists(v => v != null && cmp(x, v) == 0)
     case IsNull(a) => value(row, a) == null
     case IsNotNull(a) => value(row, a) != null
     case f => throw new IllegalStateException(s"healthcare-gen: unexpected pushed filter $f")

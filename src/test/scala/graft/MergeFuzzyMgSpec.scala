@@ -35,6 +35,28 @@ class MergeFuzzyMgSpec extends SparkSpec {
     assert(got == Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0)))
   }
 
+  test("merge: a matched row keeps a legitimately-NULL target value in a non-updatable column") {
+    // target has a NULL tag; tag is excluded from updates, so the merge
+    // must NOT resurrect it from the source (resolution by matched-ness,
+    // not coalesce null-ness)
+    val tgt = Seq((1L, null.asInstanceOf[String], 10.0)).toDF("id", "tag", "amount")
+    val source = Seq((1L, "SHOULD_NOT_WIN", 99.0)).toDF("id", "tag", "amount")
+    val got = Merge.upsert(tgt, source, Seq("id"), updateCols = Some(Seq("amount")))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, None, 99.0)))
+  }
+
+  test("merge: a NULL-evaluating deleteMatched predicate does not delete (SQL MERGE semantics)") {
+    val tgt = Seq((1L, "a", 10.0)).toDF("id", "tag", "amount")
+    // amount set to NULL by the update → predicate amount <= 0 is NULL → keep
+    val source = Seq((1L, "a")).toDF("id", "tag")
+      .withColumn("amount", lit(null).cast("double"))
+    val got = Merge.upsert(tgt, source, Seq("id"),
+        deleteMatched = Some(col("amount") <= 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(got == Seq((1L, "a", None)))
+  }
+
   test("merge: source with a column subset null-fills missing columns on insert") {
     val source = Seq((4L, "d")).toDF("id", "tag")
     val got = Merge.upsert(target, source, Seq("id"))
