@@ -428,34 +428,122 @@ object ExtQueries {
 
   /** IVF approximate ANN — same query set as the q17 brute-force
     * baseline; probes 4 of 16 clusters (inverted-file scale path).
+    * Oracle-checked via the frozen-centroid query path
+    * ([[graft.operators.IvfIndex.cosineTopKFrozen]]): production IVF
+    * trains its centroids OFFLINE, so at query time they are always
+    * fixed constants — embedding the deterministic centroid literals in
+    * both engines makes assignment → probe → re-rank hash-comparable
+    * (the q21/q25 portable-literal trick). The Lloyd training path
+    * stays recall-pinned in ChecksDimsSkewSpec.
     */
   def q28AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val em = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    graft.operators.IvfIndex.cosineTopK(spark,
+    graft.operators.IvfIndex.cosineTopKFrozen(spark,
       em.filter(col("vec_id") >= 5).withColumnRenamed("vec_id", "id").withColumnRenamed("v", "vec"),
       em.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qvec"),
-      k = 10, nClusters = 16, nprobe = 4)
+      k = 10, centArr = graft.operators.IvfIndex.frozenCentroids(16, 64), nprobe = 4)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("qid", "rn")
   }
 
+  /** The per-centroid argmin score terms of the DuckDB twins: the SAME
+    * |c|² literal the Scala side folds driver-side, minus 2·dot against
+    * the SAME printed centroid row — bit-identical scores, so argmin and
+    * probe ranking agree across engines.
+    */
+  private def ivfScoreTerms(vecExpr: String, listExpr: String,
+      arr: Seq[(Int, Array[Double])], cidName: String): String =
+    arr.map { case (cid, c) =>
+      val n2 = c.map(x => x * x).sum
+      s"{'d': $n2 - 2.0*list_dot_product($vecExpr, $listExpr[${cid + 1}]), '$cidName': $cid}"
+    }.mkString("[", ", ", "]")
+
+  private def ivfMat(arr: Seq[(Int, Array[Double])]): String =
+    arr.sortBy(_._1).map(_._2.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  val q28Sql: String = {
+    val cents = graft.operators.IvfIndex.frozenCentroids(16, 64)
+    s"""WITH cc AS (SELECT ${ivfMat(cents)} AS c),
+       |av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |corp AS (SELECT vec_id AS id, vec,
+       |    list_sort(${ivfScoreTerms("vec", "cc.c", cents, "cid")})[1].cid AS cluster_id
+       |  FROM av, cc WHERE vec_id >= 5),
+       |qp AS (SELECT qid, qvec, s.cid AS cluster_id FROM (
+       |  SELECT vec_id AS qid, vec AS qvec,
+       |      unnest(list_sort(${ivfScoreTerms("vec", "cc.c", cents, "cid")})[1:4]) AS s
+       |    FROM av, cc WHERE vec_id < 5)),
+       |res AS (SELECT qp.qid, corp.id,
+       |    list_dot_product(corp.vec, qp.qvec)
+       |      / (sqrt(list_dot_product(corp.vec, corp.vec)) * sqrt(list_dot_product(qp.qvec, qp.qvec))) AS cos
+       |  FROM corp JOIN qp USING (cluster_id)),
+       |rk AS (SELECT qid, id AS neighbor_id, round(cos, 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rn
+       |  FROM res)
+       |SELECT qid, neighbor_id, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Residual-quantized IVF ANN (compressed (cluster,code) index +
-    * approximate scoring against broadcast reconstructions + exact
-    * re-rank of survivors) — same query set as q17/q25/q28 so recall is
-    * directly comparable. Rows-only: the two k-means levels are
-    * hash-seeded, not SQL-portable; semantics pinned in
+    * approximate scoring against reconstructions + exact re-rank of
+    * survivors) — same query set as q17/q25/q28 so recall is directly
+    * comparable. Oracle-checked via the frozen centroid+codebook query
+    * path ([[graft.operators.IvfIndex.rqCosineTopKFrozen]]) — offline
+    * training means both levels are query-time constants; every stage
+    * (residual, code argmin, reconstruction scoring, exact re-rank) is
+    * element-wise or sequential-fold math the DuckDB twin reproduces
+    * bit-for-bit. Lloyd-trained RQ stays recall-pinned in
     * ChecksDimsSkewSpec.
     */
   def q64AnnIvfRq(spark: SparkSession, dir: String): DataFrame = {
     val em = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    graft.operators.IvfIndex.rqCosineTopK(spark,
+    graft.operators.IvfIndex.rqCosineTopKFrozen(spark,
       em.filter(col("vec_id") >= 5).withColumnRenamed("vec_id", "id").withColumnRenamed("v", "vec"),
       em.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qvec"),
-      k = 10, nClusters = 16, nprobe = 4, codebookSize = 16, refine = 4)
+      k = 10, centArr = graft.operators.IvfIndex.frozenCentroids(16, 64),
+      codeArr = graft.operators.IvfIndex.frozenCodebook(16, 64), nprobe = 4, refine = 4)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("qid", "rn")
+  }
+
+  val q64Sql: String = {
+    val cents = graft.operators.IvfIndex.frozenCentroids(16, 64)
+    val codes = graft.operators.IvfIndex.frozenCodebook(16, 64)
+    s"""WITH cc AS (SELECT ${ivfMat(cents)} AS c),
+       |ww AS (SELECT ${ivfMat(codes)} AS w),
+       |av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |corp AS (SELECT vec_id AS id, vec,
+       |    list_sort(${ivfScoreTerms("vec", "cc.c", cents, "cid")})[1].cid AS cluster_id
+       |  FROM av, cc WHERE vec_id >= 5),
+       |rv AS (SELECT id, cluster_id,
+       |    list_transform(range(1, 65), i -> vec[i] - cc.c[cluster_id + 1][i]) AS rvec
+       |  FROM corp, cc),
+       |enc AS (SELECT id, cluster_id,
+       |    list_sort(${ivfScoreTerms("rvec", "ww.w", codes, "code")})[1].code AS code
+       |  FROM rv, ww),
+       |qp AS (SELECT qid, qvec, s.cid AS cluster_id FROM (
+       |  SELECT vec_id AS qid, vec AS qvec,
+       |      unnest(list_sort(${ivfScoreTerms("vec", "cc.c", cents, "cid")})[1:4]) AS s
+       |    FROM av, cc WHERE vec_id < 5)),
+       |ap AS (SELECT qp.qid, qp.qvec, enc.id,
+       |    list_transform(range(1, 65), i -> cc.c[enc.cluster_id + 1][i] + ww.w[enc.code + 1][i]) AS recon
+       |  FROM enc JOIN qp USING (cluster_id) CROSS JOIN cc CROSS JOIN ww),
+       |sc AS (SELECT qid, qvec, id,
+       |    list_dot_product(recon, qvec)
+       |      / (sqrt(list_dot_product(recon, recon)) * sqrt(list_dot_product(qvec, qvec))) AS approx_cos
+       |  FROM ap),
+       |surv AS (SELECT qid, qvec, id FROM (
+       |    SELECT qid, qvec, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY approx_cos DESC, id ASC) AS arn
+       |    FROM sc) WHERE arn <= 40),
+       |res AS (SELECT surv.qid, surv.id,
+       |    list_dot_product(av.vec, surv.qvec)
+       |      / (sqrt(list_dot_product(av.vec, av.vec)) * sqrt(list_dot_product(surv.qvec, surv.qvec))) AS cos
+       |  FROM surv JOIN av ON av.vec_id = surv.id),
+       |rk AS (SELECT qid, id AS neighbor_id, round(cos, 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rn
+       |  FROM res)
+       |SELECT qid, neighbor_id, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
   }
 
   /** Multimodal feature extraction over a deterministic synthetic media

@@ -67,30 +67,101 @@ object IvfIndex {
     cents
   }
 
-  /** Nearest-centroid assignment: the corpus rows plus a `cluster_id`
-    * column. The centroid table is collected (k rows, small by
-    * construction) and embedded as literals; the argmin is
-    * `least()` over k per-centroid (score, cid) structs, where
-    * score = |c|² − 2⟨a,c⟩ (the |a|² term is common to every centroid and
-    * drops out of the argmin — the FAISS trick). Each score is one
-    * codegen'd [[graft.expressions.VecDot]] against a constant array, so
-    * the whole assignment runs inside one whole-stage-codegen'd scan with
-    * no shuffle. (The previous interpreted fold re-evaluated a
-    * zip_with+aggregate sqDist twice per centroid per row — the classic
-    * HOF re-evaluation trap — and needed an id-join to recover the
-    * corpus columns.) Ties in score break toward the smaller cluster_id.
+  /** Deterministic pseudo-random centroids (seeded splitmix64 via
+    * [[VectorOps.plane]], offset so they never coincide with the LSH
+    * hyperplanes). This is the UNTRAINED index shape: in production IVF
+    * the centroids are trained offline and are therefore always fixed
+    * constants at query time — the query pipeline (assign → probe →
+    * re-rank) never re-trains. Freezing them as deterministic literals
+    * makes that query pipeline exactly reproducible across engines,
+    * which is what lets the q28/q64 oracles hash-compare it; Lloyd
+    * training ([[centroids]]) remains the index-BUILD path and is
+    * spec-pinned by recall (ChecksDimsSkewSpec).
     */
-  def assign(corpus: DataFrame, cents: DataFrame, id: String, vec: String): DataFrame = {
-    graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    val centArr = cents.select(col("cluster_id"), col("centroid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val scored = centArr.map { case (cid, c) =>
+  def frozenCentroids(k: Int, dims: Int): Seq[(Int, Array[Double])] =
+    (0 until k).map(c => (c, VectorOps.plane(c + 4096, dims)))
+
+  /** Frozen residual codebook (offset again; scaled toward the residual
+    * magnitude regime — the scale only shifts which codeword wins, never
+    * portability, since both engines consume the same printed literals).
+    */
+  def frozenCodebook(size: Int, dims: Int): Seq[(Int, Array[Double])] =
+    (0 until size).map(c => (c, VectorOps.plane(c + 8192, dims).map(_ * 0.2)))
+
+  /** Per-centroid (score, cid) structs for an argmin over constant
+    * centroids: score = |c|² − 2⟨a,c⟩ (the |a|² term is common to every
+    * centroid and drops out of the argmin — the FAISS trick). |c|² is
+    * folded driver-side with the same left-to-right sum both engines'
+    * SQL twins print, so scores are bit-identical cross-engine. Each
+    * score is one codegen'd [[graft.expressions.VecDot]] against a
+    * constant array.
+    */
+  private def centScores(vecCol: org.apache.spark.sql.Column,
+      centArr: Seq[(Long, Array[Double])]): Seq[org.apache.spark.sql.Column] =
+    centArr.map { case (cid, c) =>
       val n2 = c.map(x => x * x).sum
       struct(
-        (lit(n2) - lit(2.0) * call_function("vec_dot", col(vec), typedLit(c))).as("d"),
+        (lit(n2) - lit(2.0) * call_function("vec_dot", vecCol, typedLit(c))).as("d"),
         lit(cid).as("cid"))
     }
-    corpus.withColumn("cluster_id", least(scored.toIndexedSeq: _*).getField("cid"))
+
+  /** Nearest-centroid assignment against a literal centroid table:
+    * `least()` over the [[centScores]] structs — the whole assignment
+    * runs inside one whole-stage-codegen'd scan with no shuffle. (The
+    * previous interpreted fold re-evaluated a zip_with+aggregate sqDist
+    * twice per centroid per row — the classic HOF re-evaluation trap —
+    * and needed an id-join to recover the corpus columns.) Ties in
+    * score break toward the smaller cluster_id.
+    */
+  def assignWith(corpus: DataFrame, centArr: Seq[(Long, Array[Double])],
+      vec: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    corpus.withColumn("cluster_id",
+      least(centScores(col(vec), centArr).toIndexedSeq: _*).getField("cid"))
+  }
+
+  /** Assignment against a trained centroid DataFrame: collected (k rows,
+    * small by construction) and embedded as literals via [[assignWith]].
+    */
+  def assign(corpus: DataFrame, cents: DataFrame, id: String, vec: String): DataFrame = {
+    val centArr = cents.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    assignWith(corpus, centArr, vec)
+  }
+
+  /** Per-query nprobe nearest clusters from literal centroids: sort the
+    * [[centScores]] structs in-row (array_sort on (score, cid) structs —
+    * no shuffle, no window) and explode the first nprobe.
+    */
+  private def probeWith(queries: DataFrame, centArr: Seq[(Long, Array[Double])],
+      qid: String, qvec: String, nprobe: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(queries.sparkSession)
+    queries
+      .withColumn("__p",
+        explode(slice(array_sort(array(centScores(col(qvec), centArr).toIndexedSeq: _*)),
+          1, nprobe)))
+      .select(col(qid), col(qvec), col("__p").getField("cid").as("cluster_id"))
+  }
+
+  /** IVF cosine top-k over a FROZEN (offline-trained / deterministic)
+    * centroid table — the production query path: assignment and probe
+    * are pure constant math, the candidate fetch is a cluster_id
+    * equi-join touching nprobe/k of the corpus, and only candidates pay
+    * the exact cosine. Fully portable → oracle-certified (q28).
+    */
+  def cosineTopKFrozen(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+      centArr: Seq[(Int, Array[Double])],
+      id: String = "id", vec: String = "vec", qid: String = "qid", qvec: String = "qvec",
+      nprobe: Int = 4): DataFrame = {
+    val cl = centArr.map { case (c, a) => (c.toLong, a) }
+    val corpusAssigned = assignWith(corpus, cl, vec)
+    val qCents = probeWith(queries, cl, qid, qvec, nprobe)
+    corpusAssigned.join(qCents, Seq("cluster_id"))
+      .withColumn("cosine", VectorOps.fastCosine(spark)(col(vec), col(qvec)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)))
+      .filter(col("rn") <= k)
+      .select(col(qid), col(id).as("neighbor_id"), col("cosine"), col("rn"))
   }
 
   /** IVF cosine top-k: probe the nprobe nearest clusters per query, exact
@@ -202,6 +273,57 @@ object IvfIndex {
     val approx = enc.join(qCents, Seq("cluster_id"))
       .join(broadcast(recon), Seq("cluster_id", "code"))
       .withColumn("approx_cos", VectorOps.fastCosine(spark)(col("recon"), col(qvec)))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("approx_cos").desc, col(id).asc)))
+      .filter(col("arn") <= k * refine)
+      .select(col(qid), col(qvec), col(id))
+
+    // exact re-rank: fetch true vectors for the survivors only
+    approx.join(corpus.select(col(id), col(vec)), Seq(id))
+      .withColumn("cosine", VectorOps.fastCosine(spark)(col(vec), col(qvec)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)))
+      .filter(col("rn") <= k)
+      .select(col(qid), col(id).as("neighbor_id"), col("cosine"), col("rn"))
+  }
+
+  /** IVF-RQ cosine top-k over FROZEN centroids + codebook — the
+    * production query path for the compressed index (both levels are
+    * trained offline; at query time they are constants). Encode:
+    * rvec = v − centroid (element-wise against the literal row picked by
+    * `element_at`), code = argmin codeword; the probe reads ONLY
+    * (id, cluster_id, code); approximate scores come from the
+    * reconstruction centroid+codeword computed from literals; the true
+    * vectors are joined back for just the refine·k survivors. Every
+    * arithmetic step is element-wise or a sequential-fold dot product,
+    * so the DuckDB twin reproduces it bit-for-bit → oracle (q64).
+    */
+  def rqCosineTopKFrozen(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+      centArr: Seq[(Int, Array[Double])], codeArr: Seq[(Int, Array[Double])],
+      id: String = "id", vec: String = "vec", qid: String = "qid", qvec: String = "qvec",
+      nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val cl = centArr.map { case (c, a) => (c.toLong, a) }
+    val wl = codeArr.map { case (c, a) => (c.toLong, a) }
+    val centMat = centArr.sortBy(_._1).map(_._2).toArray
+    val codeMat = codeArr.sortBy(_._1).map(_._2).toArray
+
+    // encode: cluster assignment, then codeword argmin over the residual
+    val cent = element_at(typedLit(centMat), (col("cluster_id") + 1).cast("int"))
+    val enc = assignWith(corpus, cl, vec)
+      .withColumn("rvec", zip_with(col(vec), cent, (x, c) => x - c))
+      .withColumn("code", least(centScores(col("rvec"), wl).toIndexedSeq: _*).getField("cid"))
+      .select(col(id), col("cluster_id"), col("code"))
+
+    val qCents = probeWith(queries, cl, qid, qvec, nprobe)
+
+    // approximate stage: codes only; recon = centroid + codeword literals
+    val recon = zip_with(
+      element_at(typedLit(centMat), (col("cluster_id") + 1).cast("int")),
+      element_at(typedLit(codeMat), (col("code") + 1).cast("int")),
+      (c, w) => c + w)
+    val approx = enc.join(qCents, Seq("cluster_id"))
+      .withColumn("approx_cos", VectorOps.fastCosine(spark)(recon, col(qvec)))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col(qid)).orderBy(col("approx_cos").desc, col(id).asc)))
       .filter(col("arn") <= k * refine)

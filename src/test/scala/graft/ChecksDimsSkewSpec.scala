@@ -94,6 +94,34 @@ class ChecksDimsSkewSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 
+  test("frozen IVF: probing ALL clusters equals brute force exactly; partial probe is a subset chain") {
+    // the frozen-literal query path (oracle path of q28/q64) must degrade
+    // to exact search when nprobe = k — candidates become the full corpus
+    val corpus = (5L until 105L).map { i =>
+      (i, Array.tabulate(8)(dd => math.sin(i * 13.0 + dd * 1.7)))
+    }.toDF("id", "vec")
+    val queries = (0L until 3L).map { q =>
+      (q, Array.tabulate(8)(dd => math.cos(q * 5.1 + dd)))
+    }.toDF("qid", "qvec")
+    val cents = IvfIndex.frozenCentroids(8, 8)
+    val exact = VectorOps.cosineTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rn"), r.getAs[Long]("neighbor_id"))).toSet
+    val full = IvfIndex.cosineTopKFrozen(spark, corpus, queries, 5, cents, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rn"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact, "nprobe = k must equal brute force (same ranks)")
+    // a partial probe returns only rows from probed clusters → subset of
+    // the full-probe candidate relation per query (top-k may differ; the
+    // neighbor set must come from the corpus, k rows per query)
+    val part = IvfIndex.cosineTopKFrozen(spark, corpus, queries, 5, cents, nprobe = 2).collect()
+    assert(part.length == 15 && part.forall(r => r.getAs[Long]("neighbor_id") >= 5L))
+    // frozen RQ with ALL clusters probed and generous refine also
+    // re-ranks to the exact answer (true-vector re-rank dominates)
+    val rqFull = IvfIndex.rqCosineTopKFrozen(spark, corpus, queries, 5,
+        cents, IvfIndex.frozenCodebook(8, 8), nprobe = 8, refine = 20)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rn"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rqFull == exact, "frozen RQ with full probe + wide refine must equal brute force")
+  }
+
   test("IVF-RQ: compressed index keeps recall; reconstruction beats centroid-only") {
     // clusters get distinct DIRECTIONS (cosine separates them); the
     // per-vector noise makes within-cluster ranking non-trivial
