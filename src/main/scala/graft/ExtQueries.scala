@@ -547,8 +547,11 @@ object ExtQueries {
   }
 
   /** Multimodal feature extraction over a deterministic synthetic media
-    * corpus (decode stubbed — see Multimodal scaladoc; Spark-side schema,
-    * batching and metadata flow are real).
+    * corpus. Image rows are REAL PNGs decoded with `javax.imageio`
+    * (pixel-derived features); audio/video decode remains stubbed — see
+    * Multimodal scaladoc. Spark-side schema, batching and metadata flow
+    * are real. Rows-only by nature (binary payloads + codec output are
+    * not SQL-expressible); pixel semantics pinned in OperatorsSpec.
     */
   def q26MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticCorpus(spark, 2000))

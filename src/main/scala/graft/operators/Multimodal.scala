@@ -1,18 +1,27 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * extraction) requires native libraries not present in this container —
-  * those steps are STUBBED with deterministic fakes (clearly marked
-  * below). Everything Spark-side is real and tested: the schema contract,
-  * the batched `mapPartitions` execution shape (the Scala analogue of
-  * `mapInPandas` — one iterator per partition, vectorizable), the
-  * partition sizing, and the columnar metadata flow.
+  * IMAGES are real end-to-end with pure-JDK `javax.imageio`: the
+  * synthetic corpus encodes genuine PNG bytes, [[decodeAndFeaturize]]
+  * decodes them back to pixels (width/height/mean-RGB/luminance
+  * histogram features), and [[resize]] re-renders through a bilinear
+  * Graphics2D pass. AUDIO/VIDEO codecs need native libraries not present
+  * in this container — those stay STUBBED with deterministic fakes
+  * (clearly marked below). Everything Spark-side is real and tested: the
+  * schema contract, the batched `mapPartitions` execution shape (the
+  * Scala analogue of `mapInPandas` — one iterator per partition,
+  * vectorizable), the partition sizing, and the columnar metadata flow.
   *
   * Scale notes: media bytes never pass through a shuffle — decode is a
   * narrow map stage; only the (small) extracted features move on. Batch
@@ -21,6 +30,10 @@ import org.apache.spark.sql.functions._
   * fits executor memory with decode workspace.
   */
 object Multimodal {
+
+  // Never spill ImageIO's stream cache to temp files — every payload is
+  // an in-memory byte array; the disk cache would add an fsync per image.
+  ImageIO.setUseCache(false)
 
   /** Typed metadata carried alongside the opaque payload. */
   final case class MediaMeta(
@@ -42,13 +55,13 @@ object Multimodal {
       feature: Array[Float] // fixed 16-dim feature vector
   )
 
-  /** STUB — deterministic fake "decode + feature extraction".
-    * A real deployment swaps this body for the codec call (e.g. TwelveMonkeys
-    * ImageIO / JavaCV); the signature, batching, and schema stay identical.
-    * The fake derives a stable 16-dim feature from a rolling hash of the
-    * payload so tests are reproducible and dedup-by-feature is exercised.
+  /** Deterministic fake features for the codec-less media types (audio/
+    * video) — STUB: a stable 16-dim rolling hash of the payload, so tests
+    * are reproducible and dedup-by-feature is exercised. A real
+    * deployment swaps this for the codec call (e.g. JavaCV); signature,
+    * batching, and schema stay identical.
     */
-  private[operators] def decodeAndFeaturize(payload: Array[Byte]): Array[Float] = {
+  private def hashFeature(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](16)
     var h = 1125899906842597L
     var i = 0
@@ -57,6 +70,42 @@ object Multimodal {
       out(i % 16) += ((h >>> 32).toInt % 1000) / 1000.0f
       i += 1
     }
+    out
+  }
+
+  /** Decode + feature extraction. Images REALLY decode via
+    * `javax.imageio` (PNG/JPEG/BMP/GIF — whatever the JDK readers
+    * accept): feature = [width, height, meanR, meanG, meanB,
+    * 8-bin luminance histogram fractions, aspect ratio, 0, 0].
+    * Undecodable images fall back to the hash feature rather than
+    * failing the batch — corrupt blobs are data, not exceptions.
+    * Audio/video use the [[hashFeature]] STUB (no native codecs here).
+    */
+  private[operators] def decodeAndFeaturize(mediaType: String, payload: Array[Byte]): Array[Float] = {
+    if (mediaType != "image") return hashFeature(payload)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) return hashFeature(payload)
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val r = (rgb >> 16) & 255; val g = (rgb >> 8) & 255; val b = rgb & 255
+      sr += r; sg += g; sb += b
+      // integer Rec.601 luma, binned to 8 levels of 32
+      hist(((r * 299 + g * 587 + b * 114) / 1000) >> 5) += 1
+      i += 1
+    }
+    val n = px.length.toFloat
+    val out = new Array[Float](16)
+    out(0) = w.toFloat; out(1) = h.toFloat
+    out(2) = sr / n; out(3) = sg / n; out(4) = sb / n
+    var k = 0
+    while (k < 8) { out(5 + k) = hist(k) / n; k += 1 }
+    out(13) = w.toFloat / h
     out
   }
 
@@ -74,17 +123,40 @@ object Multimodal {
           media_type = r.meta.media_type,
           n_bytes = r.payload.length.toLong,
           payload_hash = java.util.Arrays.hashCode(r.payload).toLong,
-          feature = decodeAndFeaturize(r.payload))
+          feature = decodeAndFeaturize(r.meta.media_type, r.payload))
       }
     }
   }
 
-  /** STUB image resize: real impl would re-encode; the fake keeps the
-    * payload and rewrites metadata, preserving the schema contract.
+  /** Image resize — REAL for decodable images: decode, bilinear
+    * Graphics2D re-render at (w, h), re-encode as PNG; metadata follows
+    * the actual new pixel dimensions. Non-image media (and undecodable
+    * payloads) keep their bytes and just rewrite metadata, preserving
+    * the schema contract (audio/video resize would be a codec call —
+    * stubbed here).
     */
   def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
-    records.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+    records.map { r =>
+      val decoded =
+        if (r.meta.media_type == "image") Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
+        else None
+      decoded match {
+        case Some(img) =>
+          val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          r.copy(meta = r.meta.copy(mime = "image/png", width = w, height = h),
+            payload = bos.toByteArray)
+        case None =>
+          r.copy(meta = r.meta.copy(width = w, height = h))
+      }
+    }
   }
 
   /** STUB video frame sampling: emits one record per sampled frame index
@@ -101,9 +173,11 @@ object Multimodal {
         xxhash64(col("media_id"), col("frame_idx")).as("frame_payload_hash"))
   }
 
-  /** Deterministic synthetic media corpus for tests/demos: payload bytes
-    * derived from the id (stands in for real blobs read from object
-    * storage).
+  /** Deterministic synthetic media corpus for tests/demos. Image rows
+    * carry REAL PNG bytes (id-seeded pixel pattern encoded with
+    * `javax.imageio`, so the decode path exercises a genuine codec);
+    * audio/video payloads remain deterministic opaque bytes standing in
+    * for container formats the JDK can't decode.
     */
   def syntheticCorpus(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -111,13 +185,37 @@ object Multimodal {
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val len = 64 + (id % 193).toInt
-      val payload = Array.tabulate[Byte](len)(i => ((id * 31 + i * 7) % 251).toByte)
+      val w = if (kind != "audio") 64 + (id % 8).toInt * 16 else 0
+      val h = if (kind != "audio") 48 + (id % 8).toInt * 12 else 0
+      val payload = kind match {
+        case "image" =>
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((x * 7 + id * 13) % 256).toInt
+              val g = ((y * 5 + id * 29) % 256).toInt
+              val b = (((x ^ y) + id) % 256).toInt
+              px(y * w + x) = (r << 16) | (g << 8) | b
+              x += 1
+            }
+            y += 1
+          }
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, w, h, px, 0, w)
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        case _ =>
+          val len = 64 + (id % 193).toInt
+          Array.tabulate[Byte](len)(i => ((id * 31 + i * 7) % 251).toByte)
+      }
       MediaRecord(id,
         MediaMeta(kind,
-          kind match { case "image" => "image/jpeg"; case "audio" => "audio/wav"; case _ => "video/mp4" },
-          width = if (kind != "audio") 64 + (id % 8).toInt * 16 else 0,
-          height = if (kind != "audio") 48 + (id % 8).toInt * 12 else 0,
+          kind match { case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4" },
+          width = w,
+          height = h,
           duration_ms = if (kind != "image") 1000L + (id % 10) * 500 else 0L,
           sample_rate = if (kind == "audio") 16000 else 0),
         payload)

@@ -172,6 +172,39 @@ class OperatorsSpec extends SparkSpec {
     assert(resized.meta.width == 32 && resized.meta.height == 32)
   }
 
+  test("multimodal: images REALLY decode — dims match metadata, features track pixels, resize re-renders") {
+    val corpus = Multimodal.syntheticCorpus(spark, 48)
+    val metaById = corpus.collect().map(r => r.media_id -> r.meta).toMap
+    val imgFeats = Multimodal.extractFeatures(corpus).collect()
+      .filter(_.media_type == "image").sortBy(_.media_id)
+    assert(imgFeats.nonEmpty)
+    imgFeats.foreach { f =>
+      val m = metaById(f.media_id)
+      // decoded width/height (features 0/1 come from the decoded pixels,
+      // not the metadata) must equal the declared metadata
+      assert(f.feature(0) == m.width.toFloat && f.feature(1) == m.height.toFloat,
+        s"media ${f.media_id}: decoded ${f.feature(0)}x${f.feature(1)} vs meta ${m.width}x${m.height}")
+      // luminance histogram fractions sum to 1 over the 8 bins
+      val histSum = (5 until 13).map(f.feature(_)).sum
+      assert(math.abs(histSum - 1.0f) < 1e-3f)
+      // mean RGB within byte range
+      (2 until 5).foreach(i => assert(f.feature(i) >= 0f && f.feature(i) <= 255f))
+    }
+    // same declared dims (id % 8 equal), different ids → different pixels
+    // → the pixel-derived features must differ beyond the dim slots
+    val byId = imgFeats.map(f => f.media_id -> f.feature).toMap
+    val (a, b) = (byId(0L), byId(24L))
+    assert(a.toSeq.take(2) == b.toSeq.take(2) && a.toSeq != b.toSeq,
+      "pixel change must change features even at identical dimensions")
+    // resize really re-renders: decoding the resized payload yields 32x32
+    val resizedFeats = Multimodal.extractFeatures(Multimodal.resize(corpus, 32, 32))
+      .collect().filter(_.media_type == "image")
+    assert(resizedFeats.forall(f => f.feature(0) == 32f && f.feature(1) == 32f))
+    // and the resized payload is a genuinely different encoded image
+    assert(resizedFeats.map(_.payload_hash).toSet
+      .intersect(imgFeats.map(_.payload_hash).toSet).isEmpty)
+  }
+
   test("bucketed band join ≡ naive band left join (scale-path rewrite correctness)") {
     val left = (1L to 60L).map { i =>
       (i, s"K${i % 7}", java.sql.Date.valueOf(java.time.LocalDate.parse("2026-01-01").plusDays(i * 3 % 50)))
