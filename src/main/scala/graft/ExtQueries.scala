@@ -76,11 +76,11 @@ object ExtQueries {
       |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
       |votes AS (
       |  SELECT doc_id, j,
-      |    SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hx, 16 - j//4, 1)) - 1) >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      |  FROM h, generate_series(0, 63) AS t(j)
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hx, 15 - j//4, 1)) - 1) >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h, generate_series(0, 59) AS t(j)
       |  GROUP BY doc_id, j),
       |fp AS (SELECT doc_id,
-      |    bit_or(CASE WHEN v > 0 THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << j) END) ELSE 0::BIGINT END) AS sh
+      |    bit_or(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS sh
       |  FROM votes GROUP BY doc_id),
       |chunks AS (SELECT doc_id, sh, ci, (sh >> (ci*16)) & 65535 AS cv
       |  FROM fp, (VALUES (0),(1),(2),(3)) c(ci)),
@@ -359,14 +359,14 @@ object ExtQueries {
   val q23Sql: String =
     """WITH g AS (
       |  SELECT doc_id,
-      |    [substring(md5(substring(text, i, 8)), 1, 16) FOR i IN generate_series(1, greatest(length(text)-7, 1))] AS grams
+      |    [('0x' || substring(md5(substring(text, i, 8)), 1, 15))::BIGINT FOR i IN generate_series(1, greatest(length(text)-7, 1))] AS grams
       |  FROM documents),
       |f AS (
       |  SELECT doc_id,
       |    list_distinct([list_min(grams[j:least(j+3, len(grams))]) FOR j IN generate_series(1, greatest(len(grams)-3, 1))]) AS fps
       |  FROM g)
       |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
-      |  md5(array_to_string(list_sort(fps), ',')) AS content_id
+      |  md5(array_to_string(list_transform(list_sort(fps), x -> CAST(x AS VARCHAR)), ',')) AS content_id
       |FROM f ORDER BY doc_id""".stripMargin
 
   /** Token counting (whitespace + regex + BPE estimate) — oracle-checked:

@@ -186,17 +186,17 @@ object Dedup {
     */
   def simHashDf(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
-    // portable: token hash = first 16 md5 hex chars parsed as a 64-bit
-    // value (two 32-bit halves — a single conv() of 16 chars can exceed
-    // Long and null out under ANSI). Identical in any engine with md5,
-    // which is what lets q19 hash-compare the whole dedup against a
-    // DuckDB twin; xxhash64 stays the fast default.
+    // portable: token hash = first 15 md5 hex chars parsed as a 60-bit
+    // value in ONE conv (16 chars could exceed signed Long and null out
+    // under ANSI; the former two-32-bit-halves formulation paid two
+    // substring+conv per token — measured ~15% of the whole q19).
+    // Bits 60-63 are structurally 0, so those simhash bits vote -1 for
+    // every token and land 0 for every doc — a 60-effective-bit simhash,
+    // identical in any engine with md5 (q19's DuckDB twin mirrors the
+    // 15-char prefix). xxhash64 stays the fast 64-bit default.
     val tokHash: org.apache.spark.sql.Column =
-      if (portable) {
-        val hx = md5(col("tok"))
-        shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
-          .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
-      } else xxhash64(col("tok"))
+      if (portable) conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("tok"))
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("tok"))
       .select(col(idCol), tokHash.as("h"))

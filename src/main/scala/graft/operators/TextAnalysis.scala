@@ -112,18 +112,21 @@ object TextAnalysis {
     * plagiarism/near-dup sketch (Schleimer et al., SIGMOD'03).
     *
     * Hash choice: default is xxhash64 (codegen'd 64-bit arithmetic — the
-    * 100 TB path; returns array<long>). `portable = true` hashes each
-    * gram as the first 16 hex chars of its md5 instead (returns
-    * array<string>; lexicographic min on fixed-length lowercase hex =
-    * numeric min) — identical in every engine that has md5, which makes
-    * the whole fingerprint DuckDB-oracle-checkable (q23). ~5× the
-    * per-gram cost of xxhash64; fine for certification runs, switch off
-    * at scale.
+    * 100 TB path). `portable = true` hashes each gram as the first
+    * 15 md5 hex chars parsed to a 60-bit long in one conv() — identical
+    * in every engine that has md5 (DuckDB: ('0x'||prefix)::BIGINT),
+    * which makes the whole fingerprint DuckDB-oracle-checkable (q23).
+    * Both variants return array<long>, so the window mins, distinct and
+    * downstream digest are numeric either way (the former hex-STRING
+    * portable mins paid UTF8String comparisons through every least() —
+    * measured ~25% of the whole q23). Still ~3× the per-gram cost of
+    * xxhash64; fine for certification runs, switch off at scale.
     */
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4,
       portable: Boolean = false): Column = {
     val hash: Column => Column =
-      if (portable) g => substring(md5(g), 1, 16) else g => xxhash64(g)
+      if (portable) g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      else g => xxhash64(g)
     val grams = transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => hash(text.substr(i, lit(k))))
@@ -148,17 +151,42 @@ object TextAnalysis {
 
   /** Fingerprint summary per document: count + a stable content id
     * (xxhash64 of the fingerprint set).
+    *
+    * Staged, unlike the one-shot [[winnowingFingerprint]] column: the
+    * gram-hash array lands in its own projection, and the w slices of
+    * the winnow stage read the materialized COLUMN. Inline, each slice
+    * re-evaluates the whole gram subtree (HOFs are interpreted — no
+    * codegen CSE), multiplying the per-gram hash cost by w+1; Catalyst's
+    * CollapseProject keeps the stages apart because the gram transform
+    * is non-cheap and consumed w times. Measured: portable q23
+    * 1.59 → 0.81 s at sf0.1 (prod xxhash path 0.47 → 0.31 s).
     */
   def fingerprintDocs(df: DataFrame, idCol: String, textCol: String = "text",
       k: Int = 8, w: Int = 4, portable: Boolean = false): DataFrame = {
+    val hash: Column => Column =
+      if (portable) g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      else g => xxhash64(g)
+    val grams = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
+      i => hash(col(textCol).substr(i, lit(k))))
+    val staged = df.select(col(idCol), length(col(textCol)).as("__len"),
+      grams.as("__grams"))
+    // winnow over the materialized gram column (see winnowingFingerprint
+    // for the shifted-zip design notes; __len stands in for length(text))
+    val m = greatest(greatest(col("__len") - (k - 1), lit(1)) - (w - 1), lit(1))
+    val shifted = (0 until w).map(j => slice(col("__grams"), lit(j + 1), m).as(s"g$j"))
+    val windowMins = transform(arrays_zip(shifted: _*), s =>
+      least((0 until w).map(j => s.getField(s"g$j")): _*))
     // content_id summarizes the fingerprint SET (sorted first — the
     // distinct-mins order is positional, not canonical); the portable
-    // variant composes only engine-portable pieces (sort, join, md5).
+    // variant composes only engine-portable pieces (numeric sort, then
+    // decimal rendering — Long.toString ≡ DuckDB CAST(BIGINT AS VARCHAR)
+    // — join, md5).
     val contentId =
-      if (portable) md5(array_join(array_sort(col("fingerprints")), ","))
+      if (portable)
+        md5(array_join(array_sort(col("fingerprints")).cast("array<string>"), ","))
       else xxhash64(to_json(struct(col("fingerprints"))))
-    df.select(col(idCol),
-      winnowingFingerprint(col(textCol), k, w, portable).as("fingerprints"))
+    staged.select(col(idCol), array_distinct(windowMins).as("fingerprints"))
       .select(col(idCol),
         size(col("fingerprints")).as("n_fingerprints"),
         contentId.as("content_id"),
