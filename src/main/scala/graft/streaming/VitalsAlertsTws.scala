@@ -60,11 +60,16 @@ object VitalsAlertsTws {
   /** Same contract as [[VitalsAlerts.detect]]; `ttl` evicts state for
     * patients not seen within the duration (processing-time based).
     *
-    * TTL caveat: a TTLConfig forces `TimeMode.ProcessingTime`, which in
-    * this repo's single-JVM test environment made the micro-batch loop
-    * spin without converging (continuous timer-evaluation batches), so
-    * only the `ttl = None` path is exercised by TwsAlertsSpec; the TTL
-    * plumbing is a thin pass-through to the engine's own TTLConfig.
+    * TTL caveat (root-caused): a TTLConfig forces
+    * `TimeMode.ProcessingTime`, under which the stateful operator keeps
+    * reporting that another batch may be needed (a timer/TTL could fire
+    * at any moment) — so no trigger, AvailableNow included, ever reaches
+    * a terminal "done"; the query loops empty batches indefinitely.
+    * `processAllAvailable`/`awaitTermination` therefore hang by design.
+    * Callers in bounded contexts pace the trigger and stop the query
+    * externally once progress shows their data batches committed —
+    * TwsAlertsSpec's TTL test does exactly this and asserts store-side
+    * expiry across a checkpoint restart (expired state reads as null).
     */
   def detect(readings: Dataset[Reading], threshold: Int = 3,
       ttl: Option[Duration] = None): Dataset[Alert] = {

@@ -61,6 +61,70 @@ class TwsAlertsSpec extends SparkSpec {
     }
   }
 
+  test("TTL: state expires across query restarts; without TTL it survives the restart") {
+    // ROOT CAUSE of the documented "TTL spin": with TimeMode.ProcessingTime
+    // the stateful operator keeps reporting that another batch may be
+    // needed (a timer/TTL could fire at any moment), so NO trigger ever
+    // reaches a terminal "done" — AvailableNow included; the query loops
+    // empty batches at full speed (observed: the execution thread burning
+    // CPU creating checkpoint files forever). Workaround for testability:
+    // pace the batches with a real ProcessingTime interval, WAIT for the
+    // data batch to commit (progress with our row counts), and stop the
+    // query externally. TTL expiration stamps come from batch processing
+    // time, and an expired value reads back as null after restart.
+    withRocksDb {
+      import java.time.Duration
+      import org.apache.spark.sql.streaming.Trigger
+      for ((ttl, expectAlert) <- Seq(
+          (Some(Duration.ofSeconds(2)), false), (None, true))) {
+        val root = Files.createTempDirectory("tws_ttl").toString
+        val mem = MemoryStream[Reading]
+        // foreachBatch sink: unlike the memory sink it supports restart
+        // from an existing checkpoint (run 2 resumes run 1's state)
+        val collected = new java.util.concurrent.ConcurrentLinkedQueue[Alert]()
+        def runOnce(expectInput: Long): Unit = {
+          val q = VitalsAlertsTws.detect(mem.toDS(), threshold = 3, ttl = ttl)
+            .writeStream
+            .option("checkpointLocation", s"$root/cp")
+            .outputMode("append")
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[Alert], _: Long) =>
+              batch.collect().foreach(collected.add)
+            }
+            .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+          // wait until our rows were processed AND a later (empty) batch
+          // committed — i.e. the data batch is fully done — then stop
+          val deadline = System.currentTimeMillis() + 60000
+          def seenAll: Boolean = {
+            val p = q.recentProgress
+            p.map(_.numInputRows).sum >= expectInput &&
+              p.last.numInputRows == 0
+          }
+          while (!seenAll && System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+          assert(seenAll, s"stream never processed $expectInput rows")
+          q.stop()
+        }
+        mem.addData(
+          Reading("P1", ts("2026-08-11 09:00:00"), 150, 98),
+          Reading("P1", ts("2026-08-11 09:01:00"), 150, 98)) // counter = 2
+        runOnce(expectInput = 2)
+        assert(collected.isEmpty)
+        // sleep past the TTL so the store-side expiration stamp (run-1
+        // processing time + 2s) is in the past for run 2
+        if (ttl.isDefined) Thread.sleep(4500)
+        mem.addData(Reading("P1", ts("2026-08-11 09:02:00"), 150, 98))
+        runOnce(expectInput = 1)
+        val alerts = scala.jdk.CollectionConverters.CollectionHasAsScala(collected).asScala.toSeq
+        if (expectAlert)
+          assert(alerts.length == 1 && alerts.head.consecutive == 3,
+            s"state should survive restart without TTL: $alerts")
+        else
+          assert(alerts.isEmpty,
+            s"TTL should have dropped P1's counter before run 2: $alerts")
+      }
+    }
+  }
+
   test("randomized: tws streaming across batches equals fMGWS batch on interleaved readings") {
     withRocksDb {
       val rnd = new scala.util.Random(23)
