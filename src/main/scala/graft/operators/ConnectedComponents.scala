@@ -10,30 +10,36 @@ import org.apache.spark.sql.functions._
   * duplicate GROUP" needs the transitive closure of those pairs (A~B,
   * B~C ⇒ {A,B,C} is one cluster even if A~C was never tested).
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round every node takes the min of its own label and
-  * its neighbors' labels; converged when no label changes. Each round is
-  * one equi-join + one aggregation — all shuffles are on the node id, no
-  * quadratic blow-up. Rounds needed = graph diameter; duplicate clusters
-  * are near-cliques (diameter ≤ 2-3) so this converges in a handful of
-  * rounds at any corpus size. (For adversarial long-chain graphs the
-  * classic fix is large-star/small-star contraction [Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14], which
-  * squares the propagation distance per round; dedup similarity graphs
-  * don't need it.)
+  * Two algorithms, auto-selected by measured round count:
   *
-  * Iteration hygiene at scale: each round's labels are
+  *  - **Min-label propagation** (default start): every node starts
+  *    labeled with itself; each round every node takes the min of its
+  *    own and its neighbors' labels; converged when nothing changes.
+  *    One equi-join + one aggregation per round, rounds = graph
+  *    DIAMETER. Duplicate clusters are near-cliques (diameter ≤ 2-3),
+  *    so this wins for the common case.
+  *  - **Large-star/small-star alternation** [Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond", SoCC'14]: each pass rewires
+  *    every node's larger neighbors to its local minimum (large-star)
+  *    and then contracts the smaller neighborhood onto it (small-star);
+  *    the edge set converges to per-component stars in O(log² n)
+  *    passes regardless of diameter. [[run]] ESCALATES to this when
+  *    propagation hasn't converged after `escalateAfter` rounds — the
+  *    signal that the graph has long chains, exactly where star
+  *    contraction's round bound beats diameter.
+  *
+  * Iteration hygiene at scale: each round's output is
   * `localCheckpoint`ed — iterative self-referential plans otherwise grow
   * lineage exponentially (analysis/optimization time, not data time) and
   * re-execute every prior round on each action.
   *
-  * Output: (id, component) for every node appearing in any edge, where
-  * component = min node id reachable in the node's component.
+  * Output: (id, comp) for every node appearing in any edge, where
+  * comp = min node id reachable in the node's component.
   */
 object ConnectedComponents {
 
   def run(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, escalateAfter: Int = 8): DataFrame = {
     // Undirected: materialize both directions once. Self-loops are
     // harmless (a node is trivially its own neighbor).
     val und = edges.select(col(src).as("a"), col(dst).as("b"))
@@ -47,7 +53,7 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < math.min(escalateAfter, maxIter)) {
       val nbrMin = und
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id"))
@@ -63,8 +69,62 @@ object ConnectedComponents {
       labels = updated.select(col("id"), col("comp"))
       iter += 1
     }
-    require(converged, s"connected components did not converge in $maxIter rounds")
-    labels
+    if (converged) labels
+    else {
+      // long-chain graph: diameter exceeds the propagation budget —
+      // switch to the star-contraction algorithm on the original edges
+      val (starLabels, _) = alternatingWithRounds(und, maxIter)
+      starLabels
+    }
+  }
+
+  /** Large-star/small-star alternation over a symmetric (a, b) edge
+    * frame; returns (labels, passes used). Exposed with the round count
+    * so specs can pin the O(log² n) bound on adversarial path graphs.
+    */
+  private[graft] def alternatingWithRounds(und: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // directed representation: every edge as (larger, smaller), no
+    // self-loops — both star steps preserve and require this orientation
+    var d = und.filter(col("a") > col("b")).distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = d.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized edges: every neighbor v > u
+      // rewires to m(u) = min(N(u) ∪ {u})
+      val sym = d.union(d.select(col("b").as("a"), col("a").as("b")))
+      val lsMin = sym.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("m"))
+      val ls = sym.join(lsMin, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star over the (larger, smaller) edges: u and all its
+      // smaller neighbors contract onto m(u) = min of that set
+      val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val joined = ls.join(ssMin, "a")
+      val next = joined
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(ssMin.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: the directed edge set is stable (stars map to
+      // themselves under both steps)
+      converged = next.count() == d.count() && next.except(d).isEmpty
+      d = next
+      iter += 1
+    }
+    require(converged, s"star-contraction CC did not converge in $maxIter passes")
+    // star edges are (member, component-min); centers label themselves.
+    // Nodes of und absent from d (isolated via self-loop-only input or
+    // singleton stars) keep their own id.
+    val starLabels = d.select(col("a").as("id"), col("b").as("comp"))
+      .union(d.select(col("b").as("id"), col("b").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    (und.select(col("a").as("id")).distinct()
+      .join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp")), iter)
   }
 
   /** Dedup-cluster view: each node with its cluster representative (the

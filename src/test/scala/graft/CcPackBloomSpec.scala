@@ -26,6 +26,43 @@ class CcPackBloomSpec extends SparkSpec {
     assert(got.length == n + 1 && got.forall(_._2 == 0L))
   }
 
+  test("star contraction: 10k-node path converges in O(log² n) passes, not O(diameter)") {
+    // min-label propagation needs ~10000 rounds here; the alternation
+    // must land the full component in a logarithmic pass count
+    val n = 10000
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b"))).distinct()
+    val (labels, passes) = ConnectedComponents.alternatingWithRounds(und)
+    assert(passes <= 25, s"star contraction took $passes passes on a ${n}-node path")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n + 1 && got.forall(_._2 == 0L))
+  }
+
+  test("auto-escalation: run() solves a path graph min-label alone cannot within its budget") {
+    val n = 500 // diameter 500 ≫ escalateAfter
+    val edges = (0 until n).map(i => ((i + 1000).toLong, (i + 1001).toLong)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges, escalateAfter = 4).as[(Long, Long)].collect()
+    assert(got.length == n + 1 && got.forall(_._2 == 1000L))
+  }
+
+  test("property: star contraction equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val nodes = 120 + trial * 40
+      val edges = (0 until nodes).map { _ =>
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong)
+      }.filter(e => e._1 != e._2).toDF("src", "dst")
+      val byProp = ConnectedComponents.run(edges, escalateAfter = 50)
+        .as[(Long, Long)].collect().toMap
+      val und = edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b"))).distinct()
+      val (labels, _) = ConnectedComponents.alternatingWithRounds(und)
+      val byStar = labels.as[(Long, Long)].collect().toMap
+      assert(byStar == byProp, s"trial $trial: star labels diverge from propagation")
+    }
+  }
+
   test("clusters: sizes and representatives") {
     val edges = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("src", "dst")
     val got = ConnectedComponents.clusters(edges)
