@@ -451,4 +451,43 @@ object Queries4 {
       |FROM events e JOIN stats USING (event_type)
       |WHERE abs(value - mu) > 3 * sigma
       |ORDER BY event_id""".stripMargin
+
+  /** PassJoin fuzzy self-join ([[FuzzyJoin.passJoin]]) over part names
+    * with planted misspellings (drop-last / append / first-char-swap by
+    * partkey mod 3 — deterministic and SQL-expressible). The DuckDB twin
+    * is the UNBLOCKED brute force over the same vocabulary, so the green
+    * hash certifies the segment-signature blocking is COMPLETE for
+    * lev <= 2 — the guarantee tokenBlocked (q91) can't make. The base
+    * set is keyed p_partkey <= 500, so the oracle costs the same at
+    * every SF.
+    */
+  def q99FuzzyPassjoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"), col("p_name"))
+    val variants = p.select(
+      when(col("p_partkey") % 3 === 0,
+          expr("substring(p_name, 1, length(p_name) - 1)"))
+        .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
+        .otherwise(concat(lit("z"), expr("substring(p_name, 2)")))
+        .as("p_name"))
+    FuzzyJoin.passJoin(p.select(col("p_name")).unionAll(variants), "p_name", maxDist = 2)
+      .select(col("a").as("name_a"), col("b").as("name_b"),
+        col("dist").cast("int").as("dist"), col("n_row_pairs").cast("long").as("n_row_pairs"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q99Sql: String =
+    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 500),
+      |vars AS (SELECT CASE WHEN p_partkey % 3 = 0 THEN substring(p_name, 1, length(p_name) - 1)
+      |                     WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+      |                     ELSE 'z' || substring(p_name, 2) END AS s FROM p),
+      |vocab AS (SELECT s, COUNT(*) AS n_rows FROM
+      |  (SELECT p_name AS s FROM p UNION ALL SELECT s FROM vars) GROUP BY s),
+      |pairs AS (SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s) AS d,
+      |    a.n_rows AS na, b.n_rows AS nb
+      |  FROM vocab a JOIN vocab b ON a.s < b.s
+      |  WHERE levenshtein(a.s, b.s) <= 2)
+      |SELECT name_a, name_b, CAST(d AS INT) AS dist, CAST(na * nb AS BIGINT) AS n_row_pairs
+      |FROM pairs ORDER BY name_a, name_b""".stripMargin
 }

@@ -124,6 +124,59 @@ class MergeFuzzyMgSpec extends SparkSpec {
     assert(got.isEmpty) // only shared token is the stop token "x"
   }
 
+  // --- FuzzyJoin.passJoin -------------------------------------------
+
+  private def levRef(s: String, t: String): Int = {
+    val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to s.length; j <- 1 to t.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+    d(s.length)(t.length)
+  }
+
+  test("passJoin: COMPLETE against brute force — no shared-token requirement") {
+    // "kitten"/"sitten" share no whitespace token-prefix trickery; also a
+    // no-shared-token pair tokenBlocked would miss by contract
+    val df = Seq("kitten", "sitten", "sitting", "abc", "abd", "xyz").toDF("name")
+    val got = FuzzyJoin.passJoin(df, "name", maxDist = 2)
+      .select("a", "b", "dist").as[(String, String, Int)].collect().toSet
+    val vals = Seq("kitten", "sitten", "sitting", "abc", "abd", "xyz")
+    val want = (for {
+      a <- vals; b <- vals if a < b
+      d = levRef(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    assert(want.contains(("abc", "abd", 1)) && want.contains(("kitten", "sitten", 1)))
+  }
+
+  test("passJoin: randomized completeness over a small alphabet incl. short and empty-adjacent strings") {
+    val rnd = new scala.util.Random(17)
+    def randStr(): String = {
+      val n = rnd.nextInt(12) // 0..11 chars — exercises the short stratum
+      (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    for (k <- 1 to 3) {
+      val rows = (0 until 250).map(_ => randStr()).filter(_.nonEmpty)
+      val df = rows.toDF("name")
+      val got = FuzzyJoin.passJoin(df, "name", maxDist = k)
+        .select("a", "b", "dist").as[(String, String, Int)].collect().toSet
+      val distinct = rows.distinct
+      val want = (for {
+        a <- distinct; b <- distinct if a < b
+        d = levRef(a, b) if d <= k
+      } yield (a, b, d)).toSet
+      assert(got == want,
+        s"k=$k: missing=${(want -- got).take(5)} spurious=${(got -- want).take(5)}")
+    }
+  }
+
+  test("passJoin: multiplicities multiply through like tokenBlocked") {
+    val df = Seq("abc", "abc", "abc", "abd", "abd", "zzz").toDF("name")
+    val got = FuzzyJoin.passJoin(df, "name", maxDist = 1)
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(got == Seq(("abc", "abd", 1, 6L)))
+  }
+
   // --- MisraGriesAgg ------------------------------------------------
 
   private def mgCandidates(keys: Seq[Long], cap: Int, partitions: Int): Set[Long] = {
