@@ -546,6 +546,76 @@ object ExtQueries {
        |SELECT qid, neighbor_id, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023), composed from
+    * the engine's own pieces end-to-end: (1) cluster the embedding
+    * corpus with the FROZEN-centroid IVF assignment (offline-trained
+    * centroids are query-time constants — same literals as q28/q64);
+    * (2) exact cosine near-dup pairs WITHIN each cluster only (the
+    * SemDeDup reduction: the pair join shuffles on cluster_id, never
+    * corpus×corpus); (3) resolve duplicate groups with
+    * [[graft.operators.ConnectedComponents]] and keep the min-id
+    * representative. Same planted near-duplicates as q21/q35, so the
+    * expected duplicate set is known. Pairs split across clusters are
+    * out of scope BY DESIGN (that is SemDeDup's approximation) — the
+    * DuckDB twin makes the identical choice, so the oracle certifies
+    * the whole composed pipeline including the closure.
+    */
+  def q100SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val base = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.01)).as("vec"))
+    val all = base.unionByName(planted)
+    val cents = graft.operators.IvfIndex.frozenCentroids(16, 64)
+    val assigned = graft.operators.IvfIndex.assignWith(
+      all, cents.map { case (c, a) => (c.toLong, a) }, "vec")
+    val withNorm = assigned
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("vec"), col("vec"))))
+    val lhs = withNorm.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val rhs = withNorm.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    val edges = lhs.join(rhs, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("vec_dot", col("va"), col("vb")) / (col("na") * col("nb")) >= 0.95)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.operators.ConnectedComponents.clusters(edges, "src", "dst")
+      .select(col("id").as("vec_id"), col("component"),
+        col("cluster_size").cast("long").as("group_size"),
+        (col("id") === col("component")).as("is_representative"))
+      .orderBy("vec_id")
+  }
+
+  val q100Sql: String = {
+    val cents = graft.operators.IvfIndex.frozenCentroids(16, 64)
+    s"""WITH RECURSIVE
+       |cc AS (SELECT ${ivfMat(cents)} AS c),
+       |av AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+       |  FROM embeddings WHERE vec_id < 20),
+       |asg AS (SELECT vec_id, vec,
+       |    list_sort(${ivfScoreTerms("vec", "cc.c", cents, "cid")})[1].cid AS cluster_id,
+       |    sqrt(list_dot_product(vec, vec)) AS nrm
+       |  FROM av, cc),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.95),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT DISTINCT a AS id, a AS r FROM und
+       |          UNION
+       |          SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT id AS vec_id, component,
+       |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS group_size,
+       |  id = component AS is_representative
+       |FROM comp ORDER BY vec_id""".stripMargin
+  }
+
   /** Multimodal feature extraction over a deterministic synthetic media
     * corpus. Image rows are REAL PNGs decoded with `javax.imageio`
     * (pixel-derived features); audio/video decode remains stubbed — see
