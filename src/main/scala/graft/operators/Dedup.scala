@@ -108,6 +108,27 @@ object Dedup {
     *
     * Output: (id_a, id_b, est_jaccard), id_a < id_b, distinct.
     */
+  /** (id, sig, band, bucket) rows from a signature frame — the band
+    * bucketing shared by [[minHashLsh]] and the incremental
+    * [[LshIndex]]: the bucket key of each contiguous rows-slice of the
+    * signature (portable mode uses the raw values as a csv key instead
+    * of xxhash64 — an equality key needs no hash, and it's
+    * engine-neutral). Derivable from STORED signatures alone — no text.
+    */
+  private[operators] def bandBuckets(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, portable: Boolean): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val bucket =
+        if (portable) concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r).cast("string")): _*)
+        else xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*).cast("string")
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    sigs
+      .select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
       k: Int = 3, maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
@@ -115,18 +136,7 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, k, portable)
 
-    // band buckets: hash of each contiguous rows-slice of the signature
-    // (portable mode uses the raw values as a csv key instead of
-    // xxhash64 — an equality key needs no hash, and it's engine-neutral)
-    val bandCols = (0 until bands).map { b =>
-      val bucket =
-        if (portable) concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r).cast("string")): _*)
-        else xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*).cast("string")
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    val buckets = sigs
-      .select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = bandBuckets(sigs, idCol, numHashes, bands, portable)
 
     // Posting list per (band, bucket): the signature pipeline runs ONCE
     // (a bucket self-join would recompute it per join side), the id-sorted

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash-LSH signature maintenance — dedup NEW documents
+  * against the historical corpus without recomputing it.
+  *
+  * The per-document minhash signature is a pure function of the
+  * document, so the "index" is just a signature SUMMARY TABLE
+  * (id, n_shingles, sig) maintained incrementally: each micro-batch
+  * appends its documents' signatures (replace-on-reDelivery — the
+  * signature is deterministic, so replays are idempotent), and
+  * candidate pairs for the batch come from band-bucketing the DELTA
+  * signatures against the stored ones ([[Dedup.bandBuckets]] derives
+  * buckets from the sig column alone — historical TEXT is never
+  * re-read, the table is ~|corpus|·(numHashes·8B) not corpus-sized).
+  *
+  * Equivalence contract (spec-pinned): running batches b₁..bₙ and
+  * unioning [[pairsForDelta]] outputs equals one-shot
+  * [[Dedup.minHashLsh]] over the concatenated corpus (uncapped) —
+  * every pair materializes exactly when its LATER document arrives.
+  * Unlike the batch operator there is no maxBucket cap here: a cap
+  * sliced per-batch would drop different pairs than the one-shot slice
+  * and silently break the equivalence; bound degenerate buckets
+  * upstream (stop-shingle filtering) instead.
+  *
+  * Exactly-once: pair output is written partitioned by batch_id with
+  * dynamic partition overwrite, so a replayed batch overwrites its own
+  * partition instead of appending duplicates — the same idempotent-sink
+  * stance as `SketchRollup.updateSummaryTable` and the Lakehouse
+  * partition swap.
+  */
+object LshIndex {
+
+  private def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Delta documents → signatures (in-batch duplicates collapse first;
+    * a re-delivered id computes the identical signature).
+    */
+  def signatures(delta: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, k: Int = 3, portable: Boolean = false): DataFrame =
+    Dedup.minHashSignatures(delta.dropDuplicates(idCol), idCol, textCol, numHashes, k, portable)
+
+  /** Merge a batch's signatures into the parquet summary table
+    * (replace semantics on id → idempotent under replay). The merged
+    * frame is pinned with `localCheckpoint` so the overwrite doesn't
+    * read its own input files.
+    */
+  def updateSignatureTable(path: String, delta: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, k: Int = 3, portable: Boolean = false): Unit = {
+    val spark = delta.sparkSession
+    val deltaSigs = signatures(delta, idCol, textCol, numHashes, k, portable)
+    val merged =
+      if (exists(spark, path))
+        spark.read.parquet(path)
+          .join(deltaSigs.select(col(idCol)), Seq(idCol), "left_anti")
+          .unionByName(deltaSigs)
+      else deltaSigs
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+  }
+
+  /** Candidate duplicate pairs INVOLVING the delta documents: delta
+    * band-buckets equi-join the (stored ∪ delta) band-buckets; exact
+    * signature agreement re-scores candidates. Call BEFORE
+    * [[updateSignatureTable]] for the same batch. Output matches
+    * [[Dedup.minHashLsh]]'s shape: (id_a, id_b, est_jaccard),
+    * id_a < id_b, distinct.
+    */
+  def pairsForDelta(path: String, delta: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
+      k: Int = 3, portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = delta.sparkSession
+    val deltaSigs = signatures(delta, idCol, textCol, numHashes, k, portable)
+      .localCheckpoint(true) // consumed by both join sides below
+    val corpus =
+      if (exists(spark, path))
+        // a replayed batch's ids may already be stored — the delta copy wins
+        spark.read.parquet(path)
+          .join(deltaSigs.select(col(idCol)), Seq(idCol), "left_anti")
+          .unionByName(deltaSigs)
+      else deltaSigs
+    val all = Dedup.bandBuckets(corpus.select(col(idCol), col("sig")),
+      idCol, numHashes, bands, portable)
+    val dlt = Dedup.bandBuckets(deltaSigs.select(col(idCol), col("sig")),
+        idCol, numHashes, bands, portable)
+      .select(col(idCol).as("__did"), col("sig").as("__dsig"),
+        col("band"), col("bucket"))
+    all.join(dlt, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__did"))
+      .select(
+        least(col(idCol), col("__did")).as("id_a"),
+        greatest(col(idCol), col("__did")).as("id_b"),
+        (expr("size(filter(zip_with(sig, __dsig, (a, b) -> a = b), m -> m))").cast("double") /
+          lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** One micro-batch of maintenance: emit the batch's pairs (against
+    * the pre-batch corpus), then fold its signatures into the table.
+    * Exposed for direct use and by [[start]].
+    */
+  def processBatch(sigPath: String, pairsPath: String, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5, k: Int = 3, portable: Boolean = false): Unit = {
+    pairsForDelta(sigPath, batch, idCol, textCol, numHashes, bands, minJaccard, k, portable)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(pairsPath)
+    updateSignatureTable(sigPath, batch, idCol, textCol, numHashes, k, portable)
+  }
+
+  /** Streaming wiring: maintain the signature table and the pair log
+    * from a document stream.
+    */
+  def start(docs: DataFrame, sigPath: String, pairsPath: String, checkpoint: String,
+      idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5, k: Int = 3, portable: Boolean = false,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("lsh_index_maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(sigPath, pairsPath, batch, batchId, idCol, textCol,
+            numHashes, bands, minJaccard, k, portable)
+      }
+      .start()
+}
