@@ -643,14 +643,18 @@ object Queries3 {
       |ORDER BY nation_value DESC, n_name""".stripMargin
 
   /** Column profiling ([[graft.analytics.DataChecks.profile]]): the
-    * data-catalog statistics table over orders in ONE scan (single wide
-    * agg with Expand-planned multi-distinct, exploded to long form).
-    * Price is pre-cast to DECIMAL so the rendered min/max string is
-    * engine-identical (raw double→string rendering differs).
+    * data-catalog statistics table over orders — a union of per-column
+    * pruned-scan aggregations (single-distinct branches, no Expand; on
+    * columnar storage the branches read the same bytes as one wide
+    * scan). Price is pre-cast to DECIMAL so the rendered min/max string
+    * is engine-identical (raw double→string rendering differs).
     */
   def q84Profile(spark: SparkSession, dir: String): DataFrame =
     graft.analytics.DataChecks.profile(
-      t(spark, dir, "orders")
+      // raw scan: the profiler's branches parallelize across columns, so
+      // the single-row-group compensation shuffle would only add one
+      // exchange per branch (see Tables.raw)
+      Tables.raw(spark, dir, "orders")
         .withColumn("o_totalprice", col("o_totalprice").cast(D)),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"))

@@ -23,6 +23,30 @@ class ChecksDimsSkewSpec extends SparkSpec {
     assert(uq.failures == 1) // "a" appears twice -> 1 extra row
   }
 
+  test("profile: exact stats correct; approx distinct within HLL++ error of exact") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 20000).map { i =>
+      (i.toLong, s"k${rnd.nextInt(3000)}", if (i % 7 == 0) null else s"v${i % 50}")
+    }.toDF("id", "key", "sparse")
+    val exact = DataChecks.profile(df, Seq("id", "key", "sparse"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact("id").getLong(1) == 20000 && exact("id").getLong(2) == 0)
+    assert(exact("id").getLong(3) == 20000) // all ids distinct
+    assert(exact("sparse").getLong(2) == 20000 / 7) // nulls counted
+    assert(exact("sparse").getLong(3) == 50) // v0..v49 all survive the null holes
+    val approx = DataChecks.profile(df, Seq("id", "key", "sparse"), approx = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "key", "sparse")) {
+      val e = exact(c); val a = approx(c)
+      // counts, nulls, min/max are exact in both modes
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2))
+      assert(a.getString(4) == e.getString(4) && a.getString(5) == e.getString(5))
+      // approx_count_distinct default rsd = 5%; allow 3 sigma
+      val rel = math.abs(a.getLong(3).toDouble - e.getLong(3)) / e.getLong(3)
+      assert(rel <= 0.15, s"$c: approx ${a.getLong(3)} vs exact ${e.getLong(3)} (rel $rel)")
+    }
+  }
+
   test("data checks: processed suite passes on generated pipeline output") {
     val e = HealthcareQueries.enriched(spark, 2000).cache()
     val results = DataChecks.processedSuite(
