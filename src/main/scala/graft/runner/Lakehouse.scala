@@ -10,10 +10,39 @@ import graft.marts.FactPatientEncounters
 import graft.model.Config
 import graft.staging.Staging
 
+/** Zone sink configuration — the pluggable-connector surface of the
+  * lakehouse. `format` is any DataSource V1/V2 short name or class;
+  * `options` pass verbatim to the writer/reader. Three support tiers:
+  *
+  *  - **verified columnar** (`parquet`, `orc`): the zone contracts —
+  *    schema preservation, dynamic partition overwrite, predicate
+  *    pushdown on read-back — are proven by FormatsSpec in this repo;
+  *  - **connector formats** (anything else non-textual, e.g. a
+  *    `bigquery` warehouse sink with
+  *    `Map("table" -> "dataset.fact", "temporaryGcsBucket" -> ...,
+  *    "writeMethod" -> "indirect")` — the reference's BigQuery
+  *    WRITE_APPEND sinks (`healthcare_etl_pipeline.py:296-339`)
+  *    expressed as writer config, or `jdbc`/`delta`/`iceberg`):
+  *    ACCEPTED as configuration and resolved by Spark at write time; in
+  *    an environment without the connector jar the write raises Spark's
+  *    standard unresolvable-data-source error naming the format
+  *    (spec-pinned), in production it routes to the warehouse with no
+  *    code change;
+  *  - **textual formats** (`csv`, `json`, `text`): rejected eagerly —
+  *    zones require schema-preserving files (the raw-zone INGEST of
+  *    csv/json lives in `sources.Ingest`, not here).
+  */
+final case class ZoneSink(format: String = "parquet",
+    options: Map[String, String] = Map.empty) {
+  require(!Seq("csv", "json", "text").contains(format.toLowerCase),
+    s"zone format must be schema-preserving; raw-zone $format ingest belongs to sources.Ingest")
+}
+
 /** Orchestrator replacing the Airflow DAG
   * (`airflow/dags/healthcare_data_pipeline_dag.py:139-147` wiring):
   * ingest/ETL → processed tables → staging views → fact table → reports →
-  * health gates. Zones map to columnar directories (Parquet by default, ORC pluggable via the `format` param)
+  * health gates. Zones map to columnar directories (Parquet by default;
+  * ORC and warehouse connectors pluggable via [[ZoneSink]])
   * (`raw/ processed/ curated/`, mirroring the three GCS buckets + BQ
   * datasets, `terraform/main.tf:118-245`).
   *
@@ -23,20 +52,21 @@ import graft.staging.Staging
   * dynamic partition pruning on the 24h/30d report filters for free.
   */
 final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.default,
-    format: String = "parquet") {
+    sink: ZoneSink = ZoneSink()) {
 
-  require(Seq("parquet", "orc").contains(format),
-    s"zone format must be a schema-preserving columnar format, got $format")
+  def this(spark: SparkSession, root: String, cfg: Config, format: String) =
+    this(spark, root, cfg, ZoneSink(format))
 
   val processedDir = s"$root/processed"
   val curatedDir = s"$root/curated"
 
   private def write(df: DataFrame, mode: SaveMode, path: String,
       partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(mode).format(format)
+    val w = df.write.mode(mode).format(sink.format).options(sink.options)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
   }
-  private def read(path: String): DataFrame = spark.read.format(format).load(path)
+  private def read(path: String): DataFrame =
+    spark.read.format(sink.format).options(sink.options).load(path)
 
   /** Run the ETL over a raw message DataFrame (one string column `value`)
     * and append the three processed tables + dead-letter output (R1/S3/S4).
@@ -203,7 +233,7 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     relayout(read(path), nFiles)
-      .write.format(format).mode(SaveMode.Overwrite).save(tmp.toString)
+      .write.format(sink.format).options(sink.options).mode(SaveMode.Overwrite).save(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     require(fs.rename(p, old), s"compact: could not move $p aside")
     // If activating the new layout fails, put the original back before
@@ -220,7 +250,7 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
     fs.listStatus(p).count(_.getPath.getName.endsWith(formatSuffix))
   }
 
-  private def formatSuffix: String = format match {
+  private def formatSuffix: String = sink.format match {
     case "orc" => ".orc"
     case _ => ".parquet"
   }
