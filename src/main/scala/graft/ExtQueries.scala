@@ -546,6 +546,43 @@ object ExtQueries {
        |SELECT qid, neighbor_id, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
   }
 
+  /** N-gram LM quality score ([[TextAnalysis.ngramLogprob]]): per-doc
+    * average log-probability under a corpus-trained add-1 bigram model —
+    * the CCNet-style perplexity filter. Oracle-checked: counts are
+    * integers, probabilities identical IEEE divisions, `ln` rounded to
+    * 6dp at the source (the q74 idf stance), and the per-doc mean sums
+    * exact DECIMAL — order-independent on both engines.
+    */
+  def q101LmScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramLogprob(t(spark, dir, "documents"), "doc_id")
+      .orderBy("doc_id")
+
+  val q101Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |stx AS (SELECT doc_id,
+      |    unnest([{'i': i, 'w': toks[i], 'prev': CASE WHEN i > 1 THEN toks[i-1] END}
+      |            FOR i IN generate_series(1, len(toks))]) AS s
+      |  FROM tk),
+      |st AS (SELECT doc_id, s.i AS i, s.w AS w, s.prev AS prev FROM stx),
+      |uni AS (SELECT w, COUNT(*) AS cu FROM st GROUP BY w),
+      |sc AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_corpus, COUNT(*) AS v_size FROM uni),
+      |bi AS (SELECT prev AS b1, w AS b2, COUNT(*) AS cb FROM st WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |scored AS (SELECT st.doc_id,
+      |    CAST(round((CASE WHEN st.i = 1
+      |      THEN ln(CAST(u.cu + 1 AS DOUBLE) / (sc.n_corpus + sc.v_size))
+      |      ELSE ln(CAST(COALESCE(b.cb, 0) + 1 AS DOUBLE) / (up.cu + sc.v_size)) END) * 1e6, 0) AS BIGINT) AS lp_micro
+      |  FROM st
+      |  JOIN uni u ON u.w = st.w
+      |  LEFT JOIN uni up ON up.w = st.prev
+      |  LEFT JOIN bi b ON b.b1 = st.prev AND b.b2 = st.w
+      |  CROSS JOIN sc),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lp_micro) AS BIGINT) AS s
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n AS n_tokens,
+      |  CAST(CASE WHEN s >= 0 THEN (s * 2 + n) // (2 * n)
+      |            ELSE -(((-s) * 2 + n) // (2 * n)) END AS DOUBLE) / 1e6 AS avg_logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023), composed from
     * the engine's own pieces end-to-end: (1) cluster the embedding
     * corpus with the FROZEN-centroid IVF assignment (offline-trained

@@ -240,4 +240,69 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col(idCol), col("rn"), col("term"), col("tf"), col("tfidf"))
   }
+
+  /** N-gram language-model quality score — the CCNet-style perplexity
+    * filter of training-data pipelines: score each document by its
+    * average per-token log-probability under an add-1-smoothed bigram
+    * model TRAINED ON THE CORPUS ITSELF (documents far below the
+    * corpus-average logprob are gibberish/OCR noise; far above are
+    * degenerate repetition — both standard drop candidates).
+    *
+    * Model: first token scored by the unigram `ln((c(w)+1)/(N+V))`,
+    * subsequent tokens by the bigram `ln((c(prev,w)+1)/(c(prev)+V))`.
+    *
+    * Cross-engine determinism: per-token logprobs round to integer
+    * MICRO-units at the source (`round(ln·1e6)` — the [[docFrequency]]
+    * idf stance against libm ulp drift, in integer form), the per-doc
+    * sum is exact BIGINT, and the average is an integer half-up
+    * division — NO double rounding of a quotient anywhere. (The first
+    * formulation rounded the decimal-summed average with `round(,6)`
+    * and a real document at sf0.1 landed the quotient on an exact 6dp
+    * tie, where Java's exact-binary HALF_UP and C's multiply-then-round
+    * disagree — integer division has no such boundary.) The reported
+    * double is `avg_micro / 1e6`, the same IEEE division everywhere.
+    *
+    * Shape at scale: one token explode feeds the unigram count (shuffle
+    * on token), the bigram count (shuffle on the pair), and the scoring
+    * stream; scoring joins shuffle on the same token/pair keys; the
+    * (N, V) scalars ride along as a one-row broadcast. Nothing is
+    * quadratic and no vocabulary table ever sits on the driver.
+    */
+  def ngramLogprob(df: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+    val stream = toks
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "w")),
+        col("toks"))
+      // posexplode is 0-based; element_at is 1-based → toks[p0] is the
+      // PREVIOUS token of the current one, defined for p0 >= 1
+      .select(col(idCol), (col("p0") + 1).as("i"), col("w"),
+        when(col("p0") >= 1, element_at(col("toks"), col("p0"))).as("prev"))
+    val uni = stream.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val scalars = uni.agg(sum(col("cu")).as("n_corpus"), count(lit(1)).as("v_size"))
+    val bi = stream.filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("b1"), col("w").as("b2"))
+      .agg(count(lit(1)).as("cb"))
+
+    val scored = stream
+      .join(uni.select(col("w"), col("cu").as("cu_w")), Seq("w"))
+      .join(uni.select(col("w").as("prev"), col("cu").as("cu_prev")), Seq("prev"), "left")
+      .join(bi, col("prev") === col("b1") && col("w") === col("b2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("lp_micro", round(
+        when(col("i") === 1,
+          log((col("cu_w") + 1).cast("double") / (col("n_corpus") + col("v_size"))))
+          .otherwise(
+            log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+              (col("cu_prev") + col("v_size")))) * lit(1e6), 0).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(col("lp_micro")).as("s"))
+      // integer half-up division, sign-aware (logprobs are ≤ 0 but a
+      // one-token-vocabulary corpus can hit 0): HALF_UP(|s|/n) on the
+      // magnitude, sign restored
+      .withColumn("avg_micro",
+        when(col("s") >= 0, expr("(s * 2 + n) DIV (2 * n)"))
+          .otherwise(-expr("((-s) * 2 + n) DIV (2 * n)")))
+      .select(col(idCol), col("n").as("n_tokens"),
+        (col("avg_micro").cast("double") / 1e6).as("avg_logprob"))
+  }
 }

@@ -36,6 +36,35 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L) == Seq(("cherry", 1L), ("banana", 1L)))
   }
 
+  test("ngramLogprob: hand-computed add-1 bigram scores on a tiny corpus") {
+    // corpus: "a b", "a b", "a c" → N = 6 tokens, V = 3 {a, b, c}
+    // c(a)=3 c(b)=2 c(c)=1; bigrams c(a,b)=2 c(a,c)=1
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLogprob(d, "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // replicate the operator's integer micro-unit scheme: per-token
+    // HALF_UP(ln·1e6) as long, integer half-up division for the mean
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def avg(lps: Long*): Double = {
+      val s = lps.sum; val n = lps.size
+      val t = -s // logprobs are negative here
+      -((t * 2 + n) / (2L * n)).toDouble / 1e6
+    }
+    // doc 1/2: pos1 "a" unigram ln((3+1)/(6+3)); pos2 "b" bigram ln((2+1)/(3+3))
+    val lpA = micro(math.log(4.0 / 9.0)); val lpAB = micro(math.log(3.0 / 6.0))
+    assert(got(1L) == (2L, avg(lpA, lpAB)) && got(2L) == (2L, avg(lpA, lpAB)))
+    // doc 3: "a" unigram + bigram (a,c): ln((1+1)/(3+3))
+    val lpAC = micro(math.log(2.0 / 6.0))
+    assert(got(3L) == (2L, avg(lpA, lpAC)))
+    // the filter signal: repetitive boilerplate (high-count bigrams)
+    // scores ABOVE rare-vocabulary text — both tails of the quality cut
+    val d2 = Seq((1L, "x y x y x y"), (2L, "q r")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.ngramLogprob(d2, "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(g2(1L) > g2(2L))
+  }
+
   test("tfIdfTopTerms: equal rounded scores fall through to the term tie-break") {
     // two terms with identical (tf, df) in one doc → identical tfidf →
     // alphabetical order decides
