@@ -758,6 +758,56 @@ object ExtQueries {
     * recursive CTE — closure semantics, not just pair semantics, are
     * hash-checked.
     */
+  /** Duplicate-cluster RESOLUTION POLICY — the step after detection:
+    * real pipelines don't keep the min-id member, they keep the BEST
+    * one. Composes the certified q58 machinery (n-gram Jaccard pairs →
+    * connected components) with a keep-longest policy: per duplicate
+    * cluster, the keeper is the member with the highest word count
+    * (ties → smaller doc_id); everything else is the drop list. One
+    * row per multi-member cluster with the keeper and the drop count —
+    * the exact shape a training-data curation job writes back.
+    */
+  def q102DedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      k = 3, minJaccard = 0.2, maxDocFreq = 200)
+    val wc = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("word_count"))
+    graft.operators.ConnectedComponents.clusters(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+      .join(wc, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+          .orderBy(col("word_count").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("keeper_id"),
+        col("word_count").as("keeper_word_count"),
+        col("cluster_size").cast("long").as("n_members"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped"))
+      .orderBy("component")
+  }
+
+  // lazy: declared before q58Sql in this object, so eager init would
+  // read a null q58Sql (object vals initialize in declaration order)
+  lazy val q102Sql: String = {
+    // the q58 closure verbatim (everything before its final SELECT),
+    // then the keeper policy on top
+    val cut = q58Sql.lastIndexOf("\nSELECT id AS doc_id")
+    require(cut >= 0, "q102Sql: q58Sql's final SELECT changed — update the split marker")
+    val closure = q58Sql.substring(0, cut)
+    s"""$closure,
+       |cs AS (SELECT id AS doc_id, component,
+       |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size FROM comp),
+       |wc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS word_count FROM documents),
+       |rk AS (SELECT cs.component, cs.doc_id, wc.word_count, cs.cluster_size,
+       |    row_number() OVER (PARTITION BY cs.component
+       |      ORDER BY wc.word_count DESC, cs.doc_id ASC) AS rk
+       |  FROM cs JOIN wc USING (doc_id))
+       |SELECT component, doc_id AS keeper_id, word_count AS keeper_word_count,
+       |  cluster_size AS n_members, cluster_size - 1 AS n_dropped
+       |FROM rk WHERE rk = 1 ORDER BY component""".stripMargin
+  }
+
   def q58DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccard(t(spark, dir, "documents"), "doc_id", "text",
       k = 3, minJaccard = 0.2, maxDocFreq = 200)
