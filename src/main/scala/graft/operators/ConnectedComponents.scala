@@ -58,14 +58,18 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("bcomp")).as("nbr_min"))
-      // carry the previous label through the update so the convergence
-      // check is a filter on the checkpointed result, not another join
+      // the convergence check RIDES the checkpoint job: an Observation
+      // on the changed-label count fires during the eager localCheckpoint
+      // materialization, so each round is ONE job, not checkpoint +
+      // isEmpty (measured: eager observations do fire on localCheckpoint)
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .observe(obs, count(when(col("comp") =!= col("old"), 1)).as("changed"))
         .localCheckpoint(true)
-      converged = updated.filter(col("comp") =!= col("old")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = updated.select(col("id"), col("comp"))
       iter += 1
     }
