@@ -583,6 +583,33 @@ object ExtQueries {
       |            ELSE -(((-s) * 2 + n) // (2 * n)) END AS DOUBLE) / 1e6 AS avg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Token-budget mixture sampling ([[graft.operators.Sampling
+    * .tokenBudgetMixture]]): per-language token budgets realized as a
+    * hash-stable greedy prefix — the pretraining data-mixture step.
+    * Oracle-checked: md5 order, integer token counts, and the
+    * window-cumsum cut are identical in any engine (no RNG).
+    */
+  def q103Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    graft.operators.Sampling.tokenBudgetMixture(docs, "doc_id", "lang", "n_tokens",
+      Seq("en" -> 3000L, "de" -> 1500L, "es" -> 1500L, "fr" -> 1000L, "zh" -> 800L))
+      .orderBy("lang", "doc_id")
+  }
+
+  val q103Sql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |b(lang, budget) AS (VALUES ('en', 3000), ('de', 1500), ('es', 1500), ('fr', 1000), ('zh', 800)),
+      |c AS (SELECT d.doc_id, d.lang, d.n_tokens, b.budget,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY d.lang ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+      |  FROM d JOIN b USING (lang))
+      |SELECT doc_id, lang, n_tokens, tokens_before
+      |FROM c WHERE tokens_before < budget ORDER BY lang, doc_id""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023), composed from
     * the engine's own pieces end-to-end: (1) cluster the embedding
     * corpus with the FROZEN-centroid IVF assignment (offline-trained

@@ -53,4 +53,38 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Token-budget MIXTURE sampling — the pretraining data-mixture step:
+    * per source (language, domain, crawl, ...) take documents up to a
+    * token budget, in md5-of-id order. Hash order makes the selection a
+    * stable PREFIX: re-running over a grown corpus keeps every
+    * previously-selected document selected (same leakage-safety stance
+    * as [[split]]) and the predicate is portable to any engine with md5
+    * — so the whole mixture is oracle-checkable, unlike an RNG sample.
+    *
+    * A document is kept while its source's budget is not yet exhausted
+    * BEFORE it (the first document of a source is always kept, and the
+    * realized mixture overshoots each budget by less than one document
+    * — the standard greedy-prefix contract, same stance as
+    * [[Packing.greedyPack]]'s oversized-doc rule).
+    *
+    * Shape at scale: one window (partitionBy source, orderBy hash) —
+    * a single shuffle on the source key; budgets join as a broadcast
+    * literal frame, never a driver lookup inside the plan.
+    */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, budgets: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = budgets.toDF(sourceCol, "__budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.join(broadcast(b), Seq(sourceCol))
+      .withColumn("__cum_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("__cum_before") < col("__budget"))
+      .select(col(idCol), col(sourceCol), col(tokensCol).as("n_tokens"),
+        col("__cum_before").as("tokens_before"))
+  }
 }

@@ -47,6 +47,39 @@ class SamplingHllSpec extends SparkSpec {
     assert(enRatio > 0.35 && enRatio < 0.65, s"en keep-ratio $enRatio should be ~0.5")
   }
 
+  test("token-budget mixture: per-source budget respected, greedy-prefix overshoot < one doc, growth-stable") {
+    val toks = docs.withColumn("n_tokens",
+      size(split($"text", " ")).cast("long"))
+    val budgets = Seq("en" -> 2000L, "zh" -> 700L)
+    val got = Sampling.tokenBudgetMixture(toks, "doc_id", "lang", "n_tokens", budgets)
+    val bySrc = got.groupBy("lang")
+      .agg(sum($"n_tokens").as("t"), max($"tokens_before").as("maxb"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((src, budget) <- budgets) {
+      val (total, maxBefore, n) = bySrc(src)
+      assert(n > 0 && maxBefore < budget, s"$src: a kept doc started past the budget")
+      // overshoot is bounded by the last doc: total - budget < that doc's tokens
+      assert(total >= budget || n == toks.filter($"lang" === src).count(),
+        s"$src: stopped early with budget left and docs remaining")
+    }
+    // sources without a budget are excluded entirely
+    assert(got.filter(!$"lang".isin("en", "zh")).isEmpty)
+    // growth stability: the selection from a half corpus is a subset of
+    // nothing-lost semantics — every doc selected from the FULL corpus
+    // that exists in the half corpus with the same hash-prefix position
+    // is selected there too (prefix property)
+    val half = toks.filter($"doc_id" % 2 === 0)
+    val fromHalf = Sampling.tokenBudgetMixture(half, "doc_id", "lang", "n_tokens", budgets)
+      .select($"doc_id").as[Long].collect().toSet
+    val fromFull = got.select($"doc_id").as[Long].collect().toSet
+    // full-corpus selection restricted to half-corpus docs is a SUBSET of
+    // the half-corpus selection: removing docs only frees budget earlier
+    // in the hash order, never evicts a previously-selected doc
+    val fullOnHalf = fromFull.filter(_ % 2 == 0)
+    assert(fullOnHalf.subsetOf(fromHalf),
+      s"selection must be monotone under corpus shrink: ${(fullOnHalf -- fromHalf).take(5)}")
+  }
+
   test("HLL approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val both = ev.agg(
