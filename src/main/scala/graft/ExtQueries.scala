@@ -614,9 +614,12 @@ object ExtQueries {
     * the engine's own pieces end-to-end: (1) cluster the embedding
     * corpus with the FROZEN-centroid IVF assignment (offline-trained
     * centroids are query-time constants — same literals as q28/q64);
-    * (2) exact cosine near-dup pairs WITHIN each cluster only (the
-    * SemDeDup reduction: the pair join shuffles on cluster_id, never
-    * corpus×corpus); (3) resolve duplicate groups with
+    * (2) exact cosine near-dup pairs WITHIN each cluster only via
+    * [[graft.operators.SemDedup.edges]] (the SemDeDup reduction: the
+    * pair join shuffles on cluster_id, never corpus×corpus — and its
+    * max-cell-size guard splits/stars oversized cells so frozen-k
+    * doesn't go quadratic under corpus growth; no cell is oversized at
+    * test SFs, so the oracle sees the identical plain pair join); (3) resolve duplicate groups with
     * [[graft.operators.ConnectedComponents]] and keep the min-id
     * representative. Same planted near-duplicates as q21/q35, so the
     * expected duplicate set is known. Pairs split across clusters are
@@ -635,16 +638,11 @@ object ExtQueries {
     val cents = graft.operators.IvfIndex.frozenCentroids(16, 64)
     val assigned = graft.operators.IvfIndex.assignWith(
       all, cents.map { case (c, a) => (c.toLong, a) }, "vec")
-    val withNorm = assigned
-      .withColumn("nrm", sqrt(call_function("vec_dot", col("vec"), col("vec"))))
-    val lhs = withNorm.select(col("cluster_id"), col("vec_id").as("id_a"),
-      col("vec").as("va"), col("nrm").as("na"))
-    val rhs = withNorm.select(col("cluster_id"), col("vec_id").as("id_b"),
-      col("vec").as("vb"), col("nrm").as("nb"))
-    val edges = lhs.join(rhs, Seq("cluster_id"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(call_function("vec_dot", col("va"), col("vb")) / (col("na") * col("nb")) >= 0.95)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Guarded pair generation ([[graft.operators.SemDedup.edges]]): with
+    // no cell over maxCellSize (the case at every test SF) this IS the
+    // plain within-cluster pair join the oracle mirrors; at scale the
+    // guard splits/stars oversized cells instead of going quadratic.
+    val edges = graft.operators.SemDedup.edges(assigned, "vec_id", "vec", threshold = 0.95)
     graft.operators.ConnectedComponents.clusters(edges, "src", "dst")
       .select(col("id").as("vec_id"), col("component"),
         col("cluster_size").cast("long").as("group_size"),

@@ -133,7 +133,6 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
       k: Int = 3, maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, k, portable)
 
     val buckets = bandBuckets(sigs, idCol, numHashes, bands, portable)

@@ -47,20 +47,41 @@ object LshIndex {
 
   /** Merge a batch's signatures into the parquet summary table
     * (replace semantics on id → idempotent under replay). The merged
-    * frame is pinned with `localCheckpoint` so the overwrite doesn't
-    * read its own input files.
+    * table is written to a temp sibling and rename-swapped into place
+    * (same mechanics as `Lakehouse.compact`): an in-place overwrite has
+    * a window — post-delete, pre-commit — where a crash loses the whole
+    * historical table; with the swap the live path always holds either
+    * the old table or the new one. localCheckpoint is still taken so the
+    * merged plan doesn't hold the old files open across the swap.
     */
   def updateSignatureTable(path: String, delta: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, k: Int = 3, portable: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val deltaSigs = signatures(delta, idCol, textCol, numHashes, k, portable)
-    val merged =
-      if (exists(spark, path))
-        spark.read.parquet(path)
-          .join(deltaSigs.select(col(idCol)), Seq(idCol), "left_anti")
-          .unionByName(deltaSigs)
-      else deltaSigs
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+    if (!exists(spark, path)) {
+      deltaSigs.write.mode("overwrite").parquet(path)
+      return
+    }
+    val merged = spark.read.parquet(path)
+      .join(deltaSigs.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(deltaSigs)
+      .localCheckpoint(true)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__merging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__premerge")
+    fs.delete(old, true) // stale leftover from a crashed earlier swap
+    require(fs.rename(p, old), s"updateSignatureTable: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      val restored = fs.rename(old, p)
+      throw new IllegalStateException(
+        s"updateSignatureTable: could not activate $tmp; " +
+          (if (restored) s"restored original at $p"
+           else s"RESTORE FAILED — signatures are at $old, manual rename required"))
+    }
+    fs.delete(old, true)
   }
 
   /** Candidate duplicate pairs INVOLVING the delta documents: delta

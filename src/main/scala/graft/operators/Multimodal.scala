@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * synthetic corpus encodes genuine PNG bytes, [[decodeAndFeaturize]]
   * decodes them back to pixels (width/height/mean-RGB/luminance
   * histogram features), and [[resize]] re-renders through a bilinear
-  * Graphics2D pass. AUDIO/VIDEO codecs need native libraries not present
-  * in this container — those stay STUBBED with deterministic fakes
+  * Graphics2D pass. AUDIO is real end-to-end with pure-JDK
+  * `javax.sound.sampled`: the synthetic corpus writes genuine RIFF/WAV
+  * PCM payloads and [[decodeAndFeaturize]] parses them back to samples
+  * (RMS, zero-crossing rate, amplitude histogram, real duration from
+  * the frame count). VIDEO containers need native codecs not present in
+  * this container — that path stays STUBBED with a deterministic fake
   * (clearly marked below). Everything Spark-side is real and tested: the
   * schema contract, the batched `mapPartitions` execution shape (the
   * Scala analogue of `mapInPandas` — one iterator per partition,
@@ -55,11 +59,11 @@ object Multimodal {
       feature: Array[Float] // fixed 16-dim feature vector
   )
 
-  /** Deterministic fake features for the codec-less media types (audio/
-    * video) — STUB: a stable 16-dim rolling hash of the payload, so tests
-    * are reproducible and dedup-by-feature is exercised. A real
-    * deployment swaps this for the codec call (e.g. JavaCV); signature,
-    * batching, and schema stay identical.
+  /** Deterministic fake features for the codec-less media type (video)
+    * and undecodable payloads — STUB: a stable 16-dim rolling hash of
+    * the payload, so tests are reproducible and dedup-by-feature is
+    * exercised. A real deployment swaps this for the codec call (e.g.
+    * JavaCV); signature, batching, and schema stay identical.
     */
   private def hashFeature(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](16)
@@ -73,15 +77,67 @@ object Multimodal {
     out
   }
 
+  /** Real WAV/PCM audio features via `javax.sound.sampled` (the audio
+    * analogue of the imageio path): parse the RIFF header, stream the
+    * PCM frames once, and emit sample-derived features —
+    * feature = [sample_rate, channels, duration_ms (from the REAL frame
+    * count, not metadata), RMS, zero-crossing rate, 8-bin |amplitude|
+    * histogram fractions, peak |amplitude|, 0]. First channel only;
+    * non-16-bit or non-PCM encodings (and corrupt payloads) fall back to
+    * [[hashFeature]] rather than failing the batch.
+    */
+  private def wavFeature(payload: Array[Byte]): Array[Float] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val data =
+        try ais.readAllBytes()
+        finally ais.close()
+      val frameSize = fmt.getFrameSize
+      val n = data.length / frameSize
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || n == 0)
+        return hashFeature(payload)
+      var i = 0
+      var sumSq = 0.0
+      var zc = 0L
+      var peak = 0.0f
+      var prev = 0.0f
+      val hist = new Array[Long](8)
+      while (i < n) {
+        val off = i * frameSize // first channel of each frame
+        val s = (((data(off + 1) << 8) | (data(off) & 0xff)).toShort / 32768.0f)
+        sumSq += s.toDouble * s
+        if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        hist(math.min(7, (a * 8).toInt)) += 1
+        prev = s
+        i += 1
+      }
+      val out = new Array[Float](16)
+      out(0) = fmt.getSampleRate
+      out(1) = fmt.getChannels.toFloat
+      out(2) = n * 1000.0f / fmt.getSampleRate
+      out(3) = math.sqrt(sumSq / n).toFloat
+      out(4) = zc.toFloat / n
+      var k = 0
+      while (k < 8) { out(5 + k) = hist(k).toFloat / n; k += 1 }
+      out(13) = peak
+      out
+    } catch { case _: Exception => hashFeature(payload) }
+
   /** Decode + feature extraction. Images REALLY decode via
     * `javax.imageio` (PNG/JPEG/BMP/GIF — whatever the JDK readers
     * accept): feature = [width, height, meanR, meanG, meanB,
     * 8-bin luminance histogram fractions, aspect ratio, 0, 0].
-    * Undecodable images fall back to the hash feature rather than
+    * Audio REALLY decodes via `javax.sound.sampled` ([[wavFeature]]).
+    * Undecodable payloads fall back to the hash feature rather than
     * failing the batch — corrupt blobs are data, not exceptions.
-    * Audio/video use the [[hashFeature]] STUB (no native codecs here).
+    * Video uses the [[hashFeature]] STUB (no native codecs here).
     */
   private[operators] def decodeAndFeaturize(mediaType: String, payload: Array[Byte]): Array[Float] = {
+    if (mediaType == "audio") return wavFeature(payload)
     if (mediaType != "image") return hashFeature(payload)
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     if (img == null) return hashFeature(payload)
@@ -175,9 +231,11 @@ object Multimodal {
 
   /** Deterministic synthetic media corpus for tests/demos. Image rows
     * carry REAL PNG bytes (id-seeded pixel pattern encoded with
-    * `javax.imageio`, so the decode path exercises a genuine codec);
-    * audio/video payloads remain deterministic opaque bytes standing in
-    * for container formats the JDK can't decode.
+    * `javax.imageio`); audio rows carry REAL RIFF/WAV 16-bit PCM bytes
+    * (id-seeded two-tone waveform written with `javax.sound.sampled`,
+    * so the decode path exercises a genuine parser); video payloads
+    * remain deterministic opaque bytes standing in for container
+    * formats the JDK can't decode.
     */
   def syntheticCorpus(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -187,6 +245,8 @@ object Multimodal {
       }
       val w = if (kind != "audio") 64 + (id % 8).toInt * 16 else 0
       val h = if (kind != "audio") 48 + (id % 8).toInt * 12 else 0
+      val audioSr = 8000
+      val audioMs = if (kind == "audio") 100L + (id % 10) * 50 else 0L
       val payload = kind match {
         case "image" =>
           val px = new Array[Int](w * h)
@@ -207,6 +267,28 @@ object Multimodal {
           val bos = new ByteArrayOutputStream()
           ImageIO.write(img, "png", bos)
           bos.toByteArray
+        case "audio" =>
+          // id-seeded fundamental + second harmonic, 16-bit mono PCM
+          val nSamples = (audioSr * audioMs / 1000).toInt
+          val freq = 220.0 + (id % 40) * 55.0
+          val bytes = new Array[Byte](nSamples * 2)
+          var i = 0
+          while (i < nSamples) {
+            val t = i.toDouble / audioSr
+            val v = 0.6 * math.sin(2 * math.Pi * freq * t) +
+              0.25 * math.sin(2 * math.Pi * freq * 2 * t + (id % 7).toDouble)
+            val s = math.max(-32768, math.min(32767, (v * 32767).toInt)).toShort
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(audioSr.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+          val bos = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
         case _ =>
           val len = 64 + (id % 193).toInt
           Array.tabulate[Byte](len)(i => ((id * 31 + i * 7) % 251).toByte)
@@ -216,8 +298,8 @@ object Multimodal {
           kind match { case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4" },
           width = w,
           height = h,
-          duration_ms = if (kind != "image") 1000L + (id % 10) * 500 else 0L,
-          sample_rate = if (kind == "audio") 16000 else 0),
+          duration_ms = if (kind == "audio") audioMs else if (kind == "video") 1000L + (id % 10) * 500 else 0L,
+          sample_rate = if (kind == "audio") audioSr else 0),
         payload)
     }
   }

@@ -57,10 +57,21 @@ object Sampling {
   /** Token-budget MIXTURE sampling — the pretraining data-mixture step:
     * per source (language, domain, crawl, ...) take documents up to a
     * token budget, in md5-of-id order. Hash order makes the selection a
-    * stable PREFIX: re-running over a grown corpus keeps every
-    * previously-selected document selected (same leakage-safety stance
-    * as [[split]]) and the predicate is portable to any engine with md5
-    * — so the whole mixture is oracle-checkable, unlike an RNG sample.
+    * deterministic pure function of the corpus (same corpus → same
+    * mixture, no RNG state) and the predicate is portable to any engine
+    * with md5 — so the whole mixture is oracle-checkable.
+    *
+    * Growth contract — weaker than [[split]]'s, by design: because the
+    * cut is a CUMULATIVE-token prefix, a corpus that grows can insert a
+    * new document earlier in hash order, pushing a previously-selected
+    * document past its source's budget (eviction IS possible). What
+    * growth can never do is promote a previously-UNselected old
+    * document: its tokens_before only increases as the corpus grows.
+    * (Shrink is monotone the other way — SamplingHllSpec pins it.)
+    * If per-document stability under growth matters more than exact
+    * budget adherence, use [[split]]/[[stratified]]'s per-row
+    * hash-threshold admission with fraction ≈ budget/corpus_tokens
+    * instead — that trades the hard budget for admission stability.
     *
     * A document is kept while its source's budget is not yet exhausted
     * BEFORE it (the first document of a source is always kept, and the

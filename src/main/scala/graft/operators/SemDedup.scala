@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style within-cluster near-duplicate edge generation with a
+  * MAX-CELL-SIZE guard — the piece that keeps the SemDeDup reduction
+  * (Abbas et al. 2023: pair only within a k-means cell, never
+  * corpus×corpus) safe under corpus growth.
+  *
+  * The scale hazard: with a FROZEN centroid count k, cell populations
+  * grow linearly with the corpus, so the within-cell self-join grows
+  * quadratically — SemDeDup's own guidance is k ≈ √N (k ∝
+  * corpus/target-cell-size). When centroids are frozen artifacts (the
+  * production IVF posture — see [[IvfIndex.frozenCentroids]]), k can't
+  * chase N, so the guard splits oversized cells instead:
+  *
+  *  1. One aggregation counts each cluster (shuffle on cluster_id; the
+  *     collected result is only the OVERSIZED clusters — bounded by
+  *     N/maxCellSize rows, the same boundedness argument as a broadcast).
+  *     No oversized clusters → return the plain within-cluster pair
+  *     join unchanged (identical plan to the unguarded operator).
+  *  2. Oversized clusters sub-partition SEMANTICALLY: the low
+  *     ⌈log₂(n/maxCellSize)⌉ bits of the deterministic hyperplane
+  *     signature ([[VectorOps.hyperplaneSignature]]) extend the cell
+  *     key — a recursive re-cluster by constant hyperplanes, not a
+  *     random hash, so near-duplicates (cosine ≥ 0.95 ⇒ per-bit sign
+  *     agreement ≈ 1−θ/π ≳ 0.9) stay co-celled with high probability
+  *     and recall degrades gracefully rather than uniformly.
+  *  3. Cells STILL above the cap after splitting are semantically
+  *     homogeneous (near-identical vectors share every hyperplane
+  *     bit — exactly the case where splitting can't help and quadratic
+  *     pairing is pure waste). Those fall back to STAR edges: every
+  *     member pairs only against the cell's deterministic anchor
+  *     (min-md5 member), still gated by the exact cosine threshold —
+  *     n−1 edges instead of n(n−2)/2, and the duplicate group still
+  *     collapses to one component under [[ConnectedComponents]]
+  *     because every member reaches the anchor. Missed by design:
+  *     member↔member pairs where neither is ≥ threshold to the anchor —
+  *     the same "approximate by construction" stance as SemDeDup's own
+  *     cross-cluster blindness, but bounded and observable instead of
+  *     quadratic.
+  *
+  * Output: (src, dst) edge rows, src < dst, exact cosine ≥ threshold —
+  * the input shape [[ConnectedComponents.clusters]] expects.
+  */
+object SemDedup {
+
+  /** Near-duplicate edges within clusters of `assigned` (must carry a
+    * numeric `cluster_id`, e.g. from [[IvfIndex.assignWith]]), with the
+    * cell-size guard described above.
+    *
+    * @param maxCellSize pair-join cap per cell; also the star-fallback
+    *                    trigger after semantic splitting
+    * @param maxSplitBits upper bound on hyperplane split bits (2^bits
+    *                     sub-cells max per oversized cluster)
+    * @param dims embedding dimensionality (hyperplane literals)
+    */
+  def edges(assigned: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, maxCellSize: Int = 10000,
+      maxSplitBits: Int = 12, dims: Int = 64): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+
+    val withNorm = assigned
+      .select(col("cluster_id"), col(idCol), col(vecCol))
+      .withColumn("__nrm", sqrt(call_function("vec_dot", col(vecCol), col(vecCol))))
+
+    def pairwise(cells: DataFrame, keys: Seq[String]): DataFrame = {
+      val lhs = cells.select(keys.map(col) :+ col(idCol).as("__ida") :+
+        col(vecCol).as("__va") :+ col("__nrm").as("__na"): _*)
+      val rhs = cells.select(keys.map(col) :+ col(idCol).as("__idb") :+
+        col(vecCol).as("__vb") :+ col("__nrm").as("__nb"): _*)
+      lhs.join(rhs, keys)
+        .filter(col("__ida") < col("__idb"))
+        .filter(call_function("vec_dot", col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")) >= threshold)
+        .select(col("__ida").as("src"), col("__idb").as("dst"))
+    }
+
+    // Job 1: cluster populations; only the oversized ones come back to
+    // the driver (≤ N/maxCellSize rows by construction).
+    val oversized = withNorm.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    if (oversized.isEmpty) return pairwise(withNorm, Seq("cluster_id"))
+
+    // Semantic split: low ceil(log2(n/max)) hyperplane-signature bits
+    // (one extra bit of slack — hyperplane splits are not balanced).
+    val masks = oversized.map { case (cid, n) =>
+      val need = math.ceil(math.log(n.toDouble / maxCellSize) / math.log(2.0)).toInt + 1
+      (cid, (1L << math.min(maxSplitBits, math.max(1, need))) - 1L)
+    }.toSeq
+    val maskDf = broadcast(masks.toDF("cluster_id", "__mask"))
+    val celled = withNorm.join(maskDf, Seq("cluster_id"), "left")
+      .withColumn("__sub",
+        when(col("__mask").isNull, lit(0L))
+          .otherwise(VectorOps.hyperplaneSignature(col(vecCol), maxSplitBits, dims)
+            .bitwiseAND(col("__mask"))))
+      .drop("__mask")
+      .localCheckpoint(true) // consumed by 3 jobs below — compute the signatures once
+
+    // Job 2: residual oversized cells → star fallback set (a cell of an
+    // un-split cluster can't exceed the cap, so counting every cell and
+    // filtering is equivalent and one pass).
+    val starCells = celled
+      .groupBy(col("cluster_id"), col("__sub")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize)
+      .select(col("cluster_id"), col("__sub"), lit(true).as("__star"))
+    val tagged = celled.join(broadcast(starCells), Seq("cluster_id", "__sub"), "left")
+      .withColumn("__star", coalesce(col("__star"), lit(false)))
+
+    val pairEdges = pairwise(tagged.filter(!col("__star")), Seq("cluster_id", "__sub"))
+
+    // Star cells: deterministic anchor = min-(md5,id) member; members
+    // pair against the anchor only (linear), exact threshold still holds.
+    val starMembers = tagged.filter(col("__star"))
+    val anchors = starMembers
+      .groupBy(col("cluster_id"), col("__sub"))
+      .agg(min(struct(md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"),
+        col(vecCol).as("v"), col("__nrm").as("nr"))).as("__a"))
+      .select(col("cluster_id"), col("__sub"), col("__a.id").as("__aid"),
+        col("__a.v").as("__av"), col("__a.nr").as("__anr"))
+    val starEdges = starMembers.join(broadcast(anchors), Seq("cluster_id", "__sub"))
+      .filter(col(idCol) =!= col("__aid"))
+      .filter(call_function("vec_dot", col(vecCol), col("__av")) /
+        (col("__nrm") * col("__anr")) >= threshold)
+      .select(least(col(idCol), col("__aid")).as("src"),
+        greatest(col(idCol), col("__aid")).as("dst"))
+
+    pairEdges.unionByName(starEdges)
+  }
+}

@@ -205,6 +205,36 @@ class OperatorsSpec extends SparkSpec {
       .intersect(imgFeats.map(_.payload_hash).toSet).isEmpty)
   }
 
+  test("multimodal: audio REALLY decodes — WAV parses, features are sample-derived") {
+    val corpus = Multimodal.syntheticCorpus(spark, 63)
+    val metaById = corpus.collect().map(r => r.media_id -> r.meta).toMap
+    val audio = Multimodal.extractFeatures(corpus).collect()
+      .filter(_.media_type == "audio").sortBy(_.media_id)
+    assert(audio.nonEmpty)
+    audio.foreach { f =>
+      val m = metaById(f.media_id)
+      // parsed sample rate / channels from the RIFF header, duration from
+      // the REAL frame count — all must reconcile with the metadata
+      assert(f.feature(0) == m.sample_rate.toFloat, s"media ${f.media_id}: sample rate")
+      assert(f.feature(1) == 1f)
+      assert(math.abs(f.feature(2) - m.duration_ms) < 1.0f,
+        s"media ${f.media_id}: decoded duration ${f.feature(2)} vs meta ${m.duration_ms}")
+      // RMS of the 0.6+0.25 two-tone mix ≈ √(0.6²/2+0.25²/2) ≈ 0.46
+      assert(f.feature(3) > 0.3f && f.feature(3) < 0.6f, s"RMS ${f.feature(3)}")
+      assert(f.feature(4) > 0f, "zero-crossing rate")
+      val histSum = (5 until 13).map(f.feature(_)).sum
+      assert(math.abs(histSum - 1.0f) < 1e-3f)
+      assert(f.feature(13) > 0.5f && f.feature(13) <= 1.0f, "peak amplitude")
+    }
+    // different samples (different fundamental freq) ⇒ different features
+    // even at identical duration: ids 1 and 31 share id%10, differ in id%40
+    val byId = audio.map(f => f.media_id -> f.feature).toMap
+    val (a, b) = (byId(1L), byId(31L))
+    assert(a(2) == b(2), "same declared duration")
+    assert(a.toSeq != b.toSeq, "sample change must change features")
+    assert(a(4) < b(4), "higher fundamental frequency must raise the zero-crossing rate")
+  }
+
   test("bucketed band join ≡ naive band left join (scale-path rewrite correctness)") {
     val left = (1L to 60L).map { i =>
       (i, s"K${i % 7}", java.sql.Date.valueOf(java.time.LocalDate.parse("2026-01-01").plusDays(i * 3 % 50)))
