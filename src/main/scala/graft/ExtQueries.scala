@@ -610,6 +610,136 @@ object ExtQueries {
       |SELECT doc_id, lang, n_tokens, tokens_before
       |FROM c WHERE tokens_before < budget ORDER BY lang, doc_id""".stripMargin
 
+  /** The composed CURATION PIPELINE — the end-to-end flow a
+    * training-data user actually runs, chaining four individually
+    * hash-certified stages so their INTERACTION (column contracts, drop
+    * ordering) is oracle-certified too:
+    *   1. quality filter: [[TextAnalysis.qualityFeatures]] score ≥ 0.8
+    *      over the training candidates (doc_id%10 < 8; the %10 ≥ 8 rows
+    *      are the held-out benchmark);
+    *   2. near-dup resolution: q102's keep-best policy (n-gram Jaccard
+    *      pairs → connected components → keep the longest member) on
+    *      the quality survivors — non-keepers drop;
+    *   3. decontamination: drop any surviving candidate that CONTAINS a
+    *      benchmark doc ([[Dedup.contaminationPairs]] ≥ 0.2 — the
+    *      un-reduced pair set, because ANY leak disqualifies, not just
+    *      each test doc's best match);
+    *   4. token-budget mixture: [[graft.operators.Sampling
+    *      .tokenBudgetMixture]] per-language budgets over what's left.
+    * Each stage only shuffles on its natural key (shingle / component /
+    * source); drops flow as left-anti joins, never collected.
+    */
+  def q104Curate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val test = docs.filter(col("doc_id") % 10 >= 8).select("doc_id", "lang", "text")
+    val cand = docs.filter(col("doc_id") % 10 < 8).select("doc_id", "lang", "text")
+    // stage 1: quality gate
+    val q = TextAnalysis.qualityFeatures(cand)
+      .filter(col("quality_score") >= 0.8)
+      .select("doc_id", "lang", "text")
+    // stage 2: duplicate-cluster keep-best (q102 parameters/policy)
+    val pairs = Dedup.ngramJaccard(q, "doc_id", "text",
+      k = 3, minJaccard = 0.2, maxDocFreq = 200)
+    val wc = q.select(col("doc_id"), size(split(col("text"), " ")).as("word_count"))
+    val dupDrops = graft.operators.ConnectedComponents.clusters(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .join(wc, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("word_count").desc, col("doc_id").asc)))
+      .filter(col("rk") > 1)
+      .select("doc_id")
+    val deduped = q.join(dupDrops, Seq("doc_id"), "left_anti")
+    // stage 3: benchmark decontamination (drop-ANY-leak direction)
+    val contaminated = Dedup.contaminationPairs(deduped, test, "doc_id", "text",
+        k = 3, minContainment = 0.2, maxDocFreq = 1000)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 4: per-language token-budget mixture
+    val withTok = clean.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    graft.operators.Sampling.tokenBudgetMixture(withTok, "doc_id", "lang", "n_tokens",
+      Seq("en" -> 2000L, "de" -> 1000L, "es" -> 1000L, "fr" -> 800L, "zh" -> 600L))
+      .orderBy("lang", "doc_id")
+  }
+
+  val q104Sql: String =
+    """WITH RECURSIVE
+      |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 >= 8),
+      |cand AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 < 8),
+      |qf AS (SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS words FROM cand),
+      |q AS (SELECT doc_id, lang, text FROM (
+      |    SELECT doc_id, lang, text,
+      |      CAST(len(words) AS INT) AS n_words,
+      |      CAST(length(text) AS DOUBLE) / greatest(len(words), 1) AS avg_word_len,
+      |      CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1) AS punct_ratio,
+      |      1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS dup_word_ratio
+      |    FROM qf)
+      |  WHERE greatest(0.0, least(1.0, 1.0
+      |    - CASE WHEN n_words < 8 THEN 0.4 ELSE 0.0 END
+      |    - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+      |    - CASE WHEN dup_word_ratio > 0.7 THEN 0.3 ELSE 0.0 END
+      |    - CASE WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 0.2 ELSE 0.0 END)) >= 0.8),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM q),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS shingles
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+      |df AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 200),
+      |fex AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN df USING (shingle)),
+      |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |       FROM fex a JOIN fex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT co.id_a, co.id_b
+      |      FROM co JOIN sizes sa ON sa.doc_id = co.id_a JOIN sizes sb ON sb.doc_id = co.id_b
+      |      WHERE CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) >= 0.2),
+      |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (SELECT DISTINCT a AS id, a AS r FROM und
+      |          UNION
+      |          SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |wc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS word_count FROM q),
+      |rk AS (SELECT comp.id AS doc_id,
+      |    row_number() OVER (PARTITION BY comp.component
+      |      ORDER BY wc.word_count DESC, comp.id ASC) AS rk
+      |  FROM comp JOIN wc ON wc.doc_id = comp.id),
+      |d AS (SELECT q.* FROM q WHERE doc_id NOT IN (SELECT doc_id FROM rk WHERE rk > 1)),
+      |dtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM d),
+      |dsh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS shingles
+      |  FROM dtoks),
+      |dex AS (SELECT doc_id AS train_id, unnest(shingles) AS shingle FROM dsh),
+      |ttoks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM test),
+      |tsh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS shingles
+      |  FROM ttoks),
+      |tex AS (SELECT doc_id AS test_id, unnest(shingles) AS shingle FROM tsh),
+      |tsz AS (SELECT test_id, count(*) AS n_test FROM tex GROUP BY 1),
+      |trf AS (SELECT train_id, shingle FROM (
+      |    SELECT train_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfr FROM dex)
+      |  WHERE dfr <= 1000),
+      |cco AS (SELECT tex.test_id, trf.train_id, count(*) AS inter
+      |        FROM tex JOIN trf USING (shingle) GROUP BY 1, 2),
+      |contam AS (SELECT DISTINCT cco.train_id AS doc_id
+      |           FROM cco JOIN tsz USING (test_id)
+      |           WHERE CAST(cco.inter AS DOUBLE) / tsz.n_test >= 0.2),
+      |c AS (SELECT d.* FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |m AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h FROM c),
+      |b(lang, budget) AS (VALUES ('en', 2000), ('de', 1000), ('es', 1000), ('fr', 800), ('zh', 600)),
+      |cum AS (SELECT m.doc_id, m.lang, m.n_tokens, b.budget,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY m.lang ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+      |  FROM m JOIN b USING (lang))
+      |SELECT doc_id, lang, n_tokens, tokens_before
+      |FROM cum WHERE tokens_before < budget ORDER BY lang, doc_id""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023), composed from
     * the engine's own pieces end-to-end: (1) cluster the embedding
     * corpus with the FROZEN-centroid IVF assignment (offline-trained

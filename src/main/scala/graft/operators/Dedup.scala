@@ -276,6 +276,25 @@ object Dedup {
     * train id.
     */
   def contamination(train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minContainment: Double = 0.5, maxDocFreq: Int = 1000): DataFrame =
+    contaminationPairs(train, test, idCol, textCol, k, minContainment, maxDocFreq)
+      // argmax by (containment desc, train_id asc) without touching the
+      // id's type: min of (−containment, id) is lexicographic, so the id
+      // column passes through as-is — works for string ids too (a negate-
+      // and-cast tie-break would throw under ANSI for non-numeric ids).
+      .groupBy(col("test_id"))
+      .agg(min(struct((-col("containment")).as("negc"), col("train_id").as("train_id"))).as("best"))
+      .select(col("test_id"), col("best.train_id").as("train_id"),
+        (-col("best.negc")).as("containment"))
+
+  /** ALL (test, train) containment pairs ≥ minContainment — the
+    * un-reduced form behind [[contamination]]. The decontamination DROP
+    * direction needs this: a training doc is contaminated if ANY test
+    * doc is ≥-threshold contained in it, so reducing to the best train
+    * per test first would let secondary leaks through
+    * (`distinct train_id` over this frame is the drop list).
+    */
+  def contaminationPairs(train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minContainment: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
     // Same posting-list shape as [[ngramJaccard]]: one groupBy(shingle)
     // collecting both sides' doc lists (collect_list drops the nulls the
@@ -307,14 +326,6 @@ object Dedup {
       .select(col("test_id"), col("train_id"),
         (col("inter").cast("double") / col("n_test")).as("containment"))
       .filter(col("containment") >= minContainment)
-      // argmax by (containment desc, train_id asc) without touching the
-      // id's type: min of (−containment, id) is lexicographic, so the id
-      // column passes through as-is — works for string ids too (a negate-
-      // and-cast tie-break would throw under ANSI for non-numeric ids).
-      .groupBy(col("test_id"))
-      .agg(min(struct((-col("containment")).as("negc"), col("train_id").as("train_id"))).as("best"))
-      .select(col("test_id"), col("best.train_id").as("train_id"),
-        (-col("best.negc")).as("containment"))
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing at least one

@@ -80,6 +80,23 @@ class SamplingHllSpec extends SparkSpec {
       s"selection must be monotone under corpus shrink: ${(fullOnHalf -- fromHalf).take(5)}")
   }
 
+  test("q95 HLL rollup within 5% of the certified exact bitmap path per group (sf0.1)") {
+    // The driver can only rows-check q95 (the sketch isn't portable), so
+    // this spec is its accuracy certification: the union-of-daily HLL
+    // estimate vs the hash-certified exact bitmap rollup (q94), per
+    // (week, event_type) group, on the real sf0.1 events table.
+    val dir = "/root/testdata/sf0.1"
+    val exact = Queries4.q94BitmapDistinct(spark, dir)
+      .collect().map(r => (r.getDate(0), r.getString(1)) -> r.getLong(2)).toMap
+    val est = Queries4.q95HllRollup(spark, dir)
+      .collect().map(r => (r.getDate(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet, "HLL and bitmap rollups must cover the same groups")
+    exact.foreach { case (k, n) =>
+      val e = est(k).toDouble
+      assert(math.abs(e - n) / n <= 0.05, s"$k: est $e vs exact $n exceeds 5% relative error")
+    }
+  }
+
   test("HLL approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val both = ev.agg(
