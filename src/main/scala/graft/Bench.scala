@@ -43,6 +43,10 @@ object Bench {
     // the steady state being measured — while still bounding cached
     // blocks to one pass's lifetime instead of the whole session.
     // (Verify, the correctness surface, drains per query.)
+    // Checkpoint blocks are different: each pass rebuilds its own
+    // localCheckpoint RDDs (no cross-pass reuse), so the warm-up pass's
+    // checkpoints are pure dead weight for p1 — free them now.
+    CacheScope.drainCheckpoints()
     val results = {
       val p1 = names.map(n => n -> run(n)).toMap
       CacheScope.drain()

@@ -309,8 +309,16 @@ object Queries3 {
       upd.filter(col("o_orderdate") >= cuts(0) && col("o_orderdate") < cuts(1)),
       upd.filter(col("o_orderdate") >= cuts(1)))
     val hist = batches.foldLeft(Scd2.emptyHistory(spark, upd, "o_orderdate")) {
-      (h, b) => Scd2.snapshot(h, b, "o_custkey", "o_orderdate").localCheckpoint(true)
+      (h, b) =>
+        val next = Scd2.snapshot(h, b, "o_custkey", "o_orderdate").localCheckpoint(true)
+        // the fold's previous state is dead once `next` materializes —
+        // free its blocks now (only the FINAL history feeds the plan)
+        graft.CacheScope.freeCheckpoint(h)
+        next
     }
+    // upd fed the batch builds; the returned plan reads only `hist`
+    graft.CacheScope.freeCheckpoint(upd)
+    graft.CacheScope.trackCheckpoint(hist)
     hist.select(col("o_custkey"), col("o_totalprice"),
         col("o_orderdate").as("valid_from"), col("valid_to"))
       .orderBy(col("o_custkey"), col("valid_from"))

@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
   * Iteration hygiene at scale: each round's output is
   * `localCheckpoint`ed — iterative self-referential plans otherwise grow
   * lineage exponentially (analysis/optimization time, not data time) and
-  * re-execute every prior round on each action.
+  * re-execute every prior round on each action. Checkpoint BLOCKS are
+  * freed deterministically: a superseded round's blocks are unpersisted
+  * as soon as the next round has materialized (memory bound: O(1)
+  * checkpoints per run, not O(rounds) — nothing else reaps them until a
+  * driver GC), and checkpoints the returned plan still references are
+  * registered with [[graft.CacheScope.trackCheckpoint]] for end-of-query
+  * release.
   *
   * Output: (id, comp) for every node appearing in any edge, where
   * comp = min node id reachable in the node's component.
@@ -70,14 +76,25 @@ object ConnectedComponents {
         .observe(obs, count(when(col("comp") =!= col("old"), 1)).as("changed"))
         .localCheckpoint(true)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // the new round is materialized (eager checkpoint) — the previous
+      // round's blocks are dead; free them now instead of at driver GC
+      graft.CacheScope.freeCheckpoint(labels)
       labels = updated.select(col("id"), col("comp"))
       iter += 1
     }
-    if (converged) labels
-    else {
+    if (converged) {
+      // the returned plan reads only the final labels checkpoint
+      graft.CacheScope.freeCheckpoint(und)
+      graft.CacheScope.trackCheckpoint(labels)
+      labels
+    } else {
       // long-chain graph: diameter exceeds the propagation budget —
       // switch to the star-contraction algorithm on the original edges
+      graft.CacheScope.freeCheckpoint(labels)
       val (starLabels, _) = alternatingWithRounds(und, maxIter)
+      // starLabels' plan references und and the final star edge set —
+      // those stay until end-of-query (tracked inside alternating)
+      graft.CacheScope.trackCheckpoint(und)
       starLabels
     }
   }
@@ -116,10 +133,13 @@ object ConnectedComponents {
       // fixpoint: the directed edge set is stable (stars map to
       // themselves under both steps)
       converged = next.count() == d.count() && next.except(d).isEmpty
+      graft.CacheScope.freeCheckpoint(d) // superseded pass — blocks are dead
       d = next
       iter += 1
     }
     require(converged, s"star-contraction CC did not converge in $maxIter passes")
+    // the returned plan reads the final star edge set — free at end-of-query
+    graft.CacheScope.trackCheckpoint(d)
     // star edges are (member, component-min); centers label themselves.
     // Nodes of und absent from d (isolated via self-loop-only input or
     // singleton stars) keep their own id.

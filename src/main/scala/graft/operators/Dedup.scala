@@ -18,6 +18,15 @@ object Dedup {
 
   /** observe() names must be unique within a query; a monotone counter
     * keeps repeated operator calls in one plan from colliding.
+    *
+    * Caveat on every riding metric here: observe() counters materialize
+    * with the plan stage they sit in, so if AQE's empty-relation
+    * propagation prunes everything downstream (a query whose FINAL
+    * result is empty), the not-yet-run CollectMetrics stage is skipped
+    * and no metric row is emitted. In the operating regime that matters
+    * (some rows flow; hot keys are capped/dropped) the metrics always
+    * fire — they are skew DIAGNOSTICS riding a live query, not an audit
+    * log; run a dedicated stats aggregation when an audit is required.
     */
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
   private[operators] def nextObsName(prefix: String): String =
@@ -145,10 +154,18 @@ object Dedup {
     // per-row transient is one ≤maxBucket slice — never the O(cap²)
     // flattened pair array the previous formulation materialized per
     // posting row.
+    // __n is the TRUE bucket population; ms is the capped slice. The cap
+    // bounds fan-out (recall loss when it binds), so surface it the same
+    // way simHashDedup does — an observed metric, never a silent drop.
     val posts = buckets.groupBy(col("band"), col("bucket"))
-      .agg(slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("s")))),
-        1, maxBucket).as("ms"))
+      .agg(count(lit(1)).as("__n"),
+        slice(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("s")))),
+          1, maxBucket).as("ms"))
       .filter(size(col("ms")) >= 2)
+      .observe(Dedup.nextObsName("minhash_lsh"),
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"),
+        max(col("__n")).as("max_bucket_size"))
+      .drop("__n")
     posts
       .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
       .select(col("x"), explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("y"))
@@ -307,9 +324,16 @@ object Dedup {
       col(idCol).as("id"), lit(0).as("side"))
     val teSizes = test.select(col(idCol).as("test_id"),
       size(shingles(col(textCol), k)).as("n_test"))
+    // hot-shingle drops are observable (see ngramJaccard): a boilerplate
+    // shingle over the train-side df cap silently loses its containment
+    // evidence, so count the drops and the worst offender's frequency.
     val postings = te.unionByName(tr).groupBy(col("shingle"))
       .agg(collect_list(when(col("side") === 0, col("id"))).as("test_ids"),
         collect_list(when(col("side") === 1, col("id"))).as("train_ids"))
+      .observe(Dedup.nextObsName("contamination"),
+        sum(when(size(col("test_ids")) >= 1 && size(col("train_ids")) > maxDocFreq, 1L)
+          .otherwise(0L)).as("dropped_stop_shingles"),
+        max(size(col("train_ids"))).as("max_train_doc_freq"))
       .filter(size(col("test_ids")) >= 1 &&
         size(col("train_ids")).between(1, maxDocFreq))
     // explode-then-pair: the test×train cross product streams row by
@@ -351,8 +375,14 @@ object Dedup {
     //    array — no shuffle at all on that branch.
     val sh = df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
     val sizes = df.select(col(idCol), size(shingles(col(textCol), k)).as("n"))
+    // stop-shingle drops (df > maxDocFreq) trade recall for boundedness;
+    // count them observably instead of filtering silently — at 100 TB the
+    // operator's owner needs to see when the cap binds and by how much.
     val postings = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .observe(Dedup.nextObsName("ngram_jaccard"),
+        sum(when(size(col("ids")) > maxDocFreq, 1L).otherwise(0L)).as("dropped_stop_shingles"),
+        max(size(col("ids"))).as("max_doc_freq"))
       .filter(size(col("ids")).between(2, maxDocFreq))
     // explode-then-pair streams i<j combinations (see minHashLsh)
     val co = postings

@@ -71,6 +71,7 @@ object LshIndex {
     val fs = p.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(path + "__merging")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    graft.CacheScope.freeCheckpoint(merged) // written out — blocks are dead
     val old = new org.apache.hadoop.fs.Path(path + "__premerge")
     fs.delete(old, true) // stale leftover from a crashed earlier swap
     require(fs.rename(p, old), s"updateSignatureTable: could not move $p aside")
@@ -96,8 +97,9 @@ object LshIndex {
       k: Int = 3, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = delta.sparkSession
-    val deltaSigs = signatures(delta, idCol, textCol, numHashes, k, portable)
-      .localCheckpoint(true) // consumed by both join sides below
+    val deltaSigs = graft.CacheScope.trackCheckpoint(
+      signatures(delta, idCol, textCol, numHashes, k, portable)
+        .localCheckpoint(true)) // consumed by both join sides below
     val corpus =
       if (exists(spark, path))
         // a replayed batch's ids may already be stored — the delta copy wins

@@ -101,6 +101,7 @@ object SemDedup {
             .bitwiseAND(col("__mask"))))
       .drop("__mask")
       .localCheckpoint(true) // consumed by 3 jobs below — compute the signatures once
+    graft.CacheScope.trackCheckpoint(celled) // referenced by the returned edge plan
 
     // Job 2: residual oversized cells → star fallback set (a cell of an
     // un-split cluster can't exceed the cap, so counting every cell and

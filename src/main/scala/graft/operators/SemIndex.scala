@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental SEMANTIC index maintenance — the embedding analog of
+  * [[LshIndex]]: near-dup new vectors against the historical corpus
+  * without re-pairing the history against itself.
+  *
+  * The index is an ASSIGNMENT TABLE (id, vec, nrm, cluster_id): each
+  * vector assigned once against FROZEN centroids (the production IVF
+  * posture — [[IvfIndex.frozenCentroids]]; offline-trained centroids
+  * are constants at query time, so an old row's assignment never
+  * changes and the table is append-merge-only). Unlike the LSH index
+  * the vectors themselves must be stored — exact-cosine scoring needs
+  * them — but that is the corpus' embedding column plus 16 bytes, laid
+  * out cluster-locally; the 100 TB text never gets re-read.
+  *
+  * Per batch, candidate pairs are delta×(history ∪ delta) WITHIN each
+  * cluster — cost |delta| · cluster-population, linear in the delta,
+  * never history×history. This matches the SemDeDup reduction
+  * ([[SemDedup]]): cross-cluster pairs are out of scope by design.
+  *
+  * Equivalence contract (spec-pinned): running batches b₁..bₙ and
+  * unioning [[pairsForDelta]] outputs equals one-shot
+  * [[SemDedup.edges]] over the concatenated corpus (un-starred case) —
+  * every within-cluster pair ≥ threshold materializes exactly when its
+  * LATER vector arrives. The cell-size guard's star fallback does not
+  * compose across batches (different anchors per batch), so this path
+  * relies on the same upstream boundedness as [[LshIndex]]; clusters
+  * hot enough to need starring should be split at assignment time
+  * (the [[SemDedup.edges]] hyperplane sub-cell key works here too —
+  * extend `cluster_id` with it before calling, on BOTH write and read).
+  *
+  * Exactly-once: pair output partitioned by batch_id with dynamic
+  * partition overwrite; the assignment table merges via the same
+  * rename-swap as [[LshIndex.updateSignatureTable]].
+  */
+object SemIndex {
+
+  private def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Delta vectors → assignment rows (id, vec, nrm, cluster_id).
+    * In-batch duplicate ids collapse first; assignment against frozen
+    * centroids is deterministic, so re-deliveries produce identical
+    * rows (replay-idempotent by construction).
+    */
+  def assignments(delta: DataFrame, idCol: String, vecCol: String,
+      centArr: Seq[(Long, Array[Double])]): DataFrame = {
+    graft.expressions.GraftFunctions.register(delta.sparkSession)
+    IvfIndex.assignWith(delta.dropDuplicates(idCol).select(col(idCol), col(vecCol)),
+        centArr, vecCol)
+      .withColumn("__nrm", sqrt(call_function("vec_dot", col(vecCol), col(vecCol))))
+  }
+
+  /** Merge a batch's assignments into the parquet assignment table
+    * (replace semantics on id → idempotent under replay), rename-swapped
+    * through a temp sibling so a crash never loses the historical table
+    * — same mechanics and failure story as
+    * [[LshIndex.updateSignatureTable]].
+    */
+  def updateAssignmentTable(path: String, delta: DataFrame, idCol: String, vecCol: String,
+      centArr: Seq[(Long, Array[Double])]): Unit = {
+    val spark = delta.sparkSession
+    val deltaAsg = assignments(delta, idCol, vecCol, centArr)
+    if (!exists(spark, path)) {
+      deltaAsg.write.mode("overwrite").parquet(path)
+      return
+    }
+    val merged = spark.read.parquet(path)
+      .join(deltaAsg.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(deltaAsg)
+      .localCheckpoint(true)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__merging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    graft.CacheScope.freeCheckpoint(merged) // written out — blocks are dead
+    val old = new org.apache.hadoop.fs.Path(path + "__premerge")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"updateAssignmentTable: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      val restored = fs.rename(old, p)
+      throw new IllegalStateException(
+        s"updateAssignmentTable: could not activate $tmp; " +
+          (if (restored) s"restored original at $p"
+           else s"RESTORE FAILED — assignments are at $old, manual rename required"))
+    }
+    fs.delete(old, true)
+  }
+
+  /** Near-dup edges INVOLVING the delta vectors: delta assignments
+    * equi-join the (stored ∪ delta) assignments on cluster_id, exact
+    * cosine ≥ threshold. Call BEFORE [[updateAssignmentTable]] for the
+    * same batch. Output matches [[SemDedup.edges]]'s shape:
+    * (src, dst), src < dst, distinct.
+    */
+  def pairsForDelta(path: String, delta: DataFrame, idCol: String, vecCol: String,
+      centArr: Seq[(Long, Array[Double])], threshold: Double = 0.95): DataFrame = {
+    val spark = delta.sparkSession
+    val deltaAsg = graft.CacheScope.trackCheckpoint(
+      assignments(delta, idCol, vecCol, centArr)
+        .localCheckpoint(true)) // consumed by both join sides below
+    val corpus =
+      if (exists(spark, path))
+        // a replayed batch's ids may already be stored — the delta copy wins
+        spark.read.parquet(path)
+          .join(deltaAsg.select(col(idCol)), Seq(idCol), "left_anti")
+          .unionByName(deltaAsg)
+      else deltaAsg
+    val dlt = deltaAsg.select(col("cluster_id"), col(idCol).as("__did"),
+      col(vecCol).as("__dv"), col("__nrm").as("__dn"))
+    corpus.join(dlt, Seq("cluster_id"))
+      .filter(col(idCol) =!= col("__did"))
+      .filter(call_function("vec_dot", col(vecCol), col("__dv")) /
+        (col("__nrm") * col("__dn")) >= threshold)
+      .select(least(col(idCol), col("__did")).as("src"),
+        greatest(col(idCol), col("__did")).as("dst"))
+      .distinct()
+  }
+
+  /** One micro-batch of maintenance: emit the batch's edges (against
+    * the pre-batch corpus), then fold its assignments into the table.
+    */
+  def processBatch(asgPath: String, pairsPath: String, batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, centArr: Seq[(Long, Array[Double])],
+      threshold: Double = 0.95): Unit = {
+    pairsForDelta(asgPath, batch, idCol, vecCol, centArr, threshold)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(pairsPath)
+    updateAssignmentTable(asgPath, batch, idCol, vecCol, centArr)
+  }
+
+  /** Streaming wiring: maintain the assignment table and the edge log
+    * from an embedding stream.
+    */
+  def start(vectors: DataFrame, asgPath: String, pairsPath: String, checkpoint: String,
+      idCol: String, vecCol: String, centArr: Seq[(Long, Array[Double])],
+      threshold: Double = 0.95,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .queryName("sem_index_maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(asgPath, pairsPath, batch, batchId, idCol, vecCol, centArr, threshold)
+      }
+      .start()
+}

@@ -79,7 +79,9 @@ object SketchRollup {
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         mergeBitmaps(spark.read.parquet(path), deltaSum)
       else deltaSum
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+    val pinned = merged.localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(path)
+    graft.CacheScope.freeCheckpoint(pinned) // written out — blocks are dead
   }
 
   /** Streaming wiring: maintain the summary table from an event stream. */

@@ -51,6 +51,52 @@ class LakehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("ORC ZoneSink drives the full operational surface: runAll gates, incremental refresh, partitioned compaction") {
+    import org.apache.spark.sql.functions._
+    import graft.gen.HealthcareGenerator
+    import graft.runner.ZoneSink
+    val root = java.nio.file.Files.createTempDirectory("lake_orc_").toString
+    val lake = new Lakehouse(spark, root, Config.default, ZoneSink("orc"))
+
+    // full DAG cycle lands healthy through the plug point
+    val alerts = lake.runAll(messages = 2000)
+    assert(!alerts.exists(a => a.check == "freshness" || a.check == "health"))
+    assert(lake.fact.count() > 0)
+
+    // incremental refresh: append batch + dynamic partition overwrite,
+    // all via the ORC writer/reader; result must equal a full rebuild
+    val gen = new HealthcareGenerator(seed = 99L,
+      asOf = Config.default.asOf.toLocalDateTime.toLocalDate)
+    val affected = lake.refreshFactIncremental(gen.messagesJson(spark, 300).toDF("value"))
+    assert(affected.nonEmpty)
+    def factMultiset() = lake.fact.collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val incremental = factMultiset()
+    lake.buildFact()
+    assert(factMultiset() == incremental,
+      "incremental ORC refresh must equal a full rebuild over the appended tables")
+
+    // partitioned compaction sweeps the ORC leaves and preserves data
+    val factRoot = s"${lake.curatedDir}/fact_patient_encounters"
+    val withPart = spark.read.format("orc").load(factRoot).collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val (nLeaves, nFiles) = lake.compactPartitioned(factRoot)
+    assert(nLeaves >= 1 && nFiles == nLeaves, s"$nLeaves leaves, $nFiles files")
+    val afterCompact = spark.read.format("orc").load(factRoot).collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(afterCompact == withPart)
+
+    // every zone file really is ORC — no parquet leaked from a default
+    def files(f: java.io.File, suffix: String): Int =
+      if (f.isDirectory) f.listFiles().map(files(_, suffix)).sum
+      else if (f.getName.endsWith(suffix)) 1 else 0
+    for (zone <- Seq(lake.processedDir, lake.curatedDir)) {
+      val d = new java.io.File(zone)
+      assert(files(d, ".orc") > 0, s"expected .orc files under $zone")
+      assert(files(d, ".parquet") == 0, s"no parquet may leak into the $zone ORC zone")
+    }
+  }
+
   test("compact: many append files collapse to the target count with identical data") {
     import org.apache.spark.sql.functions._
     import graft.gen.HealthcareGenerator

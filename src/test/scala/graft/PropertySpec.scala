@@ -146,6 +146,81 @@ class PropertySpec extends SparkSpec {
     assert(moved > 500, "different seeds must reshuffle a large fraction")
   }
 
+  test("skew-adversarial ngramJaccard: hot shingle at df=cap pairs, over cap drops observably") {
+    // every hot doc shares exactly one shingle ("common boiler plate");
+    // the per-doc unique tokens keep all other shingles singleton. Two
+    // twin docs (9001/9002) share a private below-cap shingle so the
+    // pipeline's final output is non-empty (an all-empty result would
+    // let AQE empty-propagation skip the CollectMetrics stage).
+    def corpus(n: Int) = ((0 until n)
+      .map(i => (i.toLong, s"u${i}a u${i}b common boiler plate u${i}c")) ++
+      Seq((9001L, "zz1 zz2 zz3"), (9002L, "zz1 zz2 zz3")))
+      .toDF("doc_id", "text")
+    // df exactly at the cap → the hot shingle is KEPT: all C(10,2) hot
+    // pairs plus the twin pair
+    val atCap = operators.Dedup.ngramJaccard(corpus(10), "doc_id", "text",
+      minJaccard = 0.0, maxDocFreq = 10)
+    assert(atCap.count() == 46, "df == maxDocFreq must still pair")
+    // df far above the cap → hot shingle dropped: only the twin pair
+    // survives (bounded — never C(40,2)), and the drop is visible
+    val (rows, metrics) = collectWithMetrics(
+      operators.Dedup.ngramJaccard(corpus(40), "doc_id", "text",
+        minJaccard = 0.0, maxDocFreq = 10))
+    assert(rows.length == 1 && rows.head.getLong(0) == 9001L,
+      s"hot shingle over cap must pair nothing but the twins, got ${rows.toSeq}")
+    val m = metrics.collectFirst { case (k, v) if k.startsWith("ngram_jaccard") => v }.get
+    assert(m.getAs[Long]("dropped_stop_shingles") == 1L)
+    assert(m.getAs[Int]("max_doc_freq") == 40)
+  }
+
+  test("skew-adversarial minHashLsh: identical-doc flood truncates buckets observably, pairs stay C(cap,2)") {
+    val boiler = "the same boiler plate text repeated in every single document here"
+    val flood = (0 until 30).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val (rows, metrics) = collectWithMetrics(
+      operators.Dedup.minHashLsh(flood, "doc_id", "text",
+        minJaccard = 0.0, maxBucket = 8))
+    // identical signatures land every doc in one bucket per band; the
+    // id-sorted slice keeps the same 8 ids in each band → exactly C(8,2)
+    // distinct pairs, never C(30,2) = 435
+    assert(rows.length == 28, s"expected C(8,2)=28 capped pairs, got ${rows.length}")
+    val m = metrics.collectFirst { case (k, v) if k.startsWith("minhash_lsh") => v }.get
+    assert(m.getAs[Long]("truncated_buckets") == 8L, "all 8 bands' buckets overflow")
+    assert(m.getAs[Long]("max_bucket_size") == 30L)
+    // a benign corpus (one twin pair keeps the output non-empty; see the
+    // AQE empty-propagation caveat on Dedup) reports zero truncation
+    val benign = ((0 until 30).map(i => (i.toLong, s"doc $i talks about topic${i % 5} and item$i")) ++
+      Seq((9001L, "twin pair text here"), (9002L, "twin pair text here")))
+      .toDF("doc_id", "text")
+    val (_, m2) = collectWithMetrics(
+      operators.Dedup.minHashLsh(benign, "doc_id", "text", minJaccard = 0.0, maxBucket = 8))
+    val b = m2.collectFirst { case (k, v) if k.startsWith("minhash_lsh") => v }.get
+    assert(b.getAs[Long]("truncated_buckets") == 0L)
+  }
+
+  test("skew-adversarial contamination: train-side hot shingle over cap drops its evidence observably") {
+    val hot = "shared leak phrase"
+    // 25 hot train docs + one clean train doc (26) that genuinely leaks
+    // test doc 1001 — keeps the final output non-empty so the riding
+    // CollectMetrics stage is never AQE-empty-propagated away
+    val train = ((0 until 25).map(i => (i.toLong, s"t${i}x t${i}y $hot t${i}z")) :+
+      (26L, "unique evidence tokens here")).toDF("doc_id", "text")
+    val test_ = Seq((1000L, hot), (1001L, "unique evidence tokens")).toDF("doc_id", "text")
+    // cap below the hot shingle's train df → the hot evidence is
+    // dropped (test 1000 unflagged, bounded); the clean leak still flags
+    val (rows, metrics) = collectWithMetrics(
+      operators.Dedup.contamination(train, test_, "doc_id", "text",
+        minContainment = 0.01, maxDocFreq = 10))
+    assert(rows.length == 1 && rows.head.getLong(0) == 1001L,
+      s"over-cap shingle must drop, not explode: ${rows.toSeq}")
+    val m = metrics.collectFirst { case (k, v) if k.startsWith("contamination") => v }.get
+    assert(m.getAs[Long]("dropped_stop_shingles") == 1L)
+    assert(m.getAs[Int]("max_train_doc_freq") == 25)
+    // cap at the df → the hot leak IS flagged for test doc 1000 too
+    val kept = operators.Dedup.contamination(train, test_, "doc_id", "text",
+      minContainment = 0.01, maxDocFreq = 25)
+    assert(kept.count() == 2, "df == cap must keep the evidence")
+  }
+
   test("range join ≡ naive theta join over randomized intervals and widths") {
     val rnd = new Random(23)
     for (round <- 0 until 3) {
