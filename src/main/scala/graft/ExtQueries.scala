@@ -1054,4 +1054,50 @@ object ExtQueries {
       |WHERE EXISTS (SELECT 1 FROM lineitem l
       |  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 95000)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Span-level corpus dedup ([[graft.operators.Dedup.spanDedup]] — the
+    * C4/RefinedWeb line-dedup stage, at 10-token span granularity since
+    * the synthetic docs carry no newlines). Planted duplicates: docs
+    * 100000-100004 are verbatim 30-token prefixes of docs 0-4, so their
+    * spans chunk identically to the originals' spans 0-2 and ALL of them
+    * lose first-occurrence — the planted docs must come back with
+    * clean_text = '' and n_kept = 0 while every original keeps its
+    * text intact (modulo natural span collisions, which the oracle
+    * prices in identically).
+    */
+  def q105SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+    Dedup.spanDedup(docs.unionByName(planted), "doc_id", "text", spanTokens = 10)
+      .orderBy("doc_id")
+  }
+
+  val q105Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    array_to_string((string_split(text, ' '))[1:30], ' ')
+      |  FROM documents WHERE doc_id < 5),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base),
+      |idx AS (SELECT doc_id, tk,
+      |    unnest(range(CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS cidx
+      |  FROM toks),
+      |spans AS (SELECT doc_id, CAST(cidx AS INT) AS cidx,
+      |    array_to_string(tk[CAST(cidx * 10 + 1 AS BIGINT):CAST(cidx * 10 + 10 AS BIGINT)], ' ') AS span
+      |  FROM idx),
+      |firsts AS (SELECT doc_id, cidx, span,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, cidx) AS rn
+      |  FROM spans),
+      |re AS (SELECT doc_id, string_agg(span, ' ' ORDER BY cidx) AS clean_text,
+      |    CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM firsts WHERE rn = 1 GROUP BY doc_id),
+      |ns AS (SELECT doc_id,
+      |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS n_spans
+      |  FROM base)
+      |SELECT ns.doc_id, COALESCE(re.clean_text, '') AS clean_text,
+      |  ns.n_spans, COALESCE(re.n_kept, 0) AS n_kept
+      |FROM ns LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
 }

@@ -397,4 +397,55 @@ object Dedup {
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** SPAN-LEVEL corpus dedup (C4 / RefinedWeb line dedup, Lee et al.
+    * 2022 exact-substring dedup at span granularity): chop every
+    * document into non-overlapping `spanTokens`-token spans, keep each
+    * distinct span's FIRST occurrence corpus-wide (ordered by
+    * (id, span-index)), and reassemble documents from their surviving
+    * spans. Whole-doc dedup ([[exactDedup]]) misses boilerplate shared
+    * ACROSS distinct documents; this removes it.
+    *
+    * Scale shape — two shuffles, no joins on the hot path:
+    *  - spans are derived PER ROW with higher-order functions
+    *    (`transform`/`slice` over the token array) — no token explode,
+    *    one span row per span, never per token;
+    *  - first-occurrence selection is `groupBy(span).agg(min(struct(id,
+    *    idx)))` — a partial-aggregatable hash agg whose OUTPUT is the
+    *    kept set directly (no rank window, no join-back of winners);
+    *  - reassembly is one `groupBy(id)` ordered-array fold.
+    * The span-hash distribution is uniform except true boilerplate;
+    * a hot span (the same license header a billion times) still
+    * map-side-combines to one row per partition before the shuffle.
+    *
+    * Output: (id, clean_text, n_spans, n_kept) for EVERY input doc —
+    * a fully-duplicated doc survives with clean_text = '' and
+    * n_kept = 0, so downstream length filters see it.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val w = lit(spanTokens)
+    val nSpans = when(size(toks) > 0,
+      floor((size(toks) - lit(1)) / w.cast("double")).cast("long") + 1L).otherwise(0L)
+    val spanArr = when(nSpans > 0,
+      transform(sequence(lit(0L), nSpans - 1),
+        i => array_join(slice(toks, (i * w + 1).cast("int"), w), " ")))
+      .otherwise(array().cast("array<string>"))
+    val spans = df
+      .select(col(idCol), posexplode(spanArr).as(Seq("cidx", "span")))
+    val kept = spans.groupBy(col("span"))
+      .agg(min(struct(col(idCol).as("id"), col("cidx").as("cidx"))).as("k"))
+      .select(col("k.id").as(idCol), col("k.cidx").as("cidx"), col("span"))
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("cidx"), col("span")))),
+          x => x("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), nSpans.as("n_spans"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -63,9 +63,17 @@ object SemDedup {
     import spark.implicits._
     graft.expressions.GraftFunctions.register(spark)
 
-    val withNorm = assigned
-      .select(col("cluster_id"), col(idCol), col(vecCol))
-      .withColumn("__nrm", sqrt(call_function("vec_dot", col(vecCol), col(vecCol))))
+    // Materialize the assignment ONCE: the guard's count job plus both
+    // pair-join sides would otherwise each re-run the upstream IVF
+    // assignment (k distance computations per row per execution). At
+    // scale this materialized frame IS the stored assignment table
+    // ([[SemIndex]] persists exactly this shape); here it lives for the
+    // query and is freed at end-of-query drain.
+    val withNorm = graft.CacheScope.trackCheckpoint(
+      assigned
+        .select(col("cluster_id"), col(idCol), col(vecCol))
+        .withColumn("__nrm", sqrt(call_function("vec_dot", col(vecCol), col(vecCol))))
+        .localCheckpoint(true))
 
     def pairwise(cells: DataFrame, keys: Seq[String]): DataFrame = {
       val lhs = cells.select(keys.map(col) :+ col(idCol).as("__ida") :+

@@ -24,6 +24,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter($"dup_count" === 2).select($"keeper").head().getLong(0) == 1L)
   }
 
+  test("span dedup: cross-doc boilerplate drops, first occurrence wins, alignment matters, every doc survives") {
+    // W=3 spans. Doc 11 and 12 share an identical leading 6 tokens (two
+    // aligned spans of boilerplate); doc 13 carries the SAME tokens
+    // shifted by one position (mis-aligned spans — must NOT dedup);
+    // doc 14 is a verbatim copy of doc 11 (fully duplicated).
+    val corpus = Seq(
+      (11L, "copy right header text follows here unique eleven tail words"),
+      (12L, "copy right header text follows here twelve has different ending"),
+      (13L, "x copy right header text follows here thirteen shifted body"),
+      (14L, "copy right header text follows here unique eleven tail words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", spanTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(11L, 12L, 13L, 14L), "every input doc must come back")
+    // doc 11 keeps everything (it is first for all its spans)
+    assert(out(11L) == (("copy right header text follows here unique eleven tail words", 4L, 4L)))
+    // doc 12 loses its two boilerplate spans, keeps its own suffix
+    assert(out(12L) == (("twelve has different ending", 4L, 2L)))
+    // doc 13's shifted copies chunk differently — nothing drops
+    assert(out(13L)._3 == 4L, s"mis-aligned spans must not dedup: ${out(13L)}")
+    // doc 14 is fully duplicated: survives the output, empty and countable
+    assert(out(14L) == (("", 4L, 0L)))
+  }
+
   test("minhash LSH finds the near-dup and exact-dup pairs, not unrelated docs") {
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text", numHashes = 32, bands = 8, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
