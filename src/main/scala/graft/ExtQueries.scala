@@ -1074,6 +1074,40 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Johnson-Lindenstrauss projection of the embedding corpus
+    * ([[graft.operators.VectorOps.jlProject]]): 64-d → 16-d with the
+    * deterministic constant-literal matrix. Output in integer-exact
+    * MICRO units (the q101 pattern): both engines compute the same
+    * left-to-right dot-product fold over the same literals, and the
+    * ×1e6 round makes the comparison float-tie-proof.
+    */
+  def q106JlProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    graft.operators.VectorOps.jlProject(emb, "vec", "proj", k = 16, dims = 64)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j"),
+        round(col("v") * 1e6, 0).cast("long").as("val_micro"))
+      .orderBy("vec_id", "j")
+  }
+
+  val q106Sql: String = {
+    val mat = (0 until 16).map(j =>
+      graft.operators.VectorOps.jlPlane(j, 64).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val scale = math.sqrt(3.0 / 16)
+    s"""WITH m AS (SELECT $mat AS p),
+       |av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |pr AS (SELECT vec_id,
+       |    [{'j': j - 1, 'v': list_dot_product(vec, m.p[j]) * $scale}
+       |     FOR j IN generate_series(1, 16)] AS ps
+       |  FROM av, m),
+       |ex AS (SELECT vec_id, unnest(ps) AS s FROM pr)
+       |SELECT vec_id, CAST(s.j AS INT) AS j,
+       |  CAST(round(s.v * 1e6, 0) AS BIGINT) AS val_micro
+       |FROM ex ORDER BY vec_id, j""".stripMargin
+  }
+
   val q105Sql: String =
     """WITH base AS (
       |  SELECT doc_id, text FROM documents

@@ -186,4 +186,34 @@ object VectorOps {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Johnson-Lindenstrauss random projection: embed `dims`-dimensional
+    * vectors into `k` dimensions via a DETERMINISTIC dense projection
+    * matrix (the same seeded-splitmix64 [[plane]] family as the LSH
+    * hyperplanes, disjoint plane indices), scaled by √(3/k) so expected
+    * squared norms are preserved (plane entries are uniform on [-1,1):
+    * variance 1/3). Pairwise distances are preserved within
+    * (1±ε) w.h.p. for k = O(log n / ε²) — the standard prep step that
+    * makes 100 TB ANN affordable: project 1024-d → 64-d once, search in
+    * projected space, re-rank survivors with the full vectors.
+    *
+    * Scale shape: the matrix is constant-folded plan literals (k
+    * codegen'd [[graft.expressions.VecDot]] calls per row — pure
+    * multiply-adds, no per-element hashing, no shuffle, no UDF); the
+    * projection never leaves the row, so it composes with any
+    * downstream operator as a narrow map.
+    */
+  def jlProject(df: DataFrame, vecCol: String, outCol: String,
+      k: Int, dims: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val scale = math.sqrt(3.0 / k)
+    df.withColumn(outCol, array((0 until k).map { j =>
+      call_function("vec_dot", col(vecCol), typedLit(jlPlane(j, dims))) * lit(scale)
+    }: _*))
+  }
+
+  /** The projection family for [[jlProject]] — [[plane]] at a disjoint
+    * index range so JL components never reuse an LSH hyperplane. */
+  private[graft] def jlPlane(j: Int, dims: Int): Array[Double] =
+    plane(100000 + j, dims)
 }

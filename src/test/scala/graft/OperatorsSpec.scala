@@ -259,6 +259,56 @@ class OperatorsSpec extends SparkSpec {
     assert(a(4) < b(4), "higher fundamental frequency must raise the zero-crossing rate")
   }
 
+  test("JL projection: deterministic, distance-preserving, and planted near-dups stay projected-space top-1") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val proj = VectorOps.jlProject(emb, "vec", "proj", k = 32, dims = 64)
+    // deterministic: two runs produce identical arrays
+    val a = proj.orderBy("vec_id").collect().map(_.getSeq[Double](2))
+    val b = VectorOps.jlProject(emb, "vec", "proj", k = 32, dims = 64)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](2))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // norms preserved in expectation: mean ratio of squared norms near 1
+    val ratios = proj.select(
+        (VectorOps.dot(col("proj"), col("proj")) /
+          VectorOps.dot(col("vec"), col("vec"))).as("r"))
+      .collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean squared-norm ratio $mean")
+    // JL's actual contract — PAIRWISE DISTANCE preservation (not rank
+    // preservation, which no projection guarantees when the corpus'
+    // neighbor gaps are smaller than ε): squared-distance ratios for
+    // sampled pairs concentrate around 1
+    val pairs = proj.limit(40).select(col("vec_id"), col("vec"), col("proj"))
+      .collect()
+    val ratios2 = for {
+      i <- pairs.indices; jj <- (i + 1) until pairs.length
+      dv = pairs(i).getSeq[Double](1).zip(pairs(jj).getSeq[Double](1)).map { case (x, y) => x - y }
+      dp = pairs(i).getSeq[Double](2).zip(pairs(jj).getSeq[Double](2)).map { case (x, y) => x - y }
+    } yield dp.map(x => x * x).sum / dv.map(x => x * x).sum
+    val m2 = ratios2.sum / ratios2.length
+    assert(m2 > 0.75 && m2 < 1.25, s"mean pairwise sq-dist ratio $m2")
+    assert(ratios2.count(r => r > 0.4 && r < 1.8).toDouble / ratios2.length >= 0.9,
+      "≥90% of pairwise sq-dist ratios within [0.4, 1.8] at k=32")
+    // the property a dedup pipeline needs: a planted near-duplicate
+    // (cosine ≈ 0.9997) stays the projected-space TOP-1 neighbor
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.01)).as("vec"))
+    val corpus = emb.filter(col("vec_id") >= 5).unionByName(planted)
+      .select(col("vec_id").as("id"), col("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val pq = VectorOps.jlProject(queries, "qvec", "qproj", k = 32, dims = 64)
+      .select(col("qid"), col("qproj").as("qvec"))
+    val pc = VectorOps.jlProject(corpus, "vec", "proj", k = 32, dims = 64)
+      .select(col("id"), col("proj").as("vec"))
+    val top1 = VectorOps.cosineTopK(pc, pq, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 5L).forall(q => top1(q) == q + 100000),
+      s"planted near-dups must stay projected-space top-1: $top1")
+  }
+
   test("bucketed band join ≡ naive band left join (scale-path rewrite correctness)") {
     val left = (1L to 60L).map { i =>
       (i, s"K${i % 7}", java.sql.Date.valueOf(java.time.LocalDate.parse("2026-01-01").plusDays(i * 3 % 50)))
