@@ -628,6 +628,13 @@ object ExtQueries {
     *      .tokenBudgetMixture]] per-language budgets over what's left.
     * Each stage only shuffles on its natural key (shingle / component /
     * source); drops flow as left-anti joins, never collected.
+    *
+    * Deliberately NOT checkpointed between stages: although the
+    * quality-survivor frame feeds four downstream subtrees, Spark's
+    * ReuseExchange already dedups their shuffles within the query —
+    * measured at sf0.1, localCheckpoint'ing the stage boundaries made
+    * the query ~5% SLOWER (materialization cost, no reuse win). The
+    * query's cost is genuinely the sum of its four certified stages.
     */
   def q104Curate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
