@@ -1081,6 +1081,67 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted IMPORTANCE resampling
+    * ([[graft.operators.Sampling.weightedSample]]): each document is
+    * kept with probability equal to its quality score — the
+    * soft-filtering alternative to q77's hard threshold (low-quality
+    * docs downweight instead of vanishing). Portable-hash draw +
+    * integer-exact threshold, so the exact kept set hash-matches the
+    * DuckDB twin.
+    */
+  def q107WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    graft.operators.Sampling.weightedSample(scored, "doc_id", col("quality_score"),
+        seed = 7, portable = true)
+      .select(col("doc_id"), col("lang"), round(col("quality_score"), 4).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val q107Sql: String =
+    """WITH qf AS (SELECT doc_id, lang, text,
+      |    string_split_regex(text, '\s+') AS words FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    CAST(len(words) AS INT) AS n_words,
+      |    CAST(length(text) AS DOUBLE) / greatest(len(words), 1) AS avg_word_len,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS dup_word_ratio
+      |  FROM qf),
+      |sc AS (SELECT doc_id, lang,
+      |    greatest(0.0, least(1.0, 1.0
+      |      - CASE WHEN n_words < 8 THEN 0.4 ELSE 0.0 END
+      |      - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+      |      - CASE WHEN dup_word_ratio > 0.7 THEN 0.3 ELSE 0.0 END
+      |      - CASE WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 0.2 ELSE 0.0 END)) AS score
+      |  FROM s)
+      |SELECT doc_id, lang, round(score, 4) AS weight FROM sc
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+      |  < CAST(floor(score * 1152921504606846976.0) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Sliding-window chunking
+    * ([[graft.operators.Packing.chunkWithStride]]): documents split
+    * into overlapping 12-token windows at stride 8 — the
+    * overflow-with-stride shape used for long-document training and
+    * embedding indexing.
+    */
+  def q108Chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkWithStride(
+        t(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", maxTokens = 12, stride = 8)
+      .orderBy("doc_id", "chunk_idx")
+
+  val q108Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |idx AS (SELECT doc_id, tk,
+      |    unnest(range(CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i
+      |  FROM toks)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |  array_to_string(tk[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 12 AS BIGINT)], ' ') AS chunk_text,
+      |  CAST(least(len(tk) - i * 8, 12) AS BIGINT) AS n_tokens
+      |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Johnson-Lindenstrauss projection of the embedding corpus
     * ([[graft.operators.VectorOps.jlProject]]): 64-d → 16-d with the
     * deterministic constant-literal matrix. Output in integer-exact

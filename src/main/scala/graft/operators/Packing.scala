@@ -61,4 +61,42 @@ object Packing {
       }
       .toDF()
   }
+
+  /** Sliding-window CHUNKING — the tokenizer-side complement of
+    * [[greedyPack]]: split each document into overlapping
+    * `maxTokens`-token windows advancing by `stride` tokens (the
+    * standard overflow-with-stride shape for long-document training and
+    * embedding indexing: overlap = maxTokens − stride preserves context
+    * across boundaries). Chunk i covers tokens [i·stride,
+    * i·stride + maxTokens); windows start while i·stride < n, so the
+    * final windows may be short but every token lands in ≥1 chunk and
+    * no start position is ever beyond the text.
+    *
+    * Scale shape: chunks are computed PER ROW with higher-order
+    * functions ([[Dedup.spanDedup]]'s machinery) — a narrow map, no
+    * shuffle, one output row per chunk; at 100 TB this composes with a
+    * downstream repartition-by-shard without ever materializing
+    * per-token rows.
+    *
+    * Output: (id, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkWithStride(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      "need 0 < stride <= maxTokens")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = when(n > 0, floor((n - lit(1)) / lit(stride.toDouble)).cast("long") + 1L)
+      .otherwise(0L)
+    val chunks = when(nChunks > 0,
+      transform(sequence(lit(0L), nChunks - 1),
+        i => struct(i.cast("int").as("chunk_idx"),
+          array_join(slice(toks, (i * stride + 1).cast("int"), lit(maxTokens)), " ")
+            .as("chunk_text"),
+          least(n - i * stride, lit(maxTokens)).cast("long").as("n_tokens"))))
+      .otherwise(array().cast("array<struct<chunk_idx:int,chunk_text:string,n_tokens:bigint>>"))
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
+  }
 }

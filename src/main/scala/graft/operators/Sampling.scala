@@ -83,6 +83,32 @@ object Sampling {
     * a single shuffle on the source key; budgets join as a broadcast
     * literal frame, never a driver lookup inside the plan.
     */
+  /** Deterministic IMPORTANCE (weighted Bernoulli) sampling: keep each
+    * row with probability equal to its per-row weight (clamped to
+    * [0,1]) — quality-weighted corpus resampling, acceptance by model
+    * score, downsampling hot domains. The draw is the same stable-hash
+    * uniform as [[split]]: u(id) < w, so re-runs keep exactly the same
+    * rows, and a row's fate changes only if its WEIGHT changes — no
+    * RNG state, no shuffle, one codegen'd scan at any scale.
+    *
+    * The comparison is INTEGER-exact: u is a 60-bit hash value and the
+    * threshold is floor(w·2⁶⁰), so there is no float-tie ambiguity to
+    * diverge across engines. `portable = true` derives u from md5 hex
+    * (cross-engine reproducible — the [[graft.Queries4.q93HashSample]]
+    * stance); default uses xxhash64 (faster, Spark-native).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      seed: Int = 42, portable: Boolean = false): DataFrame = {
+    val u =
+      if (portable)
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 15),
+          16, 10).cast("long")
+      else pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 60))
+    val thresh = floor(least(greatest(weight, lit(0.0)), lit(1.0)) *
+      lit(math.pow(2, 60))).cast("long")
+    df.filter(u < thresh)
+  }
+
   def tokenBudgetMixture(df: DataFrame, idCol: String, sourceCol: String,
       tokensCol: String, budgets: Seq[(String, Long)]): DataFrame = {
     val spark = df.sparkSession

@@ -259,6 +259,47 @@ class OperatorsSpec extends SparkSpec {
     assert(a(4) < b(4), "higher fundamental frequency must raise the zero-crossing rate")
   }
 
+  test("weighted sampling: 0 keeps nothing, 1 keeps all, monotone in weight, realized rate tracks the weight") {
+    import graft.operators.Sampling
+    val rows = (0L until 4000L).map(i => (i, 0.3)).toDF("id", "w")
+    assert(Sampling.weightedSample(rows.withColumn("w", lit(0.0)), "id", col("w")).count() == 0)
+    assert(Sampling.weightedSample(rows.withColumn("w", lit(1.0)), "id", col("w")).count() == 4000)
+    // realized acceptance tracks the weight (hash-uniform draw)
+    val k3 = Sampling.weightedSample(rows, "id", col("w")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(k3.size / 4000.0 - 0.3) < 0.05, s"rate ${k3.size / 4000.0}")
+    // monotone: raising every weight only ADDS rows (same ids survive) —
+    // the property that makes re-weighting safe mid-pipeline
+    val k6 = Sampling.weightedSample(rows.withColumn("w", lit(0.6)), "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(k6), "weight increase must never evict a kept row")
+    // portable and native paths both respect the contract; out-of-range
+    // weights clamp instead of throwing
+    val p = Sampling.weightedSample(rows.withColumn("w", lit(2.5)), "id", col("w"),
+      portable = true)
+    assert(p.count() == 4000)
+  }
+
+  test("stride chunking: every token covered, overlap equals max-stride, short tail chunks kept") {
+    import graft.operators.Packing
+    val doc = (1 to 25).map(i => s"t$i").mkString(" ")
+    val out = Packing.chunkWithStride(Seq((1L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 10, stride = 5)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 5, s"25 tokens at stride 5 -> 5 chunks, got ${out.length}")
+    assert(out(0)._2 == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(out(1)._2 == (6 to 15).map(i => s"t$i").mkString(" "), "stride-5 overlap of 5 tokens")
+    assert(out(4) == ((4, (21 to 25).map(i => s"t$i").mkString(" "), 5L)), "short tail kept")
+    assert(out.map(_._3).sum == 10 + 10 + 10 + 10 + 5)
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_._2.split(" ")).toSet
+    assert(covered == (1 to 25).map(i => s"t$i").toSet)
+    // an empty-ish doc yields nothing rather than a degenerate chunk
+    assert(Packing.chunkWithStride(Seq((2L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", 10, 5).count() == 1)
+  }
+
   test("JL projection: deterministic, distance-preserving, and planted near-dups stay projected-space top-1") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
