@@ -47,9 +47,20 @@ object Bench {
     // localCheckpoint RDDs (no cross-pass reuse), so the warm-up pass's
     // checkpoints are pure dead weight for p1 — free them now.
     CacheScope.drainCheckpoints()
+    // Session hygiene at pass boundaries: ContextCleaner reaps dead
+    // shuffle files, broadcasts and RDD blocks only after a DRIVER GC,
+    // and a 100+-query pass on a large heap may never trigger one —
+    // the accumulated state from pass N then taxes pass N+1 (the
+    // round-5 common-set drift). One explicit GC per pass bounds the
+    // carry-over without touching the warm caches the next pass reuses
+    // (CacheManager holds strong refs; only UNREFERENCED state is
+    // reaped).
+    def sweep(): Unit = { System.gc(); Thread.sleep(500) }
+    sweep()
     val results = {
       val p1 = names.map(n => n -> run(n)).toMap
       CacheScope.drain()
+      sweep()
       val p2 = names.map(n => n -> run(n)).toMap
       CacheScope.drain()
       names.map { n =>
