@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   * compose across batches (different anchors per batch), so this path
   * relies on the same upstream boundedness as [[LshIndex]]; clusters
   * hot enough to need starring should be split at assignment time
-  * (the [[SemDedup.edges]] hyperplane sub-cell key works here too —
-  * extend `cluster_id` with it before calling, on BOTH write and read).
+  * instead — pass `subCellBits > 0` (every entry point threads it) and
+  * the hyperplane sub-cell key extends `cluster_id` identically on
+  * write and read, bounding per-delta join width (spec-pinned).
   *
   * Exactly-once: pair output partitioned by batch_id with dynamic
   * partition overwrite; the assignment table merges via the same
@@ -47,13 +48,28 @@ object SemIndex {
     * In-batch duplicate ids collapse first; assignment against frozen
     * centroids is deterministic, so re-deliveries produce identical
     * rows (replay-idempotent by construction).
+    *
+    * `subCellBits > 0` extends the cluster key with that many
+    * deterministic hyperplane-signature bits — the HOT-CLUSTER lever
+    * from the scaladoc above: a cluster whose population outgrows the
+    * per-batch join budget splits into up to 2^bits semantically-local
+    * sub-cells AT ASSIGNMENT TIME, so write and read agree by
+    * construction and per-delta join width stays bounded. Near-dups
+    * (cosine ≥ 0.95) share each sign bit w.p. ≈ 1−θ/π ≳ 0.99, so
+    * recall degrades gracefully and deterministically — the same
+    * trade [[SemDedup.edges]] makes when splitting oversized cells.
     */
   def assignments(delta: DataFrame, idCol: String, vecCol: String,
-      centArr: Seq[(Long, Array[Double])]): DataFrame = {
+      centArr: Seq[(Long, Array[Double])], subCellBits: Int = 0,
+      dims: Int = 64): DataFrame = {
     graft.expressions.GraftFunctions.register(delta.sparkSession)
-    IvfIndex.assignWith(delta.dropDuplicates(idCol).select(col(idCol), col(vecCol)),
+    val asg = IvfIndex.assignWith(delta.dropDuplicates(idCol).select(col(idCol), col(vecCol)),
         centArr, vecCol)
       .withColumn("__nrm", sqrt(call_function("vec_dot", col(vecCol), col(vecCol))))
+    if (subCellBits <= 0) asg
+    else asg.withColumn("cluster_id",
+      col("cluster_id") * lit(1L << subCellBits) +
+        VectorOps.hyperplaneSignature(col(vecCol), subCellBits, dims))
   }
 
   /** Merge a batch's assignments into the parquet assignment table
@@ -63,9 +79,9 @@ object SemIndex {
     * [[LshIndex.updateSignatureTable]].
     */
   def updateAssignmentTable(path: String, delta: DataFrame, idCol: String, vecCol: String,
-      centArr: Seq[(Long, Array[Double])]): Unit = {
+      centArr: Seq[(Long, Array[Double])], subCellBits: Int = 0): Unit = {
     val spark = delta.sparkSession
-    val deltaAsg = assignments(delta, idCol, vecCol, centArr)
+    val deltaAsg = assignments(delta, idCol, vecCol, centArr, subCellBits)
     if (!exists(spark, path)) {
       deltaAsg.write.mode("overwrite").parquet(path)
       return
@@ -100,10 +116,11 @@ object SemIndex {
     * (src, dst), src < dst, distinct.
     */
   def pairsForDelta(path: String, delta: DataFrame, idCol: String, vecCol: String,
-      centArr: Seq[(Long, Array[Double])], threshold: Double = 0.95): DataFrame = {
+      centArr: Seq[(Long, Array[Double])], threshold: Double = 0.95,
+      subCellBits: Int = 0): DataFrame = {
     val spark = delta.sparkSession
     val deltaAsg = graft.CacheScope.trackCheckpoint(
-      assignments(delta, idCol, vecCol, centArr)
+      assignments(delta, idCol, vecCol, centArr, subCellBits)
         .localCheckpoint(true)) // consumed by both join sides below
     val corpus =
       if (exists(spark, path))
@@ -128,14 +145,14 @@ object SemIndex {
     */
   def processBatch(asgPath: String, pairsPath: String, batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, centArr: Seq[(Long, Array[Double])],
-      threshold: Double = 0.95): Unit = {
-    pairsForDelta(asgPath, batch, idCol, vecCol, centArr, threshold)
+      threshold: Double = 0.95, subCellBits: Int = 0): Unit = {
+    pairsForDelta(asgPath, batch, idCol, vecCol, centArr, threshold, subCellBits)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(pairsPath)
-    updateAssignmentTable(asgPath, batch, idCol, vecCol, centArr)
+    updateAssignmentTable(asgPath, batch, idCol, vecCol, centArr, subCellBits)
   }
 
   /** Streaming wiring: maintain the assignment table and the edge log
@@ -143,7 +160,7 @@ object SemIndex {
     */
   def start(vectors: DataFrame, asgPath: String, pairsPath: String, checkpoint: String,
       idCol: String, vecCol: String, centArr: Seq[(Long, Array[Double])],
-      threshold: Double = 0.95,
+      threshold: Double = 0.95, subCellBits: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
@@ -152,7 +169,8 @@ object SemIndex {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          processBatch(asgPath, pairsPath, batch, batchId, idCol, vecCol, centArr, threshold)
+          processBatch(asgPath, pairsPath, batch, batchId, idCol, vecCol, centArr, threshold,
+            subCellBits)
       }
       .start()
 }

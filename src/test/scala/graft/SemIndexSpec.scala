@@ -90,6 +90,48 @@ class SemIndexSpec extends SparkSpec {
     assert(snapshot() == before, "replay must not change the table or duplicate edges")
   }
 
+  test("hot cluster: subCellBits splits at assignment time, batches ≡ identically-split one-shot, twins survive") {
+    val docs = corpus()
+    // k=2 centroids over a 500+-vector corpus: both clusters are HOT —
+    // the adversarial case where the per-delta join would otherwise scan
+    // ~half the history each batch (assignWith needs ≥2 centroids for
+    // its least() distance argmin)
+    val oneCent = IvfIndex.frozenCentroids(2, 64).map { case (c, a) => (c.toLong, a) }
+    val bits = 4
+    val asgPath = Files.createTempDirectory("sem_asg_h").toString + "/asg"
+    val pairsPath = Files.createTempDirectory("sem_pairs_h").toString + "/pairs"
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    SemIndex.processBatch(asgPath, pairsPath, b1.toDF("vec_id", "vec"), 0L,
+      "vec_id", "vec", oneCent, subCellBits = bits)
+    SemIndex.processBatch(asgPath, pairsPath, b2.toDF("vec_id", "vec"), 1L,
+      "vec_id", "vec", oneCent, subCellBits = bits)
+
+    // the split actually happened: stored keys spread over many sub-cells,
+    // and the largest sub-cell is a small fraction of the corpus
+    val cells = spark.read.parquet(asgPath).groupBy("cluster_id").count()
+      .as[(Long, Long)].collect()
+    assert(cells.length > 4, s"expected >4 sub-cells, got ${cells.length}")
+    assert(cells.map(_._2).max < docs.size / 2,
+      s"largest sub-cell ${cells.map(_._2).max} of ${docs.size} — split ineffective")
+
+    // equivalence against the one-shot edges over the SAME sub-celled
+    // assignment (the operator contract: write and read agree)
+    val oneShot = SemDedup.edges(
+        SemIndex.assignments(docs.toDF("vec_id", "vec"), "vec_id", "vec",
+          oneCent, subCellBits = bits).drop("__nrm"),
+        "vec_id", "vec", threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    val streamed = spark.read.parquet(pairsPath)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(streamed == oneShot,
+      s"missing=${(oneShot -- streamed).take(5)} spurious=${(streamed -- oneShot).take(5)}")
+
+    // recall trade is graceful: nearly all planted twins still share
+    // every sub-cell bit (cos ≈ 0.9997 ⇒ per-bit agreement ≈ 99%)
+    val twinEdges = streamed.count { case (s, d) => d == s + 100000L }
+    assert(twinEdges >= 17, s"only $twinEdges of 20 planted twins survived 4-bit sub-celling")
+  }
+
   test("pairsForDelta sees only edges involving the delta") {
     val docs = corpus()
     val asgPath = Files.createTempDirectory("sem_asg_d").toString + "/asg"
