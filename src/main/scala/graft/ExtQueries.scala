@@ -1202,4 +1202,162 @@ object ExtQueries {
       |SELECT ns.doc_id, COALESCE(re.clean_text, '') AS clean_text,
       |  ns.n_spans, COALESCE(re.n_kept, 0) AS n_kept
       |FROM ns LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** BM25 ranked retrieval ([[graft.operators.TextAnalysis.bm25TopK]]):
+    * top-10 documents for a 3-query keyword workload — the corpus
+    * exploration / RAG-candidate stage. Scores in integer-exact micro
+    * units (idf and per-term contributions round at the source, the
+    * per-(query, doc) sum is exact BIGINT).
+    */
+  def q109Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (0L, Seq("spark", "window", "join")),
+      (1L, Seq("fast", "scan", "table")),
+      (2L, Seq("vector", "stream", "hash"))).toDF("qid", "terms")
+    TextAnalysis.bm25TopK(t(spark, dir, "documents"), "doc_id", "text", queries, k = 10)
+      .orderBy("qid", "rn")
+  }
+
+  val q109Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CAST(len(tk) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |idf AS (SELECT term,
+      |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6, 0) AS BIGINT) AS idf_micro
+      |  FROM dfq, st),
+      |qt AS (SELECT * FROM (VALUES (0, ['spark', 'window', 'join']),
+      |    (1, ['fast', 'scan', 'table']),
+      |    (2, ['vector', 'stream', 'hash'])) AS v(qid, terms)),
+      |qe AS (SELECT CAST(qid AS BIGINT) AS qid, unnest(terms) AS term FROM qt),
+      |sc AS (SELECT qe.qid, tf.doc_id,
+      |    CAST(round((CAST(idf_micro AS DOUBLE) / 1e6) *
+      |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) * 1e6, 0) AS BIGINT) AS c
+      |  FROM tf JOIN qe USING (term) JOIN idf USING (term) JOIN dls USING (doc_id), st),
+      |ag AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+      |    CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM sc GROUP BY qid, doc_id),
+      |rk AS (SELECT qid, doc_id, n_terms, score_micro,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn
+      |  FROM ag)
+      |SELECT qid, doc_id, CAST(rn AS INT) AS rn, n_terms, score_micro
+      |FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  /** Int8-quantized ANN ([[graft.operators.VectorOps.quantizeInt8]] +
+    * [[graft.operators.VectorOps.quantizedTopK]]): corpus-calibrated
+    * scalar quantization, exact integer-dot candidate generation (top 30),
+    * full-precision cosine re-rank (top 10). The integer candidate stage
+    * is bit-portable by construction; only the re-rank touches doubles,
+    * under the q17 rounding discipline.
+    */
+  def q110QuantAnn(spark: SparkSession, dir: String): DataFrame = {
+    val em = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val qz = VectorOps.quantizeInt8(em, "vec", "q")
+    val qs = qz.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("q").as("qq"))
+    VectorOps.quantizedTopK(qz.filter(col("vec_id") >= 5), qs, k = 10, candidates = 30,
+        id = "vec_id", vec = "vec", codes = "q", qid = "qid", qvec = "qvec", qcodes = "qq")
+      .orderBy("qid", "rn")
+  }
+
+  val q110Sql: String =
+    """WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |dim AS (SELECT unnest(vec) AS x, generate_subscripts(vec, 1) AS d FROM av),
+      |stt AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dim GROUP BY d),
+      |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stt),
+      |qv AS (SELECT vec_id, vec,
+      |    [CASE WHEN mxs[i] = mns[i] THEN 0
+      |          ELSE CAST(round(((vec[i] - mns[i]) / (mxs[i] - mns[i])) * 254.0, 0) AS INT) - 127 END
+      |     FOR i IN generate_series(1, 64)] AS q
+      |  FROM av, st),
+      |qs AS (SELECT vec_id AS qid, vec AS qvec, q AS qq FROM qv WHERE vec_id < 5),
+      |cand AS (SELECT qs.qid, cp.vec_id, cp.vec, qs.qvec,
+      |    CAST(round(list_dot_product(CAST(cp.q AS DOUBLE[]), CAST(qs.qq AS DOUBLE[])), 0) AS BIGINT) AS qdot
+      |  FROM (SELECT * FROM qv WHERE vec_id >= 5) cp, qs),
+      |top AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rc
+      |  FROM cand),
+      |rr AS (SELECT qid, vec_id, qdot,
+      |    round(list_dot_product(vec, qvec)
+      |      / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+      |  FROM top WHERE rc <= 30),
+      |fin AS (SELECT qid, vec_id, qdot, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM rr)
+      |SELECT qid, vec_id AS neighbor_id, qdot, cosine, CAST(rn AS INT) AS rn
+      |FROM fin WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  /** Entity resolution / golden record
+    * ([[graft.operators.EntityResolution.resolve]]): part-name spelling
+    * clusters (token-blocked lev≤3 pairs → CC closure) with each
+    * cluster's canonical form elected by row multiplicity. The oracle
+    * replays the same blocked pairs (the q91 twin), the closure as a
+    * recursive CTE (the q58 pattern), and the same election window.
+    */
+  def q111EntityResolution(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.resolve(
+        t(spark, dir, "part").select(col("p_name")), "p_name", maxDist = 3)
+      .orderBy("value")
+
+  val q111Sql: String =
+    """WITH RECURSIVE
+      |vocab AS (SELECT p_name AS value, CAST(COUNT(*) AS BIGINT) AS n_rows FROM part GROUP BY p_name),
+      |toks AS (SELECT DISTINCT value AS s, unnest(string_split(value, ' ')) AS tok FROM vocab),
+      |pairs AS (SELECT DISTINCT a.s AS pa, b.s AS pb
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.s < b.s
+      |  WHERE levenshtein(a.s, b.s) <= 3),
+      |und AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+      |reach AS (SELECT DISTINCT a AS id, a AS r FROM und
+      |          UNION
+      |          SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id),
+      |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |cl AS (SELECT vocab.value, vocab.n_rows,
+      |    COALESCE(comp.comp, vocab.value) AS cluster
+      |  FROM vocab LEFT JOIN comp ON comp.id = vocab.value)
+      |SELECT value, n_rows, cluster,
+      |  first_value(value) OVER (PARTITION BY cluster ORDER BY n_rows DESC, value ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canonical,
+      |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_sz,
+      |  CAST(sum(n_rows) OVER (PARTITION BY cluster) AS BIGINT) AS rows_covered
+      |FROM cl ORDER BY value""".stripMargin
+
+  /** Per-source adaptive quality threshold
+    * ([[graft.operators.TextAnalysis.adaptiveQualityFilter]]): each
+    * source keeps documents above its OWN 25th quality percentile — the
+    * per-domain calibration that a single global cutoff gets wrong.
+    */
+  def q112AdaptiveQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        round(col("quality_score"), 4).as("score"))
+    TextAnalysis.adaptiveQualityFilter(scored, "source", "score", p = 0.25)
+      .select(col("doc_id"), col("source"), col("score"), col("threshold"))
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String =
+    """WITH qf AS (SELECT doc_id, source, text,
+      |    string_split_regex(text, '\s+') AS words FROM documents),
+      |s AS (SELECT doc_id, source,
+      |    CAST(len(words) AS INT) AS n_words,
+      |    CAST(length(text) AS DOUBLE) / greatest(len(words), 1) AS avg_word_len,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS dup_word_ratio
+      |  FROM qf),
+      |sc AS (SELECT doc_id, source,
+      |    round(greatest(0.0, least(1.0, 1.0
+      |      - CASE WHEN n_words < 8 THEN 0.4 ELSE 0.0 END
+      |      - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+      |      - CASE WHEN dup_word_ratio > 0.7 THEN 0.3 ELSE 0.0 END
+      |      - CASE WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 0.2 ELSE 0.0 END)), 4) AS score
+      |  FROM s),
+      |thr AS (SELECT source, round(quantile_cont(score, 0.25), 6) AS threshold
+      |  FROM sc GROUP BY source)
+      |SELECT sc.doc_id, sc.source, sc.score, thr.threshold
+      |FROM sc JOIN thr USING (source)
+      |WHERE sc.score >= thr.threshold ORDER BY sc.doc_id""".stripMargin
 }

@@ -36,15 +36,26 @@ object Tables {
   def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's Parquet
-    * reader rejects; read nanos as long and truncate to microseconds —
-    * bit-identical to DuckDB's `CAST(ts AS TIMESTAMP)` (verified: integer
-    * `div 1000` truncation on both engines).
+  /** `events.parquet` normalization, adaptive to the generator's physical
+    * layout (it has shipped both): INT64 TIMESTAMP(NANOS) — which Spark's
+    * reader only accepts as long via the legacy conf — truncates to
+    * microseconds (`div 1000`, bit-identical to DuckDB's
+    * `CAST(ts AS TIMESTAMP)`); TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * arrives as TIMESTAMP_NTZ and casts to session-time TIMESTAMP, a
+    * value-preserving relabel under the UTC session both mains pin.
+    * Either way downstream sees TimestampType micros matching the DuckDB
+    * oracle's naive reading of the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }
 
@@ -929,7 +940,7 @@ object Queries {
       |  CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d,
       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
-      |  CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_date,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date,
       |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
       |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin
 

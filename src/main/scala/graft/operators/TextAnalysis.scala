@@ -305,4 +305,87 @@ object TextAnalysis {
       .select(col(idCol), col("n").as("n_tokens"),
         (col("avg_micro").cast("double") / 1e6).as("avg_logprob"))
   }
+
+  /** BM25 ranked retrieval: top-k documents per query under the
+    * Robertson/Lucene scoring
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))` — the keyword-search
+    * counterpart of [[tfIdfTopTerms]], and the retrieval stage a
+    * training-data pipeline uses for corpus exploration and
+    * RAG-candidate generation.
+    *
+    * Cross-engine determinism (the [[ngramLogprob]] stance): idf rounds
+    * to integer micro-units at the source (one `ln` per TERM, never per
+    * posting), each per-term contribution rounds to micro-units before
+    * the per-(query, doc) sum, so the sum is exact BIGINT and ranking
+    * ties break on doc id. `avgdl` is an exact BIGINT-sum ÷ BIGINT-count
+    * double division — the same IEEE op in any engine.
+    *
+    * Shape at scale: one token explode feeds the tf aggregation (shuffle
+    * on (doc, term)) and the df count (shuffle on term); the query-term
+    * list and the (N, avgdl) scalars broadcast; the idf side of the
+    * scoring join broadcasts because only QUERY terms survive it
+    * (|queries|·|terms| rows, corpus-independent). The per-(query, doc)
+    * sum shuffles on the pair; top-k is a WindowGroupLimit, not a full
+    * sort. Nothing driver-side, nothing quadratic in the corpus.
+    *
+    * @param queries (qid, terms: array<string>) — the query workload;
+    *                must be small enough to broadcast.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val qterms = queries.select(col("qid"), explode(col("terms")).as("term"))
+    // df only matters for query terms — semi-restrict BEFORE the global
+    // term count would undercount df, so count first, then keep the
+    // query vocabulary (broadcast: |qterms| rows, corpus-independent)
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("term"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6), 0)
+          .cast("long").as("idf_micro"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("c_micro", round(
+        (col("idf_micro").cast("double") / lit(1e6)) *
+          ((col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))) * lit(1e6), 0)
+        .cast("long"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score_micro").desc, col(idCol).asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("rn"), col("n_terms"), col("score_micro"))
+  }
+
+  /** Per-group ADAPTIVE quality threshold (the RefinedWeb/DataComp
+    * per-domain calibration step): instead of one global cutoff, each
+    * group (source, language, domain) keeps its rows above its OWN
+    * `p`-quantile of `scoreCol` — a noisy web domain and a clean
+    * reference domain each lose their own worst tail, rather than the
+    * global cutoff wiping out the noisy domain entirely.
+    *
+    * The threshold is the exact interpolated quantile (identical
+    * `rank = p·(n−1)` semantics to DuckDB's `quantile_cont`), rounded
+    * to 6dp so the boundary compare is engine-stable. One aggregation
+    * shuffle on the group key; thresholds broadcast back (|groups| rows,
+    * corpus-independent).
+    */
+  def adaptiveQualityFilter(df: DataFrame, groupCol: String, scoreCol: String,
+      p: Double = 0.25): DataFrame = {
+    val thr = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($scoreCol, $p)"), 6).as("threshold"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("threshold"))
+  }
 }

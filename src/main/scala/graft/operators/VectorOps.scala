@@ -216,4 +216,68 @@ object VectorOps {
     * index range so JL components never reuse an LSH hyperplane. */
   private[graft] def jlPlane(j: Int, dims: Int): Array[Double] =
     plane(100000 + j, dims)
+
+  /** Per-dimension corpus min/max of a vector column as ONE broadcastable
+    * row `(mns: array<double>, mxs: array<double>)` — the calibration
+    * statistics for [[quantizeInt8]]. Two narrow shuffles (per-dim agg on
+    * ≤ dims keys, then a single-row fold); at 100 TB this is a one-pass
+    * stats job whose output persists alongside the quantized index, not
+    * something recomputed per query.
+    */
+  def int8Stats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("s"))
+      .select(transform(col("s"), e => e("mn")).as("mns"),
+        transform(col("s"), e => e("mx")).as("mxs"))
+
+  /** Scalar int8 quantization of an embedding column: each dimension maps
+    * affinely from its corpus [min, max] onto [−127, 127] (constant
+    * dimensions map to 0). 8× less memory traffic than float64 — the
+    * standard memory-bandwidth optimization that makes brute-force
+    * candidate generation affordable on a 100 TB embedding corpus — and
+    * the integer dot products downstream ([[intDot]]) are EXACT, so
+    * quantized rankings are engine-portable with no float-tie risk.
+    * A narrow per-row map (no shuffle) after the broadcast stats join.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String,
+      stats: Option[DataFrame] = None): DataFrame =
+    df.crossJoin(broadcast(stats.getOrElse(int8Stats(df, vecCol))))
+      .withColumn(outCol, transform(col(vecCol), (x, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val mx = element_at(col("mxs"), i + 1)
+        when(mx === mn, lit(0))
+          .otherwise(round(((x - mn) / (mx - mn)) * lit(254.0), 0).cast("int") - lit(127))
+      }))
+      .drop("mns", "mxs")
+
+  /** Exact integer dot product of two int-code array columns (sum as
+    * long — no overflow below ~2³⁰ elements of int8·int8 products). */
+  def intDot(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => (x * y).cast("long"))
+      .pipe(z => aggregate(z, lit(0L), (acc, x) => acc + x))
+
+  /** Quantized ANN: int8 candidate generation + exact re-rank. The corpus
+    * scan computes exact integer dot products against the broadcast
+    * quantized queries and keeps `candidates` per query (WindowGroupLimit
+    * on the quantized score); only the survivors pay the full-precision
+    * cosine. Same scan shape as [[cosineTopK]] but the hot loop reads
+    * int8 codes instead of doubles — the memory-bound path at scale.
+    *
+    * @param corpus (id, vec, qcodes) — pre-quantized via [[quantizeInt8]]
+    * @param queries (qid, qvec, qqcodes) — same calibration stats
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int, candidates: Int,
+      id: String = "id", vec: String = "vec", codes: String = "q",
+      qid: String = "qid", qvec: String = "qvec", qcodes: String = "qq"): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("qdot", intDot(col(codes), col(qcodes)))
+      .withColumn("rc", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("qdot").desc, col(id).asc)))
+      .filter(col("rc") <= candidates)
+      .withColumn("cosine", round(fastCosine(corpus.sparkSession)(col(vec), col(qvec)), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)))
+      .filter(col("rn") <= k)
+      .select(col(qid), col(id).as("neighbor_id"), col("qdot"), col("cosine"), col("rn"))
 }
