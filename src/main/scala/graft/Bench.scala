@@ -24,12 +24,20 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      } finally
+        // A finished query's localCheckpoint blocks (CC rounds, SemDedup
+        // assignment, SCD2 folds) are dead weight for every query after
+        // it — with 6 checkpoint-heavy queries in the roster they squeeze
+        // execution memory for the rest of the pass. Free them per QUERY
+        // (non-blocking, after the clock stops); caches (tracked
+        // separately) stay warm until the pass drain.
+        CacheScope.drainCheckpoints()
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -816,11 +816,13 @@ object ExtQueries {
   }
 
   /** Multimodal feature extraction over a deterministic synthetic media
-    * corpus. Image rows are REAL PNGs decoded with `javax.imageio`
-    * (pixel-derived features); audio/video decode remains stubbed — see
-    * Multimodal scaladoc. Spark-side schema, batching and metadata flow
-    * are real. Rows-only by nature (binary payloads + codec output are
-    * not SQL-expressible); pixel semantics pinned in OperatorsSpec.
+    * corpus. All three media types decode for REAL: images are PNGs
+    * through `javax.imageio` (pixel-derived features), audio is RIFF/WAV
+    * PCM through `javax.sound.sampled` (sample-derived features), video
+    * is GFV1 PNG-frame containers demuxed and decoded per frame
+    * (temporal motion features) — see Multimodal scaladoc. Rows-only by
+    * nature (binary payloads + codec output are not SQL-expressible);
+    * pixel/sample/frame semantics pinned in OperatorsSpec.
     */
   def q26MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticCorpus(spark, 2000))

@@ -20,12 +20,19 @@ import org.apache.spark.sql.functions._
   * `javax.sound.sampled`: the synthetic corpus writes genuine RIFF/WAV
   * PCM payloads and [[decodeAndFeaturize]] parses them back to samples
   * (RMS, zero-crossing rate, amplitude histogram, real duration from
-  * the frame count). VIDEO containers need native codecs not present in
-  * this container — that path stays STUBBED with a deterministic fake
-  * (clearly marked below). Everything Spark-side is real and tested: the
-  * schema contract, the batched `mapPartitions` execution shape (the
-  * Scala analogue of `mapInPandas` — one iterator per partition,
-  * vectorizable), the partition sizing, and the columnar metadata flow.
+  * the frame count). VIDEO is real end-to-end over the minimal GFV1
+  * container (magic + frame interval + length-prefixed PNG frames —
+  * MP4/H.264 demuxing needs native codecs this environment lacks, so a
+  * documented simple container stands in; swapping the demux/codec call
+  * leaves the whole pipeline identical): [[decodeAndFeaturize]] demuxes
+  * the stream, decodes EVERY frame, and emits temporal features (true
+  * frame count/duration, per-frame luma, frame-to-frame motion);
+  * [[frameSample]] slices the real frame bytes out of the container so
+  * downstream image operators consume genuine PNGs. Everything
+  * Spark-side is real and tested: the schema contract, the batched
+  * `mapPartitions` execution shape (the Scala analogue of `mapInPandas`
+  * — one iterator per partition, vectorizable), the partition sizing,
+  * and the columnar metadata flow.
   *
   * Scale notes: media bytes never pass through a shuffle — decode is a
   * narrow map stage; only the (small) extracted features move on. Batch
@@ -59,11 +66,10 @@ object Multimodal {
       feature: Array[Float] // fixed 16-dim feature vector
   )
 
-  /** Deterministic fake features for the codec-less media type (video)
-    * and undecodable payloads — STUB: a stable 16-dim rolling hash of
-    * the payload, so tests are reproducible and dedup-by-feature is
-    * exercised. A real deployment swaps this for the codec call (e.g.
-    * JavaCV); signature, batching, and schema stay identical.
+  /** Deterministic fallback features for UNDECODABLE payloads (corrupt
+    * blobs, foreign containers): a stable 16-dim rolling hash of the
+    * payload, so tests are reproducible and dedup-by-feature still
+    * works on rows the codecs reject.
     */
   private def hashFeature(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](16)
@@ -127,17 +133,92 @@ object Multimodal {
       out
     } catch { case _: Exception => hashFeature(payload) }
 
+  /** GFV1 demux: `"GFV1" | int32 n_frames | int32 frame_ms |
+    * (int32 len | PNG bytes) × n_frames`, big-endian. Returns None on
+    * anything malformed — callers treat that as data, not an error.
+    */
+  private[operators] def parseGfv(payload: Array[Byte]): Option[(Int, Array[Array[Byte]])] = {
+    if (payload.length < 12 || payload(0) != 'G' || payload(1) != 'F' ||
+      payload(2) != 'V' || payload(3) != '1') return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    bb.position(4)
+    val nf = bb.getInt
+    val frameMs = bb.getInt
+    if (nf <= 0 || nf > 1000000 || frameMs <= 0) return None
+    val frames = new Array[Array[Byte]](nf)
+    var i = 0
+    while (i < nf) {
+      if (bb.remaining < 4) return None
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining) return None
+      val a = new Array[Byte](len)
+      bb.get(a)
+      frames(i) = a
+      i += 1
+    }
+    Some((frameMs, frames))
+  }
+
+  /** Real GFV1 video features: demux, decode every frame, one temporal
+    * pass — feature = [width, height, n_frames, fps, duration_ms (from
+    * the REAL frame count), mean luma, motion (mean |frame-to-frame
+    * mean-luma delta|), peak delta, 0…, aspect, 0, 0]. Undecodable
+    * containers/frames fall back to [[hashFeature]].
+    */
+  private def videoFeature(payload: Array[Byte]): Array[Float] =
+    parseGfv(payload) match {
+      case None => hashFeature(payload)
+      case Some((frameMs, frames)) =>
+        var w = 0; var h = 0
+        val lumas = new Array[Double](frames.length)
+        var i = 0
+        while (i < frames.length) {
+          val img = ImageIO.read(new ByteArrayInputStream(frames(i)))
+          if (img == null) return hashFeature(payload)
+          if (i == 0) { w = img.getWidth; h = img.getHeight }
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+          var s = 0L
+          var j = 0
+          while (j < px.length) {
+            val rgb = px(j)
+            s += (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 + (rgb & 255) * 114) / 1000
+            j += 1
+          }
+          lumas(i) = s.toDouble / px.length
+          i += 1
+        }
+        var dSum = 0.0; var dMax = 0.0
+        var k = 1
+        while (k < lumas.length) {
+          val d = math.abs(lumas(k) - lumas(k - 1))
+          dSum += d
+          if (d > dMax) dMax = d
+          k += 1
+        }
+        val out = new Array[Float](16)
+        out(0) = w.toFloat; out(1) = h.toFloat
+        out(2) = frames.length.toFloat
+        out(3) = 1000.0f / frameMs
+        out(4) = frames.length.toFloat * frameMs
+        out(5) = (lumas.sum / lumas.length).toFloat
+        out(6) = if (lumas.length > 1) (dSum / (lumas.length - 1)).toFloat else 0f
+        out(7) = dMax.toFloat
+        out(13) = w.toFloat / h
+        out
+    }
+
   /** Decode + feature extraction. Images REALLY decode via
     * `javax.imageio` (PNG/JPEG/BMP/GIF — whatever the JDK readers
     * accept): feature = [width, height, meanR, meanG, meanB,
     * 8-bin luminance histogram fractions, aspect ratio, 0, 0].
-    * Audio REALLY decodes via `javax.sound.sampled` ([[wavFeature]]).
+    * Audio REALLY decodes via `javax.sound.sampled` ([[wavFeature]]);
+    * video REALLY demuxes + decodes via [[videoFeature]].
     * Undecodable payloads fall back to the hash feature rather than
     * failing the batch — corrupt blobs are data, not exceptions.
-    * Video uses the [[hashFeature]] STUB (no native codecs here).
     */
   private[operators] def decodeAndFeaturize(mediaType: String, payload: Array[Byte]): Array[Float] = {
     if (mediaType == "audio") return wavFeature(payload)
+    if (mediaType == "video") return videoFeature(payload)
     if (mediaType != "image") return hashFeature(payload)
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     if (img == null) return hashFeature(payload)
@@ -215,27 +296,38 @@ object Multimodal {
     }
   }
 
-  /** STUB video frame sampling: emits one record per sampled frame index
-    * with frame metadata; real impl would slice the container stream.
+  /** REAL video frame sampling: demux the GFV1 container and emit every
+    * `everyMs`-th frame's ACTUAL PNG bytes — the video→frames→image
+    * bridge (sampled frames feed straight into the image operators:
+    * features, resize, dedup-by-frame-hash). A narrow flatMap; only the
+    * sampled frames' bytes survive it. Undecodable containers contribute
+    * no rows (corrupt blobs are data, not exceptions).
     */
   def frameSample(records: Dataset[MediaRecord], everyMs: Long): DataFrame = {
-    val df = records.toDF()
-    df.filter(col("meta.media_type") === "video")
-      .withColumn("frame_idx",
-        explode(sequence(lit(0L), greatest((col("meta.duration_ms") / everyMs).cast("long") - 1, lit(0L)))))
-      .select(col("media_id"), col("frame_idx"),
-        (col("frame_idx") * everyMs).as("frame_ts_ms"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        xxhash64(col("media_id"), col("frame_idx")).as("frame_payload_hash"))
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      if (r.meta.media_type != "video") Iterator.empty
+      else parseGfv(r.payload) match {
+        case None => Iterator.empty
+        case Some((frameMs, frames)) =>
+          val step = math.max(1L, everyMs / frameMs).toInt
+          Iterator.range(0, frames.length, step).map { i =>
+            (r.media_id, i.toLong, i.toLong * frameMs,
+              r.meta.width, r.meta.height, frames(i))
+          }
+      }
+    }.toDF("media_id", "frame_idx", "frame_ts_ms", "width", "height", "frame_png")
+      .withColumn("frame_payload_hash", xxhash64(col("frame_png")))
   }
 
   /** Deterministic synthetic media corpus for tests/demos. Image rows
     * carry REAL PNG bytes (id-seeded pixel pattern encoded with
     * `javax.imageio`); audio rows carry REAL RIFF/WAV 16-bit PCM bytes
-    * (id-seeded two-tone waveform written with `javax.sound.sampled`,
-    * so the decode path exercises a genuine parser); video payloads
-    * remain deterministic opaque bytes standing in for container
-    * formats the JDK can't decode.
+    * (id-seeded two-tone waveform written with `javax.sound.sampled`);
+    * video rows carry REAL GFV1 containers of PNG frames (the id-seeded
+    * image pattern translated per frame, so consecutive frames differ by
+    * genuine motion) — every payload round-trips through a genuine
+    * parser.
     */
   def syntheticCorpus(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -290,15 +382,51 @@ object Multimodal {
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           bos.toByteArray
         case _ =>
-          val len = 64 + (id % 193).toInt
-          Array.tabulate[Byte](len)(i => ((id * 31 + i * 7) % 251).toByte)
+          // GFV1: n_frames × PNG, frame pattern translated by frame index
+          // (real motion). duration = n_frames · frame_ms matches the
+          // declared metadata below.
+          val frameMs = 500
+          val nFrames = 2 + (id % 10).toInt
+          val bos = new ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          dos.writeByte('G'); dos.writeByte('F'); dos.writeByte('V'); dos.writeByte('1')
+          dos.writeInt(nFrames)
+          dos.writeInt(frameMs)
+          var f = 0
+          while (f < nFrames) {
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((x * 7 + id * 13 + f * 11) % 256).toInt
+                val g = ((y * 5 + id * 29 + f * 3) % 256).toInt
+                val b = (((x ^ y) + id + f * 17) % 256).toInt
+                px(y * w + x) = (r << 16) | (g << 8) | b
+                x += 1
+              }
+              y += 1
+            }
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            img.setRGB(0, 0, w, h, px, 0, w)
+            val fbos = new ByteArrayOutputStream()
+            ImageIO.write(img, "png", fbos)
+            val fb = fbos.toByteArray
+            dos.writeInt(fb.length)
+            dos.write(fb)
+            f += 1
+          }
+          dos.flush()
+          bos.toByteArray
       }
       MediaRecord(id,
         MediaMeta(kind,
           kind match { case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4" },
           width = w,
           height = h,
-          duration_ms = if (kind == "audio") audioMs else if (kind == "video") 1000L + (id % 10) * 500 else 0L,
+          duration_ms = if (kind == "audio") audioMs
+            else if (kind == "video") (2 + (id % 10)) * 500L // = n_frames · frame_ms
+            else 0L,
           sample_rate = if (kind == "audio") audioSr else 0),
         payload)
     }

@@ -259,6 +259,43 @@ class OperatorsSpec extends SparkSpec {
     assert(a(4) < b(4), "higher fundamental frequency must raise the zero-crossing rate")
   }
 
+  test("multimodal: video REALLY demuxes and decodes — frame-derived dims/duration/motion, real frame bytes") {
+    val corpus = Multimodal.syntheticCorpus(spark, 30)
+    val metaById = corpus.collect().map(r => r.media_id -> r.meta).toMap
+    val vids = Multimodal.extractFeatures(corpus).collect()
+      .filter(_.media_type == "video").sortBy(_.media_id)
+    assert(vids.nonEmpty)
+    vids.foreach { f =>
+      val m = metaById(f.media_id)
+      // dims come from the DECODED first frame, duration from the REAL
+      // demuxed frame count — both must reconcile with the metadata
+      assert(f.feature(0) == m.width.toFloat && f.feature(1) == m.height.toFloat,
+        s"media ${f.media_id}: decoded ${f.feature(0)}x${f.feature(1)} vs meta ${m.width}x${m.height}")
+      assert(f.feature(4) == m.duration_ms.toFloat,
+        s"media ${f.media_id}: decoded duration ${f.feature(4)} vs meta ${m.duration_ms}")
+      assert(f.feature(3) == 2.0f, "fps = 1000 / 500ms frames")
+      // consecutive frames are translated patterns — real pixel motion
+      if (f.feature(2) > 1) assert(f.feature(6) > 0f, s"media ${f.media_id}: zero motion")
+      assert(f.feature(5) > 0f && f.feature(5) < 255f, "mean luma in byte range")
+    }
+    // frame sampling emits the frames' ACTUAL PNG bytes: every sampled
+    // frame decodes to the video's declared dimensions
+    val frames = Multimodal.frameSample(corpus, everyMs = 500)
+      .select("media_id", "frame_idx", "frame_png").collect()
+    assert(frames.nonEmpty)
+    frames.take(20).foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_png")))
+      assert(img != null, "sampled frame must be a decodable PNG")
+      val m = metaById(r.getLong(0))
+      assert(img.getWidth == m.width && img.getHeight == m.height)
+    }
+    // stride honors everyMs: sampling at 2× the frame interval halves rows
+    val dense = Multimodal.frameSample(corpus, everyMs = 500).count()
+    val sparse = Multimodal.frameSample(corpus, everyMs = 1000).count()
+    assert(sparse < dense && sparse > 0)
+  }
+
   test("weighted sampling: 0 keeps nothing, 1 keeps all, monotone in weight, realized rate tracks the weight") {
     import graft.operators.Sampling
     val rows = (0L until 4000L).map(i => (i, 0.3)).toDF("id", "w")

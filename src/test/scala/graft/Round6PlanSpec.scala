@@ -77,4 +77,43 @@ class Round6PlanSpec extends SparkSpec {
     val antis = nodes.filter(_.toString.take(200).contains("LeftAnti"))
     assert(antis.nonEmpty, "expected left-anti drop joins in the composed pipeline")
   }
+
+  test("q109 bm25: corpus joins broadcast the query/idf/scalar sides; no cartesian over data") {
+    val nodes = all(plan("q109_bm25"))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian in bm25")
+    // query terms, idf (restricted to query vocabulary) and the (N, avgdl)
+    // scalars must all arrive via broadcast — the corpus-side tf stream is
+    // never the build side of anything
+    assert(nodes.exists(_.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "expected broadcast joins for the query-term/idf sides")
+    // scalar one-row frames ride BroadcastNestedLoopJoin (cross of 1 row)
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "expected the broadcast scalar cross join")
+  }
+
+  test("q110 quantized ANN: queries broadcast; candidate stage never shuffles the corpus on a join key") {
+    val nodes = all(plan("q110_quant_ann"))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "cartesian over data in quantized ANN")
+    // the corpus×queries product is the intended broadcast nested loop
+    // (queries are a handful of rows); corpus-side shuffles are only the
+    // testdata-spread repartition, the stats agg, and the two top-k windows
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "expected broadcast of the query set")
+    val smj = nodes.filter(_.getClass.getSimpleName.contains("SortMergeJoin"))
+    assert(smj.isEmpty, s"no sort-merge join should appear: ${smj.map(_.nodeName)}")
+  }
+
+  test("q111 entity resolution: blocked pairs only — no all-pairs product over the vocabulary") {
+    val nodes = all(plan("q111_entity_res"))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]), "all-pairs product in entity resolution")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "BNLJ in entity resolution — pairs must come from the token-block equi-join")
+  }
+
+  test("q112 adaptive quality: thresholds join back by broadcast (groups ≪ corpus)") {
+    val nodes = all(plan("q112_adaptive_q"))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(nodes.exists(_.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "expected the per-source threshold frame to broadcast")
+  }
 }
