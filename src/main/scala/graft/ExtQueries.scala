@@ -641,10 +641,16 @@ object ExtQueries {
     val docs = t(spark, dir, "documents")
     val test = docs.filter(col("doc_id") % 10 >= 8).select("doc_id", "lang", "text")
     val cand = docs.filter(col("doc_id") % 10 < 8).select("doc_id", "lang", "text")
-    // stage 1: quality gate
-    val q = TextAnalysis.qualityFeatures(cand)
-      .filter(col("quality_score") >= 0.8)
-      .select("doc_id", "lang", "text")
+    // stage 1: quality gate — materialized ONCE (tracked checkpoint, the
+    // SemDedup.edges pattern): the regex-heavy feature computation
+    // otherwise re-runs inside every downstream consumer (shingle pairs,
+    // word counts, the two anti-joins, the mixture), ~4 recomputations
+    // of the most expensive per-row stage in the pipeline
+    val q = graft.CacheScope.trackCheckpoint(
+      TextAnalysis.qualityFeatures(cand)
+        .filter(col("quality_score") >= 0.8)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(true))
     // stage 2: duplicate-cluster keep-best (q102 parameters/policy)
     val pairs = Dedup.ngramJaccard(q, "doc_id", "text",
       k = 3, minJaccard = 0.2, maxDocFreq = 200)
@@ -657,7 +663,10 @@ object ExtQueries {
           .orderBy(col("word_count").desc, col("doc_id").asc)))
       .filter(col("rk") > 1)
       .select("doc_id")
-    val deduped = q.join(dupDrops, Seq("doc_id"), "left_anti")
+    // deduped feeds both the contamination probe and the final anti-join;
+    // checkpoint so the CC closure above doesn't execute twice
+    val deduped = graft.CacheScope.trackCheckpoint(
+      q.join(dupDrops, Seq("doc_id"), "left_anti").localCheckpoint(true))
     // stage 3: benchmark decontamination (drop-ANY-leak direction)
     val contaminated = Dedup.contaminationPairs(deduped, test, "doc_id", "text",
         k = 3, minContainment = 0.2, maxDocFreq = 1000)

@@ -334,18 +334,43 @@ object TextAnalysis {
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
-      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val toks = bm25Tokens(df, idCol, textCol)
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+    val tf = bm25Postings(toks, idCol)
+    bm25Rank(tf, tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      stats, queries, idCol, k, k1, b)
+  }
+
+  /** (id, toks, dl) token frame — the shared tokenization of the BM25
+    * family (from-text scoring and [[TermIndex]] maintenance). */
+  private[operators] def bm25Tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+  /** (id, term, tf, dl) postings from a [[bm25Tokens]] frame. */
+  private[operators] def bm25Postings(toks: DataFrame, idCol: String): DataFrame =
+    toks.select(col(idCol), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** The BM25 scoring + ranking core over PRE-COMPUTED postings and
+    * corpus statistics — shared by [[bm25TopK]] (which derives them from
+    * text) and [[TermIndex.bm25]] (which reads them from the maintained
+    * index), so both paths produce bit-identical rankings by
+    * construction.
+    *
+    * @param tf (idCol, term, tf, dl) postings
+    * @param dfCounts (term, df) document frequencies
+    * @param stats one row (n_docs, avgdl)
+    */
+  private[operators] def bm25Rank(tf: DataFrame, dfCounts: DataFrame, stats: DataFrame,
+      queries: DataFrame, idCol: String, k: Int, k1: Double, b: Double): DataFrame = {
     val qterms = queries.select(col("qid"), explode(col("terms")).as("term"))
-    // df only matters for query terms — semi-restrict BEFORE the global
-    // term count would undercount df, so count first, then keep the
-    // query vocabulary (broadcast: |qterms| rows, corpus-independent)
-    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df is computed over the FULL corpus, then restricted to the query
+    // vocabulary (semi-restricting first would undercount df); the
+    // surviving idf side is |qterms| rows — corpus-independent, broadcast
+    val idf = dfCounts
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
       .crossJoin(broadcast(stats.select(col("n_docs"))))
       .select(col("term"),

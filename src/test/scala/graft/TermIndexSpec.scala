@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TermIndex, TextAnalysis}
+
+/** Incremental lexical index ≡ one-shot BM25 — the LshIndexSpec contract
+  * for the term-statistics store.
+  */
+class TermIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def queries = Seq(
+    (0L, Seq("spark", "window", "join")),
+    (1L, Seq("fast", "scan", "table"))).toDF("qid", "terms")
+
+  private def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Long, Long)] =
+    df.select("qid", "doc_id", "rn", "n_terms", "score_micro")
+      .as[(Long, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+  test("three batches ≡ one-shot bm25TopK; replay idempotent; compaction preserves results") {
+    val root = java.nio.file.Files.createTempDirectory("termindex").toString
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+
+    val oneShot = ranked(TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, k = 10))
+
+    // disjoint thirds arrive as separate batches
+    for ((m, bid) <- Seq(0, 1, 2).zipWithIndex)
+      TermIndex.updateBatch(root, docs.filter(col("doc_id") % 3 === m), bid.toLong)
+    val served = ranked(TermIndex.bm25(spark, root, queries, k = 10))
+    assert(served == oneShot, "index-served BM25 must equal the one-shot ranking bit-for-bit")
+
+    // replaying the LAST batch must change nothing (dynamic partition
+    // overwrite: the batch replaces its own partitions)
+    TermIndex.updateBatch(root, docs.filter(col("doc_id") % 3 === 2), 2L)
+    assert(ranked(TermIndex.bm25(spark, root, queries, k = 10)) == oneShot,
+      "batch replay must be idempotent")
+
+    // compaction folds the stats deltas without changing any ranking
+    TermIndex.compactStats(spark, root)
+    assert(ranked(TermIndex.bm25(spark, root, queries, k = 10)) == oneShot,
+      "compaction must preserve rankings")
+    // and the df store really is a single base partition now
+    val parts = new java.io.File(s"$root/df").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
+  }
+
+  test("a new batch can only add or re-rank — previously indexed docs stay retrievable") {
+    val root = java.nio.file.Files.createTempDirectory("termindex2").toString
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    TermIndex.updateBatch(root, docs.filter(col("doc_id") < 100), 0L)
+    val before = TermIndex.bm25(spark, root, queries, k = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    TermIndex.updateBatch(root, docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), 1L)
+    val after = TermIndex.bm25(spark, root, queries, k = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before.subsetOf(after),
+      "growing the index must never lose a previously retrievable document")
+    assert((after -- before).forall(_ >= 100))
+  }
+}
