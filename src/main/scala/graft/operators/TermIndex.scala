@@ -113,4 +113,21 @@ object TermIndex {
     fold(scalarsPath(root), df =>
       df.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
   }
+
+  /** Streaming wiring (the [[LshIndex.start]] shape): maintain the index
+    * from a document stream; Structured Streaming's batch ids + the
+    * dynamic-overwrite layout give exactly-once folds across restarts.
+    */
+  def start(docs: DataFrame, root: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("term_index_maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) updateBatch(root, batch, batchId, idCol, textCol)
+      }
+      .start()
 }

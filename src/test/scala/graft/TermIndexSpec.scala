@@ -46,6 +46,28 @@ class TermIndexSpec extends SparkSpec {
     assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
   }
 
+  test("streaming maintenance: AvailableNow micro-batches ≡ one-shot ranking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("termindex_s").toString + "/idx"
+    val cp = java.nio.file.Files.createTempDirectory("termindex_cp").toString
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    for (b <- docs.grouped((docs.size + 1) / 2)) {
+      mem.addData(b: _*)
+      val q = TermIndex.start(mem.toDF().toDF("doc_id", "text"), root, cp,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val served = ranked(TermIndex.bm25(spark, root, queries, k = 10))
+    val oneShot = ranked(TextAnalysis.bm25TopK(
+      docs.toDF("doc_id", "text"), "doc_id", "text", queries, k = 10))
+    assert(served == oneShot, "stream-maintained index must equal one-shot ranking")
+  }
+
   test("a new batch can only add or re-rank — previously indexed docs stay retrievable") {
     val root = java.nio.file.Files.createTempDirectory("termindex2").toString
     val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
