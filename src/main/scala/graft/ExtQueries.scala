@@ -641,16 +641,10 @@ object ExtQueries {
     val docs = t(spark, dir, "documents")
     val test = docs.filter(col("doc_id") % 10 >= 8).select("doc_id", "lang", "text")
     val cand = docs.filter(col("doc_id") % 10 < 8).select("doc_id", "lang", "text")
-    // stage 1: quality gate — materialized ONCE (tracked checkpoint, the
-    // SemDedup.edges pattern): the regex-heavy feature computation
-    // otherwise re-runs inside every downstream consumer (shingle pairs,
-    // word counts, the two anti-joins, the mixture), ~4 recomputations
-    // of the most expensive per-row stage in the pipeline
-    val q = graft.CacheScope.trackCheckpoint(
-      TextAnalysis.qualityFeatures(cand)
-        .filter(col("quality_score") >= 0.8)
-        .select("doc_id", "lang", "text")
-        .localCheckpoint(true))
+    // stage 1: quality gate
+    val q = TextAnalysis.qualityFeatures(cand)
+      .filter(col("quality_score") >= 0.8)
+      .select("doc_id", "lang", "text")
     // stage 2: duplicate-cluster keep-best (q102 parameters/policy)
     val pairs = Dedup.ngramJaccard(q, "doc_id", "text",
       k = 3, minJaccard = 0.2, maxDocFreq = 200)
@@ -663,10 +657,7 @@ object ExtQueries {
           .orderBy(col("word_count").desc, col("doc_id").asc)))
       .filter(col("rk") > 1)
       .select("doc_id")
-    // deduped feeds both the contamination probe and the final anti-join;
-    // checkpoint so the CC closure above doesn't execute twice
-    val deduped = graft.CacheScope.trackCheckpoint(
-      q.join(dupDrops, Seq("doc_id"), "left_anti").localCheckpoint(true))
+    val deduped = q.join(dupDrops, Seq("doc_id"), "left_anti")
     // stage 3: benchmark decontamination (drop-ANY-leak direction)
     val contaminated = Dedup.contaminationPairs(deduped, test, "doc_id", "text",
         k = 3, minContainment = 0.2, maxDocFreq = 1000)
@@ -1334,6 +1325,52 @@ object ExtQueries {
       |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_sz,
       |  CAST(sum(n_rows) OVER (PARTITION BY cluster) AS BIGINT) AS rows_covered
       |FROM cl ORDER BY value""".stripMargin
+
+  /** Curriculum difficulty tiers from the LM quality score (q101's
+    * [[TextAnalysis.ngramLogprob]]): documents bin into 4 tiers by exact
+    * avg-logprob quartiles — tier 1 = most fluent (trained first in a
+    * curriculum schedule), tier 4 = hardest/noisiest. Percentile
+    * THRESHOLDS + a broadcast join instead of a global ntile window: an
+    * ntile over the whole corpus is a single-partition sort at scale,
+    * while the threshold form is one aggregation + a narrow map.
+    */
+  def q113Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val lm = TextAnalysis.ngramLogprob(t(spark, dir, "documents"), "doc_id")
+    val thr = lm.agg(
+      round(expr("percentile(avg_logprob, 0.75)"), 6).as("p75"),
+      round(expr("percentile(avg_logprob, 0.5)"), 6).as("p50"),
+      round(expr("percentile(avg_logprob, 0.25)"), 6).as("p25"))
+    lm.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("p75"), 1)
+          .when(col("avg_logprob") >= col("p50"), 2)
+          .when(col("avg_logprob") >= col("p25"), 3)
+          .otherwise(4).as("tier"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: q101Sql is declared above but object vals initialize in
+  // declaration order only within this file's ordering — keep the same
+  // split-reuse stance as q102Sql-over-q58Sql
+  lazy val q113Sql: String = {
+    val cut = q101Sql.lastIndexOf("\nSELECT doc_id, n AS n_tokens,")
+    require(cut >= 0, "q113Sql: q101Sql's final SELECT changed — update the split marker")
+    q101Sql.substring(0, cut) +
+      """,
+        |lm AS (SELECT doc_id, n AS n_tokens,
+        |    CAST(CASE WHEN s >= 0 THEN (s * 2 + n) // (2 * n)
+        |         ELSE -(((-s) * 2 + n) // (2 * n)) END AS DOUBLE) / 1e6 AS avg_logprob
+        |  FROM agg),
+        |thr AS (SELECT round(quantile_cont(avg_logprob, 0.75), 6) AS p75,
+        |    round(quantile_cont(avg_logprob, 0.5), 6) AS p50,
+        |    round(quantile_cont(avg_logprob, 0.25), 6) AS p25 FROM lm)
+        |SELECT doc_id, n_tokens, avg_logprob,
+        |  CAST(CASE WHEN avg_logprob >= p75 THEN 1
+        |       WHEN avg_logprob >= p50 THEN 2
+        |       WHEN avg_logprob >= p25 THEN 3
+        |       ELSE 4 END AS INT) AS tier
+        |FROM lm, thr ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-source adaptive quality threshold
     * ([[graft.operators.TextAnalysis.adaptiveQualityFilter]]): each
