@@ -1372,6 +1372,46 @@ object ExtQueries {
         |FROM lm, thr ORDER BY doc_id""".stripMargin
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each query
+    * embedding, the top-10 most-similar corpus vectors with a DIFFERENT
+    * label — the standard negative-sampling prep for embedding-model
+    * training (in-batch negatives are too easy; nearest other-label
+    * vectors are the informative ones). Same broadcast-queries /
+    * per-partition-top-k scan shape as q17, with the label inequality
+    * pushed below the ranking window.
+    */
+  def q114HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val em = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val q = em.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("emb").as("q_emb"))
+    em.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cosine", round(
+        VectorOps.fastCosine(spark)(col("emb"), col("q_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("negative_id"), col("label"), col("cosine"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  val q114Sql: String =
+    """WITH em AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb FROM em WHERE vec_id < 5),
+      |c AS (SELECT vec_id, label, emb FROM em WHERE vec_id >= 5),
+      |s AS (SELECT q.q_id, c.vec_id, c.label,
+      |        round(list_dot_product(c.emb, q.q_emb) /
+      |          (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+      |      FROM c CROSS JOIN q
+      |      WHERE c.label <> q.q_label),
+      |r AS (SELECT q_id, vec_id, label, cosine,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+      |      FROM s)
+      |SELECT q_id, vec_id AS negative_id, label, cosine, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
   /** Per-source adaptive quality threshold
     * ([[graft.operators.TextAnalysis.adaptiveQualityFilter]]): each
     * source keeps documents above its OWN 25th quality percentile — the
