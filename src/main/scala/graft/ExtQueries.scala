@@ -1308,8 +1308,11 @@ object ExtQueries {
     """WITH RECURSIVE
       |vocab AS (SELECT p_name AS value, CAST(COUNT(*) AS BIGINT) AS n_rows FROM part GROUP BY p_name),
       |toks AS (SELECT DISTINCT value AS s, unnest(string_split(value, ' ')) AS tok FROM vocab),
+      |ok AS (SELECT tok FROM toks WHERE tok <> ''
+      |  GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 1000),
       |pairs AS (SELECT DISTINCT a.s AS pa, b.s AS pb
       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.s < b.s
+      |  JOIN ok ON ok.tok = a.tok
       |  WHERE levenshtein(a.s, b.s) <= 3),
       |und AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
       |reach AS (SELECT DISTINCT a AS id, a AS r FROM und

@@ -37,22 +37,44 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.parquet` normalization, adaptive to the generator's physical
-    * layout (it has shipped both): INT64 TIMESTAMP(NANOS) — which Spark's
-    * reader only accepts as long via the legacy conf — truncates to
-    * microseconds (`div 1000`, bit-identical to DuckDB's
-    * `CAST(ts AS TIMESTAMP)`); TIMESTAMP(MICROS, isAdjustedToUTC=false)
-    * arrives as TIMESTAMP_NTZ and casts to session-time TIMESTAMP, a
-    * value-preserving relabel under the UTC session both mains pin.
-    * Either way downstream sees TimestampType micros matching the DuckDB
-    * oracle's naive reading of the same file.
+    * layout (it has shipped three): whatever arrives, downstream sees
+    * TimestampType micros matching the DuckDB oracle's naive reading of
+    * the same file — WITHOUT losing parquet predicate pushdown on `ts`
+    * (the reference's bread-and-butter lookback filters, P6/A5-A10,
+    * must row-group-skip at 100 TB):
+    *
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true): TimestampType natively.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): read with
+    *    `inferTimestampNTZ` scoped OFF for this one read, so the column
+    *    arrives as TimestampType straight from the scan (the stored
+    *    micros ARE the session-UTC micros — the same value the previous
+    *    post-scan `cast(ntz as timestamp)` produced, but filters now
+    *    reach the scan: a predicate on a cast-derived column does not
+    *    push, a predicate on the scanned column does).
+    *  - INT64 TIMESTAMP(NANOS) — which Spark's reader only accepts as
+    *    long via the legacy conf — truncates to microseconds
+    *    (`div 1000`, bit-identical to DuckDB's `CAST(ts AS TIMESTAMP)`).
+    *    Time predicates then compare against the derived column, so
+    *    [[graft.plans.RawTimeBoundsRewrite]] (registered here) derives
+    *    pushable raw-long bounds next to them.
+    *
+    * LayoutSpec pins value-equality of all three normalizations;
+    * Round7PlanSpec pins PushedFilters in the NTZ and nanos layouts.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, dir, "events")
+    val inferKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false")
+    // schema inference is eager at read-time, so restoring the conf
+    // immediately after does not affect this frame's execution
+    val df = try t(spark, dir, "events") finally spark.conf.set(inferKey, prev)
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // unreachable with the infer conf scoped off; kept as a belt
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }

@@ -232,7 +232,10 @@ object Queries4 {
   /** Token-blocked fuzzy self-join ([[FuzzyJoin.tokenBlocked]]) on part
     * names: name pairs sharing a token within edit distance 3, with row
     * multiplicities. The oracle replicates the same blocked semantics
-    * (shared token + levenshtein bound) over the distinct vocabulary.
+    * (shared token + levenshtein bound + the maxTokenFreq=1000 stop-token
+    * drop — without it the two sides diverge the moment any token's block
+    * exceeds the cap, which TPC-H color tokens do at sf≥0.1) over the
+    * distinct vocabulary.
     */
   def q91FuzzyNames(spark: SparkSession, dir: String): DataFrame =
     FuzzyJoin.tokenBlocked(t(spark, dir, "part").select(col("p_name")), "p_name", maxDist = 3)
@@ -243,8 +246,11 @@ object Queries4 {
   val q91Sql: String =
     """WITH vocab AS (SELECT p_name AS s, COUNT(*) AS n_rows FROM part GROUP BY p_name),
       |toks AS (SELECT DISTINCT s, unnest(string_split(s, ' ')) AS tok FROM vocab),
+      |ok AS (SELECT tok FROM toks WHERE tok <> ''
+      |  GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 1000),
       |pairs AS (SELECT DISTINCT a.s AS name_a, b.s AS name_b
       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.s < b.s
+      |  JOIN ok ON ok.tok = a.tok
       |  WHERE levenshtein(a.s, b.s) <= 3)
       |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist,
       |  CAST(va.n_rows * vb.n_rows AS BIGINT) AS n_row_pairs

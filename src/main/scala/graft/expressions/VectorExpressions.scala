@@ -124,6 +124,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.mgTopKDescriptor)
     ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.RawTimeBoundsRewrite(session))
   }
 }
 
@@ -187,5 +188,7 @@ object GraftFunctions {
       em.extraOptimizations = em.extraOptimizations :+ graft.plans.BandJoinRewrite(spark)
     if (!em.extraOptimizations.exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
       em.extraOptimizations = em.extraOptimizations :+ graft.plans.RangeJoinRewrite(spark)
+    if (!em.extraOptimizations.exists(_.isInstanceOf[graft.plans.RawTimeBoundsRewrite]))
+      em.extraOptimizations = em.extraOptimizations :+ graft.plans.RawTimeBoundsRewrite(spark)
   }
 }

@@ -310,7 +310,10 @@ object Multimodal {
       else parseGfv(r.payload) match {
         case None => Iterator.empty
         case Some((frameMs, frames)) =>
-          val step = math.max(1L, everyMs / frameMs).toInt
+          // round to the NEAREST whole-frame stride: integer division
+          // would sample every frame for any everyMs < 2*frameMs (e.g.
+          // 750ms requests against 500ms frames), over-sampling 2x
+          val step = math.max(1L, Math.round(everyMs.toDouble / frameMs)).toInt
           Iterator.range(0, frames.length, step).map { i =>
             (r.media_id, i.toLong, i.toLong * frameMs,
               r.meta.width, r.meta.height, frames(i))
@@ -421,7 +424,10 @@ object Multimodal {
       }
       MediaRecord(id,
         MediaMeta(kind,
-          kind match { case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4" },
+          // video payloads are GFV1 containers (the sandbox stand-in), so
+          // label them as such — a video/mp4 label here would misdescribe
+          // bytes no MP4 demuxer could open
+          kind match { case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/x-gfv1" },
           width = w,
           height = h,
           duration_ms = if (kind == "audio") audioMs

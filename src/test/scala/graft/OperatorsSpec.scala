@@ -294,6 +294,10 @@ class OperatorsSpec extends SparkSpec {
     val dense = Multimodal.frameSample(corpus, everyMs = 500).count()
     val sparse = Multimodal.frameSample(corpus, everyMs = 1000).count()
     assert(sparse < dense && sparse > 0)
+    // stride ROUNDS to the nearest frame: 750ms against 500ms frames is
+    // step 2 (like 1000ms), not the every-frame over-sampling integer
+    // division would give
+    assert(Multimodal.frameSample(corpus, everyMs = 750).count() == sparse)
   }
 
   test("weighted sampling: 0 keeps nothing, 1 keeps all, monotone in weight, realized rate tracks the weight") {
