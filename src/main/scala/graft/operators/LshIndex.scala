@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   * partition instead of appending duplicates — the same idempotent-sink
   * stance as `SketchRollup.updateSummaryTable` and the Lakehouse
   * partition swap.
+  *
+  * DELETION CONTRACT (shared with [[SemIndex]]; [[TermIndex]] implements
+  * it): removing a document means a tombstone partition that serving
+  * anti-joins out of the signature table, with compaction folding the
+  * tombstones into the base. The signature table needs no stats
+  * adjustment (signatures are per-document, unlike TermIndex's corpus
+  * scalars), but ALREADY-EMITTED pairs in the pair log referencing a
+  * deleted doc must be anti-joined at read time too — consumers of the
+  * pair log should treat (src, dst) rows as live only while both ends
+  * are. Re-indexing a deleted id is out of contract: new doc
+  * generations take new ids, the standard log-structured-index stance.
   */
 object LshIndex {
 

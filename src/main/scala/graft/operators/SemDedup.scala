@@ -69,11 +69,17 @@ object SemDedup {
     // scale this materialized frame IS the stored assignment table
     // ([[SemIndex]] persists exactly this shape); here it lives for the
     // query and is freed at end-of-query drain.
-    val withNorm = graft.CacheScope.trackCheckpoint(
+    //
+    // persist + let the guard's aggregation below be the FIRST action:
+    // the cache fills as a side effect of that one pass, so assignment
+    // materialization and cluster populations cost ONE job — not the
+    // round-6 eager-checkpoint job PLUS a separate count job (measured
+    // +44% on q100).
+    val withNorm = graft.CacheScope.track(
       assigned
         .select(col("cluster_id"), col(idCol), col(vecCol))
         .withColumn("__nrm", sqrt(call_function("vec_dot", col(vecCol), col(vecCol))))
-        .localCheckpoint(true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     def pairwise(cells: DataFrame, keys: Seq[String]): DataFrame = {
       val lhs = cells.select(keys.map(col) :+ col(idCol).as("__ida") :+
@@ -87,8 +93,9 @@ object SemDedup {
         .select(col("__ida").as("src"), col("__idb").as("dst"))
     }
 
-    // Job 1: cluster populations; only the oversized ones come back to
-    // the driver (≤ N/maxCellSize rows by construction).
+    // Job 1 — AND the cache fill: cluster populations; only the
+    // oversized ones come back to the driver (≤ N/maxCellSize rows by
+    // construction).
     val oversized = withNorm.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxCellSize)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   * Exactly-once: pair output partitioned by batch_id with dynamic
   * partition overwrite; the assignment table merges via the same
   * rename-swap as [[LshIndex.updateSignatureTable]].
+  *
+  * DELETION CONTRACT: same as [[LshIndex]] (tombstone partition →
+  * serve-side anti-join on the assignment table AND the pair log →
+  * compaction folds), implemented end-to-end in [[TermIndex]]. No
+  * stats adjustment is needed here — assignments are per-row — but a
+  * deleted vector's pair-log rows go stale and must be filtered by
+  * liveness of both endpoints at read time.
   */
 object SemIndex {
 

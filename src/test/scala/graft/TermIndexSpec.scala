@@ -40,10 +40,62 @@ class TermIndexSpec extends SparkSpec {
     TermIndex.compactStats(spark, root)
     assert(ranked(TermIndex.bm25(spark, root, queries, k = 10)) == oneShot,
       "compaction must preserve rankings")
-    // and the df store really is a single base partition now
+    // and the df store really is a single base partition — at the
+    // batch_id=-1 SENTINEL, which no streaming batch id can collide
+    // with (a post-compaction replay of streaming batch 0 must land in
+    // its own batch_id=0 partition, not overwrite the folded base)
     val parts = new java.io.File(s"$root/df").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-    assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
+    assert(parts.map(_.getName).toSeq == Seq("batch_id=-1"))
+  }
+
+  test("tombstones: delete-then-query excludes the doc; stats stay exact; compaction folds; replay safe") {
+    val root = java.nio.file.Files.createTempDirectory("termindex_del").toString
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    TermIndex.updateBatch(root, docs, 0L)
+    val full = TermIndex.bm25(spark, root, queries, k = 1000)
+    val fullDocs = full.select("doc_id").as[Long].collect().toSet
+    assert(fullDocs.nonEmpty)
+
+    // delete half the retrievable docs
+    val victims = fullDocs.filter(_ % 2 == 0)
+    TermIndex.deleteBatch(root, victims.toSeq.toDF("doc_id"), 1L)
+    val afterDel = ranked(TermIndex.bm25(spark, root, queries, k = 1000))
+    assert(afterDel.map(_._2).toSet.intersect(victims).isEmpty,
+      "tombstoned docs must not be retrievable")
+    // exact-stats contract: serving off the mutated index must be
+    // BIT-IDENTICAL to a one-shot BM25 over only the surviving docs
+    // (df / N / avgdl all adjust, not just the posting rows)
+    val oneShotSurvivors = ranked(TextAnalysis.bm25TopK(
+      docs.join(victims.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti"),
+      "doc_id", "text", queries, k = 1000))
+    assert(afterDel == oneShotSurvivors,
+      "post-delete serving must equal one-shot BM25 over the survivors")
+
+    // replaying the delete batch changes nothing (no double subtraction)
+    TermIndex.deleteBatch(root, victims.toSeq.toDF("doc_id"), 1L)
+    assert(ranked(TermIndex.bm25(spark, root, queries, k = 1000)) == oneShotSurvivors,
+      "delete-batch replay must be idempotent")
+    // deleting an already-deleted doc via a LATER batch is a no-op too
+    TermIndex.deleteBatch(root, victims.take(3).toSeq.toDF("doc_id"), 2L)
+    assert(ranked(TermIndex.bm25(spark, root, queries, k = 1000)) == oneShotSurvivors,
+      "cross-batch double delete must not subtract stats twice")
+
+    // full compaction folds tombstones into the postings and preserves
+    // rankings bit-for-bit
+    TermIndex.compact(spark, root)
+    assert(ranked(TermIndex.bm25(spark, root, queries, k = 1000)) == oneShotSurvivors,
+      "compaction after delete must preserve rankings")
+    assert(!new java.io.File(s"$root/deletes").exists(),
+      "compaction must clear the tombstone table")
+    val postParts = new java.io.File(s"$root/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(postParts.map(_.getName).toSeq == Seq("batch_id=-1"))
+    // a pre-compaction DELETE replay is harmless (victims no longer in
+    // the postings -> empty deltas), unlike update replays
+    TermIndex.deleteBatch(root, victims.take(3).toSeq.toDF("doc_id"), 1L)
+    assert(ranked(TermIndex.bm25(spark, root, queries, k = 1000)) == oneShotSurvivors,
+      "post-compaction delete replay must be a no-op")
   }
 
   test("streaming maintenance: AvailableNow micro-batches ≡ one-shot ranking") {
