@@ -1429,6 +1429,94 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** HYBRID retrieval — the fusion layer that turns the two certified
+    * index legs into the retrieval surface a RAG / training-data
+    * pipeline actually serves: BM25 lexical top-10 (the q109 leg,
+    * [[graft.operators.TextAnalysis.bm25TopK]]) and int8-quantized ANN
+    * vector top-10 (the q110 leg,
+    * [[graft.operators.VectorOps.quantizedTopK]]) fused by reciprocal
+    * rank: rrf(d) = Σ_leg 1000000 div (60 + rank_leg(d)), the standard
+    * RRF-60 with INTEGER division so the fused score is engine-exact.
+    * Query-by-document: docs 0-4 query with their own text (lexical)
+    * and their own embedding (vector) against the id-aligned corpus
+    * doc_id ≥ 5.
+    *
+    * Scale shape: both legs are broadcast-query-side plans over one
+    * corpus scan each (Round7PlanSpec pins no cartesian); the fusion
+    * itself joins two ≤ |queries|·k frames — constant-size at any
+    * corpus scale.
+    */
+  def q115HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val lexQueries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), split(lower(col("text")), " ").as("terms"))
+    val lex = TextAnalysis.bm25TopK(docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        lexQueries, k = 10)
+      .select(col("qid"), col("doc_id").as("id"), col("rn").as("r_lex"))
+    val em = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val qz = VectorOps.quantizeInt8(em, "vec", "q")
+    val qs = qz.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("q").as("qq"))
+    val vecl = VectorOps.quantizedTopK(qz.filter(col("vec_id") >= 5), qs,
+        k = 10, candidates = 30,
+        id = "vec_id", vec = "vec", codes = "q", qid = "qid", qvec = "qvec", qcodes = "qq")
+      .select(col("qid"), col("neighbor_id").as("id"), col("rn").as("r_vec"))
+    lex.join(vecl, Seq("qid", "id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("id").asc)))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("id"), col("r_lex"), col("r_vec"), col("rrf_micro"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** The vector CTEs are q110Sql's own text (the q113-over-q101 reuse
+    * stance); the lexical CTEs are the q109 shape re-scoped to the
+    * corpus/query split; fusion is a full outer join + integer RRF.
+    */
+  lazy val q115Sql: String = {
+    val cut = q110Sql.lastIndexOf("\nSELECT qid, vec_id AS neighbor_id")
+    require(cut >= 0, "q115Sql: q110Sql's final SELECT changed — update the split marker")
+    val vecCtes = q110Sql.substring("WITH ".length, cut).trim.stripSuffix(",")
+    """WITH ltoks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents WHERE doc_id >= 5),
+      |ldls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM ltoks),
+      |lst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CAST(len(tk) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl FROM ltoks),
+      |ltf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS term FROM ltoks) GROUP BY doc_id, term),
+      |ldfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ltf GROUP BY term),
+      |lidf AS (SELECT term,
+      |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6, 0) AS BIGINT) AS idf_micro
+      |  FROM ldfq, lst),
+      |lqt AS (SELECT doc_id AS qid, string_split(lower(text), ' ') AS terms FROM documents WHERE doc_id < 5),
+      |lqe AS (SELECT qid, unnest(terms) AS term FROM lqt),
+      |lsc AS (SELECT lqe.qid, ltf.doc_id,
+      |    CAST(round((CAST(idf_micro AS DOUBLE) / 1e6) *
+      |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) * 1e6, 0) AS BIGINT) AS c
+      |  FROM ltf JOIN lqe USING (term) JOIN lidf USING (term) JOIN ldls USING (doc_id), lst),
+      |lag AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+      |  FROM lsc GROUP BY qid, doc_id),
+      |lrk AS (SELECT qid, doc_id, score_micro,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn
+      |  FROM lag),
+      |lex AS (SELECT qid, doc_id AS id, CAST(rn AS INT) AS r_lex FROM lrk WHERE rn <= 10),
+      |""".stripMargin +
+      vecCtes + ",\n" +
+      """vecl AS (SELECT qid, vec_id AS id, CAST(rn AS INT) AS r_vec FROM fin WHERE rn <= 10),
+        |fused AS (SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.id, v.id) AS id,
+        |    l.r_lex, v.r_vec,
+        |    CAST(COALESCE(1000000 // (60 + l.r_lex), 0) + COALESCE(1000000 // (60 + v.r_vec), 0) AS BIGINT) AS rrf_micro
+        |  FROM lex l FULL OUTER JOIN vecl v ON l.qid = v.qid AND l.id = v.id),
+        |fr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id) AS rn FROM fused)
+        |SELECT qid, id, r_lex, r_vec, rrf_micro, CAST(rn AS INT) AS rn
+        |FROM fr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  }
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

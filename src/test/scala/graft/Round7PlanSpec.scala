@@ -85,6 +85,18 @@ class Round7PlanSpec extends SparkSpec {
     assert(df.count() == expect)
   }
 
+  test("q115 hybrid retrieval: both legs broadcast their query side, no data-side cartesian") {
+    val df = ExtQueries.q115HybridRetrieval(spark, "/root/testdata/sf0.001")
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid retrieval must never pair corpus x corpus:\n$plan")
+    // the vector leg's crossJoin(broadcast(queries)) and the lexical
+    // leg's query-vocabulary joins are all broadcast-shaped
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected broadcast-shaped legs, got $broadcasts:\n$plan")
+  }
+
   test("pushdown pin: nanos layout — equality and literal-first spellings also derive bounds") {
     val dir = layoutDir("events_nanos")
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:37:00")
