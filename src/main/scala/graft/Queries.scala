@@ -8,22 +8,56 @@ import org.apache.spark.sql.types.DecimalType
 /** Loaders for the driver's deterministic test tables (TESTDATA.md). */
 object Tables {
 
-  /** Tables whose sf0.1 parquet is ONE row group: Spark cannot split a
-    * row group across tasks, so without help every scan-heavy stage runs
-    * single-threaded (measured: q01's map-side decimal aggregation alone,
-    * 2.0s → 0.76s with a repartition). One small post-scan shuffle buys
-    * full parallelism; filters and column pruning still push through the
-    * Repartition to the scan. At 100 TB inputs arrive as thousands of
-    * row groups and this exchange disappears from the plan — it
-    * compensates for a testdata artifact, not a production shape.
-    * Dimension tables stay unrepartitioned (they broadcast).
+  /** Tables whose downstream work is heavy enough that scan parallelism
+    * matters (big facts; small-but-expensive text/vector corpora).
+    * Whether they actually GET the compensating exchange is decided per
+    * layout below — dimension tables are never listed (they broadcast).
     */
-  private val singleRowGroupTables =
+  private val scanHeavyTables =
     Set("lineitem", "orders", "events", "documents", "embeddings")
 
+  /** Parquet's split unit is the row group (Spark assigns each row
+    * group to the task owning its byte midpoint), so a table's
+    * achievable scan parallelism is its TOTAL ROW-GROUP COUNT across
+    * files. Counted from the footers once per path (cached — the footer
+    * is also what the scan itself reads, so this adds one metadata read
+    * per table per session).
+    */
+  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private def totalRowGroups(spark: SparkSession, path: String): Int =
+    rowGroupCache.computeIfAbsent(path, { p =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(hconf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        else Seq(root)
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+        try r.getRowGroups.size finally r.close()
+      }.sum
+    })
+
+  /** Scan-heavy tables get one small post-scan exchange ONLY when the
+    * measured layout cannot feed the cores by itself (row groups <
+    * default parallelism — the driver's testdata ships each table as a
+    * single row group, where without help every scan-heavy stage runs
+    * single-threaded; measured: q01's map-side decimal aggregation
+    * alone, 2.0s → 0.76s with the repartition). Filters and column
+    * pruning still push through the Repartition to the scan. On
+    * production data — thousands of row groups — the gate self-disables
+    * and the plan is the exchange-free scan → partial-agg shape
+    * (Round7PlanSpec pins both directions).
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (singleRowGroupTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (scanHeavyTables(name) &&
+        totalRowGroups(spark, path) < spark.sparkContext.defaultParallelism)
+      df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
 

@@ -85,6 +85,28 @@ class Round7PlanSpec extends SparkSpec {
     assert(df.count() == expect)
   }
 
+  test("compensating repartition gates on measured row-group count, not a table list") {
+    import spark.implicits._
+    def hasRepartition(df: DataFrame): Boolean =
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      }.nonEmpty
+    // single-row-group layout (the driver's testdata artifact): the
+    // scan cannot feed the cores, the exchange compensates
+    assert(hasRepartition(Tables.t(spark, layoutDir("events_ntz"), "events")),
+      "single-row-group scan-heavy table must get the compensating exchange")
+    // well-laid-out data — more split units than cores: the gate
+    // self-disables and the plan is the exchange-free scan
+    val dir = Files.createTempDirectory("graft_multirg")
+    (0L until 4000L).map(i => (i, i % 7, s"ev${i % 3}"))
+      .toDF("event_id", "user_id", "event_type")
+      .repartition(8).write.parquet(dir.resolve("events.parquet").toString)
+    assert(!hasRepartition(Tables.t(spark, dir.toString, "events")),
+      "multi-row-group input must take the no-exchange path")
+    // dimension tables never repartition regardless of layout
+    assert(!hasRepartition(Tables.t(spark, "/root/testdata/sf0.001", "nation")))
+  }
+
   test("q115 hybrid retrieval: both legs broadcast their query side, no data-side cartesian") {
     val df = ExtQueries.q115HybridRetrieval(spark, "/root/testdata/sf0.001")
     val plan = formatted(df)
