@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{LshIndex, SemIndex, TermIndex, TextAnalysis}
+
+/** UNIFIED incremental-index maintenance: one streaming job feeds the
+  * same document batches — under the SAME Structured Streaming batch
+  * ids — into all three serving indexes:
+  *
+  *  - [[LshIndex]]   minhash signature table + near-dup pair log
+  *  - [[SemIndex]]   embedding assignment table + semantic edge log
+  *  - [[TermIndex]]  BM25 postings + corpus statistics
+  *
+  * This is the deployment shape of the 100 TB curation story: a corpus
+  * delta lands once, and lexical dedup, semantic dedup and ranked
+  * retrieval all advance in lockstep. Because every store is
+  * batch_id-idempotent (dynamic partition overwrite for the logs and
+  * stats deltas; replace-on-id rename-swap for the summary tables), a
+  * crash between the three updates is repaired by the stream's replay
+  * of the same batch id: the already-updated stores absorb the replay
+  * as a no-op and the missed ones catch up — the batch id is the
+  * consistency token that makes the tri-store update atomic-in-effect
+  * without a cross-store transaction.
+  *
+  * Update ORDER inside a batch still matters for the pair logs: each
+  * index emits its batch's pairs against the PRE-batch corpus before
+  * folding the batch in ([[LshIndex.processBatch]] /
+  * [[SemIndex.processBatch]] do this internally), so a replayed batch
+  * recomputes identical pairs. IndexPipelineSpec pins tri-store
+  * consistency at every batch boundary and joint replay idempotence.
+  *
+  * The batch is persisted once here: the three maintenance paths scan
+  * it ~5 times between them, and re-pulling a source micro-batch that
+  * many times is wasted I/O at scale.
+  */
+object IndexPipeline {
+
+  /** Store layout under one root. */
+  case class Roots(root: String) {
+    val lshSignatures = s"$root/lsh/signatures"
+    val lshPairs = s"$root/lsh/pairs"
+    val semAssignments = s"$root/sem/assignments"
+    val semPairs = s"$root/sem/pairs"
+    val term = s"$root/term"
+  }
+
+  /** Fold one (doc_id, text, embedding) batch into all three indexes
+    * under one batch id. Idempotent per batchId (each store's own
+    * contract); safe to re-run after a partial failure.
+    */
+  def processBatch(roots: Roots, batch: DataFrame, batchId: Long,
+      centArr: Seq[(Long, Array[Double])],
+      idCol: String = "doc_id", textCol: String = "text", vecCol: String = "embedding",
+      threshold: Double = 0.95, subCellBits: Int = 0,
+      numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
+      k: Int = 3, portable: Boolean = true): Unit = {
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      LshIndex.processBatch(roots.lshSignatures, roots.lshPairs,
+        b.select(col(idCol), col(textCol)), batchId, idCol, textCol,
+        numHashes, bands, minJaccard, k, portable)
+      SemIndex.processBatch(roots.semAssignments, roots.semPairs,
+        b.select(col(idCol), col(vecCol)), batchId, idCol, vecCol,
+        centArr, threshold, subCellBits)
+      TermIndex.updateBatch(roots.term, b.select(col(idCol), col(textCol)),
+        batchId, idCol, textCol)
+    } finally b.unpersist(blocking = false)
+  }
+
+  /** Streaming wiring: one query, three stores, shared batch ids. */
+  def start(docs: DataFrame, roots: Roots, checkpoint: String,
+      centArr: Seq[(Long, Array[Double])],
+      idCol: String = "doc_id", textCol: String = "text", vecCol: String = "embedding",
+      threshold: Double = 0.95, subCellBits: Int = 0,
+      numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
+      k: Int = 3, portable: Boolean = true,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("unified_index_maintenance")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(roots, batch, batchId, centArr, idCol, textCol, vecCol,
+            threshold, subCellBits, numHashes, bands, minJaccard, k, portable)
+      }
+      .start()
+
+  /** Consistency probe: the indexed document-id set of each store —
+    * equal at every batch boundary by construction (spec-pinned).
+    */
+  def indexedIds(spark: SparkSession, roots: Roots,
+      idCol: String = "doc_id"): Map[String, Set[Long]] = {
+    def ids(path: String, c: String): Set[Long] =
+      spark.read.parquet(path).select(col(c).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    Map(
+      "lsh" -> ids(roots.lshSignatures, idCol),
+      "sem" -> ids(roots.semAssignments, idCol),
+      "term" -> ids(s"${roots.term}/postings", idCol))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{IvfIndex, TermIndex, TextAnalysis}
+import graft.streaming.IndexPipeline
+
+/** The unified maintenance driver: ONE stream advances the lexical
+  * (LSH), semantic (assignment) and term (BM25) stores in lockstep
+  * under shared batch ids — consistent at every batch boundary,
+  * replay-idempotent together, and each store still serving its own
+  * one-shot-equivalent results.
+  */
+class IndexPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64
+  private val cents = IvfIndex.frozenCentroids(8, dims).map { case (c, a) => (c.toLong, a) }
+
+  /** (doc_id, text, embedding): the sf0.001 documents joined with the
+    * id-aligned embeddings — the IndexPipeline input contract — plus
+    * planted twins (same text, +0.01 embedding, id+100000) so both
+    * pair logs genuinely emit: sorted by id, the twins land in LATER
+    * batches and their pairs are cross-batch.
+    */
+  private def corpus(): Seq[(Long, String, Array[Double])] = {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val base = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+      .flatMap { case (id, v) => docs.get(id).map(t => (id, t, v)) }
+    val twins = base.filter(_._1 < 8)
+      .map { case (id, t, v) => (id + 100000L, t, v.map(_ + 0.01)) }
+    base ++ twins
+  }
+
+  private def queries = Seq(
+    (0L, Seq("spark", "window", "join")),
+    (1L, Seq("fast", "scan", "table"))).toDF("qid", "terms")
+
+  test("one stream, three stores: consistent at every batch boundary, jointly replay-idempotent") {
+    val docs = corpus()
+    assert(docs.size >= 12, s"fixture too small: ${docs.size}")
+    val roots = IndexPipeline.Roots(Files.createTempDirectory("idxpipe").toString + "/idx")
+    val cp = Files.createTempDirectory("idxpipe_cp").toString
+
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Array[Double])]
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    var delivered = Set.empty[Long]
+    for (b <- batches) {
+      mem.addData(b: _*)
+      val q = IndexPipeline.start(
+        mem.toDF().toDF("doc_id", "text", "embedding"), roots, cp, cents,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      delivered ++= b.map(_._1)
+      // BOUNDARY INVARIANT: all three stores index exactly the
+      // delivered set — no store ahead of or behind another
+      val ids = IndexPipeline.indexedIds(spark, roots)
+      assert(ids("lsh") == delivered, s"lsh store diverged at ${delivered.size} docs")
+      assert(ids("sem") == delivered, s"sem store diverged at ${delivered.size} docs")
+      assert(ids("term") == delivered, s"term store diverged at ${delivered.size} docs")
+    }
+
+    // each store serves its one-shot-equivalent result off the shared
+    // stream (deep equivalence is each index's own spec; here: the
+    // term store must rank bit-identically to one-shot BM25, proving
+    // the shared driver changed no store's semantics)
+    val served = TermIndex.bm25(spark, roots.term, queries, k = 10)
+      .select("qid", "doc_id", "rn", "score_micro").as[(Long, Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val oneShot = TextAnalysis.bm25TopK(
+        docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), "doc_id", "text", queries, k = 10)
+      .select("qid", "doc_id", "rn", "score_micro").as[(Long, Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served == oneShot, "term store must serve one-shot-equivalent rankings")
+
+    // JOINT REPLAY: re-deliver the last batch under its original batch
+    // id (the crash-recovery path) — every store must absorb it as a
+    // no-op, together
+    def snapshot(): Map[String, Seq[String]] = Map(
+      "lshSig" -> spark.read.parquet(roots.lshSignatures).collect().map(_.toString).sorted.toSeq,
+      "lshPairs" -> spark.read.parquet(roots.lshPairs).collect().map(_.toString).sorted.toSeq,
+      "semAsg" -> spark.read.parquet(roots.semAssignments).collect().map(_.toString).sorted.toSeq,
+      "semPairs" -> spark.read.parquet(roots.semPairs).collect().map(_.toString).sorted.toSeq,
+      "termPost" -> spark.read.parquet(s"${roots.term}/postings").collect().map(_.toString).sorted.toSeq,
+      "termDf" -> spark.read.parquet(s"${roots.term}/df").collect().map(_.toString).sorted.toSeq,
+      "termScalars" -> spark.read.parquet(s"${roots.term}/scalars").collect().map(_.toString).sorted.toSeq)
+    // the planted twins must actually have produced pairs in BOTH logs
+    // (otherwise the replay check below would vacuously pass on empties)
+    assert(spark.read.parquet(roots.lshPairs).count() > 0, "lsh pair log empty")
+    assert(spark.read.parquet(roots.semPairs).count() > 0, "sem edge log empty")
+
+    val before = snapshot()
+    IndexPipeline.processBatch(roots,
+      batches.last.toDF("doc_id", "text", "embedding"), batchId = (batches.size - 1).toLong,
+      cents)
+    val after = snapshot()
+    for ((store, rows) <- before)
+      assert(after(store) == rows, s"replay mutated the $store store")
+  }
+}
