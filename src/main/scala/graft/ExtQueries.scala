@@ -1517,6 +1517,26 @@ object ExtQueries {
         |FROM fr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Multimodal near-dup dedup ([[graft.operators.Multimodal
+    * .nearDupGroups]]): a synthetic media corpus plus pixel-perturbed
+    * re-encoded copies of its images — different BYTES (exact dedup is
+    * blind to them), near-identical PIXELS — resolved into groups via
+    * decoded features → guarded feature-space pairing → connected
+    * components. Generated-data flow (the q26 class): rows-only at the
+    * driver, semantics pinned by OperatorsSpec's planted-twin golden
+    * test.
+    */
+  def q116MediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Multimodal.syntheticCorpus(spark, 600)
+    val copies = Multimodal.perturbImages(base, delta = 2)
+    val grouped = Multimodal.nearDupGroups(base.unionAll(copies))
+    grouped.groupBy(col("media_type"), col("group_sz"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        countDistinct(col("group")).cast("long").as("n_groups"))
+      .orderBy("media_type", "group_sz")
+  }
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

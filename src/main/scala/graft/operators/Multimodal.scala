@@ -265,6 +265,95 @@ object Multimodal {
     }
   }
 
+  /** Visually-near-duplicate copies of the decodable IMAGES in
+    * `records`: decode, shift every channel by `delta` (clamped),
+    * re-encode as PNG, re-id at `media_id + idOffset`. The PNG bytes
+    * (and their hashes) are genuinely different — only the PIXELS are
+    * near — so exact dedup can't catch them and feature-space near-dup
+    * must. Non-images and undecodable payloads drop out.
+    */
+  def perturbImages(records: Dataset[MediaRecord], delta: Int = 2,
+      idOffset: Long = 1000000L): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      if (r.meta.media_type != "image") None
+      else Option(ImageIO.read(new ByteArrayInputStream(r.payload))).map { img =>
+        val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            def c(v: Int) = math.min(255, math.max(0, v + delta))
+            out.setRGB(x, y, (c((rgb >> 16) & 255) << 16) | (c((rgb >> 8) & 255) << 8) | c(rgb & 255))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        r.copy(media_id = r.media_id + idOffset, payload = bos.toByteArray)
+      }
+    }
+  }
+
+  /** NEAR-DUPLICATE MEDIA GROUPS — the multimodal dedup composition:
+    * decoded pixel/waveform features ([[extractFeatures]]) → quantized
+    * integer feature vectors → the GUARDED embedding near-dup machinery
+    * ([[SemDedup.edges]], with its max-cell-size protection) → connected
+    * components. Exact byte dedup cannot catch a re-encoded or
+    * slightly-edited copy; this path groups anything whose DECODED
+    * content is near.
+    *
+    *  - Features quantize to integer multiples of 1/1024 (exact in
+    *    DOUBLE), so the VecDot numerators are integer-exact and the
+    *    grouping is engine-deterministic — the same integer discipline
+    *    as the int8 ANN path ([[VectorOps.quantizeInt8]]).
+    *  - The SemDedup "cluster" is the (media_type, width, height) block
+    *    hashed to a long: near-dup copies share decoded dimensions, and
+    *    hot blocks (one ubiquitous resolution at corpus scale) are
+    *    exactly what SemDedup's cell guard splits/stars — no unbounded
+    *    all-pairs path.
+    *  - Video near-dup composes through [[frameSample]]: sampled frames
+    *    are images and flow through this same operator keyed by
+    *    (media_id, frame_idx); [[OperatorsSpec]] pins the image path.
+    *
+    * Output: one row per media item — (media_id, media_type, group,
+    * group_sz) where `group` is the component's min media_id and
+    * singletons are their own group.
+    */
+  def nearDupGroups(records: Dataset[MediaRecord], threshold: Double = 0.995,
+      maxCellSize: Int = 10000): DataFrame = {
+    val spark = records.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val feats = extractFeatures(records).toDF()
+      .select(col("media_id"), col("media_type"),
+        expr("transform(feature, x -> CAST(round(x * 1024) AS DOUBLE))").as("qf"))
+      .withColumn("cluster_id",
+        xxhash64(col("media_type"), element_at(col("qf"), 1), element_at(col("qf"), 2)))
+      // similarity runs on CONTENT-SHAPE dims only, zero-padded to a
+      // fixed 12: metadata-constants (image/video w+h, audio
+      // sample-rate/channels/duration) and raw-amplitude dims (audio
+      // rms/peak) dominate the norm and drag every same-shape pair's
+      // cosine to ~1 — shape/size belongs in the BLOCK key (above) and
+      // amplitude is loudness, not content identity
+      .withColumn("cv",
+        when(col("media_type") === "image", expr("slice(qf, 3, 11) || array(0D)"))
+          .when(col("media_type") === "audio", expr("slice(qf, 5, 9) || array_repeat(0D, 3)"))
+          .otherwise(expr("slice(qf, 6, 3) || array_repeat(0D, 9)")))
+    val edges = SemDedup.edges(feats, "media_id", "cv",
+      threshold = threshold, maxCellSize = maxCellSize, dims = 12)
+    val comps = ConnectedComponents.run(edges, "src", "dst")
+      .select(col("id").as("media_id"), col("comp"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    feats.select(col("media_id"), col("media_type"))
+      .join(comps, Seq("media_id"), "left")
+      .withColumn("group", coalesce(col("comp"), col("media_id")))
+      .withColumn("group_sz", count(lit(1)).over(whole))
+      .select(col("media_id"), col("media_type"), col("group"), col("group_sz"))
+  }
+
   /** Image resize — REAL for decodable images: decode, bilinear
     * Graphics2D re-render at (w, h), re-encode as PNG; metadata follows
     * the actual new pixel dimensions. Non-image media (and undecodable

@@ -300,6 +300,47 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.frameSample(corpus, everyMs = 750).count() == sparse)
   }
 
+  test("multimodal near-dup: perturbed re-encoded PNG copies group with their source, distinct images don't collapse") {
+    val base = Multimodal.syntheticCorpus(spark, 90)
+    val copies = Multimodal.perturbImages(base, delta = 2)
+    assert(copies.count() == base.filter(r => r.meta.media_type == "image").count())
+    // the copies are byte-distinct (exact dedup is blind to them)...
+    val baseHashes = base.collect().map(r => java.util.Arrays.hashCode(r.payload)).toSet
+    assert(copies.collect().forall(r => !baseHashes.contains(java.util.Arrays.hashCode(r.payload))))
+    // ...but feature-space near-dup must resolve source+copy into one group
+    val groups = Multimodal.nearDupGroups(base.unionAll(copies))
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("group")).toMap
+    val imageIds = base.collect().filter(_.meta.media_type == "image").map(_.media_id)
+    imageIds.foreach { id =>
+      assert(groups(id) == groups(id + 1000000L),
+        s"planted copy of image $id must share its source's group")
+    }
+    // discrimination: must not collapse into one mega-group. (The
+    // synthetic patterns are TRANSLATIONS of each other within a size
+    // class, and translation preserves mean/histogram features — so
+    // same-size pattern pairs legitimately co-group in this feature
+    // space; 90-item corpus → 15 groups of source+phase-twin+copies.)
+    assert(imageIds.map(groups).toSet.size >= imageIds.length / 2,
+      "distinct images collapsed into too few groups")
+    // audio: the pin is against TOTAL collapse (the rms-domination
+    // failure mode where every same-rate clip cosined to ~1), not
+    // per-tone discrimination — a sine's amplitude histogram is
+    // frequency-independent, so clips with ADJACENT fundamentals
+    // legitimately co-group and only the zero-crossing dim separates
+    // the rest
+    val audioIds = base.collect().filter(_.meta.media_type == "audio").map(_.media_id)
+    assert(audioIds.map(groups).toSet.size > audioIds.length / 4,
+      "audio collapsed toward one group — amplitude dims leaked into the similarity vector?")
+    // video items co-group only within a size class (the block key):
+    // groups never span different decoded dimensions
+    val vids = base.collect().filter(_.meta.media_type == "video")
+    val dimsById = vids.map(v => v.media_id -> ((v.meta.width, v.meta.height))).toMap
+    vids.groupBy(v => groups(v.media_id)).values.foreach { members =>
+      assert(members.map(v => dimsById(v.media_id)).toSet.size == 1,
+        "a near-dup group spans different video dimensions")
+    }
+  }
+
   test("weighted sampling: 0 keeps nothing, 1 keeps all, monotone in weight, realized rate tracks the weight") {
     import graft.operators.Sampling
     val rows = (0L until 4000L).map(i => (i, 0.3)).toDF("id", "w")
