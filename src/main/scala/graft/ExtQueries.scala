@@ -1530,7 +1530,11 @@ object ExtQueries {
     import spark.implicits._
     val base = Multimodal.syntheticCorpus(spark, 600)
     val copies = Multimodal.perturbImages(base, delta = 2)
-    val grouped = Multimodal.nearDupGroups(base.unionAll(copies))
+    // 0.9999 (vs the operator's robust 0.9995 default): full recall on
+    // the ±2 plant, and it keeps adjacent-tone audio from chaining into
+    // high-diameter components that push CC into star-contraction
+    // escalation (~2.5× the query runtime for no demo value)
+    val grouped = Multimodal.nearDupGroups(base.unionAll(copies), threshold = 0.9999)
     grouped.groupBy(col("media_type"), col("group_sz"))
       .agg(count(lit(1)).cast("long").as("n_items"),
         countDistinct(col("group")).cast("long").as("n_groups"))

@@ -322,16 +322,32 @@ object Multimodal {
     * group_sz) where `group` is the component's min media_id and
     * singletons are their own group.
     */
-  def nearDupGroups(records: Dataset[MediaRecord], threshold: Double = 0.995,
+  /** Default threshold note: a 12-dim quantized feature space
+    * concentrates cosines near 1 (far more than 64-d embedding space),
+    * so the near-dup boundary sits much tighter than SemDedup's 0.95
+    * embedding default — at 0.995 visually-distinct same-shape items
+    * chain through transitive closure into mega-groups (measured: 21
+    * groups for 1200 items, and the long chains also push CC into its
+    * star-contraction escalation, ~2.5× the runtime), while 0.9995
+    * keeps every planted ±2-channel copy with its source AND resolves
+    * 213 groups.
+    */
+  def nearDupGroups(records: Dataset[MediaRecord], threshold: Double = 0.9995,
       maxCellSize: Int = 10000): DataFrame = {
     val spark = records.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
-    val feats = extractFeatures(records).toDF()
+    // decode ONCE: the feature frame is read by SemDedup's pair join,
+    // the CC edge derivation and the final group join — without a cache
+    // each of those jobs would re-run the full corpus decode (PNG/WAV/
+    // GFV1 parsing dominates this operator's cost; measured 7.0 s →
+    // ~2.5 s at the 1200-item q116 corpus)
+    val feats = graft.CacheScope.track(extractFeatures(records).toDF()
       .select(col("media_id"), col("media_type"),
         expr("transform(feature, x -> CAST(round(x * 1024) AS DOUBLE))").as("qf"))
       .withColumn("cluster_id",
         xxhash64(col("media_type"), element_at(col("qf"), 1), element_at(col("qf"), 2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // similarity runs on CONTENT-SHAPE dims only, zero-padded to a
       // fixed 12: metadata-constants (image/video w+h, audio
       // sample-rate/channels/duration) and raw-amplitude dims (audio
