@@ -1541,6 +1541,144 @@ object ExtQueries {
       .orderBy("media_type", "group_sz")
   }
 
+  /** Small-file compaction plan ([[graft.operators.Compaction.plan]])
+    * over a deterministic synthetic listing derived from orders: one
+    * "file" per (order month, orderkey mod 16) with an exact integer
+    * byte size from the decimal price sum — both engines derive the
+    * identical listing, so the whole planner (window cumsum → integer
+    * bin division → per-bin rollup) hash-compares.
+    */
+  def q117CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val listing = t(spark, dir, "orders")
+      .groupBy(
+        date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+        (col("o_orderkey") % 16).cast("long").as("file_id"))
+      .agg((sum((col("o_totalprice") * 100).cast("decimal(38,0)")) % 4000000L + 50000L)
+        .cast("long").as("bytes"))
+    graft.operators.Compaction.plan(listing, Seq("part"), "file_id", "bytes",
+        targetBytes = 1000000L)
+      .select(col("part"), col("file_id"), col("bytes"), col("bin"),
+        col("bin_bytes"), col("bin_files"))
+      .orderBy("part", "file_id")
+  }
+
+  val q117Sql: String =
+    """WITH listing AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+      |         CAST(o_orderkey % 16 AS BIGINT) AS file_id,
+      |         CAST(CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) % 4000000
+      |              + 50000 AS BIGINT) AS bytes
+      |  FROM orders GROUP BY 1, 2),
+      |planned AS (
+      |  SELECT part, file_id, bytes,
+      |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000000 AS BIGINT) AS bin
+      |  FROM listing)
+      |SELECT part, file_id, bytes, bin,
+      |  CAST(SUM(bytes) OVER (PARTITION BY part, bin) AS BIGINT) AS bin_bytes,
+      |  CAST(COUNT(*) OVER (PARTITION BY part, bin) AS BIGINT) AS bin_files
+      |FROM planned ORDER BY part, file_id""".stripMargin
+
+  /** Gopher-style repetition quality filter
+    * ([[graft.operators.TextAnalysis.repetitionFeatures]]): per-doc
+    * duplicate-word / top-bigram / duplicate-trigram fractions and the
+    * keep verdict. The Spark side is a zero-shuffle per-row HOF
+    * pipeline; the oracle recomputes the same integer counts via
+    * unnest+group (semantically identical, shape irrelevant for an
+    * oracle).
+    */
+  def q118Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionFeatures(t(spark, dir, "documents"), "doc_id")
+      .orderBy("doc_id")
+
+  val q118Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |f AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+      |    CASE WHEN len(w) >= 2
+      |      THEN [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)]
+      |      ELSE [] END AS big,
+      |    CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]
+      |      ELSE [] END AS tri
+      |  FROM w),
+      |bc AS (SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(big) AS g FROM f) GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY 1),
+      |m AS (SELECT f.doc_id, n_words,
+      |    CASE WHEN n_words > 0
+      |      THEN round((n_words - len(list_distinct(w))) / CAST(n_words AS DOUBLE), 6)
+      |      ELSE 0.0 END AS dup_word_frac,
+      |    CASE WHEN len(big) > 0
+      |      THEN round(COALESCE(top.mc, 0) / CAST(len(big) AS DOUBLE), 6)
+      |      ELSE 0.0 END AS top_bigram_frac,
+      |    CASE WHEN len(tri) > 0
+      |      THEN round((len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE), 6)
+      |      ELSE 0.0 END AS dup_trigram_frac
+      |  FROM f LEFT JOIN top ON f.doc_id = top.doc_id)
+      |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+      |  (dup_word_frac <= 0.55 AND top_bigram_frac <= 0.07
+      |    AND dup_trigram_frac <= 0.05) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** ANN index QUALITY EVALUATION — recall@10 of the int8-quantized
+    * index (q110) against exact brute-force ground truth (q17), per
+    * query. The eval harness is as much a part of an ANN stack as the
+    * index: a recall number is what justifies `candidates`/`nprobe`
+    * knobs at 100 TB, where ground truth is only affordable on a query
+    * SAMPLE like this one. Both legs are already hash-certified; the
+    * oracle composes their twins, so the recall arithmetic (integer
+    * overlap counts / k) is certified end-to-end too.
+    */
+  def q119AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Queries.q17AnnCosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val quant = q110QuantAnn(spark, dir)
+      .select(col("qid"), col("neighbor_id").as("q_neighbor"))
+    val overlap = exact.join(quant,
+        exact("q_id") === quant("qid") && exact("neighbor_id") === quant("q_neighbor"))
+      .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("n_overlap"))
+    exact.select("q_id").distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(10.0), 6).as("recall_at_10"))
+      .orderBy("q_id")
+  }
+
+  def q119Sql(q17Sql: String, q110Sql: String): String =
+    s"""WITH ex AS ($q17Sql),
+       |qn AS ($q110Sql),
+       |ov AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM ex JOIN qn ON ex.q_id = qn.qid AND ex.neighbor_id = qn.neighbor_id
+       |  GROUP BY ex.q_id)
+       |SELECT q.q_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN ov USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
+  /** Fixed per-group quota sample
+    * ([[graft.operators.Sampling.fixedQuotaPerGroup]]): exactly 7 docs
+    * per source in md5-of-id order — the held-out eval-set construction
+    * where fractional sampling would starve small groups. md5 hex order
+    * is engine-portable, so selection AND rank hash-compare.
+    */
+  def q120QuotaSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedQuotaPerGroup(
+        t(spark, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", k = 7)
+      .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
+      .orderBy("source", "rn")
+
+  val q120Sql: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 7 ORDER BY source, rn""".stripMargin
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

@@ -124,4 +124,27 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col(tokensCol).as("n_tokens"),
         col("__cum_before").as("tokens_before"))
   }
+
+  /** Fixed QUOTA per group — exactly k rows from every group, in
+    * md5-of-id order (the eval-set construction shape: "5 held-out
+    * documents per source/language/domain", where fractional sampling
+    * would starve small groups and flood large ones). Hash order makes
+    * the selection a pure function of the corpus: re-runs pick the same
+    * rows, and a row enters/leaves the quota only when the hash-order
+    * top-k of ITS group changes — growth in other groups never disturbs
+    * it.
+    *
+    * One shuffle on the group key; the rank-filter form triggers
+    * Spark's WindowGroupLimit, so each map partition pre-prunes to its
+    * local top-k before the exchange — the shuffle carries O(groups·k)
+    * survivors per partition, not the corpus.
+    */
+  def fixedQuotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
 }

@@ -413,4 +413,65 @@ object TextAnalysis {
     df.join(broadcast(thr), Seq(groupCol))
       .filter(col(scoreCol) >= col("threshold"))
   }
+
+  /** REPETITION-based quality filtering (the Gopher/MassiveText rules,
+    * Rae et al. 2021 §A1.1, adapted to word n-grams): documents whose
+    * content is dominated by repeated words, one hot bigram, or repeated
+    * trigrams are generator loops / boilerplate / SEO spam and poison a
+    * pretraining mix even after near-dup removal (repetition is WITHIN a
+    * document, so no pairwise dedup sees it).
+    *
+    * Emits per document:
+    *   - `n_words`
+    *   - `dup_word_frac`     = 1 − distinct/total words
+    *   - `top_bigram_frac`   = occurrences of the most frequent bigram /
+    *                           total bigrams
+    *   - `dup_trigram_frac`  = fraction of trigram slots that repeat an
+    *                           earlier trigram
+    *   - `keep`              = all three under their thresholds
+    *
+    * Everything is computed PER ROW with higher-order functions — n-gram
+    * arrays, `array_distinct` counts, and the max-multiplicity fold over
+    * the SORTED bigram array (equal values are adjacent after sort, so
+    * one linear pass tracking the current run finds the max count). Zero
+    * shuffles, zero explodes: at 100 TB this is a narrow map inside the
+    * scan's codegen stage, unlike the explode→groupBy(doc, gram) shape
+    * whose shuffle is ~`n_words` rows per document. Counts are integers
+    * and fractions are 6dp-rounded ratios of integers — engine-exact.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String = "text",
+      maxDupWord: Double = 0.55, maxTopBigram: Double = 0.07,
+      maxDupTrigram: Double = 0.05): DataFrame = {
+    val grams = (k: Int) =>
+      s"CASE WHEN size(w) >= $k THEN transform(sequence(0, size(w)-$k), " +
+        s"i -> concat_ws(' ', slice(w, i+1, $k))) ELSE array() END"
+    df.select(col(idCol), col(textCol))
+      .withColumn("w", expr(s"filter(split(lower($textCol), ' '), x -> x != '')"))
+      .withColumn("big", expr(grams(2)))
+      .withColumn("tri", expr(grams(3)))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      // max bigram multiplicity: fold over the sorted array — duplicates
+      // are adjacent, so (prev, run, best) in one pass
+      .withColumn("top_big", expr(
+        """aggregate(array_sort(big), named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (s, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  IF(x = s.prev, s.run + 1L, 1L),
+          |    'best', greatest(s.best, IF(x = s.prev, s.run + 1L, 1L))),
+          |  s -> s.best)""".stripMargin))
+      .withColumn("dup_word_frac", when(col("n_words") > 0,
+        round((col("n_words") - size(expr("array_distinct(w)"))) / col("n_words"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac", when(size(col("big")) > 0,
+        round(col("top_big") / size(col("big")), 6)).otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac", when(size(col("tri")) > 0,
+        round((size(col("tri")) - size(expr("array_distinct(tri)"))) / size(col("tri")), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("dup_word_frac") <= maxDupWord &&
+        col("top_bigram_frac") <= maxTopBigram &&
+        col("dup_trigram_frac") <= maxDupTrigram)
+      .select(col(idCol), col("n_words"), col("dup_word_frac"),
+        col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))
+  }
 }
