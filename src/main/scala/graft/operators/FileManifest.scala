@@ -1,0 +1,146 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level MIN/MAX statistics manifest + manifest-pruned scans — the
+  * data-skipping layer every open table format (Delta/Iceberg/Hudi)
+  * builds over parquet, done here directly: parquet footers already
+  * carry per-column min/max/null-count per row group; the manifest
+  * aggregates them PER FILE into a queryable DataFrame, and
+  * [[prunedScan]] consults it to hand Spark only the files a range
+  * predicate can possibly touch.
+  *
+  * Why this matters at 100 TB: partition pruning skips directories and
+  * row-group stats skip WITHIN a file that is already being read — but
+  * Spark still lists, opens and footer-reads every file of every
+  * non-partition-pruned directory. With a sorted or Z-ordered layout
+  * ([[ZOrder.cluster]] — whose scaladoc promises exactly this
+  * min/max skipping), a manifest turns a 10,000-file table scan into a
+  * handful of file reads decided from ONE small metadata table.
+  *
+  * Scale shape: [[collect]] reads FOOTERS only (a few KB per file, no
+  * data pages), distributed over the executors — the file list is the
+  * only driver-side state, the same trade every manifest writer makes.
+  * The manifest itself is one row per (file, column): millions of rows
+  * for a 100 TB table — a small DataFrame, typically persisted next to
+  * the table and incrementally maintained per write (append new files'
+  * rows; [[Compaction]] bins replace their inputs' rows).
+  *
+  * Pruning is CONSERVATIVE by construction: a file is dropped only when
+  * its recorded [min, max] provably cannot intersect the predicate;
+  * files with absent/unreadable stats are kept. The pruned scan's rows
+  * therefore always equal the unpruned scan's rows for the same
+  * predicate (spec-pinned, including on Z-ordered multi-column boxes).
+  */
+object FileManifest {
+
+  /** Build the manifest for `statCols` of the parquet table at `path`:
+    * one row per (file, column) with
+    * (file, n_bytes, n_rows, col, min_num, max_num, min_str, max_str,
+    * null_count). Numeric parquet types fill `*_num` (long/int/float/
+    * double widened to double — exact through 2⁵³, the usual stats
+    * compromise); binary/UTF8 fill `*_str`; a column chunk without
+    * statistics yields nulls (→ never pruned).
+    */
+  def collect(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_"))
+          .map(s => (s.getPath.toString, s.getLen))
+      else Seq((fs.makeQualified(root).toString, fs.getFileStatus(root).getLen))
+    // Hadoop Configuration is not serializable — ship its entries and
+    // rebuild per executor partition (footer reads happen ON executors).
+    val confPairs = hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+    val cols = statCols
+    spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confPairs.foreach { case (k, v) => c.set(k, v) }
+        it.flatMap { case (file, nBytes) =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(file), c))
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            val nRows = blocks.map(_.getRowCount).sum
+            cols.map { cn =>
+              var minN: Option[Double] = None; var maxN: Option[Double] = None
+              var minS: Option[String] = None; var maxS: Option[String] = None
+              var nulls = 0L
+              var statsOk = true
+              for (b <- blocks; cc <- b.getColumns.asScala
+                   if cc.getPath.toDotString == cn) {
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) statsOk = false
+                else {
+                  nulls += (if (st.isNumNullsSet) st.getNumNulls else 0L)
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      minN = Some(minN.fold(mn.doubleValue)(_ min mn.doubleValue))
+                      maxN = Some(maxN.fold(mx.doubleValue)(_ max mx.doubleValue))
+                    case (mn: org.apache.parquet.io.api.Binary,
+                          mx: org.apache.parquet.io.api.Binary) =>
+                      val (a, z) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                      minS = Some(minS.fold(a)(p => if (a < p) a else p))
+                      maxS = Some(maxS.fold(z)(p => if (z > p) z else p))
+                    case _ => statsOk = false
+                  }
+                }
+              }
+              if (!statsOk) { minN = None; maxN = None; minS = None; maxS = None }
+              (file, nBytes, nRows, cn,
+                minN.map(Double.box).orNull, maxN.map(Double.box).orNull,
+                minS.orNull, maxS.orNull, nulls)
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "n_bytes", "n_rows", "col",
+        "min_num", "max_num", "min_str", "max_str", "null_count")
+  }
+
+  /** Files that can contain rows with `lo <= colName <= hi` — i.e. drop
+    * only files whose recorded range provably misses the box on SOME
+    * bound column. `bounds` may cover several columns (the Z-order use
+    * case: a box over all clustered dimensions).
+    */
+  def candidateFiles(manifest: DataFrame, bounds: Map[String, (Double, Double)]): Seq[String] = {
+    val prunable = bounds.foldLeft(lit(false)) { case (acc, (cn, (lo, hi))) =>
+      acc || (col("col") === cn && col("min_num").isNotNull &&
+        (col("max_num") < lo || col("min_num") > hi))
+    }
+    val dropped = manifest.filter(prunable).select("file").distinct()
+    manifest.select("file").distinct()
+      .join(dropped, Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Manifest-pruned parquet scan: read only the candidate files for the
+    * numeric box `bounds`, then apply the exact predicate (the manifest
+    * decides which FILES to open; the row-level filter still runs and
+    * still pushes into those files' row groups). Row-equal to the full
+    * scan with the same predicate, by the conservative-pruning argument.
+    */
+  def prunedScan(spark: SparkSession, manifest: DataFrame,
+      bounds: Map[String, (Double, Double)]): DataFrame = {
+    val files = candidateFiles(manifest, bounds)
+    val df =
+      if (files.isEmpty)
+        // empty-by-stats: preserve the schema via one file's footer, read no rows
+        spark.read.parquet(manifest.select("file").first().getString(0)).limit(0)
+      else spark.read.parquet(files: _*)
+    bounds.foldLeft(df) { case (d, (cn, (lo, hi))) =>
+      d.filter(col(cn) >= lo && col(cn) <= hi)
+    }
+  }
+}

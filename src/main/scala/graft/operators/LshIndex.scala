@@ -31,16 +31,15 @@ import org.apache.spark.sql.functions._
   * stance as `SketchRollup.updateSummaryTable` and the Lakehouse
   * partition swap.
   *
-  * DELETION CONTRACT (shared with [[SemIndex]]; [[TermIndex]] implements
-  * it): removing a document means a tombstone partition that serving
-  * anti-joins out of the signature table, with compaction folding the
-  * tombstones into the base. The signature table needs no stats
-  * adjustment (signatures are per-document, unlike TermIndex's corpus
-  * scalars), but ALREADY-EMITTED pairs in the pair log referencing a
-  * deleted doc must be anti-joined at read time too — consumers of the
-  * pair log should treat (src, dst) rows as live only while both ends
-  * are. Re-indexing a deleted id is out of contract: new doc
-  * generations take new ids, the standard log-structured-index stance.
+  * DELETION (shared mechanics in [[IndexTombstones]]; [[SemIndex]] uses
+  * the same, [[TermIndex]] adds stats deltas): [[deleteBatch]] records a
+  * tombstone partition in O(|victims|); every read path anti-joins it;
+  * the next [[updateSignatureTable]] merge folds the tombstones into the
+  * rewritten table and clears them. Already-emitted pairs referencing a
+  * deleted doc go stale in place — read the pair log through
+  * [[livePairs]], which keeps a row only while BOTH ends are live.
+  * Re-indexing a deleted id is out of contract: new doc generations take
+  * new ids, the standard log-structured-index stance.
   */
 object LshIndex {
 
@@ -73,7 +72,7 @@ object LshIndex {
       deltaSigs.write.mode("overwrite").parquet(path)
       return
     }
-    val merged = spark.read.parquet(path)
+    val merged = IndexTombstones.filterLive(spark.read.parquet(path), path, idCol)
       .join(deltaSigs.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(deltaSigs)
       .localCheckpoint(true)
@@ -94,7 +93,21 @@ object LshIndex {
            else s"RESTORE FAILED — signatures are at $old, manual rename required"))
     }
     fs.delete(old, true)
+    IndexTombstones.clearAfterFold(spark, path) // folded above via filterLive
   }
+
+  /** Delete documents from the index: O(|victims|) tombstone write,
+    * idempotent per `delBatchId` — see [[IndexTombstones]].
+    */
+  def deleteBatch(sigPath: String, victims: DataFrame, idCol: String,
+      delBatchId: Long): Unit =
+    IndexTombstones.delete(sigPath, victims, idCol, delBatchId)
+
+  /** The pair log with stale rows (an endpoint deleted) filtered out. */
+  def livePairs(spark: org.apache.spark.sql.SparkSession, pairsPath: String,
+      sigPath: String, idCol: String): DataFrame =
+    IndexTombstones.livePairs(spark.read.parquet(pairsPath), sigPath,
+      "id_a", "id_b", idCol)
 
   /** Candidate duplicate pairs INVOLVING the delta documents: delta
     * band-buckets equi-join the (stored ∪ delta) band-buckets; exact
@@ -113,8 +126,9 @@ object LshIndex {
         .localCheckpoint(true)) // consumed by both join sides below
     val corpus =
       if (exists(spark, path))
-        // a replayed batch's ids may already be stored — the delta copy wins
-        spark.read.parquet(path)
+        // a replayed batch's ids may already be stored — the delta copy
+        // wins; tombstoned ids never pair again
+        IndexTombstones.filterLive(spark.read.parquet(path), path, idCol)
           .join(deltaSigs.select(col(idCol)), Seq(idCol), "left_anti")
           .unionByName(deltaSigs)
       else deltaSigs

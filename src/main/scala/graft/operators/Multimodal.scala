@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
   * `javax.sound.sampled`: the synthetic corpus writes genuine RIFF/WAV
   * PCM payloads and [[decodeAndFeaturize]] parses them back to samples
   * (RMS, zero-crossing rate, amplitude histogram, real duration from
-  * the frame count). VIDEO is real end-to-end over the minimal GFV1
-  * container (magic + frame interval + length-prefixed PNG frames —
-  * MP4/H.264 demuxing needs native codecs this environment lacks, so a
-  * documented simple container stands in; swapping the demux/codec call
-  * leaves the whole pipeline identical): [[decodeAndFeaturize]] demuxes
-  * the stream, decodes EVERY frame, and emits temporal features (true
-  * frame count/duration, per-frame luma, frame-to-frame motion);
+  * the frame count). VIDEO is real end-to-end behind the PLUGGABLE
+  * container seam ([[VideoContainers]]): payloads route by magic bytes
+  * to the GFV1 demuxer (magic + frame interval + length-prefixed PNG
+  * frames) or the standard RIFF/AVI Motion-JPEG demuxer — two genuinely
+  * different containers through ONE `demux` call, proving the boundary
+  * MP4/H.264 would plug into (native codecs this environment lacks):
+  * [[decodeAndFeaturize]] demuxes the stream, decodes EVERY frame, and
+  * emits temporal features (true frame count/duration, per-frame luma,
+  * frame-to-frame motion);
   * [[frameSample]] slices the real frame bytes out of the container so
   * downstream image operators consume genuine PNGs. Everything
   * Spark-side is real and tested: the schema contract, the batched
@@ -159,14 +161,16 @@ object Multimodal {
     Some((frameMs, frames))
   }
 
-  /** Real GFV1 video features: demux, decode every frame, one temporal
-    * pass — feature = [width, height, n_frames, fps, duration_ms (from
-    * the REAL frame count), mean luma, motion (mean |frame-to-frame
-    * mean-luma delta|), peak delta, 0…, aspect, 0, 0]. Undecodable
-    * containers/frames fall back to [[hashFeature]].
+  /** Real video features: demux through the pluggable container seam
+    * ([[VideoContainers.demux]] — GFV1 or RIFF/AVI MJPEG, detected from
+    * magic bytes), decode every frame, one temporal pass — feature =
+    * [width, height, n_frames, fps, duration_ms (from the REAL frame
+    * count), mean luma, motion (mean |frame-to-frame mean-luma delta|),
+    * peak delta, 0…, aspect, 0, 0]. Undecodable containers/frames fall
+    * back to [[hashFeature]].
     */
   private def videoFeature(payload: Array[Byte]): Array[Float] =
-    parseGfv(payload) match {
+    VideoContainers.demux(payload) match {
       case None => hashFeature(payload)
       case Some((frameMs, frames)) =>
         var w = 0; var h = 0
@@ -401,18 +405,20 @@ object Multimodal {
     }
   }
 
-  /** REAL video frame sampling: demux the GFV1 container and emit every
-    * `everyMs`-th frame's ACTUAL PNG bytes — the video→frames→image
-    * bridge (sampled frames feed straight into the image operators:
-    * features, resize, dedup-by-frame-hash). A narrow flatMap; only the
-    * sampled frames' bytes survive it. Undecodable containers contribute
-    * no rows (corrupt blobs are data, not exceptions).
+  /** REAL video frame sampling: demux the container (any registered
+    * [[VideoContainers]] demuxer — GFV1's PNG frames or AVI's JPEG
+    * frames) and emit every `everyMs`-th frame's ACTUAL encoded bytes —
+    * the video→frames→image bridge (sampled frames feed straight into
+    * the image operators: features, resize, dedup-by-frame-hash; both
+    * frame codecs decode via `javax.imageio`). A narrow flatMap; only
+    * the sampled frames' bytes survive it. Undecodable containers
+    * contribute no rows (corrupt blobs are data, not exceptions).
     */
   def frameSample(records: Dataset[MediaRecord], everyMs: Long): DataFrame = {
     import records.sparkSession.implicits._
     records.flatMap { r =>
       if (r.meta.media_type != "video") Iterator.empty
-      else parseGfv(r.payload) match {
+      else VideoContainers.demux(r.payload) match {
         case None => Iterator.empty
         case Some((frameMs, frames)) =>
           // round to the NEAREST whole-frame stride: integer division
@@ -424,8 +430,15 @@ object Multimodal {
               r.meta.width, r.meta.height, frames(i))
           }
       }
-    }.toDF("media_id", "frame_idx", "frame_ts_ms", "width", "height", "frame_png")
-      .withColumn("frame_payload_hash", xxhash64(col("frame_png")))
+    }.toDF("media_id", "frame_idx", "frame_ts_ms", "width", "height", "frame_bytes")
+      .withColumn("frame_payload_hash", xxhash64(col("frame_bytes")))
+  }
+
+  /** Encode a BufferedImage as JPEG bytes (the AVI/MJPEG frame codec). */
+  def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
   }
 
   /** Deterministic synthetic media corpus for tests/demos. Image rows

@@ -37,12 +37,12 @@ import org.apache.spark.sql.functions._
   * partition overwrite; the assignment table merges via the same
   * rename-swap as [[LshIndex.updateSignatureTable]].
   *
-  * DELETION CONTRACT: same as [[LshIndex]] (tombstone partition →
-  * serve-side anti-join on the assignment table AND the pair log →
-  * compaction folds), implemented end-to-end in [[TermIndex]]. No
-  * stats adjustment is needed here — assignments are per-row — but a
-  * deleted vector's pair-log rows go stale and must be filtered by
-  * liveness of both endpoints at read time.
+  * DELETION (shared mechanics in [[IndexTombstones]], same as
+  * [[LshIndex]]): [[deleteBatch]] records an O(|victims|) tombstone
+  * partition; reads anti-join it; the next merge folds and clears. A
+  * deleted vector's edge-log rows go stale in place — read them through
+  * [[livePairs]], which keeps an edge only while both endpoints are
+  * live. No stats adjustment is needed here — assignments are per-row.
   */
 object SemIndex {
 
@@ -93,7 +93,7 @@ object SemIndex {
       deltaAsg.write.mode("overwrite").parquet(path)
       return
     }
-    val merged = spark.read.parquet(path)
+    val merged = IndexTombstones.filterLive(spark.read.parquet(path), path, idCol)
       .join(deltaAsg.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(deltaAsg)
       .localCheckpoint(true)
@@ -114,7 +114,21 @@ object SemIndex {
            else s"RESTORE FAILED — assignments are at $old, manual rename required"))
     }
     fs.delete(old, true)
+    IndexTombstones.clearAfterFold(spark, path) // folded above via filterLive
   }
+
+  /** Delete vectors from the index: O(|victims|) tombstone write,
+    * idempotent per `delBatchId` — see [[IndexTombstones]].
+    */
+  def deleteBatch(asgPath: String, victims: DataFrame, idCol: String,
+      delBatchId: Long): Unit =
+    IndexTombstones.delete(asgPath, victims, idCol, delBatchId)
+
+  /** The edge log with stale rows (an endpoint deleted) filtered out. */
+  def livePairs(spark: org.apache.spark.sql.SparkSession, pairsPath: String,
+      asgPath: String, idCol: String): DataFrame =
+    IndexTombstones.livePairs(spark.read.parquet(pairsPath), asgPath,
+      "src", "dst", idCol)
 
   /** Near-dup edges INVOLVING the delta vectors: delta assignments
     * equi-join the (stored ∪ delta) assignments on cluster_id, exact
@@ -131,8 +145,9 @@ object SemIndex {
         .localCheckpoint(true)) // consumed by both join sides below
     val corpus =
       if (exists(spark, path))
-        // a replayed batch's ids may already be stored — the delta copy wins
-        spark.read.parquet(path)
+        // a replayed batch's ids may already be stored — the delta copy
+        // wins; tombstoned ids never pair again
+        IndexTombstones.filterLive(spark.read.parquet(path), path, idCol)
           .join(deltaAsg.select(col(idCol)), Seq(idCol), "left_anti")
           .unionByName(deltaAsg)
       else deltaAsg

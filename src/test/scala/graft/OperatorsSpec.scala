@@ -281,11 +281,11 @@ class OperatorsSpec extends SparkSpec {
     // frame sampling emits the frames' ACTUAL PNG bytes: every sampled
     // frame decodes to the video's declared dimensions
     val frames = Multimodal.frameSample(corpus, everyMs = 500)
-      .select("media_id", "frame_idx", "frame_png").collect()
+      .select("media_id", "frame_idx", "frame_bytes").collect()
     assert(frames.nonEmpty)
     frames.take(20).foreach { r =>
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_png")))
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
       assert(img != null, "sampled frame must be a decodable PNG")
       val m = metaById(r.getLong(0))
       assert(img.getWidth == m.width && img.getHeight == m.height)
