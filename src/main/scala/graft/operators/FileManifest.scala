@@ -46,7 +46,6 @@ object FileManifest {
     * statistics yields nulls (→ never pruned).
     */
   def collect(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
-    import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -57,6 +56,17 @@ object FileManifest {
             !s.getPath.getName.startsWith("_"))
           .map(s => (s.getPath.toString, s.getLen))
       else Seq((fs.makeQualified(root).toString, fs.getFileStatus(root).getLen))
+    collectFiles(spark, files, statCols)
+  }
+
+  /** [[collect]] over an EXPLICIT file list — the versioned-table path
+    * ([[TableVersions]]), where the live file set comes from a commit
+    * manifest rather than a directory listing.
+    */
+  def collectFiles(spark: SparkSession, files: Seq[(String, Long)],
+      statCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
     // Hadoop Configuration is not serializable — ship its entries and
     // rebuild per executor partition (footer reads happen ON executors).
     val confPairs = hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq

@@ -1,0 +1,229 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet tables — ATOMIC commits, TIME TRAVEL, and
+  * optimistic concurrency over plain parquet files, the minimal core of
+  * what Delta/Iceberg layer onto a lake (and what the reference gets
+  * implicitly from BigQuery's managed storage). Together with
+  * [[FileManifest]] (file-level stats) and [[Compaction]] (bin
+  * packing), this completes a self-contained table format:
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<batch-uuid>/part-*.parquet   immutable data files
+  *   <root>/_versions/v<N>.commit              version N's COMMIT FILE:
+  *                                             the full file listing
+  * }}}
+  *
+  * COMMIT PROTOCOL: data files are written first (invisible until
+  * committed — readers only follow commit files), then the commit file
+  * is created with `FileSystem.create(path, overwrite = false)` — one
+  * atomic operation that BOTH claims version N and carries its content
+  * (the Delta-log stance: the claim and the listing cannot diverge
+  * because they are the same file). Exactly one concurrent writer's
+  * create succeeds; the loser re-reads the new latest version, rebases
+  * its file delta, and retries at N+1. Appends always rebase cleanly
+  * (they only ADD files); [[compact]] aborts on conflict instead (its
+  * removals may overlap the winner's — single maintenance writer, the
+  * same contract as the incremental indexes). A writer crashing
+  * mid-write leaves a commit file without the `#END <n>` sentinel;
+  * readers treat such versions as never committed.
+  *
+  * TIME TRAVEL: a version's listing references immutable files, so
+  * `read(root, Some(v))` reproduces any retained version bit-for-bit —
+  * compaction rewrites the FUTURE listing, never the files an old
+  * version points to. [[vacuum]] deletes files unreachable from the
+  * retained versions (and is the only thing that ever deletes data).
+  *
+  * Scale shape: a commit is one metadata file (one line per file — KBs
+  * to MBs even for huge tables); readers do one `_versions` listing +
+  * one small read before the real scan. No data file is ever rewritten
+  * in place, so readers racing writers always see a consistent
+  * version. Stats-pruned reads compose via
+  * [[FileManifest.collectFiles]] over the listing.
+  */
+object TableVersions {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionsDir(root: String) = new Path(root, "_versions")
+  private def commitPath(root: String, v: Long) = new Path(versionsDir(root), s"v$v.commit")
+
+  /** Parse a commit file; None if absent or torn (no matching #END). */
+  private def readCommit(spark: SparkSession, root: String, v: Long): Option[Seq[(String, Long)]] = {
+    val f = fs(spark, root)
+    val p = commitPath(root, v)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    if (lines.isEmpty || !lines.last.startsWith("#END ")) return None
+    val files = lines.init.map { l =>
+      val i = l.lastIndexOf('\t')
+      (l.substring(0, i), l.substring(i + 1).toLong)
+    }.toSeq
+    if (lines.last != s"#END ${files.size}") None else Some(files)
+  }
+
+  /** Every version NUMBER with a commit file, torn or not — torn ones
+    * are burned (their name is claimed) but carry no readable state.
+    */
+  private def claimedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val vd = versionsDir(root)
+    if (!f.exists(vd)) Seq.empty
+    else f.listStatus(vd).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
+        n.stripPrefix("v").stripSuffix(".commit").toLong }
+  }
+
+  /** Highest fully-committed version, if any (torn commits skipped). */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    claimedVersions(spark, root)
+      .sorted(Ordering[Long].reverse)
+      .find(v => readCommit(spark, root, v).isDefined)
+
+  /** The file listing of `version` (default: latest): (file, n_bytes). */
+  def listing(spark: SparkSession, root: String, version: Option[Long] = None): Seq[(String, Long)] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $root"))
+    readCommit(spark, root, v)
+      .getOrElse(throw new IllegalArgumentException(s"version $v absent or torn at $root"))
+  }
+
+  /** Read the table at `version` (default: latest). */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val files = listing(spark, root, version).map(_._1)
+    require(files.nonEmpty, s"empty version at $root")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Try to claim version `v` with `files` as its listing: the create is
+    * the atomic claim; content follows in the same stream. True = owned.
+    */
+  private def tryCommit(spark: SparkSession, root: String, v: Long,
+      files: Seq[(String, Long)]): Boolean = {
+    val f = fs(spark, root)
+    f.mkdirs(versionsDir(root))
+    val out =
+      try f.create(commitPath(root, v), false)
+      catch { case _: java.io.IOException => return false } // another writer claimed v
+    try {
+      val sb = new StringBuilder
+      files.foreach { case (p, b) => sb.append(p).append('\t').append(b).append('\n') }
+      sb.append(s"#END ${files.size}\n")
+      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    true
+  }
+
+  /** Stage `df` as new data files and commit them as an APPEND. Returns
+    * the committed version. Safe under concurrent appends: on commit
+    * conflict the file delta is rebased onto the winner's listing and
+    * retried (appends commute).
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val f = fs(spark, root)
+    val batchDir = new Path(root, s"data/batch-${java.util.UUID.randomUUID()}")
+    df.write.parquet(batchDir.toString)
+    val added = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    var attempt = 0
+    while (attempt < 100) {
+      val base = currentVersion(spark, root)
+      val prev = base.map(v => listing(spark, root, Some(v))).getOrElse(Seq.empty)
+      // claim PAST every existing commit file: a torn commit burns its
+      // number (the name is taken even though the state is unreadable)
+      val v = (claimedVersions(spark, root) ++ base).foldLeft(-1L)(math.max) + 1
+      if (tryCommit(spark, root, v, prev ++ added)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"append: lost $attempt commit races at $root")
+  }
+
+  /** Rewrite undersized files into ~`targetBytes` bins
+    * ([[Compaction.plan]] over the live listing — the listing is
+    * metadata, so the single-window plan is a driver-sized job) and
+    * commit the new layout as the next version. Old versions keep
+    * reading their original files — compaction is invisible to time
+    * travel until [[vacuum]]. Returns the new version, or None when
+    * there is nothing to merge or the commit raced a concurrent writer
+    * (removals don't rebase; the staged rewrite is abandoned).
+    */
+  def compact(spark: SparkSession, root: String, targetBytes: Long): Option[Long] = {
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+    val files = listing(spark, root, Some(base))
+    import spark.implicits._
+    val planned = Compaction.plan(files.toDF("file", "bytes"), Seq.empty, "file", "bytes",
+        targetBytes)
+      .select("file", "bytes", "bin", "bin_files")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toMerge = planned.filter(_._4 > 1).groupBy(_._3) // only multi-file bins rewrite
+    if (toMerge.isEmpty) return None
+    val outDir = new Path(root, s"data/compact-${java.util.UUID.randomUUID()}")
+    val newFiles = toMerge.toSeq.sortBy(_._1).flatMap { case (bin, members) =>
+      val binDir = new Path(outDir, s"bin-$bin")
+      spark.read.parquet(members.map(_._1): _*).coalesce(1).write.parquet(binDir.toString)
+      f.listStatus(binDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.toString, s.getLen))
+    }
+    val merged = toMerge.values.flatten.map(_._1).toSet
+    val kept = files.filterNot { case (p, _) => merged(p) }
+    // claim past torn commits too, but only if no GOOD commit landed
+    // since `base` — removals don't rebase
+    val v = (claimedVersions(spark, root) :+ base).max + 1
+    if (currentVersion(spark, root).contains(base) &&
+        tryCommit(spark, root, v, kept ++ newFiles)) Some(v)
+    else { f.delete(outDir, true); None } // conflict: abandon the rewrite
+  }
+
+  /** Delete data files unreachable from the newest `keepVersions`
+    * versions, then drop the older commit files. The only destructive
+    * operation in the format.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 1)
+    val f = fs(spark, root)
+    val latest = currentVersion(spark, root).getOrElse(return)
+    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val vd = versionsDir(root)
+    val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
+        n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
+    val live = all.filter(_ >= keepFrom)
+      .flatMap(v => readCommit(spark, root, v).toSeq.flatten.map(_._1)).toSet
+    val dataDir = new Path(root, "data")
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !live(st.getPath.toString)) dead += st.getPath
+      }
+      dead.foreach(p => f.delete(p, false))
+    }
+    all.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
+  }
+
+  /** Stats-pruned read of the latest version: [[FileManifest]] over the
+    * listing, then only the candidate files for `bounds`.
+    */
+  def prunedRead(spark: SparkSession, root: String, statCols: Seq[String],
+      bounds: Map[String, (Double, Double)]): DataFrame = {
+    val manifest = FileManifest.collectFiles(spark, listing(spark, root, None), statCols)
+    FileManifest.prunedScan(spark, manifest, bounds)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableVersions
+
+/** Versioned parquet tables: atomic append commits, time travel,
+  * conflict handling, compaction that preserves history, vacuum, and
+  * stats-pruned reads over the live listing.
+  */
+class TableVersionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("tv").toString + "/tbl"
+
+  test("appends commit as increasing versions; every retained version time-travels bit-for-bit") {
+    val root = newRoot()
+    val v0 = TableVersions.append(spark, root, (1L to 100L).toDF("k"))
+    val v1 = TableVersions.append(spark, root, (101L to 150L).toDF("k"))
+    val v2 = TableVersions.append(spark, root, (151L to 160L).toDF("k"))
+    assert(Seq(v0, v1, v2) === Seq(0L, 1L, 2L))
+    assert(TableVersions.read(spark, root).count() === 160)
+    assert(TableVersions.read(spark, root, Some(0L)).agg(sum("k")).head().getLong(0) ===
+      (1L to 100L).sum)
+    assert(TableVersions.read(spark, root, Some(1L)).count() === 150)
+  }
+
+  test("commit claim is atomic: a pre-claimed version forces the append to rebase to the next") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 10L).toDF("k"))
+    // simulate a concurrent winner holding v1 with the SAME listing as v0
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0Text = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, "_versions/v0.commit"))
+      try new String(in.readAllBytes()) finally in.close()
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_versions/v1.commit"), false)
+    out.write(v0Text.getBytes); out.close()
+    val v = TableVersions.append(spark, root, (11L to 20L).toDF("k"))
+    assert(v === 2L, "append must rebase past the concurrently-claimed version")
+    assert(TableVersions.read(spark, root).count() === 20)
+  }
+
+  test("a torn commit (no #END sentinel) is invisible: readers stay on the last good version") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 10L).toDF("k"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_versions/v1.commit"), false)
+    out.write("file:/nonexistent.parquet\t123\n".getBytes) // crashed mid-write: no #END
+    out.close()
+    assert(TableVersions.currentVersion(spark, root) === Some(0L))
+    assert(TableVersions.read(spark, root).count() === 10)
+    // and the next append claims v2 (v1's name is burned, its content ignored)
+    assert(TableVersions.append(spark, root, (11L to 12L).toDF("k")) === 2L)
+    assert(TableVersions.read(spark, root).count() === 12)
+  }
+
+  test("compact merges small files into target bins; history still reads the ORIGINAL files") {
+    val root = newRoot()
+    (0 until 5).foreach(i => TableVersions.append(spark, root,
+      (i * 100L until (i + 1) * 100L).toDF("k").coalesce(1)))
+    val before = TableVersions.listing(spark, root, None)
+    val Some(cv) = TableVersions.compact(spark, root, targetBytes = 1L << 20): @unchecked
+    val after = TableVersions.listing(spark, root, Some(cv))
+    assert(after.size < before.size, s"${before.size} -> ${after.size} files")
+    assert(TableVersions.read(spark, root).agg(sum("k")).head().getLong(0) ===
+      (0L until 500L).sum)
+    // time travel to the pre-compaction version still sees the old layout + data
+    assert(TableVersions.read(spark, root, Some(cv - 1)).count() === 500)
+    assert(TableVersions.listing(spark, root, Some(cv - 1)) === before)
+    // re-compacting an already-compact table is a no-op
+    assert(TableVersions.compact(spark, root, 1L << 20).isEmpty)
+  }
+
+  test("vacuum deletes only unreachable files; retained versions still read") {
+    val root = newRoot()
+    (0 until 4).foreach(i => TableVersions.append(spark, root,
+      (i * 10L until (i + 1) * 10L).toDF("k").coalesce(1)))
+    TableVersions.compact(spark, root, 1L << 20) // v4 rewrites the layout
+    TableVersions.vacuum(spark, root, keepVersions = 1)
+    // latest still intact
+    assert(TableVersions.read(spark, root).count() === 40)
+    // pre-compaction versions are gone (commits dropped, their files deleted)
+    intercept[IllegalArgumentException] {
+      TableVersions.read(spark, root, Some(0L))
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+    var nParquet = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) nParquet += 1 }
+    assert(nParquet === TableVersions.listing(spark, root, None).size,
+      "vacuum must leave exactly the live files")
+  }
+
+  test("prunedRead: stats over the live listing skip files outside the predicate box") {
+    val root = newRoot()
+    (0 until 4).foreach(i => TableVersions.append(spark, root,
+      (i * 1000L until (i + 1) * 1000L).toDF("k").coalesce(1)))
+    val pruned = TableVersions.prunedRead(spark, root, Seq("k"), Map("k" -> (1200.0, 1300.0)))
+    assert(pruned.count() === 101)
+    assert(pruned.inputFiles.length === 1, "only the one file covering [1200,1300] should open")
+  }
+}
