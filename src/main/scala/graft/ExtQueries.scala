@@ -1679,6 +1679,49 @@ object ExtQueries {
       |SELECT doc_id, source, CAST(rn AS INT) AS rn
       |FROM r WHERE rn <= 7 ORDER BY source, rn""".stripMargin
 
+  /** Versioned-table END-TO-END round trip
+    * ([[graft.operators.TableVersions]]): orders lands in a fresh
+    * versioned table as three txn-tagged append commits (one replayed —
+    * must dedupe), the layout is compacted, and the LATEST version is
+    * aggregated by order month. The oracle aggregates the orders table
+    * directly — data-equality through the whole commit/replay/compact
+    * machinery is exactly what the format must preserve. The result is
+    * checkpointed so the temp table can be deleted before returning.
+    */
+  def q121VersionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val root = java.nio.file.Files.createTempDirectory("graft_tv").toString + "/orders_v"
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    (0 until 3).foreach { i =>
+      graft.operators.TableVersions.appendTxn(spark, root,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i), "q121", i.toLong)
+    }
+    // replayed micro-batch: exactly-once txn record makes it a no-op
+    graft.operators.TableVersions.appendTxn(spark, root,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), "q121", 1L)
+    graft.operators.TableVersions.compact(spark, root, targetBytes = 8L << 20)
+    val res = graft.operators.TableVersions.read(spark, root)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    // the checkpoint detached the plan from the temp files — reclaim them
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root).getParentFile)
+    out.orderBy("month")
+  }
+
+  val q121Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level MIN/MAX statistics manifest + manifest-pruned scans — the
@@ -133,6 +133,64 @@ object FileManifest {
     manifest.select("file").distinct()
       .join(dropped, Seq("file"), "left_anti")
       .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Per-file BLOOM index for point-lookup pruning on a
+    * high-cardinality key — the case min/max stats cannot help with: a
+    * randomly-distributed id column spans nearly the full domain in
+    * EVERY file, so range stats prune nothing, while a bloom filter
+    * answers "could this file contain key X" in ~1.4 bytes/key at
+    * fpp≈3% (the Delta bloom-index trade). One distributed scan builds
+    * the whole index: per-file aggregation of Spark's native
+    * `BloomFilterAggregate` grouped by `input_file_name()` — the blooms
+    * are file-local by construction, no shuffle of the key column
+    * beyond the (file, bloom-partial) combine.
+    *
+    * Keys are hashed with `xxhash64` before insertion; lookups must
+    * hash the SAME way at the same type ([[filesForKey]] does).
+    */
+  def collectBloom(spark: SparkSession, path: String, keyCol: String,
+      expectedItemsPerFile: Long = 1000000L): DataFrame = {
+    BloomJoin.register(spark)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col(keyCol)),
+        lit(expectedItemsPerFile)).as("bloom"))
+  }
+
+  /** Files whose bloom admits `key` (false positives possible, false
+    * negatives not — pruning stays conservative). The probe
+    * deserializes Spark's sketch format per row in a `mapPartitions`
+    * over the METADATA-scale index (one row per file):
+    * `BloomFilterMightContain` insists on a CONSTANT filter, so a
+    * per-row bloom column can't be probed as a Catalyst expression —
+    * the same "not expressible as an Expression" exemption class as
+    * the media codecs.
+    */
+  def filesForKey(bloomIndex: DataFrame, key: Column): Seq[String] = {
+    val spark = bloomIndex.sparkSession
+    // hash EXACTLY as collectBloom inserted: evaluate xxhash64(key) once
+    val h = spark.range(1).select(xxhash64(key)).head().getLong(0)
+    import spark.implicits._
+    bloomIndex.select(col("file"), col("bloom")).as[(String, Array[Byte])]
+      .mapPartitions(_.filter { case (_, bytes) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(h)
+      }.map(_._1))
+      .collect().toSeq
+  }
+
+  /** Point lookup through the bloom index: open only admitting files,
+    * then apply the exact predicate (kills the fpp tail). Row-equal to
+    * the full scan with the same predicate.
+    */
+  def pointLookup(spark: SparkSession, bloomIndex: DataFrame, keyCol: String,
+      key: Column): DataFrame = {
+    val files = filesForKey(bloomIndex, key)
+    if (files.isEmpty)
+      spark.read.parquet(bloomIndex.select("file").first().getString(0))
+        .limit(0).filter(col(keyCol) === key)
+    else spark.read.parquet(files: _*).filter(col(keyCol) === key)
   }
 
   /** Manifest-pruned parquet scan: read only the candidate files for the

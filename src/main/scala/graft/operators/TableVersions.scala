@@ -66,7 +66,9 @@ object TableVersions {
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
     if (lines.isEmpty || !lines.last.startsWith("#END ")) return None
-    val files = lines.init.map { l =>
+    // '#'-prefixed lines are metadata (txn records); the #END count
+    // covers the FILE lines only
+    val files = lines.init.filterNot(_.startsWith("#")).map { l =>
       val i = l.lastIndexOf('\t')
       (l.substring(0, i), l.substring(i + 1).toLong)
     }.toSeq
@@ -110,7 +112,11 @@ object TableVersions {
     * the atomic claim; content follows in the same stream. True = owned.
     */
   private def tryCommit(spark: SparkSession, root: String, v: Long,
-      files: Seq[(String, Long)]): Boolean = {
+      files: Seq[(String, Long)]): Boolean =
+    tryCommitLines(spark, root, v, files, Seq.empty)
+
+  private def tryCommitLines(spark: SparkSession, root: String, v: Long,
+      files: Seq[(String, Long)], meta: Seq[String]): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val out =
@@ -118,6 +124,7 @@ object TableVersions {
       catch { case _: java.io.IOException => return false } // another writer claimed v
     try {
       val sb = new StringBuilder
+      meta.foreach(m => sb.append(m).append('\n'))
       files.foreach { case (p, b) => sb.append(p).append('\t').append(b).append('\n') }
       sb.append(s"#END ${files.size}\n")
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -144,7 +151,8 @@ object TableVersions {
       // claim PAST every existing commit file: a torn commit burns its
       // number (the name is taken even though the state is unreadable)
       val v = (claimedVersions(spark, root) ++ base).foldLeft(-1L)(math.max) + 1
-      if (tryCommit(spark, root, v, prev ++ added)) return v
+      if (tryCommitLines(spark, root, v, prev ++ added,
+          renderTxns(currentTxns(spark, root)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
@@ -185,7 +193,8 @@ object TableVersions {
     // since `base` — removals don't rebase
     val v = (claimedVersions(spark, root) :+ base).max + 1
     if (currentVersion(spark, root).contains(base) &&
-        tryCommit(spark, root, v, kept ++ newFiles)) Some(v)
+        tryCommitLines(spark, root, v, kept ++ newFiles,
+          renderTxns(txnsOf(spark, root, base)))) Some(v)
     else { f.delete(outDir, true); None } // conflict: abandon the rewrite
   }
 
@@ -226,4 +235,89 @@ object TableVersions {
     val manifest = FileManifest.collectFiles(spark, listing(spark, root, None), statCols)
     FileManifest.prunedScan(spark, manifest, bounds)
   }
+
+  // ------------------------------------------------------------------
+  // EXACTLY-ONCE streaming ingest: the commit file records which
+  // (txnApp, txnBatch) produced it — the Delta `txn` action. A replayed
+  // foreachBatch sees its batch id already committed and skips, so a
+  // crash between the table commit and the streaming checkpoint write
+  // cannot double-append.
+  // ------------------------------------------------------------------
+
+  private def txnLine(app: String, batch: Long) = s"#TXN $app $batch"
+
+  /** Per-app latest txn batch ids recorded in a GOOD version's commit
+    * file. Every commit carries the full map forward (see the writers
+    * below), so only the latest version ever needs reading — a torn
+    * commit's txn lines never count (its data never landed), and
+    * compaction or another writer committing on top cannot orphan a
+    * stream's txn state.
+    */
+  private def txnsOf(spark: SparkSession, root: String, v: Long): Map[String, Long] = {
+    if (readCommit(spark, root, v).isEmpty) return Map.empty // torn: nothing applied
+    val f = fs(spark, root)
+    val in = f.open(commitPath(root, v))
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    text.split("\n").filter(_.startsWith("#TXN ")).map { l =>
+      val Array(_, app, b) = l.split(" ", 3)
+      app -> b.toLong
+    }.groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  private def currentTxns(spark: SparkSession, root: String): Map[String, Long] =
+    currentVersion(spark, root).map(v => txnsOf(spark, root, v)).getOrElse(Map.empty)
+
+  private def renderTxns(t: Map[String, Long]): Seq[String] =
+    t.toSeq.sortBy(_._1).map { case (a, b) => txnLine(a, b) }
+
+  /** Highest batch id committed for `app`, if any. */
+  def lastTxn(spark: SparkSession, root: String, app: String): Option[Long] =
+    currentTxns(spark, root).get(app)
+
+  /** [[append]] tagged with a transaction id: a no-op when (`app`,
+    * `batchId`) is already committed. Returns the version holding the
+    * batch (existing or new).
+    */
+  def appendTxn(spark: SparkSession, root: String, df: DataFrame,
+      app: String, batchId: Long): Long = {
+    if (lastTxn(spark, root, app).exists(_ >= batchId))
+      return currentVersion(spark, root).get // replay — already applied
+    val f = fs(spark, root)
+    val batchDir = new Path(root, s"data/batch-${java.util.UUID.randomUUID()}")
+    df.write.parquet(batchDir.toString)
+    val added = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    var attempt = 0
+    while (attempt < 100) {
+      if (lastTxn(spark, root, app).exists(_ >= batchId)) { // raced a replayed twin
+        f.delete(batchDir, true)
+        return currentVersion(spark, root).get
+      }
+      val base = currentVersion(spark, root)
+      val prev = base.map(v => listing(spark, root, Some(v))).getOrElse(Seq.empty)
+      val v = (claimedVersions(spark, root) ++ base).foldLeft(-1L)(math.max) + 1
+      val txns = currentTxns(spark, root) + (app -> batchId)
+      if (tryCommitLines(spark, root, v, prev ++ added, renderTxns(txns)))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"appendTxn: lost $attempt commit races at $root")
+  }
+
+  /** Stream `df` into the table with exactly-once appends: one commit
+    * per micro-batch, idempotent under foreachBatch replay via the txn
+    * record above.
+    */
+  def startAppend(df: DataFrame, root: String, checkpoint: String, app: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .queryName(s"table_versions_append_$app")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { appendTxn(batch.sparkSession, root, batch, app, batchId); () }
+      }
+      .start()
 }

@@ -70,6 +70,25 @@ class FileManifestSpec extends SparkSpec {
     assert(pruned.count() === full.count() && full.count() > 0)
   }
 
+  test("bloom index: point lookups open few files where min/max prunes nothing, rows exact") {
+    val dir = Files.createTempDirectory("manifest").toString + "/t"
+    // ids SHUFFLED across files: every file's [min,max] spans ~the whole
+    // domain, so range stats are useless — the bloom case
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((1L to 20000L).toList).map(i => (i, i % 1000))
+      .toDF("k", "v").repartition(10).write.parquet(dir)
+    val m = FileManifest.collect(spark, dir, Seq("k"))
+    assert(FileManifest.candidateFiles(m, Map("k" -> (777.0, 777.0))).size === 10,
+      "random layout: min/max must NOT prune (that is the point)")
+    val bloom = FileManifest.collectBloom(spark, dir, "k", expectedItemsPerFile = 4000)
+    val cands = FileManifest.filesForKey(bloom, lit(777L))
+    assert(cands.nonEmpty && cands.size <= 3, s"bloom should admit ~1 file, got ${cands.size}")
+    val hit = FileManifest.pointLookup(spark, bloom, "k", lit(777L)).collect()
+    assert(hit.length === 1 && hit.head.getLong(0) === 777L && hit.head.getLong(1) === 777L)
+    // absent key: exact filter kills any fpp admissions
+    assert(FileManifest.pointLookup(spark, bloom, "k", lit(999999L)).count() === 0)
+  }
+
   test("box outside every file's range: zero candidates, empty result, schema preserved") {
     val dir = Files.createTempDirectory("manifest").toString + "/t"
     (1L to 100L).map(i => (i, i)).toDF("k", "v")

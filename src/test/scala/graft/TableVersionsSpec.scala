@@ -97,6 +97,45 @@ class TableVersionsSpec extends SparkSpec {
       "vacuum must leave exactly the live files")
   }
 
+  test("appendTxn is exactly-once: a replayed (app, batch) is a no-op even after other commits") {
+    val root = newRoot()
+    TableVersions.appendTxn(spark, root, (1L to 10L).toDF("k"), "ingest", 0L)
+    TableVersions.appendTxn(spark, root, (11L to 20L).toDF("k"), "ingest", 1L)
+    assert(TableVersions.read(spark, root).count() === 20)
+    // replay of batch 1: skipped
+    TableVersions.appendTxn(spark, root, (11L to 20L).toDF("k"), "ingest", 1L)
+    assert(TableVersions.read(spark, root).count() === 20)
+    // txn state survives an unrelated append AND a compaction...
+    TableVersions.append(spark, root, (21L to 30L).toDF("k").coalesce(1))
+    TableVersions.compact(spark, root, 1L << 20)
+    assert(TableVersions.lastTxn(spark, root, "ingest") === Some(1L))
+    TableVersions.appendTxn(spark, root, (11L to 20L).toDF("k"), "ingest", 0L)
+    assert(TableVersions.read(spark, root).count() === 30, "replay after compaction must skip")
+    // ...and a DIFFERENT app's batches are independent
+    TableVersions.appendTxn(spark, root, (31L to 35L).toDF("k"), "backfill", 0L)
+    assert(TableVersions.read(spark, root).count() === 35)
+  }
+
+  test("streaming append: a restart that replays micro-batches lands no duplicates") {
+    val root = newRoot()
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Long]
+    mem.addData(1L to 50L: _*)
+    val cp1 = Files.createTempDirectory("tvcp").toString
+    TableVersions.startAppend(mem.toDF().toDF("k"), root, cp1, app = "s1").awaitTermination()
+    assert(TableVersions.read(spark, root).count() === 50)
+    // fresh checkpoint, same source state: Structured Streaming REPLAYS
+    // batch 0 — the txn record must make it a no-op
+    val cp2 = Files.createTempDirectory("tvcp").toString
+    TableVersions.startAppend(mem.toDF().toDF("k"), root, cp2, app = "s1").awaitTermination()
+    assert(TableVersions.read(spark, root).count() === 50, "replayed batch must not double-append")
+    // new data continues through the replacement checkpoint
+    mem.addData(51L to 60L: _*)
+    TableVersions.startAppend(mem.toDF().toDF("k"), root, cp2, app = "s1").awaitTermination()
+    assert(TableVersions.read(spark, root).count() === 60)
+  }
+
   test("prunedRead: stats over the live listing skip files outside the predicate box") {
     val root = newRoot()
     (0 until 4).foreach(i => TableVersions.append(spark, root,
