@@ -1722,6 +1722,46 @@ object ExtQueries {
       |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** Unicode/whitespace text normalization
+    * ([[graft.operators.TextAnalysis.normalizeText]], backed by the
+    * native [[graft.expressions.NfcNormalize]] expression). The corpus
+    * is ASCII, so four Unicode rows are PLANTED identically in both
+    * engines (combining-mark composition, Angstrom→Å singleton,
+    * control-char strip, whitespace collapse) — the oracle's
+    * `nfc_normalize` is utf8proc and Spark's is the JDK, so a
+    * hash-green result certifies standard-conformant NFC cross-engine.
+    */
+  def q122Normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (100001L, "café"),
+      (100002L, "Å unit"),
+      (100003L, "tab\tand\nnew  lines"),
+      (100004L, "bellchar ")
+    ).toDF("doc_id", "text")
+    TextAnalysis.normalizeText(
+        t(spark, dir, "documents").select(col("doc_id"), col("text")).unionAll(planted),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q122Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (100001, 'cafe' || chr(769)),
+      |    (100002, chr(8491) || ' unit'),
+      |    (100003, 'tab' || chr(9) || 'and' || chr(10) || 'new  lines'),
+      |    (100004, 'bell' || chr(7) || 'char ')) t(doc_id, text)),
+      |n AS (SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |  FROM corpus)
+      |SELECT doc_id, norm_text, (norm_text <> text) AS changed,
+      |  CAST(length(norm_text) AS BIGINT) AS n_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

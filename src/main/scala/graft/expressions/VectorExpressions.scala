@@ -122,6 +122,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.topKDescriptor)
     ext.injectFunction(GraftFunctions.shinglesDescriptor)
     ext.injectFunction(GraftFunctions.mgTopKDescriptor)
+    ext.injectFunction(GraftFunctions.nfcDescriptor)
     ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RawTimeBoundsRewrite(session))
@@ -165,8 +166,20 @@ object GraftFunctions {
       MisraGriesAgg(children.head, children(1))
     })
 
+  private[graft] val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+      NfcNormalize(children.head)
+    })
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("nfc_normalize"))) {
+      val (id, info, builder) = nfcDescriptor
+      registry.registerFunction(id, info, builder)
+    }
     if (!registry.functionExists(FunctionIdentifier("vec_dot"))) {
       val (id, info, builder) = vecDotDescriptor
       registry.registerFunction(id, info, builder)

@@ -439,6 +439,29 @@ object TextAnalysis {
     * whose shuffle is ~`n_words` rows per document. Counts are integers
     * and fractions are 6dp-rounded ratios of integers — engine-exact.
     */
+  /** Corpus text NORMALIZATION — the canonicalization pass that runs
+    * before any hashing/dedup/tokenization at 100 TB: Unicode NFC
+    * (composed and decomposed spellings of the same character must
+    * compare equal — [[graft.expressions.NfcNormalize]], a codegen'd
+    * native expression with an ASCII fast path), control characters
+    * (C0 + DEL) replaced by spaces, whitespace runs collapsed, ends
+    * trimmed. Per-row, zero shuffles, whole-stage codegen throughout.
+    *
+    * ASCII-range `\s` only (both engines' default regex semantics);
+    * exotic Unicode spaces pass through — normalize those upstream if a
+    * corpus needs it.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), col(textCol))
+      .withColumn("norm_text", trim(regexp_replace(regexp_replace(
+        call_function("nfc_normalize", col(textCol)),
+        "[\\x00-\\x1f\\x7f]", " "), "\\s+", " ")))
+      .withColumn("changed", col("norm_text") =!= col(textCol))
+      .withColumn("n_chars", length(col("norm_text")).cast("long"))
+      .select(col(idCol), col("norm_text"), col("changed"), col("n_chars"))
+  }
+
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String = "text",
       maxDupWord: Double = 0.55, maxTopBigram: Double = 0.07,
       maxDupTrigram: Double = 0.05): DataFrame = {

@@ -139,6 +139,41 @@ class Round7OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit, got:\n$plan")
   }
 
+  // -------------------------------------------------------- normalize
+  test("nfc_normalize: composes combining marks, maps singletons, is identity on ASCII and NFC text") {
+    graft.expressions.GraftFunctions.register(spark)
+    val rows = Seq(
+      ("café", "café"), // combining acute composes
+      ("Å", "Å"), // Angstrom sign → Å singleton
+      ("plain ascii", "plain ascii"),
+      ("café", "café") // already NFC: unchanged
+    ).toDF("in", "want")
+      .withColumn("got", call_function("nfc_normalize", col("in")))
+    rows.collect().foreach { r =>
+      assert(r.getString(2) === r.getString(1), s"NFC of ${r.getString(0)}")
+    }
+    // null propagates; expression stays inside whole-stage codegen
+    assert(Seq(Tuple1(null: String)).toDF("in")
+      .select(call_function("nfc_normalize", col("in"))).head().isNullAt(0))
+    // non-literal input (literals constant-fold to a LocalTableScan);
+    // the "*(n)" prefix marks the projection as whole-stage-codegen'd
+    val plan = spark.range(4)
+      .select(call_function("nfc_normalize", col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [nfc_normalize"), s"expected codegen:\n$plan")
+  }
+
+  test("normalizeText: control chars stripped, whitespace collapsed, changed flag exact") {
+    val out = TextAnalysis.normalizeText(
+      Seq((1L, "tab\tand\nnew  lines"), (2L, "bellchar "), (3L, "clean text"))
+        .toDF("doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "tab and new lines" && out(1L).getBoolean(2))
+    assert(out(2L).getString(1) === "bell char" && out(2L).getBoolean(2))
+    assert(out(3L).getString(1) === "clean text" && !out(3L).getBoolean(2))
+    assert(out(2L).getLong(3) === 9L)
+  }
+
   // -------------------------------------------------------- ANN recall
   test("q119 ANN recall: per-query recall in [0,1], one row per exact query, exact self-recall is 1") {
     val rows = ExtQueries.q119AnnRecall(spark, "/root/testdata/sf0.001").collect()
