@@ -1762,6 +1762,101 @@ object ExtQueries {
       |  CAST(length(norm_text) AS BIGINT) AS n_chars
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Versioned-table MUTATION path end-to-end
+    * ([[graft.operators.TableVersions.deleteWhere]]/`optimizeZOrder`):
+    * orders lands in a versioned table, gets Z-order-optimized on
+    * o_orderkey, then a key RANGE is deleted with the stats-pruned
+    * rewrite (only the files whose min/max admit the range are
+    * touched — the GDPR-takedown shape). The latest version's monthly
+    * aggregate must equal the oracle's plain `WHERE NOT BETWEEN` over
+    * orders — certifying that optimize preserved every row and delete
+    * removed exactly the range, whatever the file layout did.
+    */
+  def q123DeleteOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val root = java.nio.file.Files.createTempDirectory("graft_tv").toString + "/orders_d"
+    val tv = graft.operators.TableVersions
+    tv.append(spark, root, t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")))
+    tv.optimizeZOrder(spark, root, Seq("o_orderkey"), numFiles = 8)
+    tv.deleteWhere(spark, root,
+      col("o_orderkey").between(1000L, 50000L),
+      bounds = Map("o_orderkey" -> (1000.0, 50000.0)))
+    val res = tv.read(spark, root)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root).getParentFile)
+    out.orderBy("month")
+  }
+
+  val q123Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 50000
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** CONTRASTIVE TRAINING TRIPLETS — the dataset-construction step on
+    * top of q114's mining: per anchor, the nearest SAME-label corpus
+    * vector is the positive (in-class nearest neighbor — the standard
+    * choice when no labeled pairs exist) and the top-3 nearest
+    * OTHER-label vectors are the hard negatives; one output row per
+    * (anchor, negative_rank). ONE broadcast-anchor corpus scan computes
+    * both rankings (two windows over the same pass, rank filters →
+    * WindowGroupLimit); cosines 6dp-rounded with unique id tiebreaks,
+    * so the triplet set is engine-exact.
+    */
+  def q124ContrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val em = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val q = em.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"), col("emb").as("a_emb"))
+    val scored = em.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .withColumn("cosine", round(
+        VectorOps.fastCosine(spark)(col("emb"), col("a_emb")), 6))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val pos = scored.filter(col("label") === col("a_label"))
+      .withColumn("rn", row_number().over(byAnchor)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("vec_id").as("positive_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = scored.filter(col("label") =!= col("a_label"))
+      .withColumn("rn", row_number().over(byAnchor)).filter(col("rn") <= 3)
+      .select(col("anchor_id"), col("vec_id").as("negative_id"),
+        col("cosine").as("neg_cosine"), col("rn").cast("int").as("neg_rank"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("positive_id"), col("pos_cosine"),
+        col("negative_id"), col("neg_cosine"), col("neg_rank"))
+      .orderBy("anchor_id", "neg_rank")
+  }
+
+  val q124Sql: String =
+    """WITH em AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |a AS (SELECT vec_id AS anchor_id, label AS a_label, emb AS a_emb FROM em WHERE vec_id < 8),
+      |s AS (SELECT a.anchor_id, a.a_label, c.vec_id, c.label,
+      |        round(list_dot_product(c.emb, a.a_emb) /
+      |          (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(a.a_emb, a.a_emb))), 6) AS cosine
+      |      FROM (SELECT * FROM em WHERE vec_id >= 8) c CROSS JOIN a),
+      |pos AS (SELECT anchor_id, vec_id AS positive_id, cosine AS pos_cosine,
+      |          ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, vec_id ASC) AS rn
+      |        FROM s WHERE label = a_label),
+      |neg AS (SELECT anchor_id, vec_id AS negative_id, cosine AS neg_cosine,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS neg_rank
+      |        FROM s WHERE label <> a_label)
+      |SELECT p.anchor_id, p.positive_id, p.pos_cosine,
+      |       n.negative_id, n.neg_cosine, n.neg_rank
+      |FROM (SELECT * FROM pos WHERE rn = 1) p
+      |JOIN (SELECT * FROM neg WHERE neg_rank <= 3) n USING (anchor_id)
+      |ORDER BY anchor_id, neg_rank""".stripMargin
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Versioned parquet tables — ATOMIC commits, TIME TRAVEL, and
   * optimistic concurrency over plain parquet files, the minimal core of
@@ -101,11 +101,18 @@ object TableVersions {
       .getOrElse(throw new IllegalArgumentException(s"version $v absent or torn at $root"))
   }
 
-  /** Read the table at `version` (default: latest). */
-  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+  /** Read the table at `version` (default: latest). `mergeSchema`
+    * reconciles files committed under EVOLVED schemas (appends that
+    * added columns): older files null-fill the new columns, the usual
+    * additive-evolution contract. Off by default — schema merging
+    * footer-reads every file, which the common fixed-schema read
+    * shouldn't pay.
+    */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = listing(spark, root, version).map(_._1)
     require(files.nonEmpty, s"empty version at $root")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
   /** Try to claim version `v` with `files` as its listing: the create is
@@ -196,6 +203,69 @@ object TableVersions {
         tryCommitLines(spark, root, v, kept ++ newFiles,
           renderTxns(txnsOf(spark, root, base)))) Some(v)
     else { f.delete(outDir, true); None } // conflict: abandon the rewrite
+  }
+
+  /** Row-level DELETE — the takedown/GDPR path, Delta's DELETE shape:
+    * find the files that COULD hold matching rows (the [[FileManifest]]
+    * stats prune when `bounds` are given — a 20-row deletion against a
+    * Z-ordered 100 TB table rewrites a handful of files, not the
+    * table), rewrite only those files with the predicate inverted, and
+    * commit kept + rewritten as the next version. Untouched files are
+    * carried by reference. Old versions still see the deleted rows
+    * until [[vacuum]] — point-in-time reads are the feature, not a
+    * leak; vacuum is the compliance boundary. Returns the new version,
+    * or None when no file could match (nothing to do) or the commit
+    * raced a concurrent writer (removals don't rebase — same contract
+    * as [[compact]]).
+    */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column,
+      bounds: Map[String, (Double, Double)] = Map.empty): Option[Long] = {
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+    val files = listing(spark, root, Some(base))
+    val candidates =
+      if (bounds.isEmpty) files.map(_._1)
+      else FileManifest.candidateFiles(
+        FileManifest.collectFiles(spark, files, bounds.keys.toSeq), bounds)
+    if (candidates.isEmpty) return None
+    val outDir = new Path(root, s"data/delete-${java.util.UUID.randomUUID()}")
+    val survivors = spark.read.parquet(candidates: _*).filter(!predicate)
+    survivors.write.parquet(outDir.toString)
+    val newFiles = f.listStatus(outDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    val touched = candidates.toSet
+    val kept = files.filterNot { case (p, _) => touched(p) }
+    val v = (claimedVersions(spark, root) :+ base).max + 1
+    if (currentVersion(spark, root).contains(base) &&
+        tryCommitLines(spark, root, v, kept ++ newFiles,
+          renderTxns(txnsOf(spark, root, base)))) Some(v)
+    else { f.delete(outDir, true); None }
+  }
+
+  /** OPTIMIZE ZORDER — rewrite the CURRENT version's data Z-ordered on
+    * `keys` ([[ZOrder.cluster]]) and commit as the next version, so
+    * subsequent [[prunedRead]]s skip files on multi-column boxes. Same
+    * conflict contract as [[compact]].
+    */
+  def optimizeZOrder(spark: SparkSession, root: String, keys: Seq[String],
+      numFiles: Int): Option[Long] = {
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+    val files = listing(spark, root, Some(base))
+    val outDir = new Path(root, s"data/zorder-${java.util.UUID.randomUUID()}")
+    ZOrder.cluster(spark.read.parquet(files.map(_._1): _*), keys, numFiles)
+      .write.parquet(outDir.toString)
+    val newFiles = f.listStatus(outDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    val v = (claimedVersions(spark, root) :+ base).max + 1
+    if (currentVersion(spark, root).contains(base) &&
+        tryCommitLines(spark, root, v, newFiles,
+          renderTxns(txnsOf(spark, root, base)))) Some(v)
+    else { f.delete(outDir, true); None }
   }
 
   /** Delete data files unreachable from the newest `keepVersions`

@@ -136,6 +136,56 @@ class TableVersionsSpec extends SparkSpec {
     assert(TableVersions.read(spark, root).count() === 60)
   }
 
+  test("deleteWhere: stats-pruned rewrite touches only candidate files; history keeps the rows") {
+    val root = newRoot()
+    // range-clustered layout: 4 files of disjoint key ranges
+    TableVersions.append(spark, root,
+      (1L to 4000L).toDF("k").repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val before = TableVersions.listing(spark, root, None)
+    val Some(dv) = TableVersions.deleteWhere(spark, root,
+      col("k").between(1200L, 1400L), bounds = Map("k" -> (1200.0, 1400.0))): @unchecked
+    val after = TableVersions.listing(spark, root, Some(dv))
+    // only the file(s) covering [1200,1400] were rewritten; the rest are
+    // carried BY REFERENCE (same path strings survive into the new listing)
+    val carried = before.map(_._1).toSet.intersect(after.map(_._1).toSet)
+    assert(carried.size === 3, s"expected 3 of 4 files untouched, carried=${carried.size}")
+    assert(TableVersions.read(spark, root).count() === 4000 - 201)
+    assert(TableVersions.read(spark, root).filter(col("k").between(1200L, 1400L)).count() === 0)
+    // point-in-time read still sees the deleted rows (vacuum is the boundary)
+    assert(TableVersions.read(spark, root, Some(dv - 1)).count() === 4000)
+  }
+
+  test("optimizeZOrder: layout rewrite preserves data and makes box reads prune files") {
+    val root = newRoot()
+    val rnd = new scala.util.Random(3)
+    TableVersions.append(spark, root,
+      (0 until 8000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+        .toDF("x", "y").repartition(8)) // random layout: nothing prunes
+    val preFiles = TableVersions.prunedRead(spark, root, Seq("x", "y"),
+      Map("x" -> (100.0, 160.0), "y" -> (700.0, 760.0))).inputFiles.length
+    val Some(_) = TableVersions.optimizeZOrder(spark, root, Seq("x", "y"), numFiles = 8): @unchecked
+    val pruned = TableVersions.prunedRead(spark, root, Seq("x", "y"),
+      Map("x" -> (100.0, 160.0), "y" -> (700.0, 760.0)))
+    assert(pruned.inputFiles.length < preFiles,
+      s"Z-order must enable pruning: $preFiles -> ${pruned.inputFiles.length}")
+    // the rewrite lost nothing
+    assert(TableVersions.read(spark, root).count() === 8000)
+    val full = TableVersions.read(spark, root)
+      .filter(col("x").between(100, 160) && col("y").between(700, 760))
+    assert(pruned.count() === full.count())
+  }
+
+  test("additive schema evolution: a widened append reads merged; old files null-fill") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 10L).toDF("k"))
+    TableVersions.append(spark, root, (11L to 15L).map(i => (i, s"s$i")).toDF("k", "tag"))
+    val merged = TableVersions.read(spark, root, mergeSchema = true)
+    assert(merged.columns.toSeq === Seq("k", "tag"))
+    assert(merged.count() === 15)
+    assert(merged.filter(col("tag").isNull).count() === 10, "pre-evolution rows null-fill")
+    assert(merged.filter(col("tag") === "s12").count() === 1)
+  }
+
   test("prunedRead: stats over the live listing skip files outside the predicate box") {
     val root = newRoot()
     (0 until 4).foreach(i => TableVersions.append(spark, root,
