@@ -1857,6 +1857,60 @@ object ExtQueries {
       |JOIN (SELECT * FROM neg WHERE neg_rank <= 3) n USING (anchor_id)
       |ORDER BY anchor_id, neg_rank""".stripMargin
 
+  /** Versioned-table UPSERT (CDC apply) end-to-end
+    * ([[graft.operators.TableVersions.upsert]]): orders lands
+    * versioned, then a deterministic CDC batch — price corrections for
+    * every 7th key plus brand-new synthetic orders — merges by key.
+    * The latest version's aggregate must equal the oracle's replace-
+    * and-union over the raw table: replaced keys carry their NEW
+    * price exactly once, inserts appear, untouched rows are bit-equal.
+    */
+  def q125Upsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val root = java.nio.file.Files.createTempDirectory("graft_tv").toString + "/orders_u"
+    val tv = graft.operators.TableVersions
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    tv.append(spark, root, orders)
+    val updates = orders.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_totalprice",
+        (col("o_totalprice") + lit(1000)).cast(DecimalType(12, 2)))
+      .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          to_date(lit("1997-06-15")).as("o_orderdate"),
+          lit(BigDecimal("123.45")).cast(DecimalType(12, 2)).as("o_totalprice")))
+    tv.upsert(spark, root, updates, "o_orderkey")
+    val res = tv.read(spark, root)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root).getParentFile)
+    out.orderBy("month")
+  }
+
+  val q125Sql: String =
+    """WITH up AS (
+      |  SELECT o_orderkey, o_orderdate,
+      |    CAST(o_totalprice + 1000 AS DECIMAL(12,2)) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, DATE '1997-06-15', CAST(123.45 AS DECIMAL(12,2))
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+      |  UNION ALL SELECT * FROM up)
+      |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM merged GROUP BY 1 ORDER BY month""".stripMargin
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

@@ -244,6 +244,51 @@ object TableVersions {
     else { f.delete(outDir, true); None }
   }
 
+  /** UPSERT (MERGE by key) — the CDC-apply primitive: rows in `updates`
+    * REPLACE same-key rows and new keys INSERT. File selection is
+    * stats-driven like [[deleteWhere]]: the files whose recorded key
+    * range intersects the updates' key range are rewritten (existing
+    * rows anti-joined against the update keys, then the updates
+    * appended); every other file carries by reference — conservative by
+    * the same argument (a file outside the updates' key range cannot
+    * hold a key being replaced). Clustered tables therefore pay
+    * O(touched files), not O(table), per CDC batch; unclustered tables
+    * degrade to a full rewrite, which is what clustering is for.
+    * Returns the new version; None on commit conflict (removals don't
+    * rebase — single maintenance writer).
+    */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+    val files = listing(spark, root, Some(base))
+    val range = updates.agg(
+      min(col(keyCol).cast("double")), max(col(keyCol).cast("double"))).head()
+    if (range.isNullAt(0)) return Some(base) // empty updates: no-op
+    val candidates = FileManifest.candidateFiles(
+      FileManifest.collectFiles(spark, files, Seq(keyCol)),
+      Map(keyCol -> (range.getDouble(0), range.getDouble(1))))
+    val outDir = new Path(root, s"data/upsert-${java.util.UUID.randomUUID()}")
+    val rewritten =
+      if (candidates.isEmpty) updates // pure insert
+      else spark.read.parquet(candidates: _*)
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    rewritten.write.parquet(outDir.toString)
+    val newFiles = f.listStatus(outDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    val touched = candidates.toSet
+    val kept = files.filterNot { case (p, _) => touched(p) }
+    val v = (claimedVersions(spark, root) :+ base).max + 1
+    if (currentVersion(spark, root).contains(base) &&
+        tryCommitLines(spark, root, v, kept ++ newFiles,
+          renderTxns(txnsOf(spark, root, base)))) Some(v)
+    else { f.delete(outDir, true); None }
+  }
+
   /** OPTIMIZE ZORDER — rewrite the CURRENT version's data Z-ordered on
     * `keys` ([[ZOrder.cluster]]) and commit as the next version, so
     * subsequent [[prunedRead]]s skip files on multi-column boxes. Same
@@ -304,6 +349,49 @@ object TableVersions {
       bounds: Map[String, (Double, Double)]): DataFrame = {
     val manifest = FileManifest.collectFiles(spark, listing(spark, root, None), statCols)
     FileManifest.prunedScan(spark, manifest, bounds)
+  }
+
+  /** Commit HISTORY, newest first: (version, n_files, n_bytes, txns) —
+    * one metadata read per retained version, no data access.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    claimedVersions(spark, root).sorted(Ordering[Long].reverse)
+      .flatMap { v =>
+        readCommit(spark, root, v).map { files =>
+          (v, files.size.toLong, files.map(_._2).sum,
+            renderTxns(txnsOf(spark, root, v)).mkString(";"))
+        }
+      }
+      .toDF("version", "n_files", "n_bytes", "txns")
+  }
+
+  /** METADATA-only diff between two versions: which files were added
+    * and removed — how compaction/delete/optimize impact is audited
+    * without touching data.
+    */
+  def diffListing(spark: SparkSession, root: String, from: Long, to: Long): DataFrame = {
+    import spark.implicits._
+    val a = listing(spark, root, Some(from)).toMap
+    val b = listing(spark, root, Some(to)).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map(f => (f, b(f), "added")) ++
+      (a.keySet -- b.keySet).toSeq.sorted.map(f => (f, a(f), "removed"))
+    rows.toDF("file", "n_bytes", "change")
+  }
+
+  /** CONTENT diff between two versions: rows present in exactly one
+    * (bag semantics — duplicates count). A full shuffle of both
+    * versions; for a cheap audit use [[diffListing]] — this is the
+    * row-accurate form for compliance checks ("which rows did the
+    * takedown actually remove").
+    */
+  def diffRows(spark: SparkSession, root: String, from: Long, to: Long): DataFrame = {
+    val a = read(spark, root, Some(from))
+    val b = read(spark, root, Some(to))
+    b.exceptAll(a).withColumn("change", org.apache.spark.sql.functions.lit("added"))
+      .unionByName(a.exceptAll(b)
+        .withColumn("change", org.apache.spark.sql.functions.lit("removed")))
   }
 
   // ------------------------------------------------------------------

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{LshIndex, SemIndex, TermIndex, TextAnalysis}
+import graft.operators.{LshIndex, SemIndex, TableVersions, TermIndex}
 
 /** UNIFIED incremental-index maintenance: one streaming job feeds the
   * same document batches — under the SAME Structured Streaming batch
@@ -38,6 +38,7 @@ object IndexPipeline {
 
   /** Store layout under one root. */
   case class Roots(root: String) {
+    val corpus = s"$root/corpus"
     val lshSignatures = s"$root/lsh/signatures"
     val lshPairs = s"$root/lsh/pairs"
     val semAssignments = s"$root/sem/assignments"
@@ -45,9 +46,14 @@ object IndexPipeline {
     val term = s"$root/term"
   }
 
-  /** Fold one (doc_id, text, embedding) batch into all three indexes
-    * under one batch id. Idempotent per batchId (each store's own
-    * contract); safe to re-run after a partial failure.
+  /** Fold one (doc_id, text, embedding) batch into the CORPUS TABLE and
+    * all three indexes under one batch id. The corpus lands FIRST as a
+    * [[TableVersions.appendTxn]] commit (exactly-once via the txn
+    * record), so at every batch boundary the versioned table IS the
+    * ground truth the indexes serve — a reader can join retrieval
+    * results back to a consistent corpus snapshot by version.
+    * Idempotent per batchId (each store's own contract); safe to re-run
+    * after a partial failure.
     */
   def processBatch(roots: Roots, batch: DataFrame, batchId: Long,
       centArr: Seq[(Long, Array[Double])],
@@ -57,6 +63,8 @@ object IndexPipeline {
       k: Int = 3, portable: Boolean = true): Unit = {
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      TableVersions.appendTxn(b.sparkSession, roots.corpus,
+        b.select(col(idCol), col(textCol), col(vecCol)), "index_pipeline", batchId)
       LshIndex.processBatch(roots.lshSignatures, roots.lshPairs,
         b.select(col(idCol), col(textCol)), batchId, idCol, textCol,
         numHashes, bands, minJaccard, k, portable)
@@ -97,6 +105,9 @@ object IndexPipeline {
       spark.read.parquet(path).select(col(c).cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet
     Map(
+      "corpus" -> TableVersions.read(spark, roots.corpus)
+        .select(col(idCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet,
       "lsh" -> ids(roots.lshSignatures, idCol),
       "sem" -> ids(roots.semAssignments, idCol),
       "term" -> ids(s"${roots.term}/postings", idCol))

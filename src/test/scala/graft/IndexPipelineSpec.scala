@@ -64,6 +64,7 @@ class IndexPipelineSpec extends SparkSpec {
       // BOUNDARY INVARIANT: all three stores index exactly the
       // delivered set — no store ahead of or behind another
       val ids = IndexPipeline.indexedIds(spark, roots)
+      assert(ids("corpus") == delivered, s"corpus table diverged at ${delivered.size} docs")
       assert(ids("lsh") == delivered, s"lsh store diverged at ${delivered.size} docs")
       assert(ids("sem") == delivered, s"sem store diverged at ${delivered.size} docs")
       assert(ids("term") == delivered, s"term store diverged at ${delivered.size} docs")
@@ -86,6 +87,8 @@ class IndexPipelineSpec extends SparkSpec {
     // id (the crash-recovery path) — every store must absorb it as a
     // no-op, together
     def snapshot(): Map[String, Seq[String]] = Map(
+      "corpus" -> graft.operators.TableVersions.read(spark, roots.corpus)
+        .collect().map(_.toString).sorted.toSeq,
       "lshSig" -> spark.read.parquet(roots.lshSignatures).collect().map(_.toString).sorted.toSeq,
       "lshPairs" -> spark.read.parquet(roots.lshPairs).collect().map(_.toString).sorted.toSeq,
       "semAsg" -> spark.read.parquet(roots.semAssignments).collect().map(_.toString).sorted.toSeq,

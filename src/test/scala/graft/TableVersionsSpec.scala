@@ -175,6 +175,49 @@ class TableVersionsSpec extends SparkSpec {
     assert(pruned.count() === full.count())
   }
 
+  test("upsert: replaces by key, inserts new keys, touches only key-range candidate files") {
+    val root = newRoot()
+    // EVEN keys only, so odd keys are insertable INSIDE a file's range
+    TableVersions.append(spark, root,
+      (1L to 4000L).map(i => (i * 2, i * 10)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val before = TableVersions.listing(spark, root, None)
+    // one replace + one insert, both inside a single file's key range
+    val updates = Seq((2200L, -1L), (2201L, -3L)).toDF("k", "v")
+    val Some(uv) = TableVersions.upsert(spark, root, updates, "k"): @unchecked
+    val after = TableVersions.listing(spark, root, Some(uv))
+    val carried = before.map(_._1).toSet.intersect(after.map(_._1).toSet)
+    assert(carried.size === 3, s"only the file covering [2200,2201] rewrites; carried=${carried.size}")
+    val t = TableVersions.read(spark, root)
+    assert(t.count() === 4001)
+    assert(t.filter(col("k") === 2200L).head().getLong(1) === -1L, "existing key replaced")
+    assert(t.filter(col("k") === 2400L).head().getLong(1) === 12000L, "untouched key intact")
+    assert(t.filter(col("k") === 2201L).count() === 1, "new key inserted")
+    // replay-shaped second apply of the same updates is a no-op on content
+    TableVersions.upsert(spark, root, updates, "k")
+    assert(TableVersions.read(spark, root).count() === 4001)
+  }
+
+  test("history and diffs: metadata audit per version; content diff pinpoints a delete exactly") {
+    val root = newRoot()
+    TableVersions.append(spark, root,
+      (1L to 1000L).toDF("k").repartitionByRange(2, col("k")))
+    val Some(dv) = TableVersions.deleteWhere(spark, root,
+      col("k").between(100L, 120L), Map("k" -> (100.0, 120.0))): @unchecked
+    val h = TableVersions.history(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.map(_._1).toSeq === Seq(dv, 0L), "newest first")
+    val dl = TableVersions.diffListing(spark, root, 0L, dv)
+      .collect().map(r => r.getString(2)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(dl("removed") === 1 && dl("added") >= 1, s"one file rewritten: $dl")
+    val dr = TableVersions.diffRows(spark, root, 0L, dv)
+    assert(dr.filter(col("change") === "added").count() === 0)
+    assert(dr.filter(col("change") === "removed").count() === 21)
+    assert(dr.agg(min("k"), max("k")).head() match {
+      case r => r.getLong(0) == 100L && r.getLong(1) == 120L
+    })
+  }
+
   test("additive schema evolution: a widened append reads merged; old files null-fill") {
     val root = newRoot()
     TableVersions.append(spark, root, (1L to 10L).toDF("k"))
