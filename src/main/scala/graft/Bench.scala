@@ -86,7 +86,12 @@ object Bench {
     println(s"""BENCH_DETAIL $detail""")
     def shortKey(n: String): String = if (n.startsWith("q")) n.takeWhile(_ != '_') else n
     def r3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }.mkString("{", ",", "}")
+    // 2-decimal per-query values on the COMPACT line only: at 136
+    // queries the 3-decimal form crossed the driver's tail window
+    // (1850 chars); 10 ms resolution is far below this box's ±30%
+    // noise floor, and BENCH_DETAIL above keeps full precision
+    def r2(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     require(line.length <= 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail window")

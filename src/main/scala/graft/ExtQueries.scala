@@ -1911,6 +1911,33 @@ object ExtQueries {
       |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
       |FROM merged GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** Bloom-index POINT LOOKUPS ([[graft.operators.FileManifest
+    * .collectBloom]]/`pointLookup`): build the per-file bloom index
+    * over orders once, then resolve a handful of point keys — present
+    * ones and absent ones — through it. The result must equal the
+    * oracle's plain `WHERE o_orderkey IN (...)`: blooms may admit
+    * false-positive FILES, never wrong ROWS (the exact filter runs on
+    * the admitted files), and absent keys return nothing.
+    */
+  def q126BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(7L, 355L, 1952L, 4000L, 999999999L) // last: absent at every SF
+    val bloom = graft.operators.FileManifest
+      .collectBloom(spark, s"$dir/orders.parquet", "o_orderkey", 200000L)
+      .persist()
+    val out = keys.map { k =>
+      graft.operators.FileManifest.pointLookup(spark, bloom, "o_orderkey", lit(k))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }.reduce(_ unionAll _)
+    val res = graft.CacheScope.trackCheckpoint(out.localCheckpoint(true))
+    bloom.unpersist(false)
+    res.orderBy("o_orderkey")
+  }
+
+  val q126Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey IN (7, 355, 1952, 4000, 999999999)
+      |ORDER BY o_orderkey""".stripMargin
+
   val q112Sql: String =
     """WITH qf AS (SELECT doc_id, source, text,
       |    string_split_regex(text, '\s+') AS words FROM documents),

@@ -256,6 +256,11 @@ object TableVersions {
     * degrade to a full rewrite, which is what clustering is for.
     * Returns the new version; None on commit conflict (removals don't
     * rebase — single maintenance writer).
+    *
+    * Contract: `updates` carries the table's schema with at most one
+    * row per key — pre-aggregate a CDC stream to last-writer-wins
+    * upstream; duplicate keys here would land as duplicate rows (the
+    * union semantics say so rather than silently electing a winner).
     */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String): Option[Long] = {
