@@ -175,6 +175,14 @@ class Round7OpsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------- ANN recall
+  test("q124 plan: anchors broadcast, corpus never shuffled before the rank windows") {
+    val plan = ExtQueries.q124ContrastiveTriplets(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"anchor side must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), "rank filters must pre-prune per partition")
+  }
+
   test("q119 ANN recall: per-query recall in [0,1], one row per exact query, exact self-recall is 1") {
     val rows = ExtQueries.q119AnnRecall(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 5)
