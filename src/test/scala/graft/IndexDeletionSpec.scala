@@ -75,6 +75,25 @@ class IndexDeletionSpec extends SparkSpec {
     assert(replayed === after)
   }
 
+  test("LSH: deleting an id that was never indexed is a harmless no-op") {
+    val sig = Files.createTempDirectory("lshdel").toString + "/sig"
+    val pairs = Files.createTempDirectory("lshdel").toString + "/pairs"
+    LshIndex.processBatch(sig, pairs, docs.toDF("doc_id", "text"), 0L, "doc_id", "text",
+      minJaccard = 0.5)
+    val before = LshIndex.livePairs(spark, pairs, sig, "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    LshIndex.deleteBatch(sig, Seq(424242L).toDF("doc_id"), "doc_id", delBatchId = 0L)
+    val after = LshIndex.livePairs(spark, pairs, sig, "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(after === before)
+    assert(spark.read.parquet(sig).count() === docs.size.toLong)
+    // the next merge folds the pointless tombstone away without damage
+    LshIndex.updateSignatureTable(sig,
+      Seq(500L -> "completely unrelated new words here now").toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(spark.read.parquet(sig).count() === docs.size.toLong + 1)
+  }
+
   test("SEM: delete stops future edges, hides old edges, folds at next merge") {
     val cents = IvfIndex.frozenCentroids(8, 8).map { case (c, a) => (c.toLong, a) }
     // vectors 1,2,3 nearly identical; 10,11 far away

@@ -30,6 +30,28 @@ class Round7OpsSpec extends SparkSpec {
       ("p2", "a", 0L, 50L, 1L)))
   }
 
+  test("compaction plan invariants: every file in exactly one bin, bin totals reconcile, no empty bins") {
+    val rows = (1 to 500).map(i => (s"p${i % 5}", f"f$i%03d", (i * 131 % 3000 + 10).toLong))
+    val out = Compaction.plan(rows.toDF("partition", "file", "bytes"),
+        Seq("partition"), "file", "bytes", targetBytes = 5000L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length === 500, "every file assigned")
+    assert(out.map(f => (f._1, f._2)).distinct.length === 500, "assigned exactly once")
+    // per (partition, bin): the broadcast bin totals must equal the sums
+    out.groupBy(f => (f._1, f._4)).foreach { case ((p, bin), members) =>
+      val bytes = members.map(_._3).sum
+      assert(members.forall(m => m._5 == bytes && m._6 == members.length),
+        s"bin totals diverge in $p/$bin")
+      assert(members.nonEmpty)
+    }
+    // partition totals are conserved through binning
+    out.groupBy(_._1).foreach { case (p, files) =>
+      val want = rows.filter(_._1 == p).map(_._3).sum
+      assert(files.map(_._3).sum === want, s"bytes not conserved in $p")
+    }
+  }
+
   test("compaction plan: deterministic under input shuffling (pure function of the listing)") {
     val rows = (1 to 200).map(i => (s"p${i % 3}", f"f$i%03d", (i * 37 % 900 + 50).toLong))
     val a = Compaction.plan(rows.toDF("partition", "file", "bytes"),
