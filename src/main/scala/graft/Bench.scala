@@ -22,15 +22,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Driver-JVM GC time attribution: with 130+ queries per pass the
+    // main round-over-round confounder is no longer any single plan but
+    // accumulated JVM state — per-query GC deltas separate "this query's
+    // plan got slower" from "the pass got heavier around it".
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val gcByQuery = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
+      val g0 = gcMillis()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-      } finally
+      } finally {
         // A finished query's localCheckpoint blocks (CC rounds, SemDedup
         // assignment, SCD2 folds) are dead weight for every query after
         // it — with 6 checkpoint-heavy queries in the roster they squeeze
@@ -38,9 +48,16 @@ object Bench {
         // (non-blocking, after the clock stops); caches (tracked
         // separately) stay warm until the pass drain.
         CacheScope.drainCheckpoints()
+        gcByQuery(name) += gcMillis() - g0
+      }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // FIXED order: round-7 cohort in BENCH_r07's exact (sorted) order,
+    // then later-round queries strictly after — the common-set prefix is
+    // identical across rounds, so ratios compare like with like.
+    val names = SparkEntry.benchOrder
+    require(names.toSet == SparkEntry.queries.keySet,
+      "benchOrder out of sync with queries")
     // Warm-up pass: JIT + codegen + parquet footer caches, so the measured
     // passes reflect steady-state throughput, not JVM warm-up. Two
     // measured passes, best-of per query: single-pass numbers on a
@@ -65,16 +82,18 @@ object Bench {
     // reaped).
     def sweep(): Unit = { System.gc(); Thread.sleep(500) }
     sweep()
-    val results = {
+    gcByQuery.clear() // attribute GC to the MEASURED passes only
+    val (results, p1Total, p2Total) = {
       val p1 = names.map(n => n -> run(n)).toMap
       CacheScope.drain()
       sweep()
       val p2 = names.map(n => n -> run(n)).toMap
       CacheScope.drain()
-      names.map { n =>
+      val best = names.map { n =>
         val (a, b) = (p1(n), p2(n))
         n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
       }
+      (best, p1.values.filter(_ >= 0).sum, p2.values.filter(_ >= 0).sum)
     }
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final line as JSON (rounds 1-3 all came back parsed:null because
@@ -84,6 +103,10 @@ object Bench {
     // well under the window.
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""BENCH_DETAIL $detail""")
+    // Per-query driver-GC milliseconds summed over both measured passes
+    // (full-name line for humans; the compact line carries the total).
+    val gcDetail = names.map(n => "\"" + n + "\":" + gcByQuery(n)).mkString("{", ",", "}")
+    println(s"""BENCH_GC_MS $gcDetail""")
     def shortKey(n: String): String = if (n.startsWith("q")) n.takeWhile(_ != '_') else n
     def r3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // 2-decimal per-query values on the COMPACT line only: at 136
@@ -93,7 +116,12 @@ object Bench {
     def r2(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Environment-attribution signal: per-pass wall totals and the
+    // driver-GC total across both measured passes — if a future round's
+    // ratio moves while gc_sec/pass spread moves with it, the drift is
+    // pass-level state, not plans (the round-7 lesson, now measurable).
+    val env = s""""gc_sec":${r3(gcByQuery.values.sum / 1000.0)},"p1_sec":${r3(p1Total)},"p2_sec":${r3(p2Total)},"order":"r7-prefix""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}"""
     require(line.length <= 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail window")
     println(line)
     spark.stop()
