@@ -1,53 +1,121 @@
 package graft.operators
 
+import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Versioned parquet tables — ATOMIC commits, TIME TRAVEL, and
-  * optimistic concurrency over plain parquet files, the minimal core of
-  * what Delta/Iceberg layer onto a lake (and what the reference gets
-  * implicitly from BigQuery's managed storage). Together with
-  * [[FileManifest]] (file-level stats) and [[Compaction]] (bin
-  * packing), this completes a self-contained table format:
+/** Versioned parquet tables — ATOMIC commits, TIME TRAVEL, per-file
+  * STATISTICS, logical PARTITIONS and optimistic concurrency over plain
+  * parquet files: the minimal core of what Delta/Iceberg layer onto a
+  * lake (and what the reference gets implicitly from BigQuery's managed
+  * storage). Together with [[FileManifest]] (footer stats collection),
+  * [[Compaction]] (bin packing) and [[ZOrder]] (clustering), this
+  * completes a self-contained table format.
   *
   * Layout:
   * {{{
   *   <root>/data/<batch-uuid>/part-*.parquet   immutable data files
-  *   <root>/_versions/v<N>.commit              version N's COMMIT FILE:
-  *                                             the full file listing
+  *   <root>/_versions/v<N>.commit              version N's COMMIT FILE
+  *   <root>/_bloom/<key>/part-*.parquet        optional per-file bloom
+  *                                             sidecar (point lookups)
   * }}}
   *
   * COMMIT PROTOCOL: data files are written first (invisible until
-  * committed — readers only follow commit files), then the commit file
-  * is created with `FileSystem.create(path, overwrite = false)` — one
-  * atomic operation that BOTH claims version N and carries its content
-  * (the Delta-log stance: the claim and the listing cannot diverge
-  * because they are the same file). Exactly one concurrent writer's
-  * create succeeds; the loser re-reads the new latest version, rebases
-  * its file delta, and retries at N+1. Appends always rebase cleanly
-  * (they only ADD files); [[compact]] aborts on conflict instead (its
-  * removals may overlap the winner's — single maintenance writer, the
-  * same contract as the incremental indexes). A writer crashing
-  * mid-write leaves a commit file without the `#END <n>` sentinel;
-  * readers treat such versions as never committed.
+  * committed — readers only follow commit files); the commit content is
+  * then written COMPLETELY to a hidden temp file and PROMOTED to
+  * `v<N>.commit` in one atomic claim — a hard link on local
+  * filesystems (link(2) fails atomically if the name exists), an
+  * atomic namenode rename on HDFS-class stores. The claim and the
+  * content are therefore one operation: no reader or competing writer
+  * can ever observe a claimed-but-unfinished commit, which closes the
+  * lost-append race where a slow content write is mistaken for a crash
+  * and committed past. (Object stores without atomic
+  * create-if-absent need a CAS primitive supplied by the store — the
+  * same external-LogStore requirement Delta documents.) Exactly one
+  * concurrent writer's promote succeeds; the loser re-reads the new
+  * latest version, REBASES and retries:
+  *
+  *  - appends always rebase (they only ADD files);
+  *  - file-rewriting maintenance ([[compact]], [[deleteWhere]],
+  *    [[upsert]], [[optimizeZOrder]]) rebases so long as every file it
+  *    REMOVED is still live in the winner's listing — concurrent
+  *    appends and maintenance of DISJOINT file sets (e.g. different
+  *    partitions) all commit; genuinely overlapping rewrites return
+  *    None. This is the Delta conflict rule (fail only on true
+  *    read/write overlap), which makes per-partition maintenance
+  *    embarrassingly concurrent at 100 TB.
+  *
+  * A writer crashing mid-write leaves only a hidden temp file (cleaned
+  * by [[vacuum]]); commit files written by pre-promote writers without
+  * the `#END <n>` sentinel are treated as never committed (legacy
+  * tolerance — the promote protocol cannot produce them).
+  *
+  * STATISTICS RIDE THE COMMIT: each file line carries row count and
+  * per-column min/max/null-count collected ONCE from the just-written
+  * files' footers (a distributed, footer-only job over the new files of
+  * that commit). [[prunedRead]], [[deleteWhere]] and [[upsert]] plan
+  * their file sets from the COMMIT ALONE — zero data-file footer reads
+  * at query/maintenance time, the property that makes a pruned read of
+  * a million-file table one small metadata read (the Delta/Iceberg
+  * stance). Pruning stays conservative: a file with absent stats is
+  * always a candidate.
+  *
+  * SCHEMA RIDES THE COMMIT: each commit records the table schema as of
+  * that version. Reads apply it directly (old files null-fill ADDED
+  * columns with no mergeSchema footer sweep), and [[append]] enforces
+  * the evolution contract LOUDLY: adding columns is allowed; dropping,
+  * renaming or changing the type of an existing column throws at
+  * commit time (a format that owns commits must reject what it cannot
+  * represent, not write it).
+  *
+  * PARTITIONS ARE METADATA (Iceberg's stance): `append(partitionBy=…)`
+  * splits files so each holds exactly one partition tuple, records the
+  * values per file in the commit, and keeps partition columns IN the
+  * data files (the directory layout is cosmetic). Partition-pruned
+  * reads ([[readPartitions]]) and partition-scoped maintenance select
+  * files by commit metadata — no directory-listing contract, no
+  * lost-column reads, and the same conservative-pruning argument.
   *
   * TIME TRAVEL: a version's listing references immutable files, so
-  * `read(root, Some(v))` reproduces any retained version bit-for-bit —
-  * compaction rewrites the FUTURE listing, never the files an old
-  * version points to. [[vacuum]] deletes files unreachable from the
-  * retained versions (and is the only thing that ever deletes data).
+  * `read(root, Some(v))` reproduces any retained version bit-for-bit
+  * under that version's own schema — compaction rewrites the FUTURE
+  * listing, never the files an old version points to. [[readChanges]]
+  * turns retained history into a CHANGE FEED (insert/delete rows per
+  * version step, computed from the touched files only). [[vacuum]]
+  * deletes files unreachable from the retained versions (and is the
+  * only thing that ever deletes data).
   *
-  * Scale shape: a commit is one metadata file (one line per file — KBs
-  * to MBs even for huge tables); readers do one `_versions` listing +
-  * one small read before the real scan. No data file is ever rewritten
-  * in place, so readers racing writers always see a consistent
-  * version. Stats-pruned reads compose via
-  * [[FileManifest.collectFiles]] over the listing.
+  * Scale shape: a commit is one metadata file (one stats-bearing line
+  * per file — MBs even for very large tables); readers do one
+  * `_versions` listing + one small read before the real scan. No data
+  * file is ever rewritten in place, so readers racing writers always
+  * see a consistent version.
   */
 object TableVersions {
+
+  /** Per-column min/max/null stats for one file (numeric OR string
+    * bounds, whichever the parquet footer carried — both absent when
+    * the footer had none: the file is then never pruned).
+    */
+  final case class ColStats(minNum: Option[Double], maxNum: Option[Double],
+      minStr: Option[String], maxStr: Option[String], nulls: Long)
+
+  /** One data file in a commit: identity, size, row count (-1 when
+    * unknown — legacy lines), partition values, per-column stats.
+    */
+  final case class FileEntry(path: String, bytes: Long, rows: Long,
+      part: Map[String, String], stats: Map[String, ColStats])
+
+  /** Full parsed state of one commit file. */
+  final case class CommitState(files: Seq[FileEntry], schemaJson: Option[String],
+      partCols: Seq[String], txns: Map[String, Long]) {
+    def schema: Option[StructType] =
+      schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+  }
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -55,8 +123,62 @@ object TableVersions {
   private def versionsDir(root: String) = new Path(root, "_versions")
   private def commitPath(root: String, v: Long) = new Path(versionsDir(root), s"v$v.commit")
 
-  /** Parse a commit file; None if absent or torn (no matching #END). */
-  private def readCommit(spark: SparkSession, root: String, v: Long): Option[Seq[(String, Long)]] = {
+  // ------------------------------------------------------------------
+  // Commit-line encoding. Fields are URL-encoded, so the tab/comma/
+  // semicolon/pipe separators and the `~` null marker can never appear
+  // inside a value; Double.toString round-trips exactly.
+  // ------------------------------------------------------------------
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+  private val None_ = "~"
+  private def encNumOpt(o: Option[Double]): String = o.map(java.lang.Double.toString).getOrElse(None_)
+  private def encStrOpt(o: Option[String]): String = o.map(enc).getOrElse(None_)
+  private def decNumOpt(s: String): Option[Double] = if (s == None_) None else Some(s.toDouble)
+  private def decStrOpt(s: String): Option[String] = if (s == None_) None else Some(dec(s))
+
+  private def renderFileLine(fe: FileEntry): String = {
+    val part =
+      if (fe.part.isEmpty) "-"
+      else fe.part.toSeq.sortBy(_._1).map { case (k, v) => enc(k) + "=" + enc(v) }.mkString(",")
+    val stats =
+      if (fe.stats.isEmpty) "-"
+      else fe.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        Seq(enc(c), encNumOpt(s.minNum), encNumOpt(s.maxNum),
+          encStrOpt(s.minStr), encStrOpt(s.maxStr), s.nulls.toString).mkString("|")
+      }.mkString(";")
+    Seq(enc(fe.path), fe.bytes.toString, fe.rows.toString, part, stats).mkString("\t")
+  }
+
+  private def parseFileLine(l: String): FileEntry = {
+    val fields = l.split("\t", -1)
+    if (fields.length < 5) {
+      // legacy two-field line (path may contain tabs): no stats — the
+      // file is simply never pruned (conservative by construction)
+      val i = l.lastIndexOf('\t')
+      FileEntry(l.substring(0, i), l.substring(i + 1).toLong, -1L, Map.empty, Map.empty)
+    } else {
+      val part =
+        if (fields(3) == "-") Map.empty[String, String]
+        else fields(3).split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2); (dec(k), dec(v))
+        }.toMap
+      val stats =
+        if (fields(4) == "-") Map.empty[String, ColStats]
+        else fields(4).split(";").map { cs =>
+          val p = cs.split("\\|", -1)
+          dec(p(0)) -> ColStats(decNumOpt(p(1)), decNumOpt(p(2)),
+            decStrOpt(p(3)), decStrOpt(p(4)), p(5).toLong)
+        }.toMap
+      FileEntry(dec(fields(0)), fields(1).toLong, fields(2).toLong, part, stats)
+    }
+  }
+
+  /** Parse a commit file; None if absent or torn (no matching #END —
+    * impossible under the promote protocol, tolerated for legacy/crash
+    * debris).
+    */
+  private def readCommitState(spark: SparkSession, root: String, v: Long): Option[CommitState] = {
     val f = fs(spark, root)
     val p = commitPath(root, v)
     if (!f.exists(p)) return None
@@ -66,17 +188,21 @@ object TableVersions {
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
     if (lines.isEmpty || !lines.last.startsWith("#END ")) return None
-    // '#'-prefixed lines are metadata (txn records); the #END count
-    // covers the FILE lines only
-    val files = lines.init.filterNot(_.startsWith("#")).map { l =>
-      val i = l.lastIndexOf('\t')
-      (l.substring(0, i), l.substring(i + 1).toLong)
-    }.toSeq
-    if (lines.last != s"#END ${files.size}") None else Some(files)
+    val files = lines.init.filterNot(_.startsWith("#")).map(parseFileLine).toSeq
+    if (lines.last != s"#END ${files.size}") return None
+    val schemaJson = lines.find(_.startsWith("#SCHEMA ")).map(_.stripPrefix("#SCHEMA "))
+    val partCols = lines.find(_.startsWith("#PART "))
+      .map(_.stripPrefix("#PART ").split(",").map(dec).toSeq).getOrElse(Seq.empty)
+    val txns = lines.filter(_.startsWith("#TXN ")).map { l =>
+      val Array(_, app, b) = l.split(" ", 3)
+      app -> b.toLong
+    }.groupMapReduce(_._1)(_._2)(math.max)
+    Some(CommitState(files, schemaJson, partCols, txns))
   }
 
-  /** Every version NUMBER with a commit file, torn or not — torn ones
-    * are burned (their name is claimed) but carry no readable state.
+  /** Every version NUMBER with a commit file. Under the promote
+    * protocol every claimed version is fully committed; legacy torn
+    * files still burn their number (the name is taken).
     */
   private def claimedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
@@ -91,171 +217,480 @@ object TableVersions {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     claimedVersions(spark, root)
       .sorted(Ordering[Long].reverse)
-      .find(v => readCommit(spark, root, v).isDefined)
+      .find(v => readCommitState(spark, root, v).isDefined)
 
-  /** The file listing of `version` (default: latest): (file, n_bytes). */
-  def listing(spark: SparkSession, root: String, version: Option[Long] = None): Seq[(String, Long)] = {
+  /** The full parsed commit state of `version` (default: latest). */
+  def commitState(spark: SparkSession, root: String, version: Option[Long] = None): CommitState = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $root"))
-    readCommit(spark, root, v)
+    readCommitState(spark, root, v)
       .getOrElse(throw new IllegalArgumentException(s"version $v absent or torn at $root"))
   }
 
-  /** Read the table at `version` (default: latest). `mergeSchema`
-    * reconciles files committed under EVOLVED schemas (appends that
-    * added columns): older files null-fill the new columns, the usual
-    * additive-evolution contract. Off by default — schema merging
-    * footer-reads every file, which the common fixed-schema read
-    * shouldn't pay.
+  /** The file listing of `version` (default: latest): (file, n_bytes). */
+  def listing(spark: SparkSession, root: String, version: Option[Long] = None): Seq[(String, Long)] =
+    commitState(spark, root, version).files.map(fe => (fe.path, fe.bytes))
+
+  /** Read the table at `version` (default: latest) under that version's
+    * COMMITTED schema: files written before an additive evolution
+    * null-fill the later columns directly from the declared schema — no
+    * mergeSchema footer sweep. `mergeSchema` is honored only for legacy
+    * commits that carry no schema.
     */
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val files = listing(spark, root, version).map(_._1)
+    val st = commitState(spark, root, version)
+    val files = st.files.map(_.path)
     require(files.nonEmpty, s"empty version at $root")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    st.schema match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    }
   }
 
-  /** Try to claim version `v` with `files` as its listing: the create is
-    * the atomic claim; content follows in the same stream. True = owned.
-    */
-  private def tryCommit(spark: SparkSession, root: String, v: Long,
-      files: Seq[(String, Long)]): Boolean =
-    tryCommitLines(spark, root, v, files, Seq.empty)
+  // ------------------------------------------------------------------
+  // Atomic commit: full content to a temp file, then one atomic
+  // claim-with-content promote.
+  // ------------------------------------------------------------------
 
-  private def tryCommitLines(spark: SparkSession, root: String, v: Long,
-      files: Seq[(String, Long)], meta: Seq[String]): Boolean = {
+  private def renderCommit(files: Seq[FileEntry], schemaJson: Option[String],
+      partCols: Seq[String], txns: Map[String, Long]): Array[Byte] = {
+    val sb = new StringBuilder
+    schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
+    if (partCols.nonEmpty) sb.append("#PART ").append(partCols.map(enc).mkString(",")).append('\n')
+    txns.toSeq.sortBy(_._1).foreach { case (a, b) =>
+      sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
+    files.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
+    sb.append(s"#END ${files.size}\n")
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Atomically publish `tmp` as `target`, failing (false) when the
+    * target name is already claimed. Local filesystems use link(2) —
+    * create-if-absent with content, atomic in the kernel; HDFS-class
+    * stores use the namenode rename (atomic, fails on existing
+    * destination). Object stores without an atomic create-if-absent
+    * need a store-supplied CAS here — the external-LogStore caveat.
+    */
+  private def atomicPromote(f: FileSystem, tmp: Path, target: Path): Boolean = {
+    val ok =
+      if ("file" == Option(f.getUri.getScheme).getOrElse("file")) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        try f.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+      }
+    f.delete(tmp, false)
+    ok
+  }
+
+  private def tryCommit(spark: SparkSession, root: String, v: Long, files: Seq[FileEntry],
+      schemaJson: Option[String], partCols: Seq[String], txns: Map[String, Long]): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
-    val out =
-      try f.create(commitPath(root, v), false)
-      catch { case _: java.io.IOException => return false } // another writer claimed v
-    try {
-      val sb = new StringBuilder
-      meta.foreach(m => sb.append(m).append('\n'))
-      files.foreach { case (p, b) => sb.append(p).append('\t').append(b).append('\n') }
-      sb.append(s"#END ${files.size}\n")
-      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
-    true
+    val target = commitPath(root, v)
+    if (f.exists(target)) return false // cheap pre-check; the promote is the real claim
+    val tmp = new Path(versionsDir(root), s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(renderCommit(files, schemaJson, partCols, txns)) finally out.close()
+    atomicPromote(f, tmp, target)
   }
+
+  // ------------------------------------------------------------------
+  // Write-time stats + schema/partition plumbing
+  // ------------------------------------------------------------------
+
+  /** Top-level columns worth stats: the types parquet footers carry
+    * comparable min/max for (numeric, string, date, timestamp).
+    */
+  private def statColsOf(schema: StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+        f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType => f.name
+    }.toSeq
+  }
+
+  /** Build [[FileEntry]]s for freshly-written files: ONE distributed
+    * footer-only pass over the new files (this is the only time these
+    * footers are ever read for stats — every later prune reads the
+    * commit).
+    */
+  private def entriesFor(spark: SparkSession, files: Seq[(String, Long)],
+      schema: StructType, partOf: String => Map[String, String]): Seq[FileEntry] = {
+    val cols = statColsOf(schema)
+    if (files.isEmpty) return Seq.empty
+    if (cols.isEmpty)
+      return files.map { case (p, b) => FileEntry(p, b, -1L, partOf(p), Map.empty) }
+    val rows = FileManifest.collectFiles(spark, files, cols).collect()
+    val byFile = rows.groupBy(_.getString(0))
+    files.map { case (p, b) =>
+      val rs = byFile.getOrElse(p, Array.empty[Row])
+      val nRows = rs.headOption.map(_.getLong(2)).getOrElse(-1L)
+      val stats = rs.flatMap { r =>
+        val cs = ColStats(
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          Option(r.getString(6)), Option(r.getString(7)), r.getLong(8))
+        if (cs.minNum.isEmpty && cs.minStr.isEmpty) None else Some(r.getString(3) -> cs)
+      }.toMap
+      FileEntry(p, b, nRows, partOf(p), stats)
+    }
+  }
+
+  private def listParquet(f: FileSystem, dir: Path): Seq[(String, Long)] = {
+    val it = f.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        buf += ((st.getPath.toString, st.getLen))
+    }
+    buf.toSeq
+  }
+
+  private val partDirPrefix = "__gp_"
+
+  /** Minimal unescape of Spark/Hive partition-directory names (%xx). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def partOfPath(path: String): Map[String, String] =
+    path.split('/').collect {
+      case seg if seg.startsWith(partDirPrefix) && seg.contains('=') =>
+        val Array(k, v) = seg.split("=", 2)
+        (k.stripPrefix(partDirPrefix), unescapePathName(v))
+    }.toMap
+
+  /** Stage `df`'s rows as immutable data files under `root`/data and
+    * return their commit entries. Partitioned tables write through
+    * DUPLICATED `__gp_*` directory columns so each file holds exactly
+    * one partition tuple while the partition columns stay IN the data
+    * files (metadata partitioning — the read path never reconstructs
+    * columns from paths).
+    */
+  private def stageFiles(spark: SparkSession, root: String, df: DataFrame,
+      partCols: Seq[String], tag: String): (Path, Seq[FileEntry]) = {
+    val f = fs(spark, root)
+    val batchDir = new Path(root, s"data/$tag-${java.util.UUID.randomUUID()}")
+    if (partCols.isEmpty) df.write.parquet(batchDir.toString)
+    else {
+      import org.apache.spark.sql.functions.col
+      val dup = partCols.foldLeft(df)((d, c) => d.withColumn(partDirPrefix + c, col(c)))
+      dup.write.partitionBy(partCols.map(partDirPrefix + _): _*).parquet(batchDir.toString)
+    }
+    val files = listParquet(f, batchDir)
+    (batchDir, entriesFor(spark, files, df.schema, partOfPath))
+  }
+
+  /** Enforce the additive-evolution contract and return the merged
+    * table schema: every current column must arrive unchanged (same
+    * name, same type); new columns append. Drop/rename/type-change
+    * throw at commit time — loudly, with the offending column named.
+    */
+  private[operators] def checkEvolution(current: StructType, incoming: StructType): StructType = {
+    val in = incoming.fields.map(f => f.name -> f).toMap
+    current.fields.foreach { f =>
+      in.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"schema evolution rejected: column '${f.name}' is missing from the append " +
+            "(dropping or renaming columns is not supported; only ADDING columns is)")
+        case Some(g) if g.dataType != f.dataType => throw new IllegalArgumentException(
+          s"schema evolution rejected: column '${f.name}' changes type " +
+            s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+            "(type changes, widening or narrowing, are not supported)")
+        case _ =>
+      }
+    }
+    val have = current.fieldNames.toSet
+    StructType(current.fields ++ incoming.fields.filterNot(f => have(f.name)))
+  }
+
+  // ------------------------------------------------------------------
+  // Append (with rebase) and rewrite (with file-disjointness rebase)
+  // ------------------------------------------------------------------
+
+  private def nextVersion(spark: SparkSession, root: String, base: Option[Long]): Long =
+    (claimedVersions(spark, root) ++ base).foldLeft(-1L)(math.max) + 1
 
   /** Stage `df` as new data files and commit them as an APPEND. Returns
     * the committed version. Safe under concurrent appends: on commit
     * conflict the file delta is rebased onto the winner's listing and
-    * retried (appends commute).
+    * retried (appends commute). First append of a table may declare
+    * `partitionBy`; later appends inherit it (and may restate it
+    * identically).
     */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val f = fs(spark, root)
-    val batchDir = new Path(root, s"data/batch-${java.util.UUID.randomUUID()}")
-    df.write.parquet(batchDir.toString)
-    val added = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty): Long =
+    appendInternal(spark, root, df, partitionBy, None)
+
+  private def appendInternal(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String], txn: Option[(String, Long)]): Long = {
+    val base0 = currentVersion(spark, root)
+    val effPart = base0.map(v => commitState(spark, root, Some(v)).partCols) match {
+      case Some(existing) =>
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"partition columns are fixed at table creation: table has $existing, append passed $partitionBy")
+        existing
+      case None => partitionBy
+    }
+    effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from append"))
+    val (batchDir, added) = stageFiles(spark, root, df, effPart, "batch")
     var attempt = 0
     while (attempt < 100) {
+      txn.foreach { case (app, b) =>
+        if (lastTxn(spark, root, app).exists(_ >= b)) { // raced a replayed twin
+          fs(spark, root).delete(batchDir, true)
+          return currentVersion(spark, root).get
+        }
+      }
       val base = currentVersion(spark, root)
-      val prev = base.map(v => listing(spark, root, Some(v))).getOrElse(Seq.empty)
-      // claim PAST every existing commit file: a torn commit burns its
-      // number (the name is taken even though the state is unreadable)
-      val v = (claimedVersions(spark, root) ++ base).foldLeft(-1L)(math.max) + 1
-      if (tryCommitLines(spark, root, v, prev ++ added,
-          renderTxns(currentTxns(spark, root)))) return v
+      val prev = base.map(v => commitState(spark, root, Some(v)))
+      val prevSchema = prev.flatMap(_.schema)
+      val newSchema = prevSchema.map(checkEvolution(_, df.schema)).getOrElse(df.schema)
+      val v = nextVersion(spark, root, base)
+      val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
+      if (tryCommit(spark, root, v, prev.map(_.files).getOrElse(Seq.empty) ++ added,
+          Some(newSchema.json), effPart, txns)) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
   }
 
-  /** Rewrite undersized files into ~`targetBytes` bins
-    * ([[Compaction.plan]] over the live listing — the listing is
-    * metadata, so the single-window plan is a driver-sized job) and
-    * commit the new layout as the next version. Old versions keep
-    * reading their original files — compaction is invisible to time
-    * travel until [[vacuum]]. Returns the new version, or None when
-    * there is nothing to merge or the commit raced a concurrent writer
-    * (removals don't rebase; the staged rewrite is abandoned).
+  /** Commit a file REWRITE (remove `removed`, add `added`) with the
+    * Delta conflict rule: rebase across any interleaved commits whose
+    * listings still carry every removed file (concurrent appends,
+    * disjoint maintenance); return None — and clean up the staged
+    * files — only on a TRUE overlap (some removed file is no longer
+    * live: a competing rewrite got there first).
     */
-  def compact(spark: SparkSession, root: String, targetBytes: Long): Option[Long] = {
+  private def commitRewrite(spark: SparkSession, root: String, removed: Set[String],
+      added: Seq[FileEntry], outDir: Path): Option[Long] = {
     val f = fs(spark, root)
-    val base = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
-    val files = listing(spark, root, Some(base))
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      if (!removed.subsetOf(cur.files.map(_.path).toSet)) {
+        f.delete(outDir, true)
+        return None // true conflict: a competing rewrite removed our inputs
+      }
+      val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, files, cur.schemaJson, cur.partCols, cur.txns))
+        return Some(v)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"rewrite: lost $attempt commit races at $root")
+  }
+
+  private def entriesMatching(st: CommitState, partition: Map[String, String]): Seq[FileEntry] =
+    st.files.filter(fe => partition.forall { case (k, v) => fe.part.get(k).contains(v) })
+
+  /** Rewrite undersized files into ~`targetBytes` bins
+    * ([[Compaction.plan]] over the live listing — metadata, so the plan
+    * is a driver-sized job) and commit the new layout as the next
+    * version. `partition` scopes the pass to one partition's files —
+    * per-partition compaction of a 100 TB table is N independent,
+    * concurrently-committable jobs (the rebase rule: disjoint file
+    * sets never conflict). Old versions keep reading their original
+    * files — compaction is invisible to time travel until [[vacuum]].
+    * Returns the new version, or None when there is nothing to merge
+    * or a competing rewrite touched the same files.
+    */
+  def compact(spark: SparkSession, root: String, targetBytes: Long,
+      partition: Map[String, String] = Map.empty): Option[Long] = {
+    val f = fs(spark, root)
+    val st = commitState(spark, root, None)
+    val scope = entriesMatching(st, partition)
     import spark.implicits._
-    val planned = Compaction.plan(files.toDF("file", "bytes"), Seq.empty, "file", "bytes",
-        targetBytes)
+    val planned = Compaction.plan(
+        scope.map(fe => (fe.path, fe.bytes)).toDF("file", "bytes"),
+        Seq.empty, "file", "bytes", targetBytes)
       .select("file", "bytes", "bin", "bin_files")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val toMerge = planned.filter(_._4 > 1).groupBy(_._3) // only multi-file bins rewrite
     if (toMerge.isEmpty) return None
     val outDir = new Path(root, s"data/compact-${java.util.UUID.randomUUID()}")
-    val newFiles = toMerge.toSeq.sortBy(_._1).flatMap { case (bin, members) =>
+    val schema = st.schema
+    val partOf = scope.map(fe => fe.path -> fe.part).toMap
+    val newEntries = toMerge.toSeq.sortBy(_._1).flatMap { case (bin, members) =>
       val binDir = new Path(outDir, s"bin-$bin")
-      spark.read.parquet(members.map(_._1): _*).coalesce(1).write.parquet(binDir.toString)
-      f.listStatus(binDir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => (s.getPath.toString, s.getLen))
+      val src = schema match {
+        case Some(s) => spark.read.schema(s).parquet(members.map(_._1): _*)
+        case None => spark.read.parquet(members.map(_._1): _*)
+      }
+      src.coalesce(1).write.parquet(binDir.toString)
+      // a bin is partition-pure: members share one partition tuple
+      // (partitioned tables are compacted per partition)
+      val binPart = partOf.getOrElse(members.head._1, Map.empty)
+      entriesFor(spark, listParquet(f, binDir),
+        schema.getOrElse(spark.read.parquet(members.head._1).schema), _ => binPart)
     }
     val merged = toMerge.values.flatten.map(_._1).toSet
-    val kept = files.filterNot { case (p, _) => merged(p) }
-    // claim past torn commits too, but only if no GOOD commit landed
-    // since `base` — removals don't rebase
-    val v = (claimedVersions(spark, root) :+ base).max + 1
-    if (currentVersion(spark, root).contains(base) &&
-        tryCommitLines(spark, root, v, kept ++ newFiles,
-          renderTxns(txnsOf(spark, root, base)))) Some(v)
-    else { f.delete(outDir, true); None } // conflict: abandon the rewrite
+    commitRewrite(spark, root, merged, newEntries, outDir)
   }
 
+  // ------------------------------------------------------------------
+  // Stats-pruned planning FROM THE COMMIT (zero footer reads)
+  // ------------------------------------------------------------------
+
+  private def intersects(fe: FileEntry, bounds: Map[String, (Double, Double)]): Boolean =
+    bounds.forall { case (c, (lo, hi)) =>
+      fe.stats.get(c) match {
+        case Some(cs) if cs.minNum.isDefined && cs.maxNum.isDefined =>
+          !(cs.maxNum.get < lo || cs.minNum.get > hi)
+        case _ => true // no stats recorded: conservative — always a candidate
+      }
+    }
+
+  /** Candidate files for a numeric box, planned from commit stats
+    * alone. Legacy commits without stats fall back to a one-off footer
+    * collection ([[FileManifest.collectFiles]]).
+    */
+  private def candidatePaths(spark: SparkSession, st: CommitState,
+      bounds: Map[String, (Double, Double)]): Seq[String] = {
+    if (bounds.isEmpty) return st.files.map(_.path)
+    val anyStats = st.files.exists(fe => bounds.keys.exists(fe.stats.contains))
+    if (anyStats || st.files.isEmpty) st.files.filter(intersects(_, bounds)).map(_.path)
+    else FileManifest.candidateFiles(
+      FileManifest.collectFiles(spark, st.files.map(fe => (fe.path, fe.bytes)), bounds.keys.toSeq),
+      bounds)
+  }
+
+  /** Stats-pruned read of `version` (default latest): candidate files
+    * decided from the COMMIT (no data-file footer is opened to plan the
+    * scan), then the exact predicate applied. `statCols` is accepted
+    * for signature stability; the commit already carries stats for all
+    * primitive columns.
+    */
+  def prunedRead(spark: SparkSession, root: String, statCols: Seq[String],
+      bounds: Map[String, (Double, Double)], version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val st = commitState(spark, root, version)
+    val files = candidatePaths(spark, st, bounds)
+    val df =
+      if (files.isEmpty) emptyLike(spark, st)
+      else st.schema match {
+        case Some(s) => spark.read.schema(s).parquet(files: _*)
+        case None => spark.read.parquet(files: _*)
+      }
+    bounds.foldLeft(df) { case (d, (cn, (lo, hi))) => d.filter(col(cn) >= lo && col(cn) <= hi) }
+  }
+
+  private def emptyLike(spark: SparkSession, st: CommitState): DataFrame =
+    st.schema match {
+      case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      case None => spark.read.parquet(st.files.head.path).limit(0)
+    }
+
+  /** Partition-pruned read: only the files whose recorded partition
+    * values match every `filter` entry — selected from commit metadata,
+    * no directory listing, no footer reads.
+    */
+  def readPartitions(spark: SparkSession, root: String, filter: Map[String, String],
+      version: Option[Long] = None): DataFrame = {
+    val st = commitState(spark, root, version)
+    val files = entriesMatching(st, filter).map(_.path)
+    if (files.isEmpty) emptyLike(spark, st)
+    else st.schema match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+  }
+
+  /** Distinct partition tuples of `version` with file/row counts —
+    * commit metadata only.
+    */
+  def partitions(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val st = commitState(spark, root, version)
+    st.files.groupBy(_.part).toSeq
+      .map { case (p, fes) =>
+        (st.partCols.map(c => p.getOrElse(c, null)).mkString("/"),
+          fes.size.toLong, fes.map(_.bytes).sum, fes.map(_.rows).filter(_ >= 0).sum)
+      }
+      .sortBy(_._1)
+      .toDF("partition", "n_files", "n_bytes", "n_rows")
+  }
+
+  // ------------------------------------------------------------------
+  // Row-level mutation: DELETE and UPSERT (stats-pruned from the commit)
+  // ------------------------------------------------------------------
+
   /** Row-level DELETE — the takedown/GDPR path, Delta's DELETE shape:
-    * find the files that COULD hold matching rows (the [[FileManifest]]
-    * stats prune when `bounds` are given — a 20-row deletion against a
-    * Z-ordered 100 TB table rewrites a handful of files, not the
-    * table), rewrite only those files with the predicate inverted, and
-    * commit kept + rewritten as the next version. Untouched files are
-    * carried by reference. Old versions still see the deleted rows
-    * until [[vacuum]] — point-in-time reads are the feature, not a
-    * leak; vacuum is the compliance boundary. Returns the new version,
-    * or None when no file could match (nothing to do) or the commit
-    * raced a concurrent writer (removals don't rebase — same contract
-    * as [[compact]]).
+    * the files that COULD hold matching rows are planned from commit
+    * stats (`bounds`; a 20-row deletion against a Z-ordered 100 TB
+    * table rewrites a handful of files, not the table), only those are
+    * rewritten with the predicate inverted, and kept + rewritten commit
+    * as the next version — untouched files carry by reference.
+    * SQL DELETE semantics: only rows where the predicate is TRUE are
+    * deleted; NULL-evaluating rows survive. Old versions still see the
+    * deleted rows until [[vacuum]] — point-in-time reads are the
+    * feature; vacuum is the compliance boundary. Returns the new
+    * version, or None when no file could match or a competing rewrite
+    * touched the same files (concurrent appends and disjoint rewrites
+    * rebase fine).
     */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
       bounds: Map[String, (Double, Double)] = Map.empty): Option[Long] = {
+    import org.apache.spark.sql.functions.lit
     val f = fs(spark, root)
-    val base = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
-    val files = listing(spark, root, Some(base))
-    val candidates =
-      if (bounds.isEmpty) files.map(_._1)
-      else FileManifest.candidateFiles(
-        FileManifest.collectFiles(spark, files, bounds.keys.toSeq), bounds)
+    val st = commitState(spark, root, None)
+    val candidates = candidatePaths(spark, st, bounds)
     if (candidates.isEmpty) return None
     val outDir = new Path(root, s"data/delete-${java.util.UUID.randomUUID()}")
-    val survivors = spark.read.parquet(candidates: _*).filter(!predicate)
+    val src = st.schema match {
+      case Some(s) => spark.read.schema(s).parquet(candidates: _*)
+      case None => spark.read.parquet(candidates: _*)
+    }
+    // keep rows where predicate is NOT TRUE (false or NULL) — 3-valued
+    // logic: DELETE removes only rows the predicate positively matched
+    val survivors = src.filter(!(predicate <=> lit(true)))
     survivors.write.parquet(outDir.toString)
-    val newFiles = f.listStatus(outDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
-    val touched = candidates.toSet
-    val kept = files.filterNot { case (p, _) => touched(p) }
-    val v = (claimedVersions(spark, root) :+ base).max + 1
-    if (currentVersion(spark, root).contains(base) &&
-        tryCommitLines(spark, root, v, kept ++ newFiles,
-          renderTxns(txnsOf(spark, root, base)))) Some(v)
-    else { f.delete(outDir, true); None }
+    val partOf = st.files.map(fe => fe.path -> fe.part).toMap
+    // survivors of a multi-partition rewrite aren't partition-pure per
+    // file; record partition values only when the rewrite was scoped to
+    // files of a single partition tuple
+    val parts = candidates.flatMap(partOf.get).distinct
+    val newPart: Map[String, String] = if (parts.size == 1) parts.head else Map.empty
+    val added = entriesFor(spark, listParquet(f, outDir),
+      st.schema.getOrElse(survivors.schema), _ => newPart)
+    commitRewrite(spark, root, candidates.toSet, added, outDir)
   }
 
   /** UPSERT (MERGE by key) — the CDC-apply primitive: rows in `updates`
     * REPLACE same-key rows and new keys INSERT. File selection is
-    * stats-driven like [[deleteWhere]]: the files whose recorded key
-    * range intersects the updates' key range are rewritten (existing
-    * rows anti-joined against the update keys, then the updates
-    * appended); every other file carries by reference — conservative by
-    * the same argument (a file outside the updates' key range cannot
-    * hold a key being replaced). Clustered tables therefore pay
-    * O(touched files), not O(table), per CDC batch; unclustered tables
-    * degrade to a full rewrite, which is what clustering is for.
-    * Returns the new version; None on commit conflict (removals don't
-    * rebase — single maintenance writer).
+    * stats-driven from the commit like [[deleteWhere]]: for NUMERIC
+    * keys, only files whose recorded key range intersects the updates'
+    * key range rewrite (existing rows anti-joined against the update
+    * keys, then the updates appended); other files carry by reference.
+    * Clustered tables therefore pay O(touched files), not O(table), per
+    * CDC batch. Non-numeric keys (string/UUID) cannot use the numeric
+    * stats and CONSERVATIVELY rewrite all files — cluster on a numeric
+    * or time key to get pruned CDC. An empty batch is a no-op.
+    * Returns the new version; None when a competing rewrite touched the
+    * same files.
     *
     * Contract: `updates` carries the table's schema with at most one
     * row per key — pre-aggregate a CDC stream to last-writer-wins
@@ -266,61 +701,61 @@ object TableVersions {
       keyCol: String): Option[Long] = {
     import org.apache.spark.sql.functions.{col, max, min}
     val f = fs(spark, root)
-    val base = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
-    val files = listing(spark, root, Some(base))
-    val range = updates.agg(
-      min(col(keyCol).cast("double")), max(col(keyCol).cast("double"))).head()
-    if (range.isNullAt(0)) return Some(base) // empty updates: no-op
-    val candidates = FileManifest.candidateFiles(
-      FileManifest.collectFiles(spark, files, Seq(keyCol)),
-      Map(keyCol -> (range.getDouble(0), range.getDouble(1))))
+    val st = commitState(spark, root, None)
+    if (updates.isEmpty) return currentVersion(spark, root) // empty CDC batch: no-op
+    val numericKey = updates.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+    val candidates =
+      if (!numericKey) st.files.map(_.path) // no comparable stats: every file is a candidate
+      else {
+        val range = updates.agg(
+          min(col(keyCol).cast("double")), max(col(keyCol).cast("double"))).head()
+        if (range.isNullAt(0)) st.files.map(_.path) // all-NULL keys: cannot prune
+        else candidatePaths(spark, st, Map(keyCol -> (range.getDouble(0), range.getDouble(1))))
+      }
     val outDir = new Path(root, s"data/upsert-${java.util.UUID.randomUUID()}")
     val rewritten =
       if (candidates.isEmpty) updates // pure insert
-      else spark.read.parquet(candidates: _*)
-        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updates)
+      else {
+        val src = st.schema match {
+          case Some(s) => spark.read.schema(s).parquet(candidates: _*)
+          case None => spark.read.parquet(candidates: _*)
+        }
+        src.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti").unionByName(updates)
+      }
     rewritten.write.parquet(outDir.toString)
-    val newFiles = f.listStatus(outDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
-    val touched = candidates.toSet
-    val kept = files.filterNot { case (p, _) => touched(p) }
-    val v = (claimedVersions(spark, root) :+ base).max + 1
-    if (currentVersion(spark, root).contains(base) &&
-        tryCommitLines(spark, root, v, kept ++ newFiles,
-          renderTxns(txnsOf(spark, root, base)))) Some(v)
-    else { f.delete(outDir, true); None }
+    val added = entriesFor(spark, listParquet(f, outDir),
+      st.schema.getOrElse(rewritten.schema), _ => Map.empty)
+    commitRewrite(spark, root, candidates.toSet, added, outDir)
   }
 
   /** OPTIMIZE ZORDER — rewrite the CURRENT version's data Z-ordered on
     * `keys` ([[ZOrder.cluster]]) and commit as the next version, so
-    * subsequent [[prunedRead]]s skip files on multi-column boxes. Same
-    * conflict contract as [[compact]].
+    * subsequent [[prunedRead]]s skip files on multi-column boxes from
+    * the commit's stats. Concurrent appends rebase through; a competing
+    * rewrite of the same files returns None.
     */
   def optimizeZOrder(spark: SparkSession, root: String, keys: Seq[String],
       numFiles: Int): Option[Long] = {
     val f = fs(spark, root)
-    val base = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
-    val files = listing(spark, root, Some(base))
+    val st = commitState(spark, root, None)
     val outDir = new Path(root, s"data/zorder-${java.util.UUID.randomUUID()}")
-    ZOrder.cluster(spark.read.parquet(files.map(_._1): _*), keys, numFiles)
-      .write.parquet(outDir.toString)
-    val newFiles = f.listStatus(outDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
-    val v = (claimedVersions(spark, root) :+ base).max + 1
-    if (currentVersion(spark, root).contains(base) &&
-        tryCommitLines(spark, root, v, newFiles,
-          renderTxns(txnsOf(spark, root, base)))) Some(v)
-    else { f.delete(outDir, true); None }
+    val src = st.schema match {
+      case Some(s) => spark.read.schema(s).parquet(st.files.map(_.path): _*)
+      case None => spark.read.parquet(st.files.map(_.path): _*)
+    }
+    ZOrder.cluster(src, keys, numFiles).write.parquet(outDir.toString)
+    val added = entriesFor(spark, listParquet(f, outDir),
+      st.schema.getOrElse(src.schema), _ => Map.empty)
+    commitRewrite(spark, root, st.files.map(_.path).toSet, added, outDir)
   }
 
   /** Delete data files unreachable from the newest `keepVersions`
-    * versions, then drop the older commit files. The only destructive
-    * operation in the format.
+    * versions, drop the older commit files, and sweep crashed writers'
+    * temp debris. The only destructive operation in the format.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
     require(keepVersions >= 1)
@@ -329,10 +764,12 @@ object TableVersions {
     val keepFrom = math.max(0L, latest - keepVersions + 1)
     val vd = versionsDir(root)
     val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
-        n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
-    val live = all.filter(_ >= keepFrom)
-      .flatMap(v => readCommit(spark, root, v).toSeq.flatten.map(_._1)).toSet
+    all.collect { case n if n.startsWith(".tmp-") => n }
+      .foreach { n => f.delete(new Path(vd, n), false); () }
+    val versions = all.collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
+      n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
+    val live = versions.filter(_ >= keepFrom)
+      .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(_.files).map(_.path)).toSet
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) {
       val it = f.listFiles(dataDir, true)
@@ -344,16 +781,7 @@ object TableVersions {
       }
       dead.foreach(p => f.delete(p, false))
     }
-    all.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
-  }
-
-  /** Stats-pruned read of the latest version: [[FileManifest]] over the
-    * listing, then only the candidate files for `bounds`.
-    */
-  def prunedRead(spark: SparkSession, root: String, statCols: Seq[String],
-      bounds: Map[String, (Double, Double)]): DataFrame = {
-    val manifest = FileManifest.collectFiles(spark, listing(spark, root, None), statCols)
-    FileManifest.prunedScan(spark, manifest, bounds)
+    versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
   }
 
   /** Commit HISTORY, newest first: (version, n_files, n_bytes, txns) —
@@ -363,9 +791,9 @@ object TableVersions {
     import spark.implicits._
     claimedVersions(spark, root).sorted(Ordering[Long].reverse)
       .flatMap { v =>
-        readCommit(spark, root, v).map { files =>
-          (v, files.size.toLong, files.map(_._2).sum,
-            renderTxns(txnsOf(spark, root, v)).mkString(";"))
+        readCommitState(spark, root, v).map { st =>
+          (v, st.files.size.toLong, st.files.map(_.bytes).sum,
+            st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"#TXN $a $b" }.mkString(";"))
         }
       }
       .toDF("version", "n_files", "n_bytes", "txns")
@@ -400,6 +828,162 @@ object TableVersions {
   }
 
   // ------------------------------------------------------------------
+  // CHANGE DATA FEED: per-version-step insert/delete rows, computed
+  // from the TOUCHED files only.
+  // ------------------------------------------------------------------
+
+  /** Row-level changes per committed version step in
+    * (`fromExclusive`, `to`] — the incremental-consumption API
+    * (Delta's CDF shape): columns = table schema +
+    * (`_change_type` ∈ insert|delete, `_commit_version`). An upserted
+    * key surfaces as delete(old row) + insert(new row) at its version.
+    *
+    * Scale shape: an APPEND step (the streaming-ingest common case)
+    * emits its new files' rows directly — no diffing, O(new data). A
+    * rewrite step (delete/upsert/compact/optimize) diffs ONLY the
+    * touched files' rows — added-files' rows `exceptAll` removed-files'
+    * rows and vice versa — so carried-by-reference files cost nothing;
+    * a pure layout rewrite (compaction) emits no rows. Both sides read
+    * under `to`'s committed schema (evolution is additive, so older
+    * files null-fill).
+    */
+  def readChanges(spark: SparkSession, root: String, fromExclusive: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val goodVersions = claimedVersions(spark, root).sorted
+      .filter(v => readCommitState(spark, root, v).isDefined)
+    require(goodVersions.nonEmpty, s"nothing committed at $root")
+    val steps = goodVersions.filter(v => v > fromExclusive && v <= to)
+    if (steps.isEmpty) { // empty range: zero-row frame in CDF shape
+      val st = commitState(spark, root, Some(goodVersions.last))
+      return emptyLike(spark, st)
+        .withColumn("_change_type", lit(0L).cast("string"))
+        .withColumn("_commit_version", lit(0L))
+        .limit(0)
+    }
+    val schema = commitState(spark, root, Some(goodVersions.filter(_ <= to).max)).schema
+    def readFiles(paths: Seq[String]): DataFrame = schema match {
+      case Some(s) =>
+        if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        else spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    val frames = steps.map { v =>
+      val prev = goodVersions.filter(_ < v).maxOption
+      val curFiles = listing(spark, root, Some(v)).map(_._1).toSet
+      val prevFiles = prev.map(p => listing(spark, root, Some(p)).map(_._1).toSet)
+        .getOrElse(Set.empty[String])
+      val addedPaths = (curFiles -- prevFiles).toSeq.sorted
+      val removedPaths = (prevFiles -- curFiles).toSeq.sorted
+      if (removedPaths.isEmpty) {
+        readFiles(addedPaths)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+      } else {
+        val a = readFiles(addedPaths)
+        val r = readFiles(removedPaths)
+        a.exceptAll(r).withColumn("_change_type", lit("insert"))
+          .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(v))
+      }
+    }
+    frames.reduceLeft(_.unionByName(_))
+  }
+
+  // ------------------------------------------------------------------
+  // PERSISTENT BLOOM SIDECAR: per-file point-lookup index maintained
+  // incrementally (files are immutable, so an entry never goes stale —
+  // it just stops being referenced when its file leaves the listing).
+  // ------------------------------------------------------------------
+
+  private def bloomDir(root: String, keyCol: String) = new Path(root, s"_bloom/$keyCol")
+
+  /** `input_file_name()` and Hadoop listings render the same file with
+    * different URI spellings (`file:///x` vs `file:/x`) — compare files
+    * by the URI path component.
+    */
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Bring the bloom sidecar for `keyCol` up to date with the CURRENT
+    * listing: compute per-file blooms ONLY for live files that have no
+    * entry yet (one distributed scan of just those files) and append
+    * them. Incremental by construction — after an append only the new
+    * files are scanned; after compaction only the rewritten bins.
+    * Returns the number of files indexed this call. Single maintenance
+    * writer, the same contract as compaction. Entries of vacuumed files
+    * are dead rows filtered at read time (and reaped here whenever the
+    * sidecar is more than half dead).
+    */
+  def maintainBloomIndex(spark: SparkSession, root: String, keyCol: String,
+      expectedItemsPerFile: Long = 1000000L): Long = {
+    import org.apache.spark.sql.functions.{call_function, col, input_file_name, lit, xxhash64}
+    val f = fs(spark, root)
+    val dir = bloomDir(root, keyCol)
+    val live = listing(spark, root, None).map(_._1)
+    val haveRaw: Seq[String] =
+      if (!f.exists(dir)) Seq.empty
+      else spark.read.parquet(dir.toString).select("file")
+        .collect().map(_.getString(0)).toSeq
+    val have = haveRaw.map(normPath).toSet
+    val missing = live.filterNot(p => have(normPath(p)))
+    if (missing.nonEmpty) {
+      BloomJoin.register(spark)
+      spark.read.parquet(missing: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(call_function("graft_bloom_agg", xxhash64(col(keyCol)),
+          lit(expectedItemsPerFile)).as("bloom"))
+        .write.mode("append").parquet(dir.toString)
+    }
+    val liveNorm = live.map(normPath).toSet
+    val keepRaw = haveRaw.filter(p => liveNorm(normPath(p)))
+    val dead = haveRaw.size - keepRaw.size
+    if (dead > haveRaw.size / 2 && dead > 0) {
+      // reap: rewrite only the live entries (distributed read→write into
+      // a temp dir, then swap — the source is still intact while read)
+      val tmp = new Path(root, s"_bloom/.rewrite-${java.util.UUID.randomUUID()}")
+      spark.read.parquet(dir.toString)
+        .filter(col("file").isInCollection(keepRaw.toSet))
+        .coalesce(1).write.parquet(tmp.toString)
+      f.delete(dir, true)
+      f.rename(tmp, dir)
+    }
+    missing.size.toLong
+  }
+
+  /** Point lookup through the persistent sidecar: only files whose
+    * bloom admits the key are opened (files the sidecar hasn't indexed
+    * yet stay candidates — conservative), then the exact predicate
+    * kills the false-positive tail. Row-equal to a full scan with the
+    * same predicate.
+    */
+  def bloomPointLookup(spark: SparkSession, root: String, keyCol: String,
+      key: Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    val st = commitState(spark, root, None)
+    val live = st.files.map(_.path)
+    val dir = bloomDir(root, keyCol)
+    val candidates =
+      if (!f.exists(dir)) live
+      else {
+        val liveNorm = live.map(normPath).toSet
+        val allRaw = spark.read.parquet(dir.toString).select("file")
+          .collect().map(_.getString(0))
+        val keepRaw = allRaw.filter(p => liveNorm(normPath(p))).toSet
+        val idx = spark.read.parquet(dir.toString).filter(col("file").isInCollection(keepRaw))
+        val admitted = FileManifest.filesForKey(idx, key).map(normPath).toSet
+        val indexed = keepRaw.map(normPath)
+        live.filter(p => admitted(normPath(p)) || !indexed(normPath(p)))
+      }
+    val base =
+      if (candidates.isEmpty) emptyLike(spark, st)
+      else st.schema match {
+        case Some(s) => spark.read.schema(s).parquet(candidates: _*)
+        case None => spark.read.parquet(candidates: _*)
+      }
+    base.filter(col(keyCol) === key)
+  }
+
+  // ------------------------------------------------------------------
   // EXACTLY-ONCE streaming ingest: the commit file records which
   // (txnApp, txnBatch) produced it — the Delta `txn` action. A replayed
   // foreachBatch sees its batch id already committed and skips, so a
@@ -407,65 +991,23 @@ object TableVersions {
   // cannot double-append.
   // ------------------------------------------------------------------
 
-  private def txnLine(app: String, batch: Long) = s"#TXN $app $batch"
-
-  /** Per-app latest txn batch ids recorded in a GOOD version's commit
-    * file. Every commit carries the full map forward (see the writers
-    * below), so only the latest version ever needs reading — a torn
-    * commit's txn lines never count (its data never landed), and
-    * compaction or another writer committing on top cannot orphan a
-    * stream's txn state.
+  /** Highest batch id committed for `app`, if any. Every commit carries
+    * the full txn map forward, so only the latest version needs
+    * reading.
     */
-  private def txnsOf(spark: SparkSession, root: String, v: Long): Map[String, Long] = {
-    if (readCommit(spark, root, v).isEmpty) return Map.empty // torn: nothing applied
-    val f = fs(spark, root)
-    val in = f.open(commitPath(root, v))
-    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    text.split("\n").filter(_.startsWith("#TXN ")).map { l =>
-      val Array(_, app, b) = l.split(" ", 3)
-      app -> b.toLong
-    }.groupMapReduce(_._1)(_._2)(math.max)
-  }
-
-  private def currentTxns(spark: SparkSession, root: String): Map[String, Long] =
-    currentVersion(spark, root).map(v => txnsOf(spark, root, v)).getOrElse(Map.empty)
-
-  private def renderTxns(t: Map[String, Long]): Seq[String] =
-    t.toSeq.sortBy(_._1).map { case (a, b) => txnLine(a, b) }
-
-  /** Highest batch id committed for `app`, if any. */
   def lastTxn(spark: SparkSession, root: String, app: String): Option[Long] =
-    currentTxns(spark, root).get(app)
+    currentVersion(spark, root)
+      .flatMap(v => commitState(spark, root, Some(v)).txns.get(app))
 
   /** [[append]] tagged with a transaction id: a no-op when (`app`,
     * `batchId`) is already committed. Returns the version holding the
     * batch (existing or new).
     */
   def appendTxn(spark: SparkSession, root: String, df: DataFrame,
-      app: String, batchId: Long): Long = {
+      app: String, batchId: Long, partitionBy: Seq[String] = Seq.empty): Long = {
     if (lastTxn(spark, root, app).exists(_ >= batchId))
       return currentVersion(spark, root).get // replay — already applied
-    val f = fs(spark, root)
-    val batchDir = new Path(root, s"data/batch-${java.util.UUID.randomUUID()}")
-    df.write.parquet(batchDir.toString)
-    val added = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
-    var attempt = 0
-    while (attempt < 100) {
-      if (lastTxn(spark, root, app).exists(_ >= batchId)) { // raced a replayed twin
-        f.delete(batchDir, true)
-        return currentVersion(spark, root).get
-      }
-      val base = currentVersion(spark, root)
-      val prev = base.map(v => listing(spark, root, Some(v))).getOrElse(Seq.empty)
-      val v = (claimedVersions(spark, root) ++ base).foldLeft(-1L)(math.max) + 1
-      val txns = currentTxns(spark, root) + (app -> batchId)
-      if (tryCommitLines(spark, root, v, prev ++ added, renderTxns(txns)))
-        return v
-      attempt += 1
-    }
-    throw new IllegalStateException(s"appendTxn: lost $attempt commit races at $root")
+    appendInternal(spark, root, df, partitionBy, Some(app -> batchId))
   }
 
   /** Stream `df` into the table with exactly-once appends: one commit
@@ -474,13 +1016,16 @@ object TableVersions {
     */
   def startAppend(df: DataFrame, root: String, checkpoint: String, app: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      partitionBy: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .queryName(s"table_versions_append_$app")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { appendTxn(batch.sparkSession, root, batch, app, batchId); () }
+        if (!batch.isEmpty) {
+          appendTxn(batch.sparkSession, root, batch, app, batchId, partitionBy); ()
+        }
       }
       .start()
 }

@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableVersions
+
+/** Round-8 table-format contracts: stats persisted IN the commit (file
+  * planning with zero data-file footer reads), logical partitions with
+  * rebase-able (disjoint-file) concurrent maintenance, the loud
+  * schema-evolution contract, the change feed, the persistent bloom
+  * sidecar, SQL DELETE three-valued logic, and non-numeric upsert keys.
+  */
+class Round8TableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("tv8").toString + "/tbl"
+
+  private def hfs(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("file planning reads the COMMIT, not footers: pruning works with non-candidate files corrupted") {
+    val root = newRoot()
+    TableVersions.append(spark, root,
+      (1L to 4000L).toDF("k").withColumn("v", col("k") * 10)
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    // commit carries stats for both columns — no manifest job needed
+    val st = TableVersions.commitState(spark, root)
+    assert(st.files.size === 4)
+    assert(st.files.forall(f => f.stats.contains("k") && f.stats.contains("v") && f.rows > 0))
+    assert(st.files.map(_.rows).sum === 4000)
+    // no temp debris from the promote protocol
+    val fs = hfs(root)
+    val vdir = new org.apache.hadoop.fs.Path(root, "_versions")
+    assert(!fs.listStatus(vdir).exists(_.getPath.getName.startsWith(".tmp-")))
+
+    val pruned0 = TableVersions.prunedRead(spark, root, Seq("k"), Map("k" -> (1200.0, 1400.0)))
+    assert(pruned0.inputFiles.length === 1)
+    val candidate = pruned0.inputFiles.head
+    // CORRUPT every non-candidate file: any footer read of them now throws,
+    // so a correct plan over the box proves zero data-file footer access
+    st.files.map(_.path).filterNot(p => candidate.endsWith(new org.apache.hadoop.fs.Path(p).getName))
+      .foreach { p =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+        out.write("not a parquet file".getBytes); out.close()
+      }
+    val pruned = TableVersions.prunedRead(spark, root, Seq("k"), Map("k" -> (1200.0, 1400.0)))
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.count() === 201)
+    // deleteWhere plans from the commit too: the corrupted files are
+    // carried by reference, untouched and unread
+    val before = TableVersions.listing(spark, root).map(_._1).toSet
+    val Some(dv) = TableVersions.deleteWhere(spark, root,
+      col("k").between(1200L, 1300L), Map("k" -> (1200.0, 1300.0))): @unchecked
+    val after = TableVersions.listing(spark, root, Some(dv)).map(_._1).toSet
+    assert((before -- after).size === 1, "only the candidate file rewritten")
+    assert((after -- before).nonEmpty)
+    val rewritten = (after -- before).toSeq
+    assert(spark.read.parquet(rewritten: _*).filter(col("k").between(1200L, 1400L)).count() === 100)
+  }
+
+  test("partitioned table: values ride the commit; partition reads and maintenance touch only their files") {
+    val root = newRoot()
+    val df = (1L to 3000L).toDF("k")
+      .withColumn("g", pmod(col("k"), lit(3)).cast("string"))
+      .withColumn("v", col("k") * 2)
+    TableVersions.append(spark, root, df.repartition(2), partitionBy = Seq("g"))
+    val st = TableVersions.commitState(spark, root)
+    assert(st.partCols === Seq("g"))
+    assert(st.files.forall(_.part.contains("g")))
+    // partition columns stay IN the data files (metadata partitioning)
+    assert(TableVersions.read(spark, root).columns.contains("g"))
+    assert(TableVersions.read(spark, root).count() === 3000)
+
+    val p1 = TableVersions.readPartitions(spark, root, Map("g" -> "1"))
+    assert(p1.count() === 1000)
+    assert(p1.select("g").distinct().collect().map(_.getString(0)).toSeq === Seq("1"))
+    val p1Files = st.files.filter(_.part("g") == "1").map(_.path).toSet
+    assert(p1.inputFiles.forall(f => p1Files.exists(p => f.endsWith(new org.apache.hadoop.fs.Path(p).getName))))
+
+    val parts = TableVersions.partitions(spark, root).collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("0", "1", "2"))
+    assert(parts.map(_.getLong(3)).sum === 3000)
+
+    // appends inherit partitioning; restating different columns is rejected
+    TableVersions.append(spark, root, df.filter(col("k") <= 10))
+    assert(TableVersions.commitState(spark, root).files.forall(_.part.contains("g")))
+    val e = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root, df, partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("fixed at table creation"))
+
+    // per-partition compaction: disjoint file sets — BOTH commit, even
+    // run concurrently (the rebase rule), and other partitions' files
+    // carry by reference
+    val beforeC = TableVersions.listing(spark, root).map(_._1).toSet
+    val fut = Future.traverse(Seq("0", "1"))(g =>
+      Future(TableVersions.compact(spark, root, 8L << 20, partition = Map("g" -> g))))
+    val results = Await.result(fut, 120.seconds)
+    assert(results.forall(_.isDefined), s"disjoint-partition compactions must both commit: $results")
+    val afterC = TableVersions.listing(spark, root).map(_._1).toSet
+    val g2Files = TableVersions.commitState(spark, root).files.filter(_.part("g") == "2").map(_.path).toSet
+    assert(g2Files.subsetOf(beforeC), "untouched partition carried by reference")
+    assert(TableVersions.read(spark, root).count() === 3010)
+    assert(afterC !== beforeC)
+  }
+
+  test("concurrent appends all commit exactly once (atomic claim-with-content promote)") {
+    val root = newRoot()
+    val fut = Future.traverse((0 until 4).toList)(i =>
+      Future(TableVersions.append(spark, root,
+        ((i * 1000L) until ((i + 1) * 1000L)).toDF("k").coalesce(1))))
+    val versions = Await.result(fut, 120.seconds)
+    assert(versions.toSet.size === 4, s"each append owns a distinct version: $versions")
+    assert(TableVersions.read(spark, root).count() === 4000)
+    assert(TableVersions.read(spark, root).agg(sum("k")).head().getLong(0) ===
+      (0L until 4000L).sum)
+  }
+
+  test("schema evolution contract: drop and type-change are rejected loudly; add passes") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 10L).map(i => (i, s"t$i")).toDF("k", "tag"))
+    val dropped = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root, (11L to 12L).toDF("k"))
+    }
+    assert(dropped.getMessage.contains("column 'tag' is missing from the append"))
+    val retyped = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root, (11L to 12L).map(i => (i.toInt, s"t$i")).toDF("k", "tag"))
+    }
+    assert(retyped.getMessage.contains("column 'k' changes type"))
+    // rename = drop + add: rejected via the drop message
+    val renamed = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root, (11L to 12L).map(i => (i, s"t$i")).toDF("k", "label"))
+    }
+    assert(renamed.getMessage.contains("'tag' is missing"))
+    // additive evolution still lands, and the commit schema grows
+    TableVersions.append(spark, root,
+      (11L to 12L).map(i => (i, s"t$i", i * 1.5)).toDF("k", "tag", "w"))
+    assert(TableVersions.commitState(spark, root).schema.get.fieldNames.toSeq ===
+      Seq("k", "tag", "w"))
+    assert(TableVersions.read(spark, root).filter(col("w").isNull).count() === 10)
+  }
+
+  test("change feed: appends emit inserts, upsert emits delete+insert, compaction emits nothing") {
+    val root = newRoot()
+    val v0 = TableVersions.append(spark, root,
+      (1L to 100L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
+    val v1 = TableVersions.append(spark, root,
+      (101L to 150L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
+    val Some(v2) = TableVersions.upsert(spark, root,
+      Seq((50L, -1L), (999L, -2L)).toDF("k", "v"), "k"): @unchecked
+    val Some(v3) = TableVersions.compact(spark, root, 8L << 20): @unchecked
+
+    val cdf = TableVersions.readChanges(spark, root, fromExclusive = -1L, to = v3)
+    assert(cdf.columns.toSeq === Seq("k", "v", "_change_type", "_commit_version"))
+    val byStep = cdf.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byStep((v0, "insert")) === 100)
+    assert(byStep((v1, "insert")) === 50)
+    assert(byStep((v2, "insert")) === 2, "replaced row's new image + fresh insert")
+    assert(byStep((v2, "delete")) === 1, "replaced row's old image")
+    assert(!byStep.keySet.exists(_._1 == v3), "pure layout rewrite emits no changes")
+    val upd = cdf.filter(col("_commit_version") === v2 && col("_change_type") === "insert")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(upd.toSeq === Seq((50L, -1L), (999L, -2L)))
+    assert(cdf.filter(col("_commit_version") === v2 && col("_change_type") === "delete")
+      .head().getLong(1) === 500L)
+    // incremental tail read: only the steps after v1
+    val tail = TableVersions.readChanges(spark, root, fromExclusive = v1, to = v3)
+    assert(tail.count() === 3)
+    // empty range is an empty frame in CDF shape
+    assert(TableVersions.readChanges(spark, root, v3, v3).count() === 0)
+  }
+
+  test("bloom sidecar: incremental maintenance; point lookups open only admitted files") {
+    val root = newRoot()
+    (0 until 3).foreach(i => TableVersions.append(spark, root,
+      ((i * 1000L) until ((i + 1) * 1000L)).toDF("k").coalesce(1)))
+    assert(TableVersions.maintainBloomIndex(spark, root, "k", 2000) === 3)
+    assert(TableVersions.maintainBloomIndex(spark, root, "k", 2000) === 0, "up to date: no rescan")
+    val hit = TableVersions.bloomPointLookup(spark, root, "k", lit(1500L))
+    assert(hit.collect().map(_.getLong(0)).toSeq === Seq(1500L))
+    assert(hit.inputFiles.length < 3, "bloom must prune non-admitting files")
+    // a new append leaves existing entries untouched: only the new file scans
+    TableVersions.append(spark, root, (3000L until 3100L).toDF("k").coalesce(1))
+    assert(TableVersions.maintainBloomIndex(spark, root, "k", 2000) === 1)
+    assert(TableVersions.bloomPointLookup(spark, root, "k", lit(3050L)).count() === 1)
+    // files not yet indexed stay candidates (conservative), never missed
+    TableVersions.append(spark, root, (5000L until 5010L).toDF("k").coalesce(1))
+    assert(TableVersions.bloomPointLookup(spark, root, "k", lit(5005L)).count() === 1)
+  }
+
+  test("deleteWhere uses SQL three-valued logic: NULL-evaluating rows survive") {
+    val root = newRoot()
+    TableVersions.append(spark, root,
+      Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)), (4L, None))
+        .toDF("k", "v").coalesce(1))
+    TableVersions.deleteWhere(spark, root, col("v") > 5L)
+    val left = TableVersions.read(spark, root).orderBy("k").collect().map(_.getLong(0))
+    assert(left.toSeq === Seq(2L, 4L), "rows where the predicate is NULL are NOT deleted")
+  }
+
+  test("upsert with a string key falls back to all-file candidates — the batch is never dropped") {
+    val root = newRoot()
+    TableVersions.append(spark, root,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("id", "v").coalesce(1))
+    val Some(_) = TableVersions.upsert(spark, root,
+      Seq(("b", -2L), ("d", 4L)).toDF("id", "v"), "id"): @unchecked
+    val t = TableVersions.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t.toSeq === Seq(("a", 1L), ("b", -2L), ("c", 3L), ("d", 4L)))
+    // and an empty batch is a no-op that does not bump the version
+    val v = TableVersions.currentVersion(spark, root)
+    assert(TableVersions.upsert(spark, root,
+      Seq.empty[(String, Long)].toDF("id", "v"), "id") === v)
+  }
+}
