@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *      20-row takedown request shouldn't pay a full-table write).
   *   2. `filterLive` — serve-side anti-join against the tombstones;
   *      every read path (pair generation, consumers) goes through it.
-  *   3. `clearAfterFold` — the next summary-table MERGE rewrites the
-  *      table anyway; it reads through `filterLive`, so the rewritten
-  *      table no longer contains the victims, and the tombstones it
-  *      folded are dropped afterwards. Crash between swap and clear is
+  *   3. `currentBatches` + `clearBatches` — the next summary-table
+  *      MERGE rewrites the table anyway; it captures the on-disk batch
+  *      ids, reads through `filterLive` (so the rewritten table no
+  *      longer contains those victims), and after the swap drops
+  *      EXACTLY the captured batches: a delete recorded while the merge
+  *      ran keeps its partition and folds next merge, instead of being
+  *      silently undone by a clear-all. Crash between swap and clear is
   *      safe: leftover tombstones anti-join ids that no longer exist —
   *      a no-op, re-cleared on the next merge. (Single concurrent
   *      maintenance writer per index, the contract all three indexes
@@ -60,13 +63,39 @@ object IndexTombstones {
       spark.read.parquet(tp).select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
-  /** Drop all tombstones once a merge has folded them into the rewritten
-    * summary table. Call strictly AFTER the rename-swap commits.
+  /** Tombstone batch ids currently on disk — capture BEFORE a merge
+    * reads through [[filterLive]], so [[clearBatches]] after the swap
+    * drops exactly what was folded and nothing recorded since.
     */
-  def clearAfterFold(spark: SparkSession, indexPath: String): Unit = {
+  def currentBatches(spark: SparkSession, indexPath: String): Seq[Long] = {
     val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexPath))
-    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
-    ()
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) Seq.empty
+    else fs.listStatus(tp).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("del_batch=") =>
+        n.stripPrefix("del_batch=").toLong }
+  }
+
+  /** Drop exactly the tombstone batches a merge folded (the ids captured
+    * with [[currentBatches]] before its [[filterLive]] read). A
+    * `deleteBatch` recorded AFTER the capture keeps its partition and is
+    * folded by the next merge — clearing everything here would silently
+    * undo it. Call strictly AFTER the rename-swap commits. A replayed
+    * delete of an already-cleared batch recreates tombstones for ids
+    * that no longer exist — a harmless anti-join no-op, re-cleared on
+    * the next merge.
+    */
+  def clearBatches(spark: SparkSession, indexPath: String, batches: Seq[Long]): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexPath))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return
+    batches.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(tp, s"del_batch=$b"), true); ()
+    }
+    // drop the now-empty dir so filterLive's existence probe stays cheap
+    if (fs.listStatus(tp).forall(s => s.getPath.getName.startsWith("_"))) {
+      fs.delete(tp, true); ()
+    }
   }
 
   /** Pair-log liveness: keep rows where BOTH endpoints are still in the

@@ -72,6 +72,9 @@ object LshIndex {
       deltaSigs.write.mode("overwrite").parquet(path)
       return
     }
+    // capture BEFORE the filterLive read materializes: a delete recorded
+    // after this point survives the post-swap clear (folded next merge)
+    val foldedBatches = IndexTombstones.currentBatches(spark, path)
     val merged = IndexTombstones.filterLive(spark.read.parquet(path), path, idCol)
       .join(deltaSigs.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(deltaSigs)
@@ -93,7 +96,7 @@ object LshIndex {
            else s"RESTORE FAILED — signatures are at $old, manual rename required"))
     }
     fs.delete(old, true)
-    IndexTombstones.clearAfterFold(spark, path) // folded above via filterLive
+    IndexTombstones.clearBatches(spark, path, foldedBatches) // exactly what was folded
   }
 
   /** Delete documents from the index: O(|victims|) tombstone write,

@@ -93,6 +93,9 @@ object SemIndex {
       deltaAsg.write.mode("overwrite").parquet(path)
       return
     }
+    // capture BEFORE the filterLive read materializes: a delete recorded
+    // after this point survives the post-swap clear (folded next merge)
+    val foldedBatches = IndexTombstones.currentBatches(spark, path)
     val merged = IndexTombstones.filterLive(spark.read.parquet(path), path, idCol)
       .join(deltaAsg.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(deltaAsg)
@@ -114,7 +117,7 @@ object SemIndex {
            else s"RESTORE FAILED — assignments are at $old, manual rename required"))
     }
     fs.delete(old, true)
-    IndexTombstones.clearAfterFold(spark, path) // folded above via filterLive
+    IndexTombstones.clearBatches(spark, path, foldedBatches) // exactly what was folded
   }
 
   /** Delete vectors from the index: O(|victims|) tombstone write,

@@ -96,6 +96,103 @@ object IndexPipeline {
       }
       .start()
 
+  // ------------------------------------------------------------------
+  // CHANGE-FEED-DRIVEN variant: the corpus is a versioned table SOMEONE
+  // ELSE maintains (e.g. [[TableVersions.startAppend]] ingest, CDC
+  // apply); the indexes follow it through [[TableVersions.readChanges]]
+  // instead of a separate document stream. The commit VERSION is the
+  // batch id, so every store inherits the same idempotence story — a
+  // crash mid-version is repaired by re-running followCorpus (the
+  // stores absorb the replayed version as a no-op) — and the versioned
+  // table is by construction the ground truth at every boundary.
+  // ------------------------------------------------------------------
+
+  private def progressPath(roots: Roots) =
+    new org.apache.hadoop.fs.Path(roots.root, "_follow_progress")
+
+  private def readProgress(spark: SparkSession, roots: Roots): Long = {
+    val p = progressPath(roots)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes()).trim.toLong finally in.close()
+    }
+  }
+
+  private def writeProgress(spark: SparkSession, roots: Roots, v: Long): Unit = {
+    val p = progressPath(roots)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes) finally out.close()
+  }
+
+  /** Advance all three indexes to the corpus table's CURRENT version by
+    * consuming its change feed from the last followed version: inserts
+    * index as a batch with batchId = commit version, deletes tombstone
+    * under the same id. The progress marker is written per applied
+    * version AFTER its stores advance, so a crash replays that version
+    * into idempotent stores. Pure layout rewrites (compaction,
+    * Z-order) emit no changes and cost nothing here.
+    *
+    * Contract: a FOLLOWED corpus is append + whole-document-delete
+    * (takedown); re-writing an existing doc id (upsert of a followed
+    * id) is rejected loudly — document generations take new ids, the
+    * same stance as [[graft.operators.IndexTombstones]] (a tombstoned
+    * id must not be re-indexed).
+    *
+    * Returns the versions applied (empty when already caught up).
+    */
+  def followCorpus(roots: Roots, spark: SparkSession,
+      centArr: Seq[(Long, Array[Double])],
+      idCol: String = "doc_id", textCol: String = "text", vecCol: String = "embedding",
+      threshold: Double = 0.95, subCellBits: Int = 0,
+      numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
+      k: Int = 3, portable: Boolean = true): Seq[Long] = {
+    val cur = TableVersions.currentVersion(spark, roots.corpus).getOrElse(return Seq.empty)
+    val from = readProgress(spark, roots)
+    if (cur <= from) return Seq.empty
+    val changes = TableVersions.readChanges(spark, roots.corpus, from, cur)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val versions = changes.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      versions.foreach { v =>
+        val step = changes.filter(col("_commit_version") === v)
+        val ins = step.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        val del = step.filter(col("_change_type") === "delete")
+          .drop("_change_type", "_commit_version")
+        val overlap = ins.select(col(idCol))
+          .join(del.select(col(idCol)), Seq(idCol), "left_semi").limit(1).count()
+        require(overlap == 0L,
+          s"followCorpus: corpus version $v rewrites existing document ids; " +
+            "a followed corpus is append + delete only — new document " +
+            "generations must take new ids (tombstoned ids cannot re-index)")
+        if (!del.isEmpty) {
+          val victims = del.select(col(idCol))
+          LshIndex.deleteBatch(roots.lshSignatures, victims, idCol, v)
+          SemIndex.deleteBatch(roots.semAssignments, victims, idCol, v)
+          TermIndex.deleteBatch(roots.term, victims, v, idCol)
+        }
+        if (!ins.isEmpty) {
+          LshIndex.processBatch(roots.lshSignatures, roots.lshPairs,
+            ins.select(col(idCol), col(textCol)), v, idCol, textCol,
+            numHashes, bands, minJaccard, k, portable)
+          SemIndex.processBatch(roots.semAssignments, roots.semPairs,
+            ins.select(col(idCol), col(vecCol)), v, idCol, vecCol,
+            centArr, threshold, subCellBits)
+          TermIndex.updateBatch(roots.term, ins.select(col(idCol), col(textCol)),
+            v, idCol, textCol)
+        }
+        writeProgress(spark, roots, v)
+      }
+      // catch up past trailing change-free versions (pure layout rewrites)
+      writeProgress(spark, roots, cur)
+      versions
+    } finally { changes.unpersist(blocking = false); () }
+  }
+
   /** Consistency probe: the indexed document-id set of each store —
     * equal at every batch boundary by construction (spec-pinned).
     */

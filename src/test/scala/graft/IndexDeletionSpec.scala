@@ -125,4 +125,26 @@ class IndexDeletionSpec extends SparkSpec {
     assert(spark.read.parquet(asg).filter(col("vec_id") === 2L).count() == 0)
     assert(!new java.io.File(IndexTombstones.tombstonePath(asg)).exists())
   }
+
+  test("clearBatches drops only the batches a merge captured: a delete recorded meanwhile survives") {
+    val idx = Files.createTempDirectory("tomb").toString + "/table"
+    Seq(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "d").toDF("id", "v")
+      .write.parquet(idx)
+    IndexTombstones.delete(idx, Seq(2L).toDF("id"), "id", delBatchId = 0L)
+    IndexTombstones.delete(idx, Seq(3L).toDF("id"), "id", delBatchId = 1L)
+    // a merge captures the on-disk batches, THEN a new delete lands
+    // (the interleaving the old clear-all silently undid)
+    val captured = IndexTombstones.currentBatches(spark, idx)
+    assert(captured.sorted === Seq(0L, 1L))
+    IndexTombstones.delete(idx, Seq(10L).toDF("id"), "id", delBatchId = 2L)
+    IndexTombstones.clearBatches(spark, idx, captured)
+    assert(IndexTombstones.currentBatches(spark, idx) === Seq(2L),
+      "the concurrent delete's tombstones must survive the scoped clear")
+    val live = IndexTombstones.filterLive(spark.read.parquet(idx), idx, "id")
+      .select("id").as[Long].collect().toSet
+    assert(!live.contains(10L), "the surviving tombstone still hides its victim")
+    // clearing the remainder empties the tombstone dir entirely
+    IndexTombstones.clearBatches(spark, idx, Seq(2L))
+    assert(!new java.io.File(IndexTombstones.tombstonePath(idx)).exists())
+  }
 }

@@ -109,4 +109,73 @@ class IndexPipelineSpec extends SparkSpec {
     for ((store, rows) <- before)
       assert(after(store) == rows, s"replay mutated the $store store")
   }
+
+  test("change-feed variant: following a versioned corpus reproduces the stream-fed stores; deletes flow through") {
+    import graft.operators.{IndexTombstones, LshIndex, TableVersions}
+    val docs = corpus()
+    val batches = docs.grouped((docs.size + 1) / 2).toSeq
+    assert(batches.size === 2)
+
+    // reference state: the stream-shaped driver, batch ids 0 and 1
+    val streamRoots = IndexPipeline.Roots(Files.createTempDirectory("idxcdf").toString + "/s")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IndexPipeline.processBatch(streamRoots, b.toDF("doc_id", "text", "embedding"),
+        i.toLong, cents)
+    }
+
+    // followed state: the corpus is a versioned table someone else
+    // appends to (commit versions 0 and 1 — the same ids)
+    val roots = IndexPipeline.Roots(Files.createTempDirectory("idxcdf").toString + "/f")
+    TableVersions.append(spark, roots.corpus, batches.head.toDF("doc_id", "text", "embedding"))
+    // mid-stream catch-up works too: follow after the first commit...
+    assert(IndexPipeline.followCorpus(roots, spark, cents) === Seq(0L))
+    TableVersions.append(spark, roots.corpus, batches(1).toDF("doc_id", "text", "embedding"))
+    assert(IndexPipeline.followCorpus(roots, spark, cents) === Seq(1L))
+    assert(IndexPipeline.followCorpus(roots, spark, cents) === Seq.empty, "caught up: no-op")
+
+    def stores(r: IndexPipeline.Roots): Map[String, Seq[String]] = Map(
+      "lshSig" -> spark.read.parquet(r.lshSignatures).collect().map(_.toString).sorted.toSeq,
+      "lshPairs" -> spark.read.parquet(r.lshPairs).collect().map(_.toString).sorted.toSeq,
+      "semAsg" -> spark.read.parquet(r.semAssignments).collect().map(_.toString).sorted.toSeq,
+      "semPairs" -> spark.read.parquet(r.semPairs).collect().map(_.toString).sorted.toSeq,
+      "termPost" -> spark.read.parquet(s"${r.term}/postings").collect().map(_.toString).sorted.toSeq,
+      "termDf" -> spark.read.parquet(s"${r.term}/df").collect().map(_.toString).sorted.toSeq,
+      "termScalars" -> spark.read.parquet(s"${r.term}/scalars").collect().map(_.toString).sorted.toSeq)
+    val ref = stores(streamRoots)
+    val fol = stores(roots)
+    for ((store, rows) <- ref)
+      assert(fol(store) == rows, s"CDF-fed $store diverged from the stream-fed store")
+
+    // a corpus takedown (row-level delete of one doc) flows to all
+    // three indexes as tombstones at the deleting version
+    val victim = batches.head.head._1
+    val Some(dv) = TableVersions.deleteWhere(spark, roots.corpus,
+      col("doc_id") === victim): @unchecked
+    assert(IndexPipeline.followCorpus(roots, spark, cents) === Seq(dv))
+    val lshLive = IndexTombstones.filterLive(
+        spark.read.parquet(roots.lshSignatures), roots.lshSignatures, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!lshLive.contains(victim), "lsh store must hide the deleted doc")
+    val semLive = IndexTombstones.filterLive(
+        spark.read.parquet(roots.semAssignments), roots.semAssignments, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!semLive.contains(victim), "sem store must hide the deleted doc")
+    assert(TermIndex.bm25(spark, roots.term, queries, k = 1000)
+      .filter(col("doc_id") === victim).count() === 0, "bm25 must not serve the deleted doc")
+    // deleted pairs go stale in the served pair log
+    val livePairIds = LshIndex.livePairs(spark, roots.lshPairs, roots.lshSignatures, "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!livePairIds.exists(p => p._1 == victim || p._2 == victim))
+
+    // an upsert of an EXISTING id is rejected loudly (new generations
+    // take new ids — tombstoned ids cannot re-index)
+    val survivor = batches.head.drop(1).head
+    TableVersions.upsert(spark, roots.corpus,
+      Seq((survivor._1, "rewritten text", survivor._3)).toDF("doc_id", "text", "embedding"),
+      "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      IndexPipeline.followCorpus(roots, spark, cents)
+    }
+    assert(e.getMessage.contains("append + delete only"))
+  }
 }
