@@ -113,14 +113,22 @@ object Bench {
     // queries the 3-decimal form crossed the driver's tail window
     // (1850 chars); 10 ms resolution is far below this box's ±30%
     // noise floor, and BENCH_DETAIL above keeps full precision
-    def r2(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // trailing zeros stripped ("0.50"→"0.5", "2.00"→"2") — same keys,
+    // still plain JSON numbers, ~80 chars of durable headroom
+    def r2(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // Environment-attribution signal: per-pass wall totals and the
     // driver-GC total across both measured passes — if a future round's
     // ratio moves while gc_sec/pass spread moves with it, the drift is
     // pass-level state, not plans (the round-7 lesson, now measurable).
-    val env = s""""gc_sec":${r3(gcByQuery.values.sum / 1000.0)},"p1_sec":${r3(p1Total)},"p2_sec":${r3(p2Total)},"order":"r7-prefix""""
+    // short keys — the compact line lives inside the driver's 2000-char
+    // tail window: gc = driver-GC seconds (both passes), p1/p2 = pass
+    // wall totals; the run order is the fixed r7-prefix (see benchOrder)
+    val env = s""""gc":${r3(gcByQuery.values.sum / 1000.0)},"p1":${r3(p1Total)},"p2":${r3(p2Total)}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}"""
     require(line.length <= 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail window")
     println(line)

@@ -396,7 +396,13 @@ object TableVersions {
     else {
       import org.apache.spark.sql.functions.col
       val dup = partCols.foldLeft(df)((d, c) => d.withColumn(partDirPrefix + c, col(c)))
-      dup.write.partitionBy(partCols.map(partDirPrefix + _): _*).parquet(batchDir.toString)
+      // cluster by the partition tuple before the partitioned write
+      // (Delta's "optimized writes"): without it every task writes a
+      // file into every partition it holds rows for — tasks×partitions
+      // small files per append; with it an append adds O(partitions)
+      // files. One extra shuffle of the batch, the standard trade.
+      dup.repartition(partCols.map(c => col(partDirPrefix + c)): _*)
+        .write.partitionBy(partCols.map(partDirPrefix + _): _*).parquet(batchDir.toString)
     }
     val files = listParquet(f, batchDir)
     (batchDir, entriesFor(spark, files, df.schema, partOfPath))
