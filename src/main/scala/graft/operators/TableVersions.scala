@@ -530,25 +530,30 @@ object TableVersions {
     val st = commitState(spark, root, None)
     val scope = entriesMatching(st, partition)
     import spark.implicits._
+    // bins are planned WITHIN each partition tuple (the tuple rendered
+    // as a stable string key): a whole-table compact of a partitioned
+    // table can never merge files of different partitions into one
+    // output, which would corrupt the per-file partition metadata
+    def pkeyOf(p: Map[String, String]): String =
+      p.toSeq.sortBy(_._1).map { case (k, v) => enc(k) + "=" + enc(v) }.mkString(",")
     val planned = Compaction.plan(
-        scope.map(fe => (fe.path, fe.bytes)).toDF("file", "bytes"),
-        Seq.empty, "file", "bytes", targetBytes)
-      .select("file", "bytes", "bin", "bin_files")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val toMerge = planned.filter(_._4 > 1).groupBy(_._3) // only multi-file bins rewrite
+        scope.map(fe => (fe.path, fe.bytes, pkeyOf(fe.part))).toDF("file", "bytes", "pkey"),
+        Seq("pkey"), "file", "bytes", targetBytes)
+      .select("file", "bytes", "pkey", "bin", "bin_files")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val toMerge = planned.filter(_._5 > 1).groupBy(p => (p._3, p._4)) // only multi-file bins rewrite
     if (toMerge.isEmpty) return None
     val outDir = new Path(root, s"data/compact-${java.util.UUID.randomUUID()}")
     val schema = st.schema
     val partOf = scope.map(fe => fe.path -> fe.part).toMap
-    val newEntries = toMerge.toSeq.sortBy(_._1).flatMap { case (bin, members) =>
-      val binDir = new Path(outDir, s"bin-$bin")
+    val newEntries = toMerge.toSeq.sortBy(_._1).zipWithIndex.flatMap { case ((_, members), i) =>
+      val binDir = new Path(outDir, s"bin-$i")
       val src = schema match {
         case Some(s) => spark.read.schema(s).parquet(members.map(_._1): _*)
         case None => spark.read.parquet(members.map(_._1): _*)
       }
       src.coalesce(1).write.parquet(binDir.toString)
-      // a bin is partition-pure: members share one partition tuple
-      // (partitioned tables are compacted per partition)
+      // partition-pure by construction: the bin key includes the tuple
       val binPart = partOf.getOrElse(members.head._1, Map.empty)
       entriesFor(spark, listParquet(f, binDir),
         schema.getOrElse(spark.read.parquet(members.head._1).schema), _ => binPart)
@@ -661,11 +666,9 @@ object TableVersions {
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
       bounds: Map[String, (Double, Double)] = Map.empty): Option[Long] = {
     import org.apache.spark.sql.functions.lit
-    val f = fs(spark, root)
     val st = commitState(spark, root, None)
     val candidates = candidatePaths(spark, st, bounds)
     if (candidates.isEmpty) return None
-    val outDir = new Path(root, s"data/delete-${java.util.UUID.randomUUID()}")
     val src = st.schema match {
       case Some(s) => spark.read.schema(s).parquet(candidates: _*)
       case None => spark.read.parquet(candidates: _*)
@@ -673,15 +676,10 @@ object TableVersions {
     // keep rows where predicate is NOT TRUE (false or NULL) — 3-valued
     // logic: DELETE removes only rows the predicate positively matched
     val survivors = src.filter(!(predicate <=> lit(true)))
-    survivors.write.parquet(outDir.toString)
-    val partOf = st.files.map(fe => fe.path -> fe.part).toMap
-    // survivors of a multi-partition rewrite aren't partition-pure per
-    // file; record partition values only when the rewrite was scoped to
-    // files of a single partition tuple
-    val parts = candidates.flatMap(partOf.get).distinct
-    val newPart: Map[String, String] = if (parts.size == 1) parts.head else Map.empty
-    val added = entriesFor(spark, listParquet(f, outDir),
-      st.schema.getOrElse(survivors.schema), _ => newPart)
+    // survivors restage through the same (possibly partitioned) write
+    // path as appends, so a delete spanning several partitions keeps
+    // every surviving row's partition metadata exact
+    val (outDir, added) = stageFiles(spark, root, survivors, st.partCols, "delete")
     commitRewrite(spark, root, candidates.toSet, added, outDir)
   }
 
@@ -706,7 +704,6 @@ object TableVersions {
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String): Option[Long] = {
     import org.apache.spark.sql.functions.{col, max, min}
-    val f = fs(spark, root)
     val st = commitState(spark, root, None)
     if (updates.isEmpty) return currentVersion(spark, root) // empty CDC batch: no-op
     val numericKey = updates.schema(keyCol).dataType match {
@@ -722,7 +719,6 @@ object TableVersions {
         if (range.isNullAt(0)) st.files.map(_.path) // all-NULL keys: cannot prune
         else candidatePaths(spark, st, Map(keyCol -> (range.getDouble(0), range.getDouble(1))))
       }
-    val outDir = new Path(root, s"data/upsert-${java.util.UUID.randomUUID()}")
     val rewritten =
       if (candidates.isEmpty) updates // pure insert
       else {
@@ -732,31 +728,41 @@ object TableVersions {
         }
         src.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti").unionByName(updates)
       }
-    rewritten.write.parquet(outDir.toString)
-    val added = entriesFor(spark, listParquet(f, outDir),
-      st.schema.getOrElse(rewritten.schema), _ => Map.empty)
+    // restage through the (possibly partitioned) write path: a CDC
+    // batch spanning partitions keeps every row's partition metadata
+    val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert")
     commitRewrite(spark, root, candidates.toSet, added, outDir)
   }
 
-  /** OPTIMIZE ZORDER — rewrite the CURRENT version's data Z-ordered on
-    * `keys` ([[ZOrder.cluster]]) and commit as the next version, so
-    * subsequent [[prunedRead]]s skip files on multi-column boxes from
-    * the commit's stats. Concurrent appends rebase through; a competing
-    * rewrite of the same files returns None.
+  /** OPTIMIZE ZORDER — rewrite data Z-ordered on `keys`
+    * ([[ZOrder.cluster]]) and commit as the next version, so subsequent
+    * [[prunedRead]]s skip files on multi-column boxes from the commit's
+    * stats. On a partitioned table the pass must be scoped to ONE
+    * partition tuple (`partition`) — Z-ordering is a range layout that
+    * cannot span partition files; each partition optimizes as its own
+    * concurrently-committable job (the rebase rule). Concurrent appends
+    * rebase through; a competing rewrite of the same files returns None.
     */
   def optimizeZOrder(spark: SparkSession, root: String, keys: Seq[String],
-      numFiles: Int): Option[Long] = {
+      numFiles: Int, partition: Map[String, String] = Map.empty): Option[Long] = {
     val f = fs(spark, root)
     val st = commitState(spark, root, None)
+    val scope = entriesMatching(st, partition)
+    if (scope.isEmpty) return None
+    val tuples = scope.map(_.part).distinct
+    require(st.partCols.isEmpty || tuples.size == 1,
+      s"optimizeZOrder on a partitioned table must be scoped to one partition " +
+        s"(got ${tuples.size} tuples; pass partition=...)")
     val outDir = new Path(root, s"data/zorder-${java.util.UUID.randomUUID()}")
     val src = st.schema match {
-      case Some(s) => spark.read.schema(s).parquet(st.files.map(_.path): _*)
-      case None => spark.read.parquet(st.files.map(_.path): _*)
+      case Some(s) => spark.read.schema(s).parquet(scope.map(_.path): _*)
+      case None => spark.read.parquet(scope.map(_.path): _*)
     }
     ZOrder.cluster(src, keys, numFiles).write.parquet(outDir.toString)
+    val binPart = tuples.headOption.getOrElse(Map.empty)
     val added = entriesFor(spark, listParquet(f, outDir),
-      st.schema.getOrElse(src.schema), _ => Map.empty)
-    commitRewrite(spark, root, st.files.map(_.path).toSet, added, outDir)
+      st.schema.getOrElse(src.schema), _ => binPart)
+    commitRewrite(spark, root, scope.map(_.path).toSet, added, outDir)
   }
 
   /** Delete data files unreachable from the newest `keepVersions`

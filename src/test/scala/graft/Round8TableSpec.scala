@@ -195,6 +195,44 @@ class Round8TableSpec extends SparkSpec {
     assert(TableVersions.bloomPointLookup(spark, root, "k", lit(5005L)).count() === 1)
   }
 
+  test("partitioned maintenance keeps partition metadata exact: whole-table compact, cross-partition delete/upsert, scoped zorder") {
+    val root = newRoot()
+    val df = (1L to 3000L).toDF("k")
+      .withColumn("g", pmod(col("k"), lit(3)).cast("string"))
+      .withColumn("v", col("k") * 2)
+    (0 until 3).foreach(i => TableVersions.append(spark, root,
+      df.filter(col("k").between(i * 500L + 1, (i + 1) * 500L)), partitionBy = Seq("g")))
+    // whole-table compact of a partitioned table: bins must never span
+    // partition tuples, so every file keeps a single exact tuple
+    val Some(_) = TableVersions.compact(spark, root, 8L << 20): @unchecked
+    val st = TableVersions.commitState(spark, root)
+    assert(st.files.forall(_.part.contains("g")), "every compacted file keeps its partition tuple")
+    // cross-partition delete: survivors restage WITH their tuples
+    val Some(_) = TableVersions.deleteWhere(spark, root, col("k") > 500L): @unchecked
+    val perPart = (0 to 2).map(g =>
+      TableVersions.readPartitions(spark, root, Map("g" -> g.toString)).count())
+    assert(perPart.sum === TableVersions.read(spark, root).count(),
+      "partition reads must cover the whole table after cross-partition maintenance")
+    // cross-partition upsert: updated rows land with their partition values
+    val ups = Seq((2L, "2", -1L), (3L, "0", -2L), (5000L, "2", 1L)).toDF("k", "g", "v")
+    val Some(_) = TableVersions.upsert(spark, root, ups, "k"): @unchecked
+    val st2 = TableVersions.commitState(spark, root)
+    assert(st2.files.forall(_.part.contains("g")))
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "2"))
+      .filter(col("k") === 5000L).count() === 1, "inserted row visible through its partition")
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "0"))
+      .filter(col("k") === 3L).head().getLong(2) === -2L, "updated row visible through its partition")
+    // zorder: must be partition-scoped on a partitioned table
+    val e = intercept[IllegalArgumentException] {
+      TableVersions.optimizeZOrder(spark, root, Seq("k"), 4)
+    }
+    assert(e.getMessage.contains("scoped to one partition"))
+    val Some(_) = TableVersions.optimizeZOrder(spark, root, Seq("k"), 2,
+      partition = Map("g" -> "1")): @unchecked
+    assert(TableVersions.commitState(spark, root).files.forall(_.part.contains("g")))
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "1")).count() === perPart(1))
+  }
+
   test("deleteWhere uses SQL three-valued logic: NULL-evaluating rows survive") {
     val root = newRoot()
     TableVersions.append(spark, root,
