@@ -193,8 +193,35 @@ object IndexPipeline {
     } finally { changes.unpersist(blocking = false); () }
   }
 
-  /** Consistency probe: the indexed document-id set of each store —
-    * equal at every batch boundary by construction (spec-pinned).
+  /** DISTRIBUTED consistency probe — the production-scale form of
+    * [[indexedIds]]: per-store distinct-id counts plus each store's
+    * symmetric-difference size against the corpus, computed with
+    * distributed anti-joins (nothing but the final scalar row reaches
+    * the driver). All three `vs_corpus` differences are 0 at every
+    * batch boundary by construction.
+    */
+  def consistencyProbe(spark: SparkSession, roots: Roots,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    def ids(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).cast("long").as("id")).distinct()
+    val corpus = ids(TableVersions.read(spark, roots.corpus), idCol)
+    val stores = Seq(
+      "lsh" -> ids(spark.read.parquet(roots.lshSignatures), idCol),
+      "sem" -> ids(spark.read.parquet(roots.semAssignments), idCol),
+      "term" -> ids(spark.read.parquet(s"${roots.term}/postings"), idCol))
+    val rows = ("corpus", corpus.count(), 0L) +: stores.map { case (name, s) =>
+      val missing = corpus.join(s, Seq("id"), "left_anti").count()
+      val extra = s.join(corpus, Seq("id"), "left_anti").count()
+      (name, s.count(), missing + extra)
+    }
+    rows.toDF("store", "n_ids", "vs_corpus")
+  }
+
+  /** Spec-facing consistency probe: the indexed document-id set of each
+    * store — equal at every batch boundary by construction
+    * (spec-pinned). Collects every distinct id to the driver; tests
+    * only — production monitoring uses [[consistencyProbe]].
     */
   def indexedIds(spark: SparkSession, roots: Roots,
       idCol: String = "doc_id"): Map[String, Set[Long]] = {

@@ -146,6 +146,12 @@ class IndexPipelineSpec extends SparkSpec {
     for ((store, rows) <- ref)
       assert(fol(store) == rows, s"CDF-fed $store diverged from the stream-fed store")
 
+    // the distributed probe agrees: every store covers the corpus exactly
+    val probe = IndexPipeline.consistencyProbe(spark, roots)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(probe.forall(_._3 == 0L), s"vs_corpus differences must be 0: ${probe.toSeq}")
+    assert(probe.map(_._2).distinct.length === 1, s"all stores same id count: ${probe.toSeq}")
+
     // a corpus takedown (row-level delete of one doc) flows to all
     // three indexes as tombstones at the deleting version
     val victim = batches.head.head._1
