@@ -110,9 +110,15 @@ object TableVersions {
   final case class FileEntry(path: String, bytes: Long, rows: Long,
       part: Map[String, String], stats: Map[String, ColStats])
 
-  /** Full parsed state of one commit file. */
+  /** Full parsed state of one commit file. `checks` are named CHECK
+    * constraints (SQL boolean expressions over the table's columns)
+    * enforced on every append/upsert — the format-level form of the
+    * reference's P1-P5 data-quality gates; NOT NULL is the special case
+    * `c IS NOT NULL`.
+    */
   final case class CommitState(files: Seq[FileEntry], schemaJson: Option[String],
-      partCols: Seq[String], txns: Map[String, Long]) {
+      partCols: Seq[String], txns: Map[String, Long],
+      checks: Map[String, String] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
@@ -197,7 +203,11 @@ object TableVersions {
       val Array(_, app, b) = l.split(" ", 3)
       app -> b.toLong
     }.groupMapReduce(_._1)(_._2)(math.max)
-    Some(CommitState(files, schemaJson, partCols, txns))
+    val checks = lines.filter(_.startsWith("#CHECK ")).map { l =>
+      val Array(_, name, e) = l.split(" ", 3)
+      dec(name) -> dec(e)
+    }.toMap
+    Some(CommitState(files, schemaJson, partCols, txns, checks))
   }
 
   /** Every version NUMBER with a commit file. Under the promote
@@ -248,20 +258,43 @@ object TableVersions {
     }
   }
 
+  /** TIME TRAVEL BY TIMESTAMP: the latest version whose commit landed
+    * at or before `tsMillis` (the commit file's modification time —
+    * stamped by the atomic promote, so it IS the commit instant).
+    * Version numbers and commit times are monotone under the single
+    * `_versions` directory; cross-writer clock skew makes this
+    * best-effort to the skew bound, the same caveat Delta documents.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
+    val f = fs(spark, root)
+    claimedVersions(spark, root).sorted(Ordering[Long].reverse)
+      .find { v =>
+        f.getFileStatus(commitPath(root, v)).getModificationTime <= tsMillis &&
+          readCommitState(spark, root, v).isDefined
+      }
+  }
+
+  /** [[read]] at the version current as of `tsMillis` ("AS OF TIMESTAMP"). */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, tsMillis).getOrElse(
+      throw new IllegalArgumentException(s"no version committed at or before $tsMillis at $root"))))
+
   // ------------------------------------------------------------------
   // Atomic commit: full content to a temp file, then one atomic
   // claim-with-content promote.
   // ------------------------------------------------------------------
 
-  private def renderCommit(files: Seq[FileEntry], schemaJson: Option[String],
-      partCols: Seq[String], txns: Map[String, Long]): Array[Byte] = {
+  private def renderCommit(st: CommitState): Array[Byte] = {
     val sb = new StringBuilder
-    schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
-    if (partCols.nonEmpty) sb.append("#PART ").append(partCols.map(enc).mkString(",")).append('\n')
-    txns.toSeq.sortBy(_._1).foreach { case (a, b) =>
+    st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
+    if (st.partCols.nonEmpty)
+      sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
+    st.txns.toSeq.sortBy(_._1).foreach { case (a, b) =>
       sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
-    files.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
-    sb.append(s"#END ${files.size}\n")
+    st.checks.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      sb.append("#CHECK ").append(enc(n)).append(' ').append(enc(e)).append('\n') }
+    st.files.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
+    sb.append(s"#END ${st.files.size}\n")
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -292,16 +325,29 @@ object TableVersions {
     ok
   }
 
-  private def tryCommit(spark: SparkSession, root: String, v: Long, files: Seq[FileEntry],
-      schemaJson: Option[String], partCols: Seq[String], txns: Map[String, Long]): Boolean = {
+  private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
     if (f.exists(target)) return false // cheap pre-check; the promote is the real claim
     val tmp = new Path(versionsDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(renderCommit(files, schemaJson, partCols, txns)) finally out.close()
+    try out.write(renderCommit(st)) finally out.close()
     atomicPromote(f, tmp, target)
+  }
+
+  /** Reject rows that violate any committed CHECK constraint: one
+    * filtered count per batch (cheap next to the batch write), loud
+    * failure naming the constraint — the format-level data-quality
+    * gate. NULL-evaluating checks pass (SQL CHECK semantics).
+    */
+  private def validateChecks(df: DataFrame, checks: Map[String, String], what: String): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    checks.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      val bad = df.filter(expr(e) <=> lit(false)).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"$what violates CHECK constraint '$name' ($e)")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -460,6 +506,8 @@ object TableVersions {
       case None => partitionBy
     }
     effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from append"))
+    base0.map(v => commitState(spark, root, Some(v)).checks)
+      .filter(_.nonEmpty).foreach(validateChecks(df, _, "append"))
     val (batchDir, added) = stageFiles(spark, root, df, effPart, "batch")
     var attempt = 0
     while (attempt < 100) {
@@ -475,8 +523,10 @@ object TableVersions {
       val newSchema = prevSchema.map(checkEvolution(_, df.schema)).getOrElse(df.schema)
       val v = nextVersion(spark, root, base)
       val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
-      if (tryCommit(spark, root, v, prev.map(_.files).getOrElse(Seq.empty) ++ added,
-          Some(newSchema.json), effPart, txns)) return v
+      if (tryCommit(spark, root, v, CommitState(
+          prev.map(_.files).getOrElse(Seq.empty) ++ added,
+          Some(newSchema.json), effPart, txns,
+          prev.map(_.checks).getOrElse(Map.empty)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
@@ -503,7 +553,7 @@ object TableVersions {
       }
       val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
       val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, files, cur.schemaJson, cur.partCols, cur.txns))
+      if (tryCommit(spark, root, v, cur.copy(files = files)))
         return Some(v)
       attempt += 1
     }
@@ -706,6 +756,7 @@ object TableVersions {
     import org.apache.spark.sql.functions.{col, max, min}
     val st = commitState(spark, root, None)
     if (updates.isEmpty) return currentVersion(spark, root) // empty CDC batch: no-op
+    validateChecks(updates, st.checks, "upsert") // new rows must satisfy the checks
     val numericKey = updates.schema(keyCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
@@ -794,6 +845,53 @@ object TableVersions {
       dead.foreach(p => f.delete(p, false))
     }
     versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK CONSTRAINTS — the format-level data-quality gate (the
+  // reference enforces P1-P5 in the pipeline; a table that owns its
+  // commits can enforce them at the storage boundary, so EVERY writer
+  // inherits them). NOT NULL is `c IS NOT NULL`.
+  // ------------------------------------------------------------------
+
+  /** Add a named CHECK constraint (a SQL boolean expression over the
+    * table's columns). The EXISTING data must already satisfy it (one
+    * distributed scan, validated before the metadata commit) — a
+    * constraint that the table violates would lie to every reader.
+    * Committed as a metadata-only version; every subsequent [[append]]
+    * and [[upsert]] batch is validated against it (violations throw
+    * with the constraint named). Returns the committed version.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.contains(' '), s"constraint name must be wordlike: '$name'")
+    validateChecks(read(spark, root), Map(name -> sqlExpr), "existing table data")
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, cur.copy(checks = cur.checks + (name -> sqlExpr))))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"addConstraint: lost $attempt commit races at $root")
+  }
+
+  /** Drop a named CHECK constraint (metadata-only version). */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Long = {
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      require(cur.checks.contains(name), s"no CHECK constraint '$name' at $root")
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, cur.copy(checks = cur.checks - name)))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"dropConstraint: lost $attempt commit races at $root")
   }
 
   /** Commit HISTORY, newest first: (version, n_files, n_bytes, txns) —

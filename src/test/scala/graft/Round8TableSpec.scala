@@ -233,6 +233,63 @@ class Round8TableSpec extends SparkSpec {
     assert(TableVersions.readPartitions(spark, root, Map("g" -> "1")).count() === perPart(1))
   }
 
+  test("CHECK constraints: enforced on append and upsert, validated against existing data, droppable") {
+    val root = newRoot()
+    TableVersions.append(spark, root,
+      Seq((1L, 50L), (2L, 80L)).toDF("k", "v").coalesce(1))
+    // a constraint the table already violates is rejected up front
+    val pre = intercept[IllegalArgumentException] {
+      TableVersions.addConstraint(spark, root, "v_small", "v < 60")
+    }
+    assert(pre.getMessage.contains("existing table data violates CHECK constraint 'v_small'"))
+    TableVersions.addConstraint(spark, root, "v_pos", "v > 0")
+    TableVersions.addConstraint(spark, root, "k_not_null", "k IS NOT NULL")
+    assert(TableVersions.commitState(spark, root).checks.keySet === Set("v_pos", "k_not_null"))
+    // violating append rejected with the constraint named; no commit lands
+    val vBefore = TableVersions.currentVersion(spark, root)
+    val bad = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root, Seq((3L, -5L)).toDF("k", "v"))
+    }
+    assert(bad.getMessage.contains("CHECK constraint 'v_pos'"))
+    assert(TableVersions.currentVersion(spark, root) === vBefore)
+    // NULL-evaluating checks pass (SQL CHECK semantics)...
+    TableVersions.append(spark, root,
+      Seq((3L, Option.empty[Long])).toDF("k", "v").coalesce(1))
+    // ...NOT NULL expressed as IS NOT NULL does not
+    val nn = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root, Seq((Option.empty[Long], 5L)).toDF("k", "v"))
+    }
+    assert(nn.getMessage.contains("'k_not_null'"))
+    // upsert batches are validated too
+    val up = intercept[IllegalArgumentException] {
+      TableVersions.upsert(spark, root, Seq((1L, -9L)).toDF("k", "v"), "k")
+    }
+    assert(up.getMessage.contains("'v_pos'"))
+    // dropping the constraint lets the write through
+    TableVersions.dropConstraint(spark, root, "v_pos")
+    val Some(_) = TableVersions.upsert(spark, root, Seq((1L, -9L)).toDF("k", "v"), "k"): @unchecked
+    assert(TableVersions.read(spark, root).filter(col("k") === 1L).head().getLong(1) === -9L)
+  }
+
+  test("time travel by timestamp: readAsOf resolves the version current at that instant") {
+    val root = newRoot()
+    val v0 = TableVersions.append(spark, root, (1L to 10L).toDF("k"))
+    val v1 = TableVersions.append(spark, root, (11L to 20L).toDF("k"))
+    // pin deterministic commit instants through the FileSystem
+    val fs = hfs(root)
+    def stamp(v: Long, t: Long): Unit =
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit"), t, -1)
+    stamp(v0, 1000000L); stamp(v1, 2000000L)
+    assert(TableVersions.versionAsOf(spark, root, 999999L).isEmpty)
+    assert(TableVersions.versionAsOf(spark, root, 1500000L) === Some(v0))
+    assert(TableVersions.readAsOf(spark, root, 1500000L).count() === 10)
+    assert(TableVersions.versionAsOf(spark, root, 3000000L) === Some(v1))
+    assert(TableVersions.readAsOf(spark, root, 2000000L).count() === 20)
+    intercept[IllegalArgumentException] {
+      TableVersions.readAsOf(spark, root, 5L)
+    }
+  }
+
   test("deleteWhere uses SQL three-valued logic: NULL-evaluating rows survive") {
     val root = newRoot()
     TableVersions.append(spark, root,
