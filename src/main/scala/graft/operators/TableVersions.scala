@@ -847,6 +847,49 @@ object TableVersions {
     versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
   }
 
+  /** RESTORE — roll the table back to `toVersion` by committing a NEW
+    * version with that version's listing (and schema/partitions/checks
+    * as of then; txn records carry forward from the CURRENT version so
+    * exactly-once streams cannot double-apply across a restore).
+    * History is preserved: the bad versions stay readable until
+    * [[vacuum]], and the restore itself is an audited commit — nothing
+    * is ever rewritten in place. Fails (None) only if a concurrent
+    * writer raced every retry.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Option[Long] = {
+    val target = readCommitState(spark, root, toVersion)
+      .getOrElse(throw new IllegalArgumentException(s"version $toVersion absent or torn at $root"))
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, target.copy(txns = cur.txns))) return Some(v)
+      attempt += 1
+    }
+    None
+  }
+
+  /** SHALLOW CLONE — a new table at `destRoot` whose first commit
+    * references the SOURCE's current data files (zero data copied; the
+    * clone is one metadata file regardless of table size). The clone
+    * then evolves independently — its appends/deletes/compactions
+    * never touch the source. Caveat (same as Delta's shallow clones):
+    * the clone depends on the source's files, so a source [[vacuum]]
+    * that drops versions the clone references breaks it — deep-copy
+    * with a plain read/append when the source's retention isn't under
+    * your control.
+    */
+  def shallowClone(spark: SparkSession, root: String, destRoot: String,
+      version: Option[Long] = None): Long = {
+    val src = commitState(spark, root, version)
+    require(currentVersion(spark, destRoot).isEmpty, s"destination $destRoot already exists")
+    val ok = tryCommit(spark, destRoot, 0L, src.copy(txns = Map.empty))
+    if (!ok) throw new IllegalStateException(s"clone destination $destRoot raced another writer")
+    0L
+  }
+
   // ------------------------------------------------------------------
   // CHECK CONSTRAINTS — the format-level data-quality gate (the
   // reference enforces P1-P5 in the pipeline; a table that owns its

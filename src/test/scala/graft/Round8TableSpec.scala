@@ -233,6 +233,54 @@ class Round8TableSpec extends SparkSpec {
     assert(TableVersions.readPartitions(spark, root, Map("g" -> "1")).count() === perPart(1))
   }
 
+  test("append racing a compact: both commit (appends rebase; the compact rebases through the append)") {
+    val root = newRoot()
+    (0 until 6).foreach(i => TableVersions.append(spark, root,
+      ((i * 100L) until ((i + 1) * 100L)).toDF("k").coalesce(1)))
+    val fut = Future.sequence(Seq(
+      Future(Right(TableVersions.append(spark, root, (600L until 700L).toDF("k").coalesce(1)))),
+      Future(Left(TableVersions.compact(spark, root, 8L << 20)))))
+    val results = Await.result(fut, 120.seconds)
+    val appended = results.collectFirst { case Right(v) => v }.get
+    val compacted = results.collectFirst { case Left(o) => o }.get
+    assert(compacted.isDefined, "compact must rebase through a concurrent append, not abort")
+    assert(appended >= 6L)
+    assert(TableVersions.read(spark, root).count() === 700)
+    assert(TableVersions.read(spark, root).agg(sum("k")).head().getLong(0) === (0L until 700L).sum)
+  }
+
+  test("restore rolls back by committing forward; shallow clone shares files then diverges") {
+    val root = newRoot()
+    val v0 = TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1))
+    TableVersions.appendTxn(spark, root, (101L to 150L).toDF("k").coalesce(1), "s", 7L)
+    val Some(dv) = TableVersions.deleteWhere(spark, root, col("k") <= 50L): @unchecked
+    assert(TableVersions.read(spark, root).count() === 100)
+    // restore to v0: data back, history intact, txn watermark carried
+    val Some(rv) = TableVersions.restore(spark, root, v0): @unchecked
+    assert(rv > dv)
+    assert(TableVersions.read(spark, root).count() === 100)
+    assert(TableVersions.read(spark, root).agg(min("k")).head().getLong(0) === 1L)
+    assert(TableVersions.read(spark, root, Some(dv)).count() === 100,
+      "pre-restore history stays readable")
+    assert(TableVersions.lastTxn(spark, root, "s") === Some(7L),
+      "txn watermark survives the restore — replays still skip")
+    TableVersions.appendTxn(spark, root, (101L to 150L).toDF("k"), "s", 7L) // replay: no-op
+    assert(TableVersions.read(spark, root).count() === 100)
+
+    // shallow clone: zero data copied, then independent evolution
+    val dest = newRoot()
+    TableVersions.shallowClone(spark, root, dest)
+    assert(TableVersions.read(spark, dest).count() === 100)
+    assert(TableVersions.listing(spark, dest).map(_._1).toSet ===
+      TableVersions.listing(spark, root).map(_._1).toSet, "clone references the source's files")
+    TableVersions.append(spark, dest, (1000L to 1009L).toDF("k"))
+    assert(TableVersions.read(spark, dest).count() === 110)
+    assert(TableVersions.read(spark, root).count() === 100, "source unaffected by clone writes")
+    intercept[IllegalArgumentException] {
+      TableVersions.shallowClone(spark, root, dest)
+    }
+  }
+
   test("CHECK constraints: enforced on append and upsert, validated against existing data, droppable") {
     val root = newRoot()
     TableVersions.append(spark, root,
