@@ -998,7 +998,11 @@ object TableVersions {
     * rows and vice versa — so carried-by-reference files cost nothing;
     * a pure layout rewrite (compaction) emits no rows. Both sides read
     * under `to`'s committed schema (evolution is additive, so older
-    * files null-fill).
+    * files null-fill). The range must lie within the RETAINED history:
+    * [[vacuum]] drops old commits and their unshared files, after which
+    * their change steps are gone — size `keepVersions` to cover the
+    * slowest change-feed consumer's lag, the same retention contract as
+    * Delta's CDF.
     */
   def readChanges(spark: SparkSession, root: String, fromExclusive: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
