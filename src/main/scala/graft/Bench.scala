@@ -128,7 +128,9 @@ object Bench {
     // short keys — the compact line lives inside the driver's 2000-char
     // tail window: gc = driver-GC seconds (both passes), p1/p2 = pass
     // wall totals; the run order is the fixed r7-prefix (see benchOrder)
-    val env = s""""gc":${r3(gcByQuery.values.sum / 1000.0)},"p1":${r3(p1Total)},"p2":${r3(p2Total)}"""
+    def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    val env = s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}"""
     require(line.length <= 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail window")
     println(line)

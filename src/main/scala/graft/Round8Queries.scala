@@ -211,6 +211,54 @@ object Round8Queries {
     out.orderBy("version", "change_type", "o_orderkey")
   }
 
+  /** RESTORE + SHALLOW CLONE end-to-end (q130): orders lands versioned,
+    * a range delete goes wrong, [[TableVersions.restore]] rolls it back
+    * by committing forward, then a zero-copy [[TableVersions
+    * .shallowClone]] takes the restored table and receives a correction
+    * batch the SOURCE must never see. The result reads the CLONE's
+    * monthly aggregate; the oracle computes orders + the correction
+    * batch directly — data-equality through delete/restore/clone/append
+    * is exactly what the rollback and branching machinery must
+    * preserve. (The restored source equals plain orders; the q121/q128
+    * family already certifies that read path.)
+    */
+  def q130RestoreClone(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_tv").toString
+    val root = base + "/orders_r"
+    val cloneRoot = base + "/orders_r_clone"
+    val orders = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    TableVersions.append(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    val Some(dv) = TableVersions.deleteWhere(spark, root,
+      col("o_orderkey").between(1000L, 5000L),
+      bounds = Map("o_orderkey" -> (1000.0, 5000.0))): @unchecked
+    TableVersions.restore(spark, root, dv - 1) // the delete was a mistake
+    TableVersions.shallowClone(spark, root, cloneRoot)
+    // the correction batch lands on the CLONE only
+    TableVersions.append(spark, cloneRoot,
+      orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val res = TableVersions.read(spark, cloneRoot)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    rmTree(root)
+    out.orderBy("month")
+  }
+
+  val q130Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderdate, o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM c GROUP BY 1 ORDER BY month""".stripMargin
+
   val q129Sql: String =
     """WITH ch AS (
       |  SELECT o_orderkey, 'insert' AS change_type, CAST(0 AS BIGINT) AS version

@@ -131,9 +131,15 @@ object IndexPipeline {
     * consuming its change feed from the last followed version: inserts
     * index as a batch with batchId = commit version, deletes tombstone
     * under the same id. The progress marker is written per applied
-    * version AFTER its stores advance, so a crash replays that version
-    * into idempotent stores. Pure layout rewrites (compaction,
-    * Z-order) emit no changes and cost nothing here.
+    * version AFTER its stores advance, so a crash replays EXACTLY the
+    * in-flight version into idempotent stores (spec-pinned). The
+    * marker must never be reset below the last applied version:
+    * replaying an older version against a newer store is out of
+    * contract — the pair logs would pair that batch against corpus
+    * state it never saw (the same last-batch-only replay window the
+    * stream-fed driver inherits from Structured Streaming's
+    * checkpoint). Pure layout rewrites (compaction, Z-order) emit no
+    * changes and cost nothing here.
     *
     * Contract: a FOLLOWED corpus is append + whole-document-delete
     * (takedown); re-writing an existing doc id (upsert of a followed

@@ -173,6 +173,25 @@ class IndexPipelineSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(!livePairIds.exists(p => p._1 == victim || p._2 == victim))
 
+    // crash-replay: the marker is written AFTER each version's stores
+    // advance, so a crash replays exactly the in-flight version — roll
+    // the marker back one boundary and rerun: every store absorbs the
+    // replayed version as a no-op. (Replaying OLDER versions against a
+    // newer store is out of contract — the pair logs would pair the old
+    // batch against corpus state it never saw; the per-version marker
+    // write is what bounds replay to the idempotent window.)
+    val marker = new java.io.File(roots.root, "_follow_progress")
+    assert(marker.exists)
+    val preReplay = stores(roots)
+    val mfs = new org.apache.hadoop.fs.Path(roots.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mout = mfs.create(new org.apache.hadoop.fs.Path(roots.root, "_follow_progress"), true)
+    try mout.write((dv - 1).toString.getBytes) finally mout.close()
+    assert(IndexPipeline.followCorpus(roots, spark, cents) === Seq(dv), "replays the in-flight version")
+    val postReplay = stores(roots)
+    for ((store, rows) <- preReplay)
+      assert(postReplay(store) == rows, s"crash replay of version $dv mutated the $store store")
+
     // an upsert of an EXISTING id is rejected loudly (new generations
     // take new ids — tombstoned ids cannot re-index)
     val survivor = batches.head.drop(1).head
