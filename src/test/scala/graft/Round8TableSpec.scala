@@ -233,6 +233,34 @@ class Round8TableSpec extends SparkSpec {
     assert(TableVersions.readPartitions(spark, root, Map("g" -> "1")).count() === perPart(1))
   }
 
+  test("commit codec survives hostile partition values: spaces, separators, unicode round-trip") {
+    val root = newRoot()
+    // no non-ASCII value: this box's JVM locale (sun.jnu.encoding=ASCII)
+    // cannot create such paths at all — Spark's own writer fails before
+    // any graft code runs; the codec itself is charset-agnostic
+    // (URL-encoded UTF-8 both ways)
+    val vals = Seq("a b", "x=y", "u;|~#", "100%")
+    val df = vals.zipWithIndex.flatMap { case (g, i) =>
+      (0 until 10).map(j => (i * 10L + j, g)) }.toDF("k", "g")
+    TableVersions.append(spark, root, df.coalesce(2), partitionBy = Seq("g"))
+    val st = TableVersions.commitState(spark, root)
+    assert(st.files.map(_.part("g")).toSet === vals.toSet,
+      s"partition values must round-trip through dir escaping + the commit codec: ${st.files.map(_.part)}")
+    vals.foreach { g =>
+      val p = TableVersions.readPartitions(spark, root, Map("g" -> g))
+      assert(p.count() === 10, s"partition '$g' must read back")
+      assert(p.select("g").distinct().head().getString(0) === g)
+    }
+    // a second append + a delete keep the hostile values intact
+    TableVersions.append(spark, root, df.filter(col("k") < 5))
+    TableVersions.deleteWhere(spark, root, col("k") === 0L)
+    val st2 = TableVersions.commitState(spark, root)
+    assert(st2.files.map(_.part("g")).toSet === vals.toSet)
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "x=y")).count() === 10)
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "a b")).count() === 13,
+      "second append (+5 dup rows) and the k=0 delete (-2: both copies) land in 'a b'")
+  }
+
   test("append racing a compact: both commit (appends rebase; the compact rebases through the append)") {
     val root = newRoot()
     (0 until 6).foreach(i => TableVersions.append(spark, root,
