@@ -92,9 +92,21 @@ object IndexTombstones {
     batches.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(tp, s"del_batch=$b"), true); ()
     }
-    // drop the now-empty dir so filterLive's existence probe stays cheap
-    if (fs.listStatus(tp).forall(s => s.getPath.getName.startsWith("_"))) {
-      fs.delete(tp, true); ()
+    // Drop the now-empty dir so filterLive's existence probe stays
+    // cheap. NON-recursive deletes only: a concurrent deleteBatch can
+    // land a fresh del_batch partition between the listing and the
+    // delete, and a recursive delete would silently wipe it (TOCTOU).
+    // Sweep the marker files one by one, then try the dir itself — if
+    // anything landed meanwhile the non-recursive delete fails, which
+    // is exactly the safe outcome (the next merge re-clears).
+    val leftover = fs.listStatus(tp).toSeq
+    if (leftover.forall(s => s.getPath.getName.startsWith("_"))) {
+      leftover.filter(_.isFile).foreach { s =>
+        try { fs.delete(s.getPath, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+      try { fs.delete(tp, false); () }
+      catch { case _: java.io.IOException => () }
     }
   }
 

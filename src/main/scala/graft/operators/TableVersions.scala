@@ -506,8 +506,8 @@ object TableVersions {
       case None => partitionBy
     }
     effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from append"))
-    base0.map(v => commitState(spark, root, Some(v)).checks)
-      .filter(_.nonEmpty).foreach(validateChecks(df, _, "append"))
+    var validated = base0.map(v => commitState(spark, root, Some(v)).checks).getOrElse(Map.empty)
+    if (validated.nonEmpty) validateChecks(df, validated, "append")
     val (batchDir, added) = stageFiles(spark, root, df, effPart, "batch")
     var attempt = 0
     while (attempt < 100) {
@@ -519,6 +519,21 @@ object TableVersions {
       }
       val base = currentVersion(spark, root)
       val prev = base.map(v => commitState(spark, root, Some(v)))
+      // Re-resolve against the CURRENT winner on every retry, not the
+      // pre-staging snapshot: a racing FIRST append may have fixed the
+      // table's partition declaration (our files are already staged in
+      // our layout — a mismatch must abort, not clobber the winner),
+      // and an interleaved addConstraint must gate this data too.
+      prev.map(_.partCols).foreach { winnerPart =>
+        if (winnerPart != effPart) {
+          fs(spark, root).delete(batchDir, true)
+          throw new IllegalStateException(
+            s"append lost a table-creation race at $root: concurrent first append " +
+              s"declared partitioning $winnerPart, this append staged $effPart")
+        }
+      }
+      val unseen = prev.map(_.checks).getOrElse(Map.empty) -- validated.keys
+      if (unseen.nonEmpty) { validateChecks(df, unseen, "append"); validated ++= unseen }
       val prevSchema = prev.flatMap(_.schema)
       val newSchema = prevSchema.map(checkEvolution(_, df.schema)).getOrElse(df.schema)
       val v = nextVersion(spark, root, base)
@@ -1002,21 +1017,38 @@ object TableVersions {
     * [[vacuum]] drops old commits and their unshared files, after which
     * their change steps are gone — size `keepVersions` to cover the
     * slowest change-feed consumer's lag, the same retention contract as
-    * Delta's CDF.
+    * Delta's CDF. A range that precedes retained history THROWS rather
+    * than guessing: diffing the earliest retained version against
+    * "nothing" would re-emit the whole snapshot as inserts with a wrong
+    * version — a lagging consumer would silently double-apply the
+    * corpus. (Delta's CDF errors the same way when the requested range
+    * is beyond the retention horizon.)
     */
   def readChanges(spark: SparkSession, root: String, fromExclusive: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val goodVersions = claimedVersions(spark, root).sorted
+    val claimed = claimedVersions(spark, root).sorted
+    val goodVersions = claimed
       .filter(v => readCommitState(spark, root, v).isDefined)
     require(goodVersions.nonEmpty, s"nothing committed at $root")
     val steps = goodVersions.filter(v => v > fromExclusive && v <= to)
-    if (steps.isEmpty) { // empty range: zero-row frame in CDF shape
+    // Vacuum-horizon precondition: the first step's predecessor must be
+    // retained. prev=None is legitimate ONLY when the table's first-ever
+    // commit (v0 — version numbers are allocated from 0) is still on
+    // disk; otherwise the range starts before retained history.
+    if (steps.nonEmpty && claimed.head > 0 && !goodVersions.exists(_ <= fromExclusive))
+      throw new IllegalStateException(
+        s"readChanges($fromExclusive, $to] at $root precedes retained history: " +
+          s"earliest retained commit is v${claimed.head} (vacuum dropped v0..v${claimed.head - 1}), " +
+          s"so the step into v${steps.head} cannot be reconstructed; " +
+          "re-bootstrap the consumer from a snapshot read or raise vacuum keepVersions")
+    def emptyCdf: DataFrame = { // zero-row frame in CDF shape
       val st = commitState(spark, root, Some(goodVersions.last))
-      return emptyLike(spark, st)
+      emptyLike(spark, st)
         .withColumn("_change_type", lit(0L).cast("string"))
         .withColumn("_commit_version", lit(0L))
         .limit(0)
     }
+    if (steps.isEmpty) return emptyCdf
     val schema = commitState(spark, root, Some(goodVersions.filter(_ <= to).max)).schema
     def readFiles(paths: Seq[String]): DataFrame = schema match {
       case Some(s) =>
@@ -1024,26 +1056,33 @@ object TableVersions {
         else spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
-    val frames = steps.map { v =>
+    val frames = steps.flatMap { v =>
       val prev = goodVersions.filter(_ < v).maxOption
       val curFiles = listing(spark, root, Some(v)).map(_._1).toSet
       val prevFiles = prev.map(p => listing(spark, root, Some(p)).map(_._1).toSet)
         .getOrElse(Set.empty[String])
       val addedPaths = (curFiles -- prevFiles).toSeq.sorted
       val removedPaths = (prevFiles -- curFiles).toSeq.sorted
-      if (removedPaths.isEmpty) {
+      // one-sided steps never touch readFiles(empty) — legacy
+      // (no-#SCHEMA) commits have no schema to build an empty frame from
+      if (addedPaths.isEmpty && removedPaths.isEmpty) None // metadata-only step
+      else if (removedPaths.isEmpty) Some(
         readFiles(addedPaths)
           .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v))
-      } else {
+          .withColumn("_commit_version", lit(v)))
+      else if (addedPaths.isEmpty) Some(
+        readFiles(removedPaths)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v)))
+      else {
         val a = readFiles(addedPaths)
         val r = readFiles(removedPaths)
-        a.exceptAll(r).withColumn("_change_type", lit("insert"))
+        Some(a.exceptAll(r).withColumn("_change_type", lit("insert"))
           .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
-          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_version", lit(v)))
       }
     }
-    frames.reduceLeft(_.unionByName(_))
+    if (frames.isEmpty) emptyCdf else frames.reduceLeft(_.unionByName(_))
   }
 
   // ------------------------------------------------------------------
