@@ -52,6 +52,24 @@ object Bench {
       }
     }
 
+    // Environment attribution (the round-9 verdict's ask): OS-level I/O
+    // and load sampled at pass boundaries, so the next pass-level drift
+    // episode is attributable from the artifact — if the ratio moves
+    // with io/loadavg, it's the box, not the plans.
+    def ioBytes(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/io")
+        try {
+          val m = src.getLines().map(_.split(":\\s*")).collect {
+            case Array(k, v) => k -> v.trim.toLong
+          }.toMap
+          (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L))
+        } finally src.close()
+      } catch { case _: Throwable => (0L, 0L) }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     // FIXED order: round-7 cohort in BENCH_r07's exact (sorted) order,
     // then later-round queries strictly after — the common-set prefix is
     // identical across rounds, so ratios compare like with like.
@@ -83,18 +101,39 @@ object Bench {
     def sweep(): Unit = { System.gc(); Thread.sleep(500) }
     sweep()
     gcByQuery.clear() // attribute GC to the MEASURED passes only
-    val (results, p1Total, p2Total) = {
-      val p1 = names.map(n => n -> run(n)).toMap
+    // One measured pass: per-query seconds, the common-set (r7-cohort)
+    // wall subtotal — accumulated BEFORE the lateCohort tail runs, so
+    // later-round queries' load cannot leak into it — plus the pass's
+    // /proc/self/io delta and its starting 1-min loadavg.
+    val lateSet = SparkEntry.lateCohort.toSet
+    final case class Pass(res: Map[String, Double], commonSec: Double,
+        ioReadMb: Long, ioWriteMb: Long, la: Double)
+    def pass(): Pass = {
+      val la = loadavg()
+      val io0 = ioBytes()
+      var commonSec = 0.0
+      val res = names.map { n =>
+        val v = run(n)
+        if (!lateSet(n) && v >= 0) commonSec += v
+        n -> v
+      }.toMap
+      val io1 = ioBytes()
+      Pass(res, commonSec, (io1._1 - io0._1) / 1000000L, (io1._2 - io0._2) / 1000000L, la)
+    }
+    val (results, pass1, pass2) = {
+      val p1 = pass()
       CacheScope.drain()
       sweep()
-      val p2 = names.map(n => n -> run(n)).toMap
+      val p2 = pass()
       CacheScope.drain()
       val best = names.map { n =>
-        val (a, b) = (p1(n), p2(n))
+        val (a, b) = (p1.res(n), p2.res(n))
         n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
       }
-      (best, p1.values.filter(_ >= 0).sum, p2.values.filter(_ >= 0).sum)
+      (best, p1, p2)
     }
+    val p1Total = pass1.res.values.filter(_ >= 0).sum
+    val p2Total = pass2.res.values.filter(_ >= 0).sum
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final line as JSON (rounds 1-3 all came back parsed:null because
     // the full-name queries dict overflowed that window). Emit a full-name
@@ -107,7 +146,19 @@ object Bench {
     // (full-name line for humans; the compact line carries the total).
     val gcDetail = names.map(n => "\"" + n + "\":" + gcByQuery(n)).mkString("{", ",", "}")
     println(s"""BENCH_GC_MS $gcDetail""")
-    def shortKey(n: String): String = if (n.startsWith("q")) n.takeWhile(_ != '_') else n
+    // The ten long hc_* keys are abbreviated on the COMPACT line only
+    // (fixed table below; BENCH_DETAIL keeps full names) — the line
+    // must carry the round-9 attribution fields and 140+ queries inside
+    // the driver's 2000-char tail window. Round-over-round comparisons
+    // map old "hc_stg_vitals" etc. to these via SURVEY.md §7.4's note.
+    val hcShort = Map(
+      "hc_stg_vitals" -> "hsv", "hc_stg_claims" -> "hsc", "hc_stg_ehr" -> "hse",
+      "hc_fact_encounters" -> "hfe", "hc_daily_monitoring" -> "hdm",
+      "hc_claims_report" -> "hcr", "hc_dim_patients" -> "hdp",
+      "hc_dim_providers" -> "hdq", "hc_dsv2_source" -> "hds",
+      "hc_stream_etl" -> "hst")
+    def shortKey(n: String): String =
+      if (n.startsWith("q")) n.takeWhile(_ != '_') else hcShort.getOrElse(n, n)
     def r3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // 2-decimal per-query values on the COMPACT line only: at 136
     // queries the 3-decimal form crossed the driver's tail window
@@ -130,8 +181,15 @@ object Bench {
     // wall totals; the run order is the fixed r7-prefix (see benchOrder)
     def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
-    val env = s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}"""
+    // cs1/cs2 = common-set (r7-cohort) wall subtotal per measured pass;
+    // io1/io2 = [MB read, MB written] via /proc/self/io per pass;
+    // la1/la2 = 1-min loadavg at pass start. Together with gc/p1/p2
+    // these make pass-level drift attributable from the artifact alone.
+    val env = s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)},""" +
+      s""""cs1":${r1(pass1.commonSec)},"cs2":${r1(pass2.commonSec)},""" +
+      s""""io1":[${pass1.ioReadMb},${pass1.ioWriteMb}],"io2":[${pass2.ioReadMb},${pass2.ioWriteMb}],""" +
+      s""""la1":${r1(pass1.la)},"la2":${r1(pass2.la)}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     require(line.length <= 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail window")
     println(line)
     spark.stop()

@@ -114,13 +114,26 @@ object TableVersions {
     * constraints (SQL boolean expressions over the table's columns)
     * enforced on every append/upsert — the format-level form of the
     * reference's P1-P5 data-quality gates; NOT NULL is the special case
-    * `c IS NOT NULL`.
+    * `c IS NOT NULL`. `dvs` are DELETION VECTORS: data file →
+    * (positional tombstone sidecar, rows deleted) — merge-on-read
+    * deletes (Delta DV / Iceberg positional-delete shape); a file's
+    * rows are served minus its sidecar's (file, pos) entries, and the
+    * reference dies with the file (rewrites re-materialize).
     */
   final case class CommitState(files: Seq[FileEntry], schemaJson: Option[String],
       partCols: Seq[String], txns: Map[String, Long],
-      checks: Map[String, String] = Map.empty) {
+      checks: Map[String, String] = Map.empty,
+      dvs: Map[String, (String, Long)] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    /** DVs narrowed to files actually in `files` — every rewrite path
+      * calls this so a removed file's tombstones never outlive it.
+      */
+    def pruneDvs: CommitState = {
+      val livePaths = files.map(_.path).toSet
+      if (dvs.keys.forall(livePaths)) this
+      else copy(dvs = dvs.filter { case (p, _) => livePaths(p) })
+    }
   }
 
   private def fs(spark: SparkSession, root: String) =
@@ -194,6 +207,12 @@ object TableVersions {
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
     if (lines.isEmpty || !lines.last.startsWith("#END ")) return None
+    lines.find(_.startsWith("#FORMAT ")).foreach { l =>
+      val major = l.stripPrefix("#FORMAT ").trim.split("\\.")(0).toInt
+      if (major > FormatMajor) throw new IllegalStateException(
+        s"commit $p was written by format major $major; this reader understands ≤ $FormatMajor — " +
+          "refusing to misread it (upgrade the reader)")
+    }
     val files = lines.init.filterNot(_.startsWith("#")).map(parseFileLine).toSeq
     if (lines.last != s"#END ${files.size}") return None
     val schemaJson = lines.find(_.startsWith("#SCHEMA ")).map(_.stripPrefix("#SCHEMA "))
@@ -207,7 +226,11 @@ object TableVersions {
       val Array(_, name, e) = l.split(" ", 3)
       dec(name) -> dec(e)
     }.toMap
-    Some(CommitState(files, schemaJson, partCols, txns, checks))
+    val dvs = lines.filter(_.startsWith("#DV ")).map { l =>
+      val Array(_, fp, dvp, n) = l.split(" ", 4)
+      dec(fp) -> (dec(dvp), n.trim.toLong)
+    }.toMap
+    Some(CommitState(files, schemaJson, partCols, txns, checks, dvs))
   }
 
   /** Every version NUMBER with a commit file. Under the promote
@@ -252,9 +275,45 @@ object TableVersions {
     val st = commitState(spark, root, version)
     val files = st.files.map(_.path)
     require(files.nonEmpty, s"empty version at $root")
-    st.schema match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    readWithDvs(spark, st, files, mergeSchema)
+  }
+
+  /** Read `paths` under `st`'s committed schema with their DELETION
+    * VECTORS applied: one scan of the files, one (file, pos) anti-join
+    * against the referenced sidecars (row identity =
+    * `_metadata.file_path`/`row_index`, captured with the same
+    * rendering at delete time). Files without a DV pay NOTHING extra —
+    * the anti-join only ever matches rows of tombstoned files, and
+    * when no read file carries a DV the plan is the plain scan.
+    * Sidecars are fraction-bounded at write time ([[deleteWhere]]), so
+    * the join's build side is small by construction.
+    */
+  private def readWithDvs(spark: SparkSession, st: CommitState, paths: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = st.schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    }
+    applyDvs(spark, base, paths.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+  }
+
+  /** Anti-join `base` (a parquet scan) against the (file, pos) rows of
+    * `dvPaths`. No-op plan when `dvPaths` is empty.
+    */
+  private def applyDvs(spark: SparkSession, base: DataFrame,
+      dvPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (dvPaths.isEmpty) base
+    else {
+      val dv = spark.read.parquet(dvPaths: _*)
+        .select(col("file").as("__gdv_file"), col("pos").as("__gdv_pos"))
+      base
+        .withColumn("__g_file", col("_metadata.file_path"))
+        .withColumn("__g_pos", col("_metadata.row_index"))
+        .join(dv, col("__g_file") === col("__gdv_file") && col("__g_pos") === col("__gdv_pos"),
+          "left_anti")
+        .drop("__g_file", "__g_pos")
     }
   }
 
@@ -284,8 +343,17 @@ object TableVersions {
   // claim-with-content promote.
   // ------------------------------------------------------------------
 
+  /** Commit-protocol version this writer emits. Readers tolerate a
+    * missing header (legacy commits) and any minor additions, but
+    * REFUSE a higher major loudly — a future reader must be able to
+    * distinguish "legacy line" from "feature I don't understand"
+    * instead of silently misreading it.
+    */
+  private val FormatMajor = 1
+
   private def renderCommit(st: CommitState): Array[Byte] = {
     val sb = new StringBuilder
+    sb.append("#FORMAT ").append(FormatMajor).append('\n')
     st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
     if (st.partCols.nonEmpty)
       sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
@@ -293,6 +361,9 @@ object TableVersions {
       sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
     st.checks.toSeq.sortBy(_._1).foreach { case (n, e) =>
       sb.append("#CHECK ").append(enc(n)).append(' ').append(enc(e)).append('\n') }
+    st.dvs.toSeq.sortBy(_._1).foreach { case (p, (dv, n)) =>
+      sb.append("#DV ").append(enc(p)).append(' ').append(enc(dv))
+        .append(' ').append(n).append('\n') }
     st.files.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
     sb.append(s"#END ${st.files.size}\n")
     sb.toString.getBytes(StandardCharsets.UTF_8)
@@ -336,17 +407,23 @@ object TableVersions {
     atomicPromote(f, tmp, target)
   }
 
-  /** Reject rows that violate any committed CHECK constraint: one
-    * filtered count per batch (cheap next to the batch write), loud
-    * failure naming the constraint — the format-level data-quality
-    * gate. NULL-evaluating checks pass (SQL CHECK semantics).
+  /** Reject rows that violate any committed CHECK constraint: ONE
+    * aggregate pass over the batch regardless of how many constraints
+    * the table carries (a conditional count per constraint in a single
+    * job — N constraints must not cost N scans of every batch), loud
+    * failure naming the first violated constraint and its row count.
+    * NULL-evaluating checks pass (SQL CHECK semantics).
     */
   private def validateChecks(df: DataFrame, checks: Map[String, String], what: String): Unit = {
-    import org.apache.spark.sql.functions.{expr, lit}
-    checks.toSeq.sortBy(_._1).foreach { case (name, e) =>
-      val bad = df.filter(expr(e) <=> lit(false)).limit(1).count()
-      if (bad > 0) throw new IllegalArgumentException(
-        s"$what violates CHECK constraint '$name' ($e)")
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    if (checks.isEmpty) return
+    val ordered = checks.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (_, e) =>
+      sum(when(expr(e) <=> lit(false), 1L).otherwise(0L)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((name, e), i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0) throw new IllegalArgumentException(
+        s"$what violates CHECK constraint '$name' ($e): ${row.getLong(i)} rows")
     }
   }
 
@@ -541,7 +618,8 @@ object TableVersions {
       if (tryCommit(spark, root, v, CommitState(
           prev.map(_.files).getOrElse(Seq.empty) ++ added,
           Some(newSchema.json), effPart, txns,
-          prev.map(_.checks).getOrElse(Map.empty)))) return v
+          prev.map(_.checks).getOrElse(Map.empty),
+          prev.map(_.dvs).getOrElse(Map.empty)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
@@ -568,7 +646,9 @@ object TableVersions {
       }
       val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
       val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, cur.copy(files = files)))
+      // a removed file's deletion vector dies with it (the rewrite
+      // re-materialized its live rows)
+      if (tryCommit(spark, root, v, cur.copy(files = files).pruneDvs))
         return Some(v)
       attempt += 1
     }
@@ -611,18 +691,43 @@ object TableVersions {
     val outDir = new Path(root, s"data/compact-${java.util.UUID.randomUUID()}")
     val schema = st.schema
     val partOf = scope.map(fe => fe.path -> fe.part).toMap
-    val newEntries = toMerge.toSeq.sortBy(_._1).zipWithIndex.flatMap { case ((_, members), i) =>
-      val binDir = new Path(outDir, s"bin-$i")
-      val src = schema match {
-        case Some(s) => spark.read.schema(s).parquet(members.map(_._1): _*)
-        case None => spark.read.parquet(members.map(_._1): _*)
-      }
-      src.coalesce(1).write.parquet(binDir.toString)
-      // partition-pure by construction: the bin key includes the tuple
-      val binPart = partOf.getOrElse(members.head._1, Map.empty)
-      entriesFor(spark, listParquet(f, binDir),
-        schema.getOrElse(spark.read.parquet(members.head._1).schema), _ => binPart)
+    // ONE distributed job for ALL bins (a 100 TB table compacts
+    // thousands of bins; N sequential coalesce(1) jobs would serialize
+    // on the driver): every member file is read once, each row is
+    // routed to its bin by source file (a broadcast map join on the
+    // scan's file path), the frame repartitions ON the bin id and
+    // writes partitioned by it — a bin's rows land in exactly one task,
+    // so each bin still produces exactly one output file. Members' DVs
+    // fold here: the rewrite excludes tombstoned rows and commitRewrite
+    // drops the dead references.
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val binIds = toMerge.keys.toSeq.sorted.zipWithIndex.toMap // (pkey, bin) -> id
+    val fileBin = toMerge.toSeq.flatMap { case (key, members) =>
+      members.map(m => (normPath(m._1), binIds(key)))
     }
+    val memberPaths = toMerge.values.flatten.map(_._1).toSeq.sorted
+    val base = (schema match {
+      case Some(s) => spark.read.schema(s).parquet(memberPaths: _*)
+      case None => spark.read.parquet(memberPaths: _*)
+    }).withColumn("__gfp", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val routed = applyDvs(spark, base,
+        memberPaths.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+      .join(org.apache.spark.sql.functions.broadcast(
+        fileBin.toDF("__gfp", "__gbin")), Seq("__gfp"))
+      .drop("__gfp")
+    routed.repartition(col("__gbin"))
+      .write.partitionBy("__gbin").parquet(outDir.toString)
+    // map each written file back to its bin's ORIGINAL partition tuple
+    // (the __gbin=N directory level is routing, not table partitioning)
+    val partOfBin = toMerge.map { case (key, members) =>
+      binIds(key) -> partOf.getOrElse(members.head._1, Map.empty[String, String]) }
+    def binOfPath(p: String): Map[String, String] =
+      new Path(p).getParent.getName match {
+        case seg if seg.startsWith("__gbin=") => partOfBin(seg.stripPrefix("__gbin=").toInt)
+        case _ => Map.empty
+      }
+    val dataSchema = schema.getOrElse(spark.read.parquet(memberPaths.head).schema)
+    val newEntries = entriesFor(spark, listParquet(f, outDir), dataSchema, binOfPath)
     val merged = toMerge.values.flatten.map(_._1).toSet
     commitRewrite(spark, root, merged, newEntries, outDir)
   }
@@ -667,10 +772,7 @@ object TableVersions {
     val files = candidatePaths(spark, st, bounds)
     val df =
       if (files.isEmpty) emptyLike(spark, st)
-      else st.schema match {
-        case Some(s) => spark.read.schema(s).parquet(files: _*)
-        case None => spark.read.parquet(files: _*)
-      }
+      else readWithDvs(spark, st, files)
     bounds.foldLeft(df) { case (d, (cn, (lo, hi))) => d.filter(col(cn) >= lo && col(cn) <= hi) }
   }
 
@@ -689,10 +791,7 @@ object TableVersions {
     val st = commitState(spark, root, version)
     val files = entriesMatching(st, filter).map(_.path)
     if (files.isEmpty) emptyLike(spark, st)
-    else st.schema match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
-    }
+    else readWithDvs(spark, st, files)
   }
 
   /** Distinct partition tuples of `version` with file/row counts —
@@ -729,15 +828,18 @@ object TableVersions {
     * rebase fine).
     */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
-      bounds: Map[String, (Double, Double)] = Map.empty): Option[Long] = {
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      maxDvFraction: Double = 0.0): Option[Long] = {
     import org.apache.spark.sql.functions.lit
     val st = commitState(spark, root, None)
     val candidates = candidatePaths(spark, st, bounds)
     if (candidates.isEmpty) return None
-    val src = st.schema match {
-      case Some(s) => spark.read.schema(s).parquet(candidates: _*)
-      case None => spark.read.parquet(candidates: _*)
-    }
+    if (maxDvFraction > 0.0)
+      deleteViaDv(spark, root, st, candidates, predicate, maxDvFraction) match {
+        case Some(result) => return result // committed (or true conflict)
+        case None => // fraction exceeded / legacy stats — fall through to rewrite
+      }
+    val src = readWithDvs(spark, st, candidates) // already-tombstoned rows stay deleted
     // keep rows where predicate is NOT TRUE (false or NULL) — 3-valued
     // logic: DELETE removes only rows the predicate positively matched
     val survivors = src.filter(!(predicate <=> lit(true)))
@@ -746,6 +848,102 @@ object TableVersions {
     // every surviving row's partition metadata exact
     val (outDir, added) = stageFiles(spark, root, survivors, st.partCols, "delete")
     commitRewrite(spark, root, candidates.toSet, added, outDir)
+  }
+
+  /** MERGE-ON-READ delete (deletion vectors): when the matched rows are
+    * ≤ `maxFraction` of the candidate files' rows, record them as
+    * (file, position) tombstones in a sidecar and commit a DV-reference
+    * update — a k-row takedown against a 1 GB file writes O(k) bytes
+    * instead of a 1 GB rewrite (Delta DV / Iceberg positional-delete
+    * shape). Reads anti-join the sidecar ([[readWithDvs]]);
+    * [[compact]]/[[upsert]]/[[optimizeZOrder]] re-materialize touched
+    * files and drop the references; a later rewrite-mode delete folds
+    * them too. Each touched file keeps exactly ONE sidecar reference:
+    * repeated DV deletes carry the file's previous tombstones into the
+    * new sidecar.
+    *
+    * Returns Some(result) when the DV path decided (committed, no-op,
+    * or true conflict), None when the caller should fall back to the
+    * rewrite path (fraction exceeded, or legacy files without row
+    * counts — the fraction cannot be bounded).
+    */
+  private def deleteViaDv(spark: SparkSession, root: String, st: CommitState,
+      candidates: Seq[String], predicate: Column,
+      maxFraction: Double): Option[Option[Long]] = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    val candSet = candidates.toSet
+    val candEntries = st.files.filter(fe => candSet(fe.path))
+    if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
+    val totalRows = candEntries.map(_.rows).sum
+    if (totalRows == 0) return Some(currentVersion(spark, root))
+    val f = fs(spark, root)
+    val base = (st.schema match {
+      case Some(s) => spark.read.schema(s).parquet(candidates: _*)
+      case None => spark.read.parquet(candidates: _*)
+    })
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+    val existingDvPaths = candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct
+    // count only NEWLY-matched live rows against the fraction
+    val matched = applyDvs(spark, base, existingDvPaths)
+      .filter(predicate <=> lit(true)).select(col("file"), col("pos"))
+    // carried rows: the candidates' previous tombstones move into the
+    // new sidecar (restricted to candidate files — a sidecar shared
+    // with untouched files keeps serving them where it is). file-path
+    // renderings differ between _metadata (file:///x) and the listing
+    // (file:/x); compare on the scheme-stripped path.
+    val candNorm = candidates.map(normPath)
+    val carried =
+      if (existingDvPaths.isEmpty) matched.limit(0)
+      else spark.read.parquet(existingDvPaths: _*).select(col("file"), col("pos"))
+        .filter(regexp_replace(col("file"), "^file:/+", "/").isin(candNorm: _*))
+    val dvDir = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}")
+    matched.unionByName(carried).coalesce(1).write.parquet(dvDir.toString)
+    val sidecar = listParquet(f, dvDir).headOption.map(_._1).getOrElse {
+      f.delete(dvDir, true) // nothing matched and nothing carried
+      return Some(currentVersion(spark, root))
+    }
+    // per-file totals (old + new tombstones) from the one sidecar file —
+    // O(#files) rows to the driver, not O(rows)
+    val perFile = spark.read.parquet(sidecar)
+      .groupBy(regexp_replace(col("file"), "^file:/+", "/").as("fp")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newMatches = perFile.values.sum -
+      candEntries.map(fe => st.dvs.get(fe.path).map(_._2).getOrElse(0L)).sum
+    if (newMatches <= 0) { f.delete(dvDir, true); return Some(currentVersion(spark, root)) }
+    if (newMatches.toDouble / totalRows > maxFraction) {
+      f.delete(dvDir, true); return None // too big for merge-on-read: rewrite
+    }
+    val updates = candEntries.flatMap { fe =>
+      perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
+    }.toMap
+    val snapshot = updates.keySet.map(p => p -> st.dvs.get(p)).toMap
+    Some(commitDvUpdate(spark, root, updates, snapshot, dvDir))
+  }
+
+  /** Commit a DV-reference update with the rewrite conflict rule: rebase
+    * across interleaved commits that keep every touched file live WITH
+    * the DV reference we built from; a competing rewrite (file gone) or
+    * competing DV update (reference moved — our sidecar was built from
+    * a stale one and would lose its tombstones) returns None.
+    */
+  private def commitDvUpdate(spark: SparkSession, root: String,
+      updates: Map[String, (String, Long)],
+      snapshot: Map[String, Option[(String, Long)]], dvDir: Path): Option[Long] = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      val livePaths = cur.files.map(_.path).toSet
+      val conflict = updates.keys.exists(p => !livePaths(p) || cur.dvs.get(p) != snapshot(p))
+      if (conflict) { f.delete(dvDir, true); return None }
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, cur.copy(dvs = cur.dvs ++ updates))) return Some(v)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"dv update: lost $attempt commit races at $root")
   }
 
   /** UPSERT (MERGE by key) — the CDC-apply primitive: rows in `updates`
@@ -788,16 +986,104 @@ object TableVersions {
     val rewritten =
       if (candidates.isEmpty) updates // pure insert
       else {
-        val src = st.schema match {
-          case Some(s) => spark.read.schema(s).parquet(candidates: _*)
-          case None => spark.read.parquet(candidates: _*)
-        }
+        val src = readWithDvs(spark, st, candidates) // rewrite re-materializes the DVs away
         src.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti").unionByName(updates)
       }
     // restage through the (possibly partitioned) write path: a CDC
     // batch spanning partitions keeps every row's partition metadata
     val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert")
     commitRewrite(spark, root, candidates.toSet, added, outDir)
+  }
+
+  /** REPLACE exactly the partitions present in `df`, as ONE atomic
+    * commit — dynamic partition overwrite with a transaction log
+    * (Delta's `replaceWhere` on partition columns): every live file
+    * whose partition tuple appears in the staged batch is removed,
+    * untouched partitions carry by reference, and the whole swap is a
+    * single version. This is the incremental-materialization primitive:
+    * a 15-minute fact refresh rewrites a handful of date partitions out
+    * of a 100 TB table, and readers never observe a half-replaced
+    * state (unlike directory-swap overwrite, where a crash between
+    * deletes and writes loses data). On an UNPARTITIONED table the only
+    * "partition" is the whole table, so the call degrades to a full
+    * atomic overwrite — documented, not an error.
+    *
+    * With `txn`, replaying the same (`app`, `batchId`) is a no-op
+    * returning the current version — exactly-once refresh under
+    * foreachBatch replay, the same contract as [[appendTxn]].
+    * Partition selection is file metadata from the commit; the data
+    * motion is exactly the staged batch. Concurrent appends OUTSIDE the
+    * replaced partitions rebase through; concurrent writes INTO them
+    * are last-writer-wins (that IS dynamic-overwrite semantics — run
+    * one refresh writer per table, the reference's Airflow-cadence
+    * contract).
+    */
+  def replacePartitions(spark: SparkSession, root: String, df: DataFrame,
+      txn: Option[(String, Long)] = None,
+      drop: Seq[Map[String, String]] = Seq.empty): Long =
+    replaceInternal(spark, root, df, Seq.empty, txn, replaceAll = false, drop)
+
+  /** OVERWRITE the whole table as one atomic commit: the next version's
+    * listing is exactly the staged batch (the first write of a new
+    * table may declare `partitionBy`; later overwrites inherit the
+    * declaration). The replaced data stays readable via time travel
+    * until [[vacuum]], and [[readChanges]] shows the step as
+    * delete(old) + insert(new) — a full-rebuild materialization is an
+    * audited version, not an rm -rf.
+    */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    if (currentVersion(spark, root).isEmpty) append(spark, root, df, partitionBy)
+    else replaceInternal(spark, root, df, partitionBy, None, replaceAll = true)
+  }
+
+  /** `drop` removes additional partition tuples in the SAME commit — a
+    * refresh that empties a partition entirely (all of a date's rows
+    * deleted upstream) swaps new data in and dead partitions out
+    * atomically, instead of leaving stale files behind a two-commit
+    * window.
+    */
+  private def replaceInternal(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String], txn: Option[(String, Long)], replaceAll: Boolean,
+      drop: Seq[Map[String, String]] = Seq.empty): Long = {
+    txn.foreach { case (app, b) =>
+      if (lastTxn(spark, root, app).exists(_ >= b))
+        return currentVersion(spark, root).get // replay — already applied
+    }
+    val base0 = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"nothing committed at $root (first write goes through append)"))
+    val st0 = commitState(spark, root, Some(base0))
+    require(partitionBy.isEmpty || partitionBy == st0.partCols,
+      s"partition columns are fixed at table creation: table has ${st0.partCols}, replace passed $partitionBy")
+    val effPart = st0.partCols
+    effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from replace"))
+    var validated = st0.checks
+    if (validated.nonEmpty) validateChecks(df, validated, "replace")
+    val (batchDir, added) = stageFiles(spark, root, df, effPart, "replace")
+    val stagedTuples = added.map(_.part).toSet
+    var attempt = 0
+    while (attempt < 100) {
+      txn.foreach { case (app, b) =>
+        if (lastTxn(spark, root, app).exists(_ >= b)) { // raced a replayed twin
+          fs(spark, root).delete(batchDir, true)
+          return currentVersion(spark, root).get
+        }
+      }
+      val baseV = currentVersion(spark, root).get
+      val cur = commitState(spark, root, Some(baseV))
+      val unseen = cur.checks -- validated.keys
+      if (unseen.nonEmpty) { validateChecks(df, unseen, "replace"); validated ++= unseen }
+      val kept =
+        if (replaceAll) Seq.empty
+        else cur.files.filterNot(fe => stagedTuples(fe.part) ||
+          drop.exists(d => d.forall { case (k, vv) => fe.part.get(k).contains(vv) }))
+      val newSchema = cur.schema.map(checkEvolution(_, df.schema)).getOrElse(df.schema)
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, cur.copy(files = kept ++ added,
+          schemaJson = Some(newSchema.json), txns = cur.txns ++ txn).pruneDvs)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"replace: lost $attempt commit races at $root")
   }
 
   /** OPTIMIZE ZORDER — rewrite data Z-ordered on `keys`
@@ -820,10 +1106,7 @@ object TableVersions {
       s"optimizeZOrder on a partitioned table must be scoped to one partition " +
         s"(got ${tuples.size} tuples; pass partition=...)")
     val outDir = new Path(root, s"data/zorder-${java.util.UUID.randomUUID()}")
-    val src = st.schema match {
-      case Some(s) => spark.read.schema(s).parquet(scope.map(_.path): _*)
-      case None => spark.read.parquet(scope.map(_.path): _*)
-    }
+    val src = readWithDvs(spark, st, scope.map(_.path)) // DVs fold into the new layout
     ZOrder.cluster(src, keys, numFiles).write.parquet(outDir.toString)
     val binPart = tuples.headOption.getOrElse(Map.empty)
     val added = entriesFor(spark, listParquet(f, outDir),
@@ -847,7 +1130,8 @@ object TableVersions {
     val versions = all.collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
       n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
     val live = versions.filter(_ >= keepFrom)
-      .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(_.files).map(_.path)).toSet
+      .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
+        st.files.map(_.path) ++ st.dvs.values.map(_._1))).toSet
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) {
       val it = f.listFiles(dataDir, true)
@@ -1050,33 +1334,45 @@ object TableVersions {
     }
     if (steps.isEmpty) return emptyCdf
     val schema = commitState(spark, root, Some(goodVersions.filter(_ <= to).max)).schema
-    def readFiles(paths: Seq[String]): DataFrame = schema match {
-      case Some(s) =>
-        if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-        else spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // Step diffing is over file IDENTITIES = (path, deletion-vector
+    // ref): a merge-on-read delete changes no file paths, but the
+    // touched files' identities change, so their BEFORE (old DV) and
+    // AFTER (new DV) images diff to exactly the newly-tombstoned rows —
+    // same O(touched files) bound as a rewrite step.
+    def readFiles(entries: Seq[(String, Option[String])]): DataFrame = {
+      val paths = entries.map(_._1)
+      val base = schema match {
+        case Some(s) =>
+          if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+          else spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      }
+      applyDvs(spark, base, entries.flatMap(_._2).distinct)
+    }
+    def identities(v: Long): Set[(String, Option[String])] = {
+      val st = commitState(spark, root, Some(v))
+      st.files.map(fe => (fe.path, st.dvs.get(fe.path).map(_._1))).toSet
     }
     val frames = steps.flatMap { v =>
       val prev = goodVersions.filter(_ < v).maxOption
-      val curFiles = listing(spark, root, Some(v)).map(_._1).toSet
-      val prevFiles = prev.map(p => listing(spark, root, Some(p)).map(_._1).toSet)
-        .getOrElse(Set.empty[String])
-      val addedPaths = (curFiles -- prevFiles).toSeq.sorted
-      val removedPaths = (prevFiles -- curFiles).toSeq.sorted
+      val curIds = identities(v)
+      val prevIds = prev.map(identities).getOrElse(Set.empty[(String, Option[String])])
+      val added = (curIds -- prevIds).toSeq.sortBy(_._1)
+      val removed = (prevIds -- curIds).toSeq.sortBy(_._1)
       // one-sided steps never touch readFiles(empty) — legacy
       // (no-#SCHEMA) commits have no schema to build an empty frame from
-      if (addedPaths.isEmpty && removedPaths.isEmpty) None // metadata-only step
-      else if (removedPaths.isEmpty) Some(
-        readFiles(addedPaths)
+      if (added.isEmpty && removed.isEmpty) None // metadata-only step
+      else if (removed.isEmpty) Some(
+        readFiles(added)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v)))
-      else if (addedPaths.isEmpty) Some(
-        readFiles(removedPaths)
+      else if (added.isEmpty) Some(
+        readFiles(removed)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(v)))
       else {
-        val a = readFiles(addedPaths)
-        val r = readFiles(removedPaths)
+        val a = readFiles(added)
+        val r = readFiles(removed)
         Some(a.exceptAll(r).withColumn("_change_type", lit("insert"))
           .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
           .withColumn("_commit_version", lit(v)))
@@ -1172,10 +1468,7 @@ object TableVersions {
       }
     val base =
       if (candidates.isEmpty) emptyLike(spark, st)
-      else st.schema match {
-        case Some(s) => spark.read.schema(s).parquet(candidates: _*)
-        case None => spark.read.parquet(candidates: _*)
-      }
+      else readWithDvs(spark, st, candidates) // a tombstoned row must not resurface here
     base.filter(col(keyCol) === key)
   }
 

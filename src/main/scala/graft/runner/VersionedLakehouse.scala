@@ -1,0 +1,128 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Reports
+import graft.etl.Etl
+import graft.marts.FactPatientEncounters
+import graft.model.Config
+import graft.operators.TableVersions
+import graft.staging.Staging
+
+/** The lakehouse pipeline RUNNING ON the versioned table format: the
+  * processed and curated zones are [[TableVersions]] tables instead of
+  * plain parquet directories, which is the Spark-native equivalent of
+  * the reference's managed BigQuery tables BEING its zones
+  * (`healthcare_etl_pipeline.py:296-339` WRITE_APPEND into dataset
+  * tables; `dbt_project.yml:27-30` materializing marts as tables).
+  * [[Lakehouse]] keeps the plain-directory zones for pluggable
+  * [[ZoneSink]] formats; this runner is what a single-format parquet
+  * deployment should use, because the format upgrades every zone write
+  * from "directory of files" to an audited transaction:
+  *
+  *  - **exactly-once ingest**: each ETL batch lands in the three
+  *    processed tables via `appendTxn(app, batchId)` — a foreachBatch
+  *    replay after a crash re-commits nothing, so the at-least-once
+  *    caveat on [[Lakehouse.refreshFactIncremental]] disappears by
+  *    construction;
+  *  - **atomic fact refresh**: the affected date partitions swap in ONE
+  *    commit ([[TableVersions.replacePartitions]]) with the same batch
+  *    id, so reports never observe a half-refreshed fact and a replayed
+  *    refresh is a no-op end-to-end;
+  *  - **time travel + audit**: every refresh is a version; a bad batch
+  *    rolls back with [[TableVersions.restore]] instead of a rebuild;
+  *  - **downstream change feed**: consumers tail the fact with
+  *    [[TableVersions.readChanges]] (see [[graft.operators.ChangeFeed]])
+  *    instead of re-scanning the table per cycle.
+  *
+  * Scale: identical data motion to [[Lakehouse]] — the fact stays
+  * partitioned by `measurement_date` (partition tuples live in commit
+  * metadata, so report-window reads plan from the commit without
+  * directory listings), refreshes rewrite only affected dates, and
+  * every commit is O(metadata) on top of the batch write itself.
+  */
+final class VersionedLakehouse(spark: SparkSession, root: String, cfg: Config = Config.default) {
+
+  val vitalsRoot = s"$root/processed/patient_vitals"
+  val claimsRoot = s"$root/processed/insurance_claims"
+  val ehrRoot = s"$root/processed/ehr_records"
+  val factRoot = s"$root/curated/fact_patient_encounters"
+
+  /** One ETL batch into the three processed tables, exactly-once per
+    * `batchId` (separate txn app ids per table: a crash between the
+    * vitals and claims commits replays into "vitals no-op, claims
+    * applies" — each table exactly-once, jointly idempotent).
+    */
+  def runEtl(raw: DataFrame, batchId: Long): Unit = {
+    val enriched = raw.transform(Etl.pipeline(cfg)).cache()
+    try {
+      TableVersions.appendTxn(spark, vitalsRoot, Etl.routeVitals(enriched), "etl_vitals", batchId)
+      TableVersions.appendTxn(spark, claimsRoot, Etl.routeClaims(enriched), "etl_claims", batchId)
+      TableVersions.appendTxn(spark, ehrRoot, Etl.routeEhr(enriched), "etl_ehr", batchId)
+      ()
+    } finally { enriched.unpersist(); () }
+  }
+
+  def processedVitals: DataFrame = TableVersions.read(spark, vitalsRoot)
+  def processedClaims: DataFrame = TableVersions.read(spark, claimsRoot)
+  def processedEhr: DataFrame = TableVersions.read(spark, ehrRoot)
+
+  def stgVitals: DataFrame = processedVitals.transform(Staging.stgPatientVitals(cfg))
+  def stgClaims: DataFrame = processedClaims.transform(Staging.stgInsuranceClaims(cfg))
+  def stgEhr: DataFrame = processedEhr.transform(Staging.stgEhrRecords(cfg))
+
+  private def factFrame(stgV: DataFrame): DataFrame =
+    FactPatientEncounters.build(cfg)(stgV, stgClaims, stgEhr)
+      .withColumn("measurement_date", to_date(col("measurement_timestamp")))
+
+  /** Full fact rebuild as one atomic versioned overwrite. */
+  def buildFact(): Long =
+    TableVersions.overwrite(spark, factRoot, factFrame(stgVitals),
+      partitionBy = Seq("measurement_date"))
+
+  def fact: DataFrame = TableVersions.read(spark, factRoot).drop("measurement_date")
+
+  /** Exactly-once incremental refresh: appends the batch to the
+    * processed tables and swaps the affected fact date-partitions in
+    * one transactional commit, all keyed by `batchId` — replaying the
+    * whole call after a crash at ANY point re-commits nothing. Affected
+    * = new-vitals dates ∪ (new-claims/EHR dates ± the proximity band),
+    * the same dependency rule as [[Lakehouse.refreshFactIncremental]];
+    * the rebuilt partitions read FULL staging history for those dates
+    * (band context complete), only the swap is incremental.
+    */
+  def refreshFactIncremental(raw: DataFrame, batchId: Long): Seq[java.sql.Date] = {
+    val enriched = raw.transform(Etl.pipeline(cfg)).cache()
+    try {
+      TableVersions.appendTxn(spark, vitalsRoot, Etl.routeVitals(enriched), "etl_vitals", batchId)
+      TableVersions.appendTxn(spark, claimsRoot, Etl.routeClaims(enriched), "etl_claims", batchId)
+      TableVersions.appendTxn(spark, ehrRoot, Etl.routeEhr(enriched), "etl_ehr", batchId)
+
+      val band = cfg.proximityDays
+      val vDates = Etl.routeVitals(enriched).select(to_date(col("timestamp")).as("d"))
+      val cDates = Etl.routeClaims(enriched)
+        .select(explode(sequence(date_sub(col("service_date"), band),
+          date_add(col("service_date"), band))).as("d"))
+      val eDates = Etl.routeEhr(enriched)
+        .select(explode(sequence(date_sub(col("visit_date"), band),
+          date_add(col("visit_date"), band))).as("d"))
+      val affected = vDates.unionByName(cDates).unionByName(eDates)
+        .distinct().collect().map(_.getDate(0)).toSeq
+
+      val stgV = stgVitals.filter(to_date(col("measurement_timestamp"))
+        .isin(affected.map(d => lit(d)): _*))
+      if (TableVersions.currentVersion(spark, factRoot).isEmpty) // refresh before any build
+        TableVersions.appendTxn(spark, factRoot, factFrame(stgV), "fact_refresh", batchId,
+          partitionBy = Seq("measurement_date"))
+      else
+        TableVersions.replacePartitions(spark, factRoot, factFrame(stgV),
+          txn = Some("fact_refresh" -> batchId))
+      affected
+    } finally { enriched.unpersist(); () }
+  }
+
+  /** Health gates over the versioned snapshots. */
+  def gates(): Seq[Reports.HealthAlert] =
+    Reports.evaluateGates(cfg)(processedVitals, fact)
+}

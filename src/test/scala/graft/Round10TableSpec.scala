@@ -110,6 +110,134 @@ class Round10TableSpec extends SparkSpec {
     }
   }
 
+
+  test("deletion vectors: k-row delete writes O(k) bytes; reads exclude; maintenance folds") {
+    val root = newRoot()
+    import org.apache.spark.sql.functions.{col, lit}
+    TableVersions.append(spark, root,
+      (1L to 20000L).toDF("k").withColumn("v", col("k") * 7).coalesce(2))
+    val dataBytes = TableVersions.listing(spark, root).map(_._2).sum
+    // 10-row takedown: DV path (fraction 10/20000 well under 0.1)
+    val Some(v1) = TableVersions.deleteWhere(spark, root,
+      col("k").isin(5L, 6L, 7L, 100L, 101L, 9000L, 9001L, 15000L, 15001L, 19999L),
+      maxDvFraction = 0.1): @unchecked
+    val st1 = TableVersions.commitState(spark, root)
+    assert(st1.dvs.nonEmpty, "DV delete must record sidecar references")
+    assert(st1.files.map(_.path).toSet ===
+      TableVersions.listing(spark, root, Some(v1 - 1)).map(_._1).toSet,
+      "merge-on-read: no data file rewritten")
+    val f = hfs(root)
+    val dvBytes = st1.dvs.values.map(_._1).toSeq.distinct
+      .map(p => f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+    assert(dvBytes < dataBytes / 10, s"sidecar must be O(k) bytes, got $dvBytes of $dataBytes")
+    assert(st1.dvs.values.map(_._2).sum === 10L)
+    // reads exclude the rows — plain, pruned, partition, point-lookup
+    val t1 = TableVersions.read(spark, root)
+    assert(t1.count() === 19990)
+    assert(t1.filter(col("k") === 5L).count() === 0)
+    assert(TableVersions.prunedRead(spark, root, Seq("k"), Map("k" -> (1.0, 200.0)))
+      .count() === 195)
+    // time travel still sees them; CDF shows the DV step as deletes
+    assert(TableVersions.read(spark, root, Some(v1 - 1)).count() === 20000)
+    val cdf = TableVersions.readChanges(spark, root, v1 - 1, v1)
+    assert(cdf.filter(col("_change_type") === "delete").count() === 10)
+    assert(cdf.filter(col("_change_type") === "insert").count() === 0)
+    assert(cdf.select("k").collect().map(_.getLong(0)).toSet ===
+      Set(5L, 6L, 7L, 100L, 101L, 9000L, 9001L, 15000L, 15001L, 19999L))
+    // second DV delete merges the file's previous tombstones forward
+    val Some(v2) = TableVersions.deleteWhere(spark, root,
+      col("k").isin(50L, 51L), maxDvFraction = 0.1): @unchecked
+    assert(TableVersions.read(spark, root).count() === 19988)
+    assert(TableVersions.read(spark, root).filter(col("k") === 5L).count() === 0,
+      "first delete's tombstones must survive the second")
+    val st2 = TableVersions.commitState(spark, root)
+    assert(st2.dvs.values.map(_._2).sum === 12L)
+    // a large delete exceeds the fraction and falls back to rewrite
+    val Some(v3) = TableVersions.deleteWhere(spark, root,
+      col("k") <= 10000L, bounds = Map("k" -> (1.0, 10000.0)),
+      maxDvFraction = 0.1): @unchecked
+    assert(TableVersions.read(spark, root).count() === 9997)
+    // compaction folds the remaining DVs away
+    TableVersions.compact(spark, root, targetBytes = 1L << 30)
+    val stC = TableVersions.commitState(spark, root)
+    assert(stC.dvs.isEmpty, "compaction must re-materialize tombstoned files")
+    assert(TableVersions.read(spark, root).count() === 9997)
+    assert(TableVersions.read(spark, root).filter(col("k") === 15000L).count() === 0)
+    assert(v2 < v3)
+  }
+
+  test("single-job compaction: many bins, one distributed write, bins stay partition-pure") {
+    val root = newRoot()
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val df = (1L to 6000L).toDF("k")
+      .withColumn("g", pmod(col("k"), lit(3)).cast("string"))
+    // 4 small files per partition value
+    (0 until 4).foreach { i =>
+      TableVersions.append(spark, root,
+        df.filter(pmod(col("k"), lit(4)) === i).repartition(1), partitionBy = Seq("g"))
+    }
+    assert(TableVersions.commitState(spark, root).files.size === 12)
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val before = TableVersions.read(spark, root).orderBy("k").collect()
+    val Some(_) = TableVersions.compact(spark, root, targetBytes = 1L << 30): @unchecked
+    val st = TableVersions.commitState(spark, root)
+    assert(st.files.size === 3, "one merged file per partition value")
+    assert(st.files.map(_.part).toSet ===
+      Set(Map("g" -> "0"), Map("g" -> "1"), Map("g" -> "2")))
+    assert(TableVersions.read(spark, root).orderBy("k").collect() === before)
+    // partition metadata still prunes
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "1")).count() === 2000)
+  }
+
+  test("#FORMAT header: written on new commits, tolerated when absent, higher major refused") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 10L).toDF("k"))
+    val f = hfs(root)
+    val vd = new org.apache.hadoop.fs.Path(root, "_versions/v0.commit")
+    val in = f.open(vd)
+    val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    assert(text.startsWith("#FORMAT 1\n"), "every new commit must lead with the format header")
+    // a future-major commit must be refused loudly, not misread
+    val out = f.create(vd, true)
+    try out.write(("#FORMAT 2\n" + text.stripPrefix("#FORMAT 1\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    val ex = intercept[IllegalStateException] { TableVersions.read(spark, root).count() }
+    assert(ex.getMessage.contains("format major 2"))
+  }
+
+  test("CHECK validation is one job per batch regardless of constraint count") {
+    val root = newRoot()
+    import org.apache.spark.sql.functions.col
+    TableVersions.append(spark, root, (1L to 100L).toDF("k").withColumn("v", col("k") * 2))
+    TableVersions.addConstraint(spark, root, "k_pos", "k > 0")
+    TableVersions.addConstraint(spark, root, "v_even", "v % 2 = 0")
+    TableVersions.addConstraint(spark, root, "v_big", "v >= 2")
+    // violation names the exact constraint and its row count
+    val ex = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root,
+        Seq((101L, 203L)).toDF("k", "v"))
+    }
+    assert(ex.getMessage.contains("v_even") && ex.getMessage.contains("1 rows"))
+    // a clean batch with 3 constraints runs ONE validation job
+    val sc = spark.sparkContext
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      TableVersions.append(spark, root, Seq((102L, 204L)).toDF("k", "v"))
+      Thread.sleep(2000) // listener bus is async; local bus drains well within this
+    } finally sc.removeSparkListener(listener)
+    // jobs: 1 validation + staging write + stats pass (+ AQE internals) —
+    // the validation must not scale with constraint count: with 3
+    // constraints a per-constraint design would add 3 jobs by itself
+    assert(counter.get() <= 5, s"append with 3 constraints ran ${counter.get()} jobs")
+  }
+
   test("clearBatches sweeps non-recursively: a foreign subdir survives cleanup") {
     val idx = Files.createTempDirectory("tomb10").toString + "/idx"
     val tp = new org.apache.hadoop.fs.Path(IndexTombstones.tombstonePath(idx))
