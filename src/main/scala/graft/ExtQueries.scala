@@ -629,12 +629,18 @@ object ExtQueries {
     * Each stage only shuffles on its natural key (shingle / component /
     * source); drops flow as left-anti joins, never collected.
     *
-    * Deliberately NOT checkpointed between stages: although the
-    * quality-survivor frame feeds four downstream subtrees, Spark's
-    * ReuseExchange already dedups their shuffles within the query —
-    * measured at sf0.1, localCheckpoint'ing the stage boundaries made
-    * the query ~5% SLOWER (materialization cost, no reuse win). The
-    * query's cost is genuinely the sum of its four certified stages.
+    * The two SHARED stage frames are persisted (MEMORY_AND_DISK,
+    * CacheScope-tracked): `q` feeds three subtrees (shingle pairs, word
+    * counts, the anti-join) and `deduped` two (contamination pairs, the
+    * final anti-join) — without a cache each consumer re-evaluates the
+    * quality-feature/shingle pipelines, real work done twice at any
+    * scale. Measured at sf0.1 (quiet box, bracketed): persist ≈ the
+    * uncached plan on wall-clock here (the recompute is cheap at this
+    * SF) and strictly less work; eager `localCheckpoint` was ~9% slower
+    * (extra materialization job, lineage truncation buys nothing) — so
+    * persist, not checkpoint. At 100 TB the cached frame is the
+    * filtered survivor set, far smaller than the documents scan it
+    * replaces on every reuse.
     */
   def q104Curate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -642,9 +648,11 @@ object ExtQueries {
     val test = docs.filter(col("doc_id") % 10 >= 8).select("doc_id", "lang", "text")
     val cand = docs.filter(col("doc_id") % 10 < 8).select("doc_id", "lang", "text")
     // stage 1: quality gate
-    val q = TextAnalysis.qualityFeatures(cand)
-      .filter(col("quality_score") >= 0.8)
-      .select("doc_id", "lang", "text")
+    val q = graft.CacheScope.track(
+      TextAnalysis.qualityFeatures(cand)
+        .filter(col("quality_score") >= 0.8)
+        .select("doc_id", "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // stage 2: duplicate-cluster keep-best (q102 parameters/policy)
     val pairs = Dedup.ngramJaccard(q, "doc_id", "text",
       k = 3, minJaccard = 0.2, maxDocFreq = 200)
@@ -657,7 +665,9 @@ object ExtQueries {
           .orderBy(col("word_count").desc, col("doc_id").asc)))
       .filter(col("rk") > 1)
       .select("doc_id")
-    val deduped = q.join(dupDrops, Seq("doc_id"), "left_anti")
+    val deduped = graft.CacheScope.track(
+      q.join(dupDrops, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // stage 3: benchmark decontamination (drop-ANY-leak direction)
     val contaminated = Dedup.contaminationPairs(deduped, test, "doc_id", "text",
         k = 3, minContainment = 0.2, maxDocFreq = 1000)
