@@ -132,4 +132,60 @@ object Round10Queries {
       |SELECT CAST(yr AS INT) AS yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
       |FROM c GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** DELETION VECTORS end-to-end (q133): orders land Z-ordered on the
+    * key, a small takedown runs as a MERGE-ON-READ delete (positional
+    * tombstone sidecar — no data file rewritten), a second DV delete
+    * merges the first's tombstones forward, a too-large delete falls
+    * back to the rewrite path, and compaction folds the remaining DVs
+    * away. The result reads the final state; the oracle applies the
+    * same three predicates in SQL — the tombstone/fold machinery must
+    * be invisible to query semantics at every point.
+    *
+    * Scale shape: the takedowns write O(deleted rows) bytes against a
+    * table whose candidate files are stats-pruned from the commit; the
+    * fraction guard keeps sidecars small so every read's anti-join
+    * build side stays broadcast-sized; rewrites re-materialize
+    * tombstones away so they never accumulate past the next
+    * maintenance pass.
+    */
+  def q133DeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tv").toString + "/orders_mor"
+    val tv = TableVersions
+    tv.append(spark, root, t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")))
+    tv.optimizeZOrder(spark, root, Seq("o_orderkey"), numFiles = 8)
+    // small takedowns: merge-on-read (verified: the listing is unchanged)
+    val files0 = tv.listing(spark, root).map(_._1).toSet
+    tv.deleteWhere(spark, root, col("o_orderkey").between(100L, 400L),
+      bounds = Map("o_orderkey" -> (100.0, 400.0)), maxDvFraction = 0.2)
+    tv.deleteWhere(spark, root, col("o_orderkey").between(7000L, 7300L),
+      bounds = Map("o_orderkey" -> (7000.0, 7300.0)), maxDvFraction = 0.2)
+    require(tv.listing(spark, root).map(_._1).toSet == files0,
+      "small deletes must not rewrite data files")
+    require(tv.commitState(spark, root).dvs.nonEmpty)
+    // a bulk delete exceeds the fraction guard and rewrites
+    tv.deleteWhere(spark, root, col("o_orderkey") > 120000L,
+      bounds = Map("o_orderkey" -> (120000.0, Double.MaxValue)), maxDvFraction = 0.2)
+    // compaction folds whatever tombstones remain
+    tv.compact(spark, root, targetBytes = 64L << 20)
+    val res = tv.read(spark, root)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    rmTree(root)
+    out.orderBy("month")
+  }
+
+  val q133Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM orders
+      |WHERE o_orderkey NOT BETWEEN 100 AND 400
+      |  AND o_orderkey NOT BETWEEN 7000 AND 7300
+      |  AND o_orderkey <= 120000
+      |GROUP BY 1 ORDER BY month""".stripMargin
 }

@@ -867,50 +867,76 @@ object TableVersions {
     * rewrite path (fraction exceeded, or legacy files without row
     * counts — the fraction cannot be bounded).
     */
-  private def deleteViaDv(spark: SparkSession, root: String, st: CommitState,
-      candidates: Seq[String], predicate: Column,
-      maxFraction: Double): Option[Option[Long]] = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
-    val candSet = candidates.toSet
-    val candEntries = st.files.filter(fe => candSet(fe.path))
-    if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
-    val totalRows = candEntries.map(_.rows).sum
-    if (totalRows == 0) return Some(currentVersion(spark, root))
-    val f = fs(spark, root)
+  /** Open `candidates` with `_metadata`-derived (`file`, `pos`) columns
+    * and the candidates' EXISTING deletion vectors applied — the
+    * common victim-finding frame for DV delete and DV upsert.
+    */
+  private def candidateRowsWithPos(spark: SparkSession, st: CommitState,
+      candidates: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val base = (st.schema match {
       case Some(s) => spark.read.schema(s).parquet(candidates: _*)
       case None => spark.read.parquet(candidates: _*)
     })
       .withColumn("file", col("_metadata.file_path"))
       .withColumn("pos", col("_metadata.row_index"))
-    val existingDvPaths = candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct
-    // count only NEWLY-matched live rows against the fraction
-    val matched = applyDvs(spark, base, existingDvPaths)
-      .filter(predicate <=> lit(true)).select(col("file"), col("pos"))
+    applyDvs(spark, base, candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+  }
+
+  /** Stage a merged tombstone sidecar: `victims` (new (file, pos) rows
+    * over `candidates`) plus the candidates' carried previous
+    * tombstones, written as one file. Returns (dvDir, sidecar path,
+    * per-file totals by normalized path, NEW tombstone count) — or
+    * None when there is nothing to record (the dir is cleaned up).
+    */
+  private def stageDvSidecar(spark: SparkSession, root: String, st: CommitState,
+      candidates: Seq[String], victims: DataFrame): Option[(Path, String, Map[String, Long], Long)] = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val f = fs(spark, root)
     // carried rows: the candidates' previous tombstones move into the
     // new sidecar (restricted to candidate files — a sidecar shared
     // with untouched files keeps serving them where it is). file-path
     // renderings differ between _metadata (file:///x) and the listing
     // (file:/x); compare on the scheme-stripped path.
+    val existingDvPaths = candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct
     val candNorm = candidates.map(normPath)
     val carried =
-      if (existingDvPaths.isEmpty) matched.limit(0)
+      if (existingDvPaths.isEmpty) victims.limit(0)
       else spark.read.parquet(existingDvPaths: _*).select(col("file"), col("pos"))
         .filter(regexp_replace(col("file"), "^file:/+", "/").isin(candNorm: _*))
     val dvDir = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}")
-    matched.unionByName(carried).coalesce(1).write.parquet(dvDir.toString)
+    victims.unionByName(carried).coalesce(1).write.parquet(dvDir.toString)
     val sidecar = listParquet(f, dvDir).headOption.map(_._1).getOrElse {
-      f.delete(dvDir, true) // nothing matched and nothing carried
-      return Some(currentVersion(spark, root))
+      f.delete(dvDir, true); return None // nothing matched and nothing carried
     }
     // per-file totals (old + new tombstones) from the one sidecar file —
     // O(#files) rows to the driver, not O(rows)
     val perFile = spark.read.parquet(sidecar)
       .groupBy(regexp_replace(col("file"), "^file:/+", "/").as("fp")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val newMatches = perFile.values.sum -
-      candEntries.map(fe => st.dvs.get(fe.path).map(_._2).getOrElse(0L)).sum
-    if (newMatches <= 0) { f.delete(dvDir, true); return Some(currentVersion(spark, root)) }
+    val candSet = candidates.toSet
+    val prior = st.files.filter(fe => candSet(fe.path))
+      .map(fe => st.dvs.get(fe.path).map(_._2).getOrElse(0L)).sum
+    val newCount = perFile.values.sum - prior
+    if (newCount <= 0) { f.delete(dvDir, true); return None }
+    Some((dvDir, sidecar, perFile, newCount))
+  }
+
+  private def deleteViaDv(spark: SparkSession, root: String, st: CommitState,
+      candidates: Seq[String], predicate: Column,
+      maxFraction: Double): Option[Option[Long]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val candSet = candidates.toSet
+    val candEntries = st.files.filter(fe => candSet(fe.path))
+    if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
+    val totalRows = candEntries.map(_.rows).sum
+    if (totalRows == 0) return Some(currentVersion(spark, root))
+    val f = fs(spark, root)
+    val victims = candidateRowsWithPos(spark, st, candidates)
+      .filter(predicate <=> lit(true)).select(col("file"), col("pos"))
+    val (dvDir, sidecar, perFile, newMatches) =
+      stageDvSidecar(spark, root, st, candidates, victims)
+        .getOrElse(return Some(currentVersion(spark, root))) // no-op delete
     if (newMatches.toDouble / totalRows > maxFraction) {
       f.delete(dvDir, true); return None // too big for merge-on-read: rewrite
     }
@@ -918,18 +944,21 @@ object TableVersions {
       perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
     }.toMap
     val snapshot = updates.keySet.map(p => p -> st.dvs.get(p)).toMap
-    Some(commitDvUpdate(spark, root, updates, snapshot, dvDir))
+    Some(commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir)))
   }
 
-  /** Commit a DV-reference update with the rewrite conflict rule: rebase
-    * across interleaved commits that keep every touched file live WITH
-    * the DV reference we built from; a competing rewrite (file gone) or
-    * competing DV update (reference moved — our sidecar was built from
-    * a stale one and would lose its tombstones) returns None.
+  /** Commit a DV-reference update (optionally together with `added`
+    * files — the merge-on-read UPSERT shape) with the rewrite conflict
+    * rule: rebase across interleaved commits that keep every touched
+    * file live WITH the DV reference we built from; a competing rewrite
+    * (file gone) or competing DV update (reference moved — our sidecar
+    * was built from a stale one and would lose its tombstones) returns
+    * None and cleans the staged dirs.
     */
   private def commitDvUpdate(spark: SparkSession, root: String,
       updates: Map[String, (String, Long)],
-      snapshot: Map[String, Option[(String, Long)]], dvDir: Path): Option[Long] = {
+      snapshot: Map[String, Option[(String, Long)]], cleanup: Seq[Path],
+      added: Seq[FileEntry] = Seq.empty): Option[Long] = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt < 100) {
@@ -938,9 +967,10 @@ object TableVersions {
       val cur = commitState(spark, root, Some(baseV))
       val livePaths = cur.files.map(_.path).toSet
       val conflict = updates.keys.exists(p => !livePaths(p) || cur.dvs.get(p) != snapshot(p))
-      if (conflict) { f.delete(dvDir, true); return None }
+      if (conflict) { cleanup.foreach(d => f.delete(d, true)); return None }
       val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, cur.copy(dvs = cur.dvs ++ updates))) return Some(v)
+      if (tryCommit(spark, root, v,
+          cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates))) return Some(v)
       attempt += 1
     }
     throw new IllegalStateException(s"dv update: lost $attempt commit races at $root")
@@ -965,7 +995,7 @@ object TableVersions {
     * union semantics say so rather than silently electing a winner).
     */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-      keyCol: String): Option[Long] = {
+      keyCol: String, maxDvFraction: Double = 0.0): Option[Long] = {
     import org.apache.spark.sql.functions.{col, max, min}
     val st = commitState(spark, root, None)
     if (updates.isEmpty) return currentVersion(spark, root) // empty CDC batch: no-op
@@ -983,6 +1013,11 @@ object TableVersions {
         if (range.isNullAt(0)) st.files.map(_.path) // all-NULL keys: cannot prune
         else candidatePaths(spark, st, Map(keyCol -> (range.getDouble(0), range.getDouble(1))))
       }
+    if (maxDvFraction > 0.0 && candidates.nonEmpty)
+      upsertViaDv(spark, root, st, candidates, updates, keyCol, maxDvFraction) match {
+        case Some(result) => return result // committed (or true conflict)
+        case None => // fraction exceeded / legacy stats — fall back to rewrite
+      }
     val rewritten =
       if (candidates.isEmpty) updates // pure insert
       else {
@@ -993,6 +1028,51 @@ object TableVersions {
     // batch spanning partitions keeps every row's partition metadata
     val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert")
     commitRewrite(spark, root, candidates.toSet, added, outDir)
+  }
+
+  /** MERGE-ON-READ upsert (the Delta DV MERGE shape): instead of
+    * rewriting every candidate file, the updated keys' OLD rows are
+    * tombstoned into a sidecar and the update batch appends as new
+    * files — ONE commit adds the files and repoints the DV references,
+    * so a CDC batch touching k keys across huge files writes
+    * O(k + batch) bytes instead of rewriting every candidate. Falls
+    * back (None) when the tombstoned fraction exceeds `maxFraction`
+    * (at that point the rewrite amortizes better and also folds the
+    * accumulated sidecars) or when legacy files carry no row counts.
+    * The CDF still shows delete(old image) + insert(new image), because
+    * the step's identity diff covers both the DV change and the added
+    * files.
+    */
+  private def upsertViaDv(spark: SparkSession, root: String, st: CommitState,
+      candidates: Seq[String], updates: DataFrame, keyCol: String,
+      maxFraction: Double): Option[Option[Long]] = {
+    import org.apache.spark.sql.functions.col
+    val candSet = candidates.toSet
+    val candEntries = st.files.filter(fe => candSet(fe.path))
+    if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
+    val totalRows = candEntries.map(_.rows).sum
+    val f = fs(spark, root)
+    val victims = candidateRowsWithPos(spark, st, candidates)
+      .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col("file"), col("pos"))
+    val staged = stageDvSidecar(spark, root, st, candidates, victims)
+    staged.foreach { case (dvDir, _, _, newMatches) =>
+      if (totalRows == 0 || newMatches.toDouble / totalRows > maxFraction) {
+        f.delete(dvDir, true); return None // rewrite amortizes better
+      }
+    }
+    // stage the update rows as NEW files (partition metadata exact)
+    val (outDir, added) = stageFiles(spark, root, updates, st.partCols, "upsert")
+    staged match {
+      case None => // pure insert against the candidates: files only
+        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, Seq(outDir), added))
+      case Some((dvDir, sidecar, perFile, _)) =>
+        val dvUpdates = candEntries.flatMap { fe =>
+          perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
+        }.toMap
+        val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
+        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, Seq(dvDir, outDir), added))
+    }
   }
 
   /** REPLACE exactly the partitions present in `df`, as ONE atomic
@@ -1245,10 +1325,11 @@ object TableVersions {
       .flatMap { v =>
         readCommitState(spark, root, v).map { st =>
           (v, st.files.size.toLong, st.files.map(_.bytes).sum,
+            st.dvs.size.toLong, st.dvs.values.map(_._2).sum,
             st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"#TXN $a $b" }.mkString(";"))
         }
       }
-      .toDF("version", "n_files", "n_bytes", "txns")
+      .toDF("version", "n_files", "n_bytes", "n_dv_files", "n_dv_rows", "txns")
   }
 
   /** METADATA-only diff between two versions: which files were added

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.operators.TableVersions
+
+/** STREAMING change-data-feed source for [[TableVersions]] tables:
+  * `spark.readStream.format("graft-cdf").option("path", root)` tails
+  * the table's commit log as a Structured Streaming source — the
+  * stream-native complement to the batch
+  * [[graft.operators.ChangeFeed]] driver, and the Spark-idiomatic form
+  * of "the processed zone feeds downstream continuously" (the
+  * reference's Pub/Sub→pipeline hop, re-expressed as a table that IS
+  * the queue). Delta's streaming source has this exact shape.
+  *
+  * Mechanics (v1 `Source` — the getBatch-returns-a-DataFrame API,
+  * which lets each micro-batch BE a [[TableVersions.readChanges]]
+  * plan, zero custom row readers):
+  *
+  *  - OFFSETS are commit versions. `getOffset` = the table's current
+  *    version; `getBatch(start, end)` = `readChanges(start, end]` —
+  *    appends stream through as O(new data) insert rows, rewrites as
+  *    touched-file diffs, DV deletes as tombstone diffs, layout
+  *    rewrites as nothing. Structured Streaming's checkpoint persists
+  *    the offset, so restarts resume exactly where they stopped and a
+  *    replayed batch re-reads the same version range (pair with
+  *    [[TableVersions.startAppend]]-style txn sinks for end-to-end
+  *    exactly-once).
+  *  - `startingVersion` (default: everything retained) bounds the first
+  *    batch: `latest` skips history and tails only new commits — the
+  *    "don't re-index the corpus" switch.
+  *  - The SCHEMA is fixed at stream start (table schema +
+  *    `_change_type`, `_commit_version`); later additive evolution is
+  *    surfaced on restart (each batch projects to the declared columns
+  *    — Delta's restart-on-schema-change stance, minus the hard fail).
+  *  - Reads past the vacuum horizon THROW (the [[TableVersions
+  *    .readChanges]] guard): a consumer that lagged beyond retention
+  *    must re-bootstrap, never silently double-apply.
+  *
+  * Scale: `getOffset` is one directory listing + one commit read;
+  * a batch's plan reads only the versions in its range. Retention
+  * (`vacuum keepVersions`) bounds consumer lag exactly as in Delta.
+  */
+class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdf"
+
+  private def cdfSchema(spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
+    val base = TableVersions.commitState(spark, path).schema.getOrElse(
+      TableVersions.read(spark, path).schema)
+    base.add("_change_type", StringType).add("_commit_version", LongType)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-cdf requires option 'path'"))
+    (shortName(), schema.getOrElse(cdfSchema(sqlContext.sparkSession, path)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = parameters("path")
+    val declared = schema.getOrElse(cdfSchema(spark, path))
+    // Resolve the starting point ONCE per stream and pin it in the
+    // source's metadata dir (the Kafka-source initial-offset pattern):
+    // "latest" re-resolved on every restart would silently skip any
+    // commit that landed while the stream was down.
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft_cdf_start")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val starting =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes()).trim.toLong finally in.close()
+      } else {
+        val resolved = parameters.get("startingVersion") match {
+          case Some("latest") => TableVersions.currentVersion(spark, path).getOrElse(-1L)
+          case Some(v) => v.toLong - 1 // startingVersion is INCLUSIVE, offsets exclusive
+          case None => -1L
+        }
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, false) // one writer: the driver at stream start
+        try out.write(resolved.toString.getBytes) finally out.close()
+        resolved
+      }
+    new CdfSource(spark, path, declared, starting)
+  }
+}
+
+private[sources] class CdfSource(spark: org.apache.spark.sql.SparkSession,
+    path: String, declared: StructType, startExclusive: Long) extends Source {
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[V1Offset] =
+    TableVersions.currentVersion(spark, path)
+      .filter(_ > startExclusive).map(LongOffset(_))
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset from the checkpoint log
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startExclusive)
+    val to = versionOf(end)
+    // project to the declared stream schema: columns added by later
+    // additive evolution stay invisible until the stream restarts
+    val batch = TableVersions.readChanges(spark, path, from, to)
+      .select(declared.fieldNames.map(col).toIndexedSeq: _*)
+    // a v1 Source must hand back a STREAMING frame: re-wrap the batch
+    // plan's row RDD (lazy — nothing materializes here) under
+    // isStreaming=true, the Delta-source pattern
+    org.apache.spark.sql.graftshim.StreamingFrameShim.asStreaming(spark, batch, declared)
+  }
+
+  override def stop(): Unit = ()
+}

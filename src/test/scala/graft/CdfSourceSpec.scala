@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.TableVersions
+
+/** Streaming CDF source contracts: `readStream.format("graft-cdf")`
+  * tails a versioned table's commit log with commit versions as
+  * offsets — catch-up consumes retained history, a checkpointed
+  * restart consumes ONLY new versions (no duplicates), DV deletes and
+  * rewrites surface as delete rows, and the reconstructed stream state
+  * equals the table's final snapshot.
+  */
+class CdfSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String) = Files.createTempDirectory(tag).toString
+
+  test("cdf stream: catch-up, checkpointed restart without duplicates, delete flow-through") {
+    val root = newDir("cdfsrc") + "/tbl"
+    val logDir = newDir("cdflog")
+    val ckpt = newDir("cdfckpt")
+
+    TableVersions.append(spark, root,
+      (1L to 1000L).toDF("k").withColumn("v", col("k") * 3).coalesce(1))
+    TableVersions.append(spark, root,
+      (1001L to 1500L).toDF("k").withColumn("v", col("k") * 3).coalesce(1))
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", root).load()
+        .writeStream.format("parquet")
+        .option("path", logDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    val log1 = spark.read.parquet(logDir)
+    assert(log1.count() === 1500)
+    assert(log1.filter(col("_change_type") === "insert").count() === 1500)
+    assert(log1.select("_commit_version").distinct().count() === 2)
+
+    // new commits while the stream is down: a DV delete and an append
+    val Some(_) = TableVersions.deleteWhere(spark, root,
+      col("k").isin(5L, 10L, 1200L), maxDvFraction = 0.1): @unchecked
+    TableVersions.append(spark, root,
+      (2000L to 2099L).toDF("k").withColumn("v", col("k") * 3).coalesce(1))
+
+    // restart from the checkpoint: ONLY the two new versions flow
+    runStream()
+    val log2 = spark.read.parquet(logDir)
+    assert(log2.count() === 1500 + 3 + 100, "restart must not re-emit consumed versions")
+    assert(log2.filter(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).toSet === Set(5L, 10L, 1200L))
+
+    // a third run with nothing new consumes nothing
+    runStream()
+    assert(spark.read.parquet(logDir).count() === 1603)
+
+    // reconstructed state from the stream == the table's final snapshot
+    val ins = log2.filter(col("_change_type") === "insert").select("k", "v")
+    val del = log2.filter(col("_change_type") === "delete").select("k", "v")
+    val reconstructed = ins.exceptAll(del)
+    val snapshot = TableVersions.read(spark, root).select("k", "v")
+    assert(reconstructed.count() === snapshot.count())
+    assert(reconstructed.exceptAll(snapshot).isEmpty &&
+      snapshot.exceptAll(reconstructed).isEmpty)
+  }
+
+  test("cdf stream: startingVersion=latest tails only new commits") {
+    val root = newDir("cdfsrc2") + "/tbl"
+    val logDir = newDir("cdflog2")
+    val ckpt = newDir("cdfckpt2")
+    TableVersions.append(spark, root, (1L to 500L).toDF("k").coalesce(1))
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", root).option("startingVersion", "latest").load()
+        .writeStream.format("parquet")
+        .option("path", logDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream() // history is skipped
+    assert(!hfsExists(logDir) || spark.read.parquet(logDir).count() === 0)
+    TableVersions.append(spark, root, (501L to 600L).toDF("k").coalesce(1))
+    runStream()
+    assert(spark.read.parquet(logDir).count() === 100)
+  }
+
+  private def hfsExists(dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+}

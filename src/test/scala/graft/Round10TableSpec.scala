@@ -238,6 +238,58 @@ class Round10TableSpec extends SparkSpec {
     assert(counter.get() <= 5, s"append with 3 constraints ran ${counter.get()} jobs")
   }
 
+  test("DV plan shape: DV-free reads stay plain scans, DV'd reads add one anti-join") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 5000L).toDF("k").coalesce(1))
+    val plan0 = TableVersions.read(spark, root).queryExecution.executedPlan.toString
+    assert(!plan0.contains("LeftAnti"),
+      "a table without deletion vectors must not pay the DV join:\n" + plan0)
+    val Some(_) = TableVersions.deleteWhere(spark, root,
+      col("k").isin(7L, 8L), maxDvFraction = 0.1): @unchecked
+    val plan1 = TableVersions.read(spark, root).queryExecution.executedPlan.toString
+    assert(plan1.contains("LeftAnti"), "tombstoned files read through the DV anti-join")
+    assert(TableVersions.read(spark, root).count() === 4998)
+  }
+
+  test("merge-on-read upsert: k-key CDC batch tombstones old rows and appends, no file rewrite") {
+    val root = newRoot()
+    TableVersions.append(spark, root,
+      (1L to 10000L).toDF("k").withColumn("v", col("k") * 10).coalesce(2))
+    val files0 = TableVersions.listing(spark, root).map(_._1).toSet
+    // 3-key CDC batch: 2 replacements + 1 new key
+    val Some(v1) = TableVersions.upsert(spark, root,
+      Seq((42L, -1L), (9999L, -2L), (20000L, -3L)).toDF("k", "v"),
+      "k", maxDvFraction = 0.1): @unchecked
+    val st = TableVersions.commitState(spark, root)
+    assert(files0.subsetOf(st.files.map(_.path).toSet),
+      "merge-on-read upsert must not rewrite existing files")
+    assert(st.files.size > files0.size, "the update batch appends as new files")
+    assert(st.dvs.values.map(_._2).sum === 2L, "only the replaced keys' old rows tombstone")
+    val t = TableVersions.read(spark, root)
+    assert(t.count() === 10001)
+    assert(t.filter(col("k") === 42L).select("v").head().getLong(0) === -1L)
+    assert(t.filter(col("k") === 9999L).select("v").head().getLong(0) === -2L)
+    assert(t.filter(col("k") === 20000L).select("v").head().getLong(0) === -3L)
+    assert(t.filter(col("k") === 41L).select("v").head().getLong(0) === 410L)
+    // CDF: delete(old image) + insert(new images) in the one step
+    val cdf = TableVersions.readChanges(spark, root, v1 - 1, v1)
+    val byType = cdf.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("delete") === 2 && byType("insert") === 3)
+    // a wide CDC batch (every odd key) falls back to the rewrite path —
+    // every file is a candidate, so the rewrite also folds all DVs
+    val wide = (1L to 10000L by 2).map(k => (k, k * 100)).toDF("k", "v")
+    val Some(_) = TableVersions.upsert(spark, root, wide, "k", maxDvFraction = 0.1): @unchecked
+    assert(TableVersions.commitState(spark, root).dvs.isEmpty,
+      "the rewrite re-materializes tombstones away")
+    val t2 = TableVersions.read(spark, root)
+    assert(t2.count() === 10001)
+    assert(t2.filter(col("k") === 41L).select("v").head().getLong(0) === 4100L)
+    assert(t2.filter(col("k") === 42L).select("v").head().getLong(0) === -1L,
+      "the DV-upserted value survives the rewrite")
+    assert(t2.filter(col("k") === 20000L).select("v").head().getLong(0) === -3L)
+  }
+
   test("clearBatches sweeps non-recursively: a foreign subdir survives cleanup") {
     val idx = Files.createTempDirectory("tomb10").toString + "/idx"
     val tp = new org.apache.hadoop.fs.Path(IndexTombstones.tombstonePath(idx))
