@@ -1372,7 +1372,11 @@ object TableVersions {
     * key surfaces as delete(old row) + insert(new row) at its version.
     *
     * Scale shape: an APPEND step (the streaming-ingest common case)
-    * emits its new files' rows directly — no diffing, O(new data). A
+    * emits its new files' rows directly — no diffing, O(new data) —
+    * and ALL plain-append steps in the range plan as ONE scan (the
+    * version attributed per-file through a broadcast path→version
+    * join), so a feed of thousands of ingest commits stays a
+    * constant-depth plan instead of a thousand-way union. A
     * rewrite step (delete/upsert/compact/optimize) diffs ONLY the
     * touched files' rows — added-files' rows `exceptAll` removed-files'
     * rows and vice versa — so carried-by-reference files cost nothing;
@@ -1434,31 +1438,83 @@ object TableVersions {
       val st = commitState(spark, root, Some(v))
       st.files.map(fe => (fe.path, st.dvs.get(fe.path).map(_._1))).toSet
     }
-    val frames = steps.flatMap { v =>
+    val idCache = scala.collection.mutable.Map.empty[Long, Set[(String, Option[String])]]
+    def identitiesCached(v: Long) = idCache.getOrElseUpdate(v, identities(v))
+    case class Step(v: Long, added: Seq[(String, Option[String])],
+        removed: Seq[(String, Option[String])])
+    val stepInfos = steps.flatMap { v =>
       val prev = goodVersions.filter(_ < v).maxOption
-      val curIds = identities(v)
-      val prevIds = prev.map(identities).getOrElse(Set.empty[(String, Option[String])])
+      val curIds = identitiesCached(v)
+      val prevIds = prev.map(identitiesCached).getOrElse(Set.empty[(String, Option[String])])
       val added = (curIds -- prevIds).toSeq.sortBy(_._1)
       val removed = (prevIds -- curIds).toSeq.sortBy(_._1)
-      // one-sided steps never touch readFiles(empty) — legacy
-      // (no-#SCHEMA) commits have no schema to build an empty frame from
       if (added.isEmpty && removed.isEmpty) None // metadata-only step
-      else if (removed.isEmpty) Some(
-        readFiles(added)
+      else Some(Step(v, added, removed))
+    }
+    // FLATTEN the append-dominated common case: a feed of N plain
+    // appends must NOT plan as N scans under an N-deep union (planning
+    // cost and plan size both O(N) — a day of streaming ingest is
+    // thousands of commits). All DV-free insert-only steps collapse to
+    // ONE scan of their files with the version attributed per-file via
+    // a broadcast (path → version) join on `_metadata.file_path`;
+    // delete-only steps likewise. Steps that can't flatten keep their
+    // per-step frames: rewrites (the exceptAll diff is inherently
+    // per-step), steps touching DV'd identities (a sidecar is applied
+    // under ITS step's snapshot — another step's file may share the
+    // sidecar without sharing the tombstones' validity), and paths a
+    // restore re-added (the path→version map must stay unambiguous).
+    def flattenable(entries: Seq[(String, Option[String])]) = entries.forall(_._2.isEmpty)
+    val insOnly = stepInfos.filter(s => s.removed.isEmpty && flattenable(s.added))
+    val delOnly = stepInfos.filter(s => s.added.isEmpty && flattenable(s.removed))
+    def dupPaths(group: Seq[Step], side: Step => Seq[(String, Option[String])]) =
+      group.flatMap(s => side(s).map(_._1)).groupBy(identity)
+        .collect { case (p, occ) if occ.size > 1 => p }.toSet
+    val insDups = dupPaths(insOnly, _.added)
+    val delDups = dupPaths(delOnly, _.removed)
+    val insFlat = insOnly.filter(s => s.added.forall(e => !insDups(e._1)))
+    val delFlat = delOnly.filter(s => s.removed.forall(e => !delDups(e._1)))
+    def flatGroup(group: Seq[Step], side: Step => Seq[(String, Option[String])],
+        changeType: String): Option[DataFrame] = {
+      if (group.isEmpty) return None
+      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+      val entries = group.flatMap(s => side(s).map(e => (e._1, s.v)))
+      if (group.size == 1) // no join needed for a single step
+        return Some(readFiles(side(group.head))
+          .withColumn("_change_type", lit(changeType))
+          .withColumn("_commit_version", lit(group.head.v)))
+      val base = readFiles(entries.map(e => (e._1, None)))
+      val cols = base.columns
+      val vmap = spark.createDataFrame(
+        java.util.Arrays.asList(entries.map { case (p, v) => Row(normPath(p), v) }: _*),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("__fp", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType))))
+      Some(base
+        .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .join(broadcast(vmap), "__fp")
+        .withColumn("_change_type", lit(changeType))
+        .select((cols.map(col) :+ col("_change_type") :+ col("_commit_version")): _*))
+    }
+    val flatSet = (insFlat ++ delFlat).map(_.v).toSet
+    val perStep = stepInfos.filterNot(s => flatSet(s.v)).map { s =>
+      if (s.removed.isEmpty)
+        readFiles(s.added)
           .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
-      else if (added.isEmpty) Some(
-        readFiles(removed)
+          .withColumn("_commit_version", lit(s.v))
+      else if (s.added.isEmpty)
+        readFiles(s.removed)
           .withColumn("_change_type", lit("delete"))
-          .withColumn("_commit_version", lit(v)))
+          .withColumn("_commit_version", lit(s.v))
       else {
-        val a = readFiles(added)
-        val r = readFiles(removed)
-        Some(a.exceptAll(r).withColumn("_change_type", lit("insert"))
+        val a = readFiles(s.added)
+        val r = readFiles(s.removed)
+        a.exceptAll(r).withColumn("_change_type", lit("insert"))
           .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
-          .withColumn("_commit_version", lit(v)))
+          .withColumn("_commit_version", lit(s.v))
       }
     }
+    val frames = flatGroup(insFlat, _.added, "insert").toSeq ++
+      flatGroup(delFlat, _.removed, "delete").toSeq ++ perStep
     if (frames.isEmpty) emptyCdf else frames.reduceLeft(_.unionByName(_))
   }
 

@@ -290,6 +290,45 @@ class Round10TableSpec extends SparkSpec {
     assert(t2.filter(col("k") === 20000L).select("v").head().getLong(0) === -3L)
   }
 
+  test("change-feed plan flattening: N appends plan as one scan; attribution exact") {
+    val root = newRoot()
+    val vs = (0 until 5).map { i =>
+      TableVersions.append(spark, root,
+        ((i * 10L) until ((i + 1) * 10L)).toDF("k").coalesce(1))
+    }
+    val cdf = TableVersions.readChanges(spark, root, -1L, vs.last)
+    val plan = cdf.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"5 append steps must flatten to ONE scan, saw $scans:\n$plan")
+    assert(!plan.contains("Union"), "flattened feed has no per-step union")
+    assert(cdf.count() === 50)
+    // per-file version attribution survives the flattening
+    val byV = cdf.groupBy("_commit_version")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    vs.zipWithIndex.foreach { case (v, i) =>
+      assert(byV(v) === ((10L, i * 10L, i * 10L + 9L)), s"step $i attribution")
+    }
+    assert(cdf.select("_change_type").distinct().head().getString(0) === "insert")
+  }
+
+  test("change-feed flattening falls back when a restore re-adds a path") {
+    val root = newRoot()
+    val v0 = TableVersions.append(spark, root, (1L to 10L).toDF("k").coalesce(1))
+    // delete EVERYTHING: the rewrite removes the file and adds nothing →
+    // a delete-only step
+    val Some(v1) = TableVersions.deleteWhere(spark, root, lit(true)): @unchecked
+    // restore re-adds the ORIGINAL path → the insert-group path→version
+    // map would be ambiguous; those steps must take the per-step path
+    val Some(v2) = TableVersions.restore(spark, root, v0): @unchecked
+    val cdf = TableVersions.readChanges(spark, root, -1L, v2)
+    val byKind = cdf.groupBy("_change_type", "_commit_version").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byKind === Map(
+      ("insert", v0) -> 10L, ("delete", v1) -> 10L, ("insert", v2) -> 10L))
+    assert(TableVersions.read(spark, root).count() === 10)
+  }
+
   test("clearBatches sweeps non-recursively: a foreign subdir survives cleanup") {
     val idx = Files.createTempDirectory("tomb10").toString + "/idx"
     val tp = new org.apache.hadoop.fs.Path(IndexTombstones.tombstonePath(idx))
