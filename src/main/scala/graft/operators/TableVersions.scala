@@ -269,13 +269,25 @@ object TableVersions {
     * null-fill the later columns directly from the declared schema — no
     * mergeSchema footer sweep. `mergeSchema` is honored only for legacy
     * commits that carry no schema.
+    *
+    * Schema-bearing snapshots read through the commit-backed
+    * [[graft.sources.GraftFileIndex]]: pushed-down filters from the
+    * consuming query prune files against the commit's min/max stats and
+    * partition values DURING PLANNING — `read(root).filter(k > x)`
+    * scans only the files that can intersect, with no explicit bounds
+    * argument (the `spark.read.format("graft-table")` surface is the
+    * same relation). Deletion vectors layer on top as the usual
+    * anti-join.
     */
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val st = commitState(spark, root, version)
     val files = st.files.map(_.path)
     require(files.nonEmpty, s"empty version at $root")
-    readWithDvs(spark, st, files, mergeSchema)
+    if (st.schema.isDefined) {
+      val base = graft.sources.GraftTableSource.readFor(spark, root, st)
+      applyDvs(spark, base, files.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    } else readWithDvs(spark, st, files, mergeSchema)
   }
 
   /** Read `paths` under `st`'s committed schema with their DELETION

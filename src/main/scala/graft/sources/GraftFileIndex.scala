@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableVersions
+import graft.operators.TableVersions.{ColStats, CommitState, FileEntry}
+
+/** Planning-time file skipping for the versioned table format, as a
+  * Spark [[FileIndex]] — the Delta `TahoeFileIndex` architecture: the
+  * commit's per-file min/max stats and partition values ARE the file
+  * listing, so Catalyst's pushed-down data filters prune files during
+  * PHYSICAL PLANNING with zero filesystem listings and zero footer
+  * reads. A `WHERE k BETWEEN a AND b` over a Z-ordered million-file
+  * table plans a scan of only the intersecting files — automatically,
+  * from the query predicate, without the caller spelling bounds out
+  * (the explicit-`bounds` [[TableVersions.prunedRead]] remains for
+  * engine-internal planning).
+  *
+  * Partition columns live IN the data files (partitions-as-metadata),
+  * so the index declares an EMPTY partition schema and receives every
+  * pushed filter as a data filter — partition pruning falls out of the
+  * same stats path, because a partition-pure file has min = max = the
+  * partition value.
+  *
+  * Pruning is conservative by construction: only provably-disjoint
+  * files are dropped. Unsupported expressions, columns without stats,
+  * decimal columns (parquet footer stats carry the UNSCALED value —
+  * comparing against a scaled literal would prune wrongly), and
+  * non-`StringType` string-stat comparisons all keep the file.
+  *
+  * At 100 TB: `listFiles` is a driver-side scan of the already-parsed
+  * commit entries — O(#files) tuple checks, no IO; the returned
+  * [[FileStatus]]es are synthesized from commit metadata (path + size),
+  * so planning never touches the object store.
+  */
+class GraftFileIndex(spark: SparkSession, root: String, st: CommitState,
+    val dataSchema: StructType) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = st.files.map(_.bytes).sum
+
+  override def inputFiles: Array[String] = st.files.map(_.path).toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val filters = partitionFilters ++ dataFilters
+    val kept = st.files.filter(fe => filters.forall(f => GraftFileIndex.mayMatch(fe, f)))
+    val statuses = kept.map { fe =>
+      new FileStatus(fe.bytes, false, 1, 128L << 20, 0L, new Path(fe.path))
+    }
+    Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+  }
+}
+
+object GraftFileIndex {
+
+  /** Can `fe` contain a row satisfying `expr`? (false ⇒ provably not —
+    * safe to skip the file.) Three-valued in spirit: anything not
+    * understood is "maybe" = keep.
+    */
+  private[sources] def mayMatch(fe: FileEntry, expr: Expression): Boolean = expr match {
+    case And(l, r) => mayMatch(fe, l) && mayMatch(fe, r)
+    case Or(l, r) => mayMatch(fe, l) || mayMatch(fe, r)
+    case EqualTo(a: Attribute, Literal(v, dt)) => rangeMayContain(fe, a.name, dt, v, v)
+    case EqualTo(Literal(v, dt), a: Attribute) => rangeMayContain(fe, a.name, dt, v, v)
+    case EqualNullSafe(a: Attribute, Literal(v, dt)) if v != null =>
+      rangeMayContain(fe, a.name, dt, v, v)
+    case LessThan(a: Attribute, Literal(v, dt)) => rangeMayContain(fe, a.name, dt, null, v)
+    case LessThanOrEqual(a: Attribute, Literal(v, dt)) => rangeMayContain(fe, a.name, dt, null, v)
+    case GreaterThan(a: Attribute, Literal(v, dt)) => rangeMayContain(fe, a.name, dt, v, null)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) => rangeMayContain(fe, a.name, dt, v, null)
+    case LessThan(Literal(v, dt), a: Attribute) => rangeMayContain(fe, a.name, dt, v, null)
+    case LessThanOrEqual(Literal(v, dt), a: Attribute) => rangeMayContain(fe, a.name, dt, v, null)
+    case GreaterThan(Literal(v, dt), a: Attribute) => rangeMayContain(fe, a.name, dt, null, v)
+    case GreaterThanOrEqual(Literal(v, dt), a: Attribute) => rangeMayContain(fe, a.name, dt, null, v)
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, dt) => rangeMayContain(fe, a.name, dt, v, v) }
+    case InSet(a: Attribute, hset) =>
+      hset.exists(v => rangeMayContain(fe, a.name, a.dataType, v, v))
+    case StartsWith(a: Attribute, Literal(v, StringType)) if v != null =>
+      prefixMayContain(fe, a.name, v.toString)
+    case _ => true // IsNull / IsNotNull / casts / UDFs / …: no safe prune
+  }
+
+  /** Interval-overlap check of [lo, hi] (null = unbounded side) against
+    * the file's recorded min/max for `col`. A null literal value means
+    * the comparison itself is NULL for every row — conservatively keep
+    * (the exact filter drops the rows anyway).
+    */
+  private def rangeMayContain(fe: FileEntry, col: String, dt: DataType,
+      lo: Any, hi: Any): Boolean = {
+    if ((lo == null && hi == null)) return true
+    fe.stats.get(col) match {
+      case None => true
+      case Some(cs) =>
+        dt match {
+          case StringType =>
+            (cs.minStr, cs.maxStr) match {
+              // ASCII-only: Java-String order (how the footer min/max
+              // were folded) and Spark's UTF8String byte order agree
+              // only below U+0080 — outside that, keep the file
+              case (Some(mn), Some(mx)) if allAscii(mn) && allAscii(mx) =>
+                val loS = Option(lo).map(_.toString)
+                val hiS = Option(hi).map(_.toString)
+                if (loS.exists(s => !allAscii(s)) || hiS.exists(s => !allAscii(s))) true
+                else loS.forall(l => mx >= l) && hiS.forall(h => mn <= h)
+              case _ => true
+            }
+          case _ =>
+            (numLit(dt, lo), numLit(dt, hi), cs.minNum, cs.maxNum) match {
+              case (l, h, Some(mn), Some(mx)) if (lo == null || l.isDefined) && (hi == null || h.isDefined) =>
+                l.forall(lv => mx >= lv) && h.forall(hv => mn <= hv)
+              case _ => true
+            }
+        }
+    }
+  }
+
+  private def allAscii(s: String): Boolean = s.forall(_ < 0x80)
+
+  private def prefixMayContain(fe: FileEntry, col: String, prefix: String): Boolean =
+    fe.stats.get(col) match {
+      case Some(ColStats(_, _, Some(mn), Some(mx), _))
+          if allAscii(mn) && allAscii(mx) && allAscii(prefix) =>
+        // strings starting with `prefix` lie in [prefix, prefix+∞)
+        mx >= prefix && (mn <= prefix || mn.startsWith(prefix))
+      case _ => true
+    }
+
+  /** Literal → the double domain the footer stats were recorded in.
+    * None ⇒ this type cannot be compared safely (decimal: footer stats
+    * are UNSCALED; binary-backed types: garbage) — caller keeps the
+    * file.
+    */
+  private def numLit(dt: DataType, v: Any): Option[Double] = {
+    if (v == null) return None
+    dt match {
+      case ByteType => Some(v.asInstanceOf[Byte].toDouble)
+      case ShortType => Some(v.asInstanceOf[Short].toDouble)
+      case IntegerType => Some(v.asInstanceOf[Int].toDouble)
+      case LongType => Some(v.asInstanceOf[Long].toDouble)
+      case FloatType => Some(v.asInstanceOf[Float].toDouble)
+      case DoubleType => Some(v.asInstanceOf[Double])
+      case DateType => Some(v.asInstanceOf[Int].toDouble) // days since epoch
+      case TimestampType | TimestampNTZType => Some(v.asInstanceOf[Long].toDouble) // micros
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TableVersions
+
+/** `spark.read.format("graft-table").load(root)` — the versioned table
+  * as a first-class batch source. The returned relation is a
+  * [[HadoopFsRelation]] over a [[GraftFileIndex]], i.e. the SAME
+  * planning machinery Spark's own file sources use: pushed filters
+  * reach [[GraftFileIndex.listFiles]] and prune files from commit
+  * stats during physical planning, column pruning and parquet
+  * vectorized reading stay intact, and `.explain` shows the familiar
+  * `PushedFilters`/`ReadSchema` — nothing is opaque to Catalyst.
+  *
+  * Options: `versionAsOf` (commit version) / `timestampAsOf` (epoch
+  * millis) select a snapshot for time travel; default latest.
+  *
+  * Tables carrying DELETION VECTORS refuse this surface loudly: a
+  * `BaseRelation` is one scan and cannot express the tombstone
+  * anti-join — [[TableVersions.read]] (which can) is the right door,
+  * and silently serving deleted rows would be corruption. Legacy
+  * commits without a recorded schema likewise (the relation contract
+  * needs the schema before any file is opened).
+  */
+class GraftTableSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table: .load(<table root>) is required"))
+    val spark = ctx.sparkSession
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        TableVersions.versionAsOf(spark, root, ts.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-table: no version committed at or before $ts at $root"))
+      })
+    GraftTableSource.relation(spark, root, version)
+  }
+}
+
+object GraftTableSource {
+
+  /** The [[GraftFileIndex]]-backed relation for a snapshot. Shared by
+    * the `graft-table` format and [[TableVersions.read]]'s fast path.
+    */
+  def relation(spark: SparkSession, root: String, version: Option[Long]): HadoopFsRelation = {
+    val st = TableVersions.commitState(spark, root, version)
+    require(st.dvs.isEmpty,
+      s"graft-table: $root carries deletion vectors; read it via TableVersions.read " +
+        "(a single-scan relation cannot apply positional tombstones)")
+    relationFor(spark, root, st)
+  }
+
+  /** [[relation]] over an ALREADY-PARSED commit state — the
+    * [[TableVersions.read]] integration point ([[TableVersions]] layers
+    * the deletion-vector anti-join on top itself, so no DV guard here).
+    */
+  def relationFor(spark: SparkSession, root: String,
+      st: TableVersions.CommitState): HadoopFsRelation = {
+    // Force-nullable, exactly like `spark.read.schema(...)` does (and
+    // Delta's read schema): files written BEFORE an additive evolution
+    // lack the added columns, and the vectorized reader refuses a
+    // missing column that the schema marks required — null-filling is
+    // the evolution contract.
+    val schema = st.schema.map(s => asNullable(s).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-table: $root has legacy commits without a recorded schema; " +
+          "read it via TableVersions.read(mergeSchema = true)"))
+    val index = new GraftFileIndex(spark, root, st, schema)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+
+  private def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** [[relationFor]] as a DataFrame. */
+  def readFor(spark: SparkSession, root: String,
+      st: TableVersions.CommitState): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relationFor(spark, root, st))
+
+  /** [[relation]] as a DataFrame. */
+  def read(spark: SparkSession, root: String, version: Option[Long]): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation(spark, root, version))
+}

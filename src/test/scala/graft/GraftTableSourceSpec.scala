@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableVersions
+
+/** The versioned table as a first-class Spark batch source: the
+  * `graft-table` format (and `TableVersions.read` underneath) plans
+  * through a commit-backed FileIndex, so the CONSUMING QUERY's pushed
+  * filters prune files from commit stats during physical planning —
+  * no explicit bounds argument, no footer reads, no directory
+  * listings.
+  */
+class GraftTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("gts").toString + "/tbl"
+
+  /** Files the executed scan actually read (the planning-time prune's
+    * observable result).
+    */
+  private def filesRead(df: DataFrame): Long = {
+    df.collect() // metrics fill on execution
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in:\n" + df.queryExecution.executedPlan))
+    scan.metrics("numFiles").value
+  }
+
+  test("format('graft-table'): snapshot + time travel equal TableVersions.read") {
+    val root = newRoot()
+    val v0 = TableVersions.append(spark, root,
+      (1L to 1000L).toDF("k").withColumn("v", col("k") * 2).repartition(4))
+    TableVersions.append(spark, root,
+      (1001L to 1500L).toDF("k").withColumn("v", col("k") * 2).repartition(2))
+    val cur = spark.read.format("graft-table").load(root)
+    assert(cur.count() === 1500)
+    assert(cur.agg(sum("v")).head().getLong(0) ===
+      TableVersions.read(spark, root).agg(sum("v")).head().getLong(0))
+    val old = spark.read.format("graft-table").option("versionAsOf", v0).load(root)
+    assert(old.count() === 1000)
+    // SQL over a temp view — the format IS the integration
+    cur.createOrReplaceTempView("gt")
+    assert(spark.sql("SELECT count(*) FROM gt WHERE k > 1400").head().getLong(0) === 100)
+  }
+
+  test("pushed filters prune files from commit stats at planning time") {
+    val root = newRoot()
+    // 10 files with disjoint k-ranges (repartitionByRange keeps them sorted)
+    val df = (1L to 10000L).toDF("k")
+      .withColumn("s", format_string("s%05d", col("k")))
+    TableVersions.append(spark, root, df.repartitionByRange(10, col("k")))
+    val t = TableVersions.read(spark, root)
+    assert(filesRead(t) === 10, "unfiltered read scans everything")
+    assert(filesRead(t.filter(col("k") === 5L)) === 1, "point lookup hits one file")
+    val ranged = t.filter(col("k") >= 2000L && col("k") < 4100L)
+    assert(filesRead(ranged) <= 4, "range scan prunes to intersecting files")
+    assert(ranged.count() === 2100)
+    // string stats prune too (ASCII bounds)
+    assert(filesRead(t.filter(col("s") === "s00007")) === 1)
+    // IN-lists prune to the union of point lookups
+    assert(filesRead(t.filter(col("k").isin(5L, 9995L))) === 2)
+    // the plan is a regular parquet scan: pushdown + codegen intact
+    val plan = t.filter(col("k") === 5L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
+  test("partition-value filters prune partition-pure files") {
+    val root = newRoot()
+    val df = Seq.tabulate(300)(i => (i.toLong, s"p${i % 3}")).toDF("k", "p")
+    TableVersions.append(spark, root, df, partitionBy = Seq("p"))
+    val t = TableVersions.read(spark, root)
+    val total = filesRead(t)
+    assert(total >= 3)
+    assert(filesRead(t.filter(col("p") === "p1")) < total,
+      "a partition filter must not scan the other partitions' files")
+    assert(t.filter(col("p") === "p1").count() === 100)
+  }
+
+  test("deletion-vector tables refuse the single-scan format surface; read() stays exact") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1))
+    val Some(_) = TableVersions.deleteWhere(spark, root,
+      col("k").isin(3L, 7L), maxDvFraction = 0.5): @unchecked
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").load(root).count()
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+    assert(TableVersions.read(spark, root).count() === 98)
+  }
+}
