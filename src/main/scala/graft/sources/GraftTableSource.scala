@@ -1,9 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.TableVersions
@@ -27,9 +27,46 @@ import graft.operators.TableVersions
   * commits without a recorded schema likewise (the relation contract
   * needs the schema before any file is opened).
   */
-class GraftTableSource extends RelationProvider with DataSourceRegister {
+class GraftTableSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** `df.write.format("graft-table").mode(…).save(root)` — writes are
+    * TRANSACTIONAL commits, never directory drops: `append` commits a
+    * new version (first write may declare partitioning via
+    * `option("partitionBy", "a,b")`; later writes inherit), `overwrite`
+    * replaces the listing in one audited version (the old data stays
+    * time-travelable until vacuum, and the change feed shows
+    * delete+insert). `ErrorIfExists`/`Ignore` follow their SQL
+    * contract against "a committed version exists".
+    */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table: .save(<table root>) is required"))
+    val spark = ctx.sparkSession
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val exists = TableVersions.currentVersion(spark, root).isDefined
+    mode match {
+      case SaveMode.Append => TableVersions.append(spark, root, data, partitionBy)
+      case SaveMode.Overwrite => TableVersions.overwrite(spark, root, data, partitionBy)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"graft-table: $root already has committed versions (mode=ErrorIfExists)")
+      case SaveMode.ErrorIfExists => TableVersions.append(spark, root, data, partitionBy)
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Ignore => TableVersions.append(spark, root, data, partitionBy)
+    }
+    val st = TableVersions.commitState(spark, root)
+    if (st.dvs.isEmpty) GraftTableSource.relationFor(spark, root, st)
+    else new BaseRelation { // DV'd table: save() discards this; a scan-
+      // less relation fails to plan instead of serving deleted rows
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = st.schema.getOrElse(data.schema)
+    }
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -81,6 +81,30 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(t.filter(col("p") === "p1").count() === 100)
   }
 
+  test("write surface: save modes are transactional commits, not directory drops") {
+    val root = newRoot()
+    val d1 = (1L to 100L).map(i => (i, s"p${i % 2}")).toDF("k", "p")
+    d1.write.format("graft-table").option("partitionBy", "p")
+      .mode("append").save(root)
+    assert(TableVersions.commitState(spark, root).partCols === Seq("p"))
+    (101L to 150L).map(i => (i, s"p${i % 2}")).toDF("k", "p")
+      .write.format("graft-table").mode("append").save(root)
+    assert(spark.read.format("graft-table").load(root).count() === 150)
+    // overwrite commits a new version; the old one stays time-travelable
+    val vBefore = TableVersions.currentVersion(spark, root).get
+    (1L to 10L).map(i => (i, "p0")).toDF("k", "p")
+      .write.format("graft-table").mode("overwrite").save(root)
+    assert(spark.read.format("graft-table").load(root).count() === 10)
+    assert(spark.read.format("graft-table").option("versionAsOf", vBefore)
+      .load(root).count() === 150)
+    // ErrorIfExists honors its contract; Ignore is a no-op
+    intercept[IllegalArgumentException] {
+      d1.write.format("graft-table").mode("errorifexists").save(root)
+    }
+    d1.write.format("graft-table").mode("ignore").save(root)
+    assert(spark.read.format("graft-table").load(root).count() === 10)
+  }
+
   test("deletion-vector tables refuse the single-scan format surface; read() stays exact") {
     val root = newRoot()
     TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1))
