@@ -32,7 +32,9 @@ object ChangeFeed {
     new org.apache.hadoop.fs.Path(checkpointDir, "cdf_progress")
 
   /** Last source version this checkpoint has fully applied (-1 before
-    * the first).
+    * the first). A marker that exists but does not parse is a LOUD
+    * error naming the recovery path — a silently-guessed value would
+    * replay or skip versions.
     */
   def progress(spark: SparkSession, checkpointDir: String): Long = {
     val p = markerPath(checkpointDir)
@@ -40,15 +42,34 @@ object ChangeFeed {
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes()).trim.toLong finally in.close()
+      val txt = try new String(in.readAllBytes()).trim finally in.close()
+      try txt.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"corrupt change-feed progress marker at $p (content: '$txt'). " +
+            "Recovery: write the last FULLY-APPLIED source version into the marker, " +
+            "or delete it to re-apply from the beginning (safe only for consumers " +
+            "that are idempotent per version, e.g. txn-keyed destinations)", e)
+      }
     }
   }
 
+  /** Marker updates are WRITE-TEMP-THEN-ATOMIC-RENAME (the same pattern
+    * as the table format's commit promote): a crash mid-write leaves
+    * only a hidden temp file, never a truncated marker that would wedge
+    * or misdirect every subsequent [[follow]].
+    */
   private def writeProgress(spark: SparkSession, checkpointDir: String, v: Long): Unit = {
     val p = markerPath(checkpointDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".cdf_progress.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Catch the consumer up to the source's current version

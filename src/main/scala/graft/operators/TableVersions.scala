@@ -637,15 +637,29 @@ object TableVersions {
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
   }
 
+  /** The removed files' deletion-vector references as of the snapshot a
+    * rewrite READ under — [[commitRewrite]]'s conflict input.
+    */
+  private def dvSnapshotOf(st: CommitState,
+      removed: Set[String]): Map[String, Option[(String, Long)]] =
+    removed.map(p => p -> st.dvs.get(p)).toMap
+
   /** Commit a file REWRITE (remove `removed`, add `added`) with the
     * Delta conflict rule: rebase across any interleaved commits whose
     * listings still carry every removed file (concurrent appends,
     * disjoint maintenance); return None — and clean up the staged
-    * files — only on a TRUE overlap (some removed file is no longer
-    * live: a competing rewrite got there first).
+    * files — only on a TRUE overlap: some removed file is no longer
+    * live (a competing rewrite got there first), OR a removed file's
+    * deletion-vector reference moved (`dvSnapshot` is what this rewrite
+    * READ its candidate rows under — a concurrent DV delete that landed
+    * new tombstones after our read would be silently RESURRECTED if we
+    * committed, because pruneDvs drops the reference with the file;
+    * file identity = path + DV ref, the same rule [[commitDvUpdate]]
+    * enforces in the opposite direction).
     */
-  private def commitRewrite(spark: SparkSession, root: String, removed: Set[String],
-      added: Seq[FileEntry], outDir: Path): Option[Long] = {
+  private[graft] def commitRewrite(spark: SparkSession, root: String, removed: Set[String],
+      added: Seq[FileEntry], outDir: Path,
+      dvSnapshot: Map[String, Option[(String, Long)]]): Option[Long] = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt < 100) {
@@ -655,6 +669,10 @@ object TableVersions {
       if (!removed.subsetOf(cur.files.map(_.path).toSet)) {
         f.delete(outDir, true)
         return None // true conflict: a competing rewrite removed our inputs
+      }
+      if (removed.exists(p => cur.dvs.get(p) != dvSnapshot.getOrElse(p, None))) {
+        f.delete(outDir, true)
+        return None // true conflict: a concurrent DV update tombstoned our inputs
       }
       val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
       val v = nextVersion(spark, root, Some(baseV))
@@ -741,7 +759,7 @@ object TableVersions {
     val dataSchema = schema.getOrElse(spark.read.parquet(memberPaths.head).schema)
     val newEntries = entriesFor(spark, listParquet(f, outDir), dataSchema, binOfPath)
     val merged = toMerge.values.flatten.map(_._1).toSet
-    commitRewrite(spark, root, merged, newEntries, outDir)
+    commitRewrite(spark, root, merged, newEntries, outDir, dvSnapshotOf(st, merged))
   }
 
   // ------------------------------------------------------------------
@@ -859,7 +877,8 @@ object TableVersions {
     // path as appends, so a delete spanning several partitions keeps
     // every surviving row's partition metadata exact
     val (outDir, added) = stageFiles(spark, root, survivors, st.partCols, "delete")
-    commitRewrite(spark, root, candidates.toSet, added, outDir)
+    commitRewrite(spark, root, candidates.toSet, added, outDir,
+      dvSnapshotOf(st, candidates.toSet))
   }
 
   /** MERGE-ON-READ delete (deletion vectors): when the matched rows are
@@ -879,9 +898,14 @@ object TableVersions {
     * rewrite path (fraction exceeded, or legacy files without row
     * counts — the fraction cannot be bounded).
     */
-  /** Open `candidates` with `_metadata`-derived (`file`, `pos`) columns
-    * and the candidates' EXISTING deletion vectors applied — the
-    * common victim-finding frame for DV delete and DV upsert.
+  /** Open `candidates` with `_metadata`-derived row-identity columns
+    * (`__gv_file`, `__gv_pos` — RESERVED temp names, so a table column
+    * literally named `file` or `pos` keeps its DATA values: predicates
+    * and key joins over the victim frame must see the table, not the
+    * metadata) and the candidates' EXISTING deletion vectors applied —
+    * the common victim-finding frame for DV delete and DV upsert.
+    * Callers rename to the sidecar's (`file`, `pos`) only AFTER
+    * projecting the identity columns out.
     */
   private def candidateRowsWithPos(spark: SparkSession, st: CommitState,
       candidates: Seq[String]): DataFrame = {
@@ -890,8 +914,8 @@ object TableVersions {
       case Some(s) => spark.read.schema(s).parquet(candidates: _*)
       case None => spark.read.parquet(candidates: _*)
     })
-      .withColumn("file", col("_metadata.file_path"))
-      .withColumn("pos", col("_metadata.row_index"))
+      .withColumn("__gv_file", col("_metadata.file_path"))
+      .withColumn("__gv_pos", col("_metadata.row_index"))
     applyDvs(spark, base, candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
   }
 
@@ -945,7 +969,8 @@ object TableVersions {
     if (totalRows == 0) return Some(currentVersion(spark, root))
     val f = fs(spark, root)
     val victims = candidateRowsWithPos(spark, st, candidates)
-      .filter(predicate <=> lit(true)).select(col("file"), col("pos"))
+      .filter(predicate <=> lit(true))
+      .select(col("__gv_file").as("file"), col("__gv_pos").as("pos"))
     val (dvDir, sidecar, perFile, newMatches) =
       stageDvSidecar(spark, root, st, candidates, victims)
         .getOrElse(return Some(currentVersion(spark, root))) // no-op delete
@@ -1039,7 +1064,8 @@ object TableVersions {
     // restage through the (possibly partitioned) write path: a CDC
     // batch spanning partitions keeps every row's partition metadata
     val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert")
-    commitRewrite(spark, root, candidates.toSet, added, outDir)
+    commitRewrite(spark, root, candidates.toSet, added, outDir,
+      dvSnapshotOf(st, candidates.toSet))
   }
 
   /** MERGE-ON-READ upsert (the Delta DV MERGE shape): instead of
@@ -1066,7 +1092,7 @@ object TableVersions {
     val f = fs(spark, root)
     val victims = candidateRowsWithPos(spark, st, candidates)
       .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-      .select(col("file"), col("pos"))
+      .select(col("__gv_file").as("file"), col("__gv_pos").as("pos"))
     val staged = stageDvSidecar(spark, root, st, candidates, victims)
     staged.foreach { case (dvDir, _, _, newMatches) =>
       if (totalRows == 0 || newMatches.toDouble / totalRows > maxFraction) {
@@ -1138,6 +1164,11 @@ object TableVersions {
   private def replaceInternal(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], txn: Option[(String, Long)], replaceAll: Boolean,
       drop: Seq[Map[String, String]] = Seq.empty): Long = {
+    // an accidentally-empty drop tuple would forall-match EVERY file and
+    // silently empty the table's kept partitions — fail loudly instead
+    require(drop.forall(_.nonEmpty),
+      "replacePartitions: drop contains an empty partition tuple, which would match " +
+        "every file; pass only non-empty partition-value maps")
     txn.foreach { case (app, b) =>
       if (lastTxn(spark, root, app).exists(_ >= b))
         return currentVersion(spark, root).get // replay — already applied
@@ -1203,7 +1234,8 @@ object TableVersions {
     val binPart = tuples.headOption.getOrElse(Map.empty)
     val added = entriesFor(spark, listParquet(f, outDir),
       st.schema.getOrElse(src.schema), _ => binPart)
-    commitRewrite(spark, root, scope.map(_.path).toSet, added, outDir)
+    commitRewrite(spark, root, scope.map(_.path).toSet, added, outDir,
+      dvSnapshotOf(st, scope.map(_.path).toSet))
   }
 
   /** Delete data files unreachable from the newest `keepVersions`

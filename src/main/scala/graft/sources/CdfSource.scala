@@ -75,20 +75,34 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     // commit that landed while the stream was down.
     val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft_cdf_start")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(): Long = {
+      val in = fs.open(marker)
+      val txt = try new String(in.readAllBytes()).trim finally in.close()
+      try txt.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"corrupt graft-cdf start marker at $marker (content: '$txt'); " +
+            "write the intended exclusive starting version into it, or delete " +
+            "the checkpoint dir to restart the stream from scratch", e)
+      }
+    }
     val starting =
-      if (fs.exists(marker)) {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes()).trim.toLong finally in.close()
-      } else {
+      if (fs.exists(marker)) readMarker()
+      else {
         val resolved = parameters.get("startingVersion") match {
           case Some("latest") => TableVersions.currentVersion(spark, path).getOrElse(-1L)
           case Some(v) => v.toLong - 1 // startingVersion is INCLUSIVE, offsets exclusive
           case None => -1L
         }
+        // write-temp-then-rename: a crash mid-write must not leave a
+        // truncated marker that poisons every restart
         fs.mkdirs(marker.getParent)
-        val out = fs.create(marker, false) // one writer: the driver at stream start
+        val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+          s".graft_cdf_start.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
         try out.write(resolved.toString.getBytes) finally out.close()
-        resolved
+        if (fs.rename(tmp, marker)) resolved
+        else { fs.delete(tmp, false); readMarker() } // raced another starter: theirs wins
       }
     new CdfSource(spark, path, declared, starting)
   }
