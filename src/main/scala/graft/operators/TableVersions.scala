@@ -89,11 +89,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * deletes files unreachable from the retained versions (and is the
   * only thing that ever deletes data).
   *
-  * Scale shape: a commit is one metadata file (one stats-bearing line
-  * per file — MBs even for very large tables); readers do one
-  * `_versions` listing + one small read before the real scan. No data
-  * file is ever rewritten in place, so readers racing writers always
-  * see a consistent version.
+  * Scale shape: commits are O(DELTA) — an append/rewrite/DV step writes
+  * only its added file lines, `#RM` removals and metadata deltas
+  * against `#BASE` (the Delta action-log stance), so a day of 1-minute
+  * streaming micro-batches into a million-file table writes KBs of
+  * metadata per commit, not the full listing. Every Nth commit (conf
+  * `graft.table.checkpointInterval`, default 10) drops a
+  * `v<N>.checkpoint` carrying the full compacted state plus a
+  * `_last_checkpoint` hint; readers reconstruct any version from the
+  * nearest checkpoint-or-full-commit plus a ≤N-deep delta tail, with
+  * reconstructed states cached driver-side by immutable commit-file
+  * identity. Self-contained full commits remain first-class (first
+  * writes, restores, constraint changes, legacy tables), and mixed-era
+  * logs read seamlessly. No data file is ever rewritten in place, so
+  * readers racing writers always see a consistent version.
   */
 object TableVersions {
 
@@ -193,44 +202,162 @@ object TableVersions {
     }
   }
 
-  /** Parse a commit file; None if absent or torn (no matching #END —
-    * impossible under the promote protocol, tolerated for legacy/crash
-    * debris).
+  /** A parsed commit file: either a self-contained FULL listing (legacy
+    * commits, first writes, checkpoints, metadata ops) or an O(delta)
+    * INCREMENTAL record against `#BASE` (the streaming-append common
+    * case — commit bytes scale with the batch, not the table).
     */
-  private def readCommitState(spark: SparkSession, root: String, v: Long): Option[CommitState] = {
-    val f = fs(spark, root)
-    val p = commitPath(root, v)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val text =
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
+  private sealed trait RawCommit
+  private final case class FullCommit(st: CommitState) extends RawCommit
+  private final case class DeltaCommit(base: Long, adds: Seq[FileEntry],
+      removes: Set[String], schemaJson: Option[String],
+      partColsOpt: Option[Seq[String]], txns: Map[String, Long],
+      checksOpt: Option[Map[String, String]],
+      dvSets: Map[String, (String, Long)]) extends RawCommit {
+    /** Fold this delta onto its base state. A removed file takes its
+      * deletion vector with it (the pruneDvs invariant); absent
+      * metadata sections inherit.
+      */
+    def applyTo(prev: CommitState): CommitState =
+      CommitState(
+        prev.files.filterNot(fe => removes(fe.path)) ++ adds,
+        schemaJson.orElse(prev.schemaJson),
+        partColsOpt.getOrElse(prev.partCols),
+        prev.txns ++ txns,
+        checksOpt.getOrElse(prev.checks),
+        (prev.dvs -- removes) ++ dvSets)
+  }
+
+  /** Parse commit-file text; None when torn (no matching #END —
+    * impossible under the promote protocol, tolerated for legacy/crash
+    * debris). Throws on a format major above this reader's.
+    */
+  private def parseCommitText(text: String, where: Path): Option[RawCommit] = {
     val lines = text.split("\n").filter(_.nonEmpty)
     if (lines.isEmpty || !lines.last.startsWith("#END ")) return None
     lines.find(_.startsWith("#FORMAT ")).foreach { l =>
       val major = l.stripPrefix("#FORMAT ").trim.split("\\.")(0).toInt
       if (major > FormatMajor) throw new IllegalStateException(
-        s"commit $p was written by format major $major; this reader understands ≤ $FormatMajor — " +
+        s"commit $where was written by format major $major; this reader understands ≤ $FormatMajor — " +
           "refusing to misread it (upgrade the reader)")
     }
     val files = lines.init.filterNot(_.startsWith("#")).map(parseFileLine).toSeq
     if (lines.last != s"#END ${files.size}") return None
     val schemaJson = lines.find(_.startsWith("#SCHEMA ")).map(_.stripPrefix("#SCHEMA "))
-    val partCols = lines.find(_.startsWith("#PART "))
-      .map(_.stripPrefix("#PART ").split(",").map(dec).toSeq).getOrElse(Seq.empty)
+    val partColsOpt = lines.find(_.startsWith("#PART "))
+      .map(_.stripPrefix("#PART ").split(",").map(dec).toSeq)
     val txns = lines.filter(_.startsWith("#TXN ")).map { l =>
       val Array(_, app, b) = l.split(" ", 3)
       app -> b.toLong
     }.groupMapReduce(_._1)(_._2)(math.max)
-    val checks = lines.filter(_.startsWith("#CHECK ")).map { l =>
+    val checkLines = lines.filter(_.startsWith("#CHECK ")).map { l =>
       val Array(_, name, e) = l.split(" ", 3)
       dec(name) -> dec(e)
-    }.toMap
+    }
     val dvs = lines.filter(_.startsWith("#DV ")).map { l =>
       val Array(_, fp, dvp, n) = l.split(" ", 4)
       dec(fp) -> (dec(dvp), n.trim.toLong)
     }.toMap
-    Some(CommitState(files, schemaJson, partCols, txns, checks, dvs))
+    lines.find(_.startsWith("#BASE ")) match {
+      case Some(b) =>
+        val removes = lines.filter(_.startsWith("#RM "))
+          .map(l => dec(l.stripPrefix("#RM ").trim)).toSet
+        Some(DeltaCommit(b.stripPrefix("#BASE ").trim.toLong, files, removes,
+          schemaJson, partColsOpt, txns,
+          if (checkLines.nonEmpty) Some(checkLines.toMap) else None, dvs))
+      case None =>
+        Some(FullCommit(CommitState(files, schemaJson,
+          partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs)))
+    }
+  }
+
+  private def readRaw(f: FileSystem, p: Path): Option[RawCommit] = {
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    parseCommitText(text, p)
+  }
+
+  // ------------------------------------------------------------------
+  // State reconstruction: checkpoint + delta tail, with a driver-side
+  // cache of reconstructed states. Commit files are immutable once
+  // claimed, so (qualified path, mtime, length) identifies content.
+  // ------------------------------------------------------------------
+
+  private val stateCacheMax = 32
+  private val stateCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), CommitState](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), CommitState]): Boolean =
+        size() > stateCacheMax
+    })
+
+  /** Test hook: drop every cached reconstructed state. */
+  private[graft] def clearStateCache(): Unit = stateCache.clear()
+
+  private def cacheKey(f: FileSystem, p: Path): Option[(String, Long, Long)] =
+    try {
+      val s = f.getFileStatus(p)
+      Some((f.makeQualified(p).toString, s.getModificationTime, s.getLen))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def checkpointPath(root: String, v: Long) =
+    new Path(versionsDir(root), s"v$v.checkpoint")
+
+  /** The full state of version `v`, reconstructed as CHECKPOINT-OR-FULL
+    * + DELTA TAIL: walk back from `v` until a cached state, a
+    * checkpoint file, or a full commit, then fold the collected deltas
+    * forward (each folded state is cached, so a tailing reader pays
+    * O(1) new parses per new commit). None when `v`'s own commit is
+    * absent or torn; a BROKEN CHAIN (a delta whose base is missing —
+    * retention misconfiguration, never produced by [[vacuum]], which
+    * checkpoints the oldest retained version first) throws loudly
+    * instead of silently resolving to an older version.
+    */
+  private def readCommitState(spark: SparkSession, root: String, v: Long): Option[CommitState] = {
+    val f = fs(spark, root)
+    var chain = List.empty[(DeltaCommit, Option[(String, Long, Long)])]
+    var cur = v
+    var state: CommitState = null
+    while (state == null) {
+      val ck = cacheKey(f, commitPath(root, cur))
+      // probe contract: the TARGET version exists iff its commit file
+      // does (checkpoints are reader-side sidecars, not claims)
+      if (cur == v && ck.isEmpty) return None
+      val hit = ck.flatMap(k => Option(stateCache.get(k)))
+      if (hit.isDefined) state = hit.get
+      else {
+        val fromCkpt =
+          readRaw(f, checkpointPath(root, cur)).collect { case FullCommit(st) => st }
+        fromCkpt match {
+          case Some(st) =>
+            state = st
+            ck.foreach(stateCache.put(_, st))
+          case None =>
+            readRaw(f, commitPath(root, cur)) match {
+              case None if cur == v => return None // absent/torn target: probe contract
+              case None => throw new IllegalStateException(
+                s"cannot reconstruct version $v at $root: delta chain needs v$cur, " +
+                  "which is absent or torn — the commit log below a delta was removed " +
+                  "without a checkpoint (vacuum always writes one; was the log edited?)")
+              case Some(FullCommit(st)) =>
+                state = st
+                ck.foreach(stateCache.put(_, st))
+              case Some(d: DeltaCommit) =>
+                require(d.base < cur, s"malformed commit v$cur at $root: #BASE ${d.base} is not older")
+                chain = (d, ck) :: chain
+                cur = d.base
+            }
+        }
+      }
+    }
+    chain.foreach { case (d, k) =>
+      state = d.applyTo(state)
+      k.foreach(stateCache.put(_, state))
+    }
+    Some(state)
   }
 
   /** Every version NUMBER with a commit file. Under the promote
@@ -355,17 +482,26 @@ object TableVersions {
   // claim-with-content promote.
   // ------------------------------------------------------------------
 
-  /** Commit-protocol version this writer emits. Readers tolerate a
-    * missing header (legacy commits) and any minor additions, but
-    * REFUSE a higher major loudly — a future reader must be able to
-    * distinguish "legacy line" from "feature I don't understand"
-    * instead of silently misreading it.
+  /** Highest commit-protocol major this READER understands. Readers
+    * tolerate a missing header (legacy commits) and any minor
+    * additions, but REFUSE a higher major loudly — a future reader must
+    * be able to distinguish "legacy line" from "feature I don't
+    * understand" instead of silently misreading it.
+    *
+    * Writers emit the LOWEST major whose semantics the commit uses:
+    * major 1 for self-contained full listings without deletion vectors
+    * (any historical reader serves them correctly), major 2 the moment
+    * a commit carries `#DV` tombstones (a major-1 reader would skip the
+    * unknown lines and serve DELETED rows) or is an incremental
+    * `#BASE`/`#RM` delta (a major-1 reader would mistake the adds for
+    * the whole table) — semantics-changing features must bump the
+    * major, the reason Delta bumps readerVersion for DVs.
     */
-  private val FormatMajor = 1
+  private val FormatMajor = 2
 
-  private def renderCommit(st: CommitState): Array[Byte] = {
+  private def renderFull(st: CommitState): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append("#FORMAT ").append(FormatMajor).append('\n')
+    sb.append("#FORMAT ").append(if (st.dvs.nonEmpty) 2 else 1).append('\n')
     st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
     if (st.partCols.nonEmpty)
       sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
@@ -380,6 +516,51 @@ object TableVersions {
     sb.append(s"#END ${st.files.size}\n")
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
+
+  /** Render `st` as an O(delta) INCREMENTAL commit against `(baseV,
+    * baseSt)` when the step is delta-expressible AND actually smaller;
+    * None falls back to a full listing. Inexpressible (rare, all served
+    * fine by full commits): constraint or partition-declaration
+    * changes, a schema "removal", a shared path whose entry or
+    * deletion-vector reference changed outside the set/remove rules,
+    * or a file reorder (every writer builds `kept ++ added`, so order
+    * holds naturally — [[restore]] is the one that reorders).
+    */
+  private def tryRenderDelta(baseV: Long, baseSt: CommitState,
+      st: CommitState): Option[Array[Byte]] = {
+    if (baseSt.partCols != st.partCols || baseSt.checks != st.checks) return None
+    if (st.schemaJson.isEmpty && baseSt.schemaJson.nonEmpty) return None
+    val baseByPath = baseSt.files.map(fe => fe.path -> fe).toMap
+    val newPaths = st.files.map(_.path).toSet
+    val removes = baseSt.files.map(_.path).filterNot(newPaths).toSet
+    val adds = st.files.filterNot(fe => baseByPath.contains(fe.path))
+    if (removes.size + adds.size >= st.files.size) return None // full is no bigger
+    // reconstruction must reproduce the exact state, file order included
+    if (baseSt.files.filterNot(fe => removes(fe.path)) ++ adds != st.files) return None
+    val txnDelta = st.txns.filter { case (a, b) => !baseSt.txns.get(a).contains(b) }
+    if (baseSt.txns ++ txnDelta != st.txns) return None
+    val dvDelta = st.dvs.filter { case (p, r) => !baseSt.dvs.get(p).contains(r) }
+    if ((baseSt.dvs -- removes) ++ dvDelta != st.dvs) return None
+    val sb = new StringBuilder
+    sb.append("#FORMAT 2\n")
+    sb.append("#BASE ").append(baseV).append('\n')
+    if (st.schemaJson != baseSt.schemaJson)
+      st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
+    txnDelta.toSeq.sortBy(_._1).foreach { case (a, b) =>
+      sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
+    dvDelta.toSeq.sortBy(_._1).foreach { case (p, (dv, n)) =>
+      sb.append("#DV ").append(enc(p)).append(' ').append(enc(dv))
+        .append(' ').append(n).append('\n') }
+    removes.toSeq.sorted.foreach(p => sb.append("#RM ").append(enc(p)).append('\n'))
+    adds.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
+    sb.append(s"#END ${adds.size}\n")
+    Some(sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def renderCommit(st: CommitState,
+      base: Option[(Long, CommitState)]): Array[Byte] =
+    base.flatMap { case (bv, bst) => tryRenderDelta(bv, bst, st) }
+      .getOrElse(renderFull(st))
 
   /** Atomically publish `tmp` as `target`, failing (false) when the
     * target name is already claimed. Local filesystems use link(2) —
@@ -408,16 +589,63 @@ object TableVersions {
     ok
   }
 
-  private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState): Boolean = {
+  /** Write commit `v` (incremental against `base` when expressible) and
+    * promote it atomically. On success, every Nth commit also drops a
+    * CHECKPOINT (see [[writeCheckpoint]]) so readers reconstruct any
+    * version from one checkpoint + a bounded delta tail.
+    */
+  private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState,
+      base: Option[(Long, CommitState)] = None): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
     if (f.exists(target)) return false // cheap pre-check; the promote is the real claim
     val tmp = new Path(versionsDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(renderCommit(st)) finally out.close()
-    atomicPromote(f, tmp, target)
+    try out.write(renderCommit(st, base)) finally out.close()
+    val ok = atomicPromote(f, tmp, target)
+    if (ok) maybeCheckpoint(spark, root, v, st)
+    ok
   }
+
+  /** Checkpoint cadence: every Nth version gets a full-state sidecar
+    * (session conf `graft.table.checkpointInterval`, default 10; ≤0
+    * disables). Bounds every reader's delta-tail walk to N commits —
+    * the Delta `_last_checkpoint` architecture.
+    */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.get("graft.table.checkpointInterval", "10").toInt
+
+  private def maybeCheckpoint(spark: SparkSession, root: String, v: Long,
+      st: CommitState): Unit = {
+    val k = checkpointInterval(spark)
+    if (k > 0 && v > 0 && v % k == 0) writeCheckpoint(spark, root, v, st)
+  }
+
+  /** Write `v<N>.checkpoint` — the FULL state of version N in the
+    * commit-file rendering — plus the `_last_checkpoint` hint, both via
+    * write-temp-then-rename. Checkpoints are pure read-optimization
+    * sidecars: losing one costs a longer walk, never correctness, so
+    * failures here are swallowed (the commit already promoted).
+    */
+  private[graft] def writeCheckpoint(spark: SparkSession, root: String, v: Long,
+      st: CommitState): Unit =
+    try {
+      val f = fs(spark, root)
+      val target = checkpointPath(root, v)
+      if (f.exists(target)) return
+      val tmp = new Path(versionsDir(root), s".tmp-ckpt-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(renderFull(st)) finally out.close()
+      if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
+      val ptrTmp = new Path(versionsDir(root), s".tmp-ptr-${java.util.UUID.randomUUID()}")
+      val pout = f.create(ptrTmp, true)
+      try pout.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally pout.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ptrTmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(ptrTmp, new Path(versionsDir(root), "_last_checkpoint"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case _: java.io.IOException => () }
 
   /** Reject rows that violate any committed CHECK constraint: ONE
     * aggregate pass over the batch regardless of how many constraints
@@ -631,7 +859,8 @@ object TableVersions {
           prev.map(_.files).getOrElse(Seq.empty) ++ added,
           Some(newSchema.json), effPart, txns,
           prev.map(_.checks).getOrElse(Map.empty),
-          prev.map(_.dvs).getOrElse(Map.empty)))) return v
+          prev.map(_.dvs).getOrElse(Map.empty)),
+          base.zip(prev))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
@@ -678,7 +907,8 @@ object TableVersions {
       val v = nextVersion(spark, root, Some(baseV))
       // a removed file's deletion vector dies with it (the rewrite
       // re-materialized its live rows)
-      if (tryCommit(spark, root, v, cur.copy(files = files).pruneDvs))
+      if (tryCommit(spark, root, v, cur.copy(files = files).pruneDvs,
+          Some(baseV -> cur)))
         return Some(v)
       attempt += 1
     }
@@ -1007,7 +1237,8 @@ object TableVersions {
       if (conflict) { cleanup.foreach(d => f.delete(d, true)); return None }
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v,
-          cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates))) return Some(v)
+          cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates),
+          Some(baseV -> cur))) return Some(v)
       attempt += 1
     }
     throw new IllegalStateException(s"dv update: lost $attempt commit races at $root")
@@ -1203,7 +1434,8 @@ object TableVersions {
       val newSchema = cur.schema.map(checkEvolution(_, df.schema)).getOrElse(df.schema)
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v, cur.copy(files = kept ++ added,
-          schemaJson = Some(newSchema.json), txns = cur.txns ++ txn).pruneDvs)) return v
+          schemaJson = Some(newSchema.json), txns = cur.txns ++ txn).pruneDvs,
+          Some(baseV -> cur))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"replace: lost $attempt commit races at $root")
@@ -1239,8 +1471,13 @@ object TableVersions {
   }
 
   /** Delete data files unreachable from the newest `keepVersions`
-    * versions, drop the older commit files, and sweep crashed writers'
-    * temp debris. The only destructive operation in the format.
+    * versions, drop the older commit files AND checkpoints, and sweep
+    * crashed writers' temp debris. The only destructive operation in
+    * the format. Before the old commits go, the OLDEST retained version
+    * is guaranteed a full state on disk (its own full commit, an
+    * existing checkpoint, or a checkpoint written here) — incremental
+    * commits above it keep reconstructing after their chain below is
+    * gone.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
     require(keepVersions >= 1)
@@ -1253,9 +1490,25 @@ object TableVersions {
       .foreach { n => f.delete(new Path(vd, n), false); () }
     val versions = all.collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
       n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
+    val checkpoints = all.collect { case n if n.startsWith("v") && n.endsWith(".checkpoint") =>
+      n.stripPrefix("v").stripSuffix(".checkpoint").toLong }
     val live = versions.filter(_ >= keepFrom)
       .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
         st.files.map(_.path) ++ st.dvs.values.map(_._1))).toSet
+    // reconstructability across the horizon: the oldest retained
+    // version must not need the about-to-drop chain
+    if (versions.exists(_ < keepFrom)) {
+      versions.filter(_ >= keepFrom).headOption.foreach { oldest =>
+        val needsCkpt = !f.exists(checkpointPath(root, oldest)) &&
+          (readRaw(f, commitPath(root, oldest)) match {
+            case Some(_: DeltaCommit) => true
+            case _ => false // full commit or torn legacy: self-contained either way
+          })
+        if (needsCkpt)
+          readCommitState(spark, root, oldest)
+            .foreach(st => writeCheckpoint(spark, root, oldest, st))
+      }
+    }
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) {
       val it = f.listFiles(dataDir, true)
@@ -1268,6 +1521,7 @@ object TableVersions {
       dead.foreach(p => f.delete(p, false))
     }
     versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
+    checkpoints.filter(_ < keepFrom).foreach { v => f.delete(checkpointPath(root, v), false); () }
   }
 
   /** RESTORE — roll the table back to `toVersion` by committing a NEW
@@ -1288,7 +1542,8 @@ object TableVersions {
         .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
       val cur = commitState(spark, root, Some(baseV))
       val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, target.copy(txns = cur.txns))) return Some(v)
+      if (tryCommit(spark, root, v, target.copy(txns = cur.txns), Some(baseV -> cur)))
+        return Some(v)
       attempt += 1
     }
     None
@@ -1337,7 +1592,8 @@ object TableVersions {
         .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
       val cur = commitState(spark, root, Some(baseV))
       val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, cur.copy(checks = cur.checks + (name -> sqlExpr))))
+      if (tryCommit(spark, root, v, cur.copy(checks = cur.checks + (name -> sqlExpr)),
+          Some(baseV -> cur)))
         return v
       attempt += 1
     }
@@ -1353,7 +1609,8 @@ object TableVersions {
       val cur = commitState(spark, root, Some(baseV))
       require(cur.checks.contains(name), s"no CHECK constraint '$name' at $root")
       val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, cur.copy(checks = cur.checks - name)))
+      if (tryCommit(spark, root, v, cur.copy(checks = cur.checks - name),
+          Some(baseV -> cur)))
         return v
       attempt += 1
     }

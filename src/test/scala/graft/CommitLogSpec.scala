@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableVersions
+
+/** Round-11 commit-log contracts: commits are O(delta) — bytes scale
+  * with the batch, never the table — checkpoints + delta tails
+  * reconstruct every retained version bit-for-bit (mixed-era logs
+  * included), vacuum checkpoints the oldest retained version before
+  * dropping the chain below it and sweeps old commits/checkpoints, and
+  * semantics-changing features (deltas, deletion vectors) bump the
+  * format major so a legacy reader refuses rather than misreads.
+  */
+class CommitLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("cl11").toString + "/tbl"
+
+  private def hfs(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitText(root: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root, s"_versions/$name")
+    val f = hfs(root)
+    val in = f.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  private def commitLen(root: String, name: String): Long =
+    hfs(root).getFileStatus(new org.apache.hadoop.fs.Path(root, s"_versions/$name")).getLen
+
+  test("commit bytes scale with the batch, not the table") {
+    val root = newRoot()
+    // a 40-file table...
+    TableVersions.append(spark, root, (1L to 4000L).toDF("k").repartition(40))
+    assert(TableVersions.commitState(spark, root).files.size === 40)
+    assert(commitText(root, "v0.commit").startsWith("#FORMAT 1\n"),
+      "a self-contained DV-free commit stays readable by a major-1 reader")
+    // ...then a 1-file streaming append: the commit must reference ONE
+    // file, not 41
+    TableVersions.appendTxn(spark, root, Seq(9001L).toDF("k").coalesce(1), "stream", 7L)
+    val t1 = commitText(root, "v1.commit")
+    assert(t1.startsWith("#FORMAT 2\n"), "delta commits are a major-2 feature")
+    assert(t1.contains("\n#BASE 0\n"))
+    assert(t1.contains("#TXN stream 7"))
+    val addLines = t1.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+    assert(addLines.length === 1, s"delta must carry only the batch's files:\n$t1")
+    assert(t1.trim.endsWith("#END 1"))
+    assert(commitLen(root, "v1.commit") < commitLen(root, "v0.commit") / 5,
+      "O(delta) metadata: the append's commit is a fraction of the full listing")
+    // the reconstructed state serves reads, txn records, and stats
+    assert(TableVersions.read(spark, root).count() === 4001)
+    assert(TableVersions.lastTxn(spark, root, "stream") === Some(7L))
+    assert(TableVersions.commitState(spark, root).files.size === 41)
+    // a replayed txn batch is still a no-op through the delta chain
+    TableVersions.appendTxn(spark, root, Seq(9002L).toDF("k"), "stream", 7L)
+    assert(TableVersions.read(spark, root).count() === 4001)
+  }
+
+  test("mixed-era log: checkpoint + delta tail reconstructs every version bit-for-bit") {
+    val root = newRoot()
+    val prev = spark.conf.getOption("graft.table.checkpointInterval")
+    spark.conf.set("graft.table.checkpointInterval", "3")
+    try {
+      val expected = scala.collection.mutable.Map.empty[Long, Array[org.apache.spark.sql.Row]]
+      def snap(v: Long): Unit =
+        expected(v) = TableVersions.read(spark, root, Some(v)).orderBy("k").collect()
+      // v0: full (first append); v1, v2: deltas; v3: delta + auto checkpoint;
+      // v4: DV delete (DV delta); v5: metadata-only (constraint, full
+      // fallback); v6: delta + checkpoint — a genuinely mixed-era log
+      snap(TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1)))
+      snap(TableVersions.append(spark, root, (101L to 200L).toDF("k").coalesce(1)))
+      snap(TableVersions.appendTxn(spark, root, (201L to 300L).toDF("k").coalesce(1), "etl", 1L))
+      snap(TableVersions.append(spark, root, (301L to 400L).toDF("k").coalesce(1)))
+      val Some(v4) = TableVersions.deleteWhere(spark, root,
+        col("k").isin(5L, 150L, 250L), maxDvFraction = 0.1): @unchecked
+      snap(v4)
+      snap(TableVersions.addConstraint(spark, root, "k_pos", "k > 0"))
+      snap(TableVersions.append(spark, root, (401L to 500L).toDF("k").coalesce(1)))
+      val f = hfs(root)
+      assert(f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v3.checkpoint")))
+      assert(f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v6.checkpoint")))
+      val ptr = commitText(root, "_last_checkpoint").trim
+      assert(ptr === "6", s"_last_checkpoint hint must track the newest checkpoint, got $ptr")
+      // DV-bearing checkpoint carries major 2 (a major-1 reader would
+      // serve the tombstoned rows)
+      assert(commitText(root, "v6.checkpoint").startsWith("#FORMAT 2\n"))
+      // fresh reconstruction (cache dropped) of EVERY retained version
+      // equals the state captured when it was current
+      TableVersions.clearStateCache()
+      expected.toSeq.sortBy(_._1).foreach { case (v, rows) =>
+        assert(TableVersions.read(spark, root, Some(v)).orderBy("k").collect() === rows,
+          s"version $v reconstructed from checkpoint+tail")
+      }
+      // checkpoint shortcut and pure chain walk agree field-for-field
+      val viaCkpt = TableVersions.commitState(spark, root)
+      f.delete(new org.apache.hadoop.fs.Path(root, "_versions/v6.checkpoint"), false)
+      f.delete(new org.apache.hadoop.fs.Path(root, "_versions/v3.checkpoint"), false)
+      TableVersions.clearStateCache()
+      val viaChain = TableVersions.commitState(spark, root)
+      assert(viaCkpt === viaChain,
+        "checkpoint-reconstructed state must bit-equal the full chain replay")
+      // inherited metadata flows through deltas: the constraint from v5
+      // still gates appends committed as deltas after it
+      val ex = intercept[IllegalArgumentException] {
+        TableVersions.append(spark, root, Seq(-1L).toDF("k"))
+      }
+      assert(ex.getMessage.contains("k_pos"))
+      assert(TableVersions.lastTxn(spark, root, "etl") === Some(1L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("graft.table.checkpointInterval", p)
+        case None => spark.conf.unset("graft.table.checkpointInterval")
+      }
+    }
+  }
+
+  test("vacuum checkpoints the oldest retained version, then drops old commits and checkpoints") {
+    val root = newRoot()
+    val vs = (0 until 6).map { i =>
+      TableVersions.append(spark, root,
+        ((i * 10L) until ((i + 1) * 10L)).toDF("k").coalesce(1))
+    }
+    val f = hfs(root)
+    // default interval 10: no checkpoint yet; v4 is a delta commit
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v4.checkpoint")))
+    assert(commitText(root, "v4.commit").contains("#BASE 3"))
+    TableVersions.vacuum(spark, root, keepVersions = 2) // retains v4, v5
+    // the chain below v4 is gone — vacuum must have left a full state
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v4.checkpoint")),
+      "vacuum writes a checkpoint for a delta-commit horizon before dropping its chain")
+    (0 to 3).foreach { v =>
+      assert(!f.exists(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit")),
+        s"commits older than retained history are swept (v$v)")
+    }
+    TableVersions.clearStateCache()
+    assert(TableVersions.read(spark, root, Some(4L)).count() === 50)
+    assert(TableVersions.read(spark, root).count() === 60)
+    val tail = TableVersions.readChanges(spark, root, 4L, 5L)
+    assert(tail.count() === 10)
+    // past the horizon still throws (the round-10 guard, unchanged)
+    intercept[IllegalStateException] {
+      TableVersions.readChanges(spark, root, 2L, 5L).count()
+    }
+    // a later vacuum sweeps superseded checkpoints too
+    val v6 = TableVersions.append(spark, root, (60L to 69L).toDF("k").coalesce(1))
+    val v7 = TableVersions.append(spark, root, (70L to 79L).toDF("k").coalesce(1))
+    TableVersions.vacuum(spark, root, keepVersions = 2) // retains v6, v7
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v4.checkpoint")),
+      "checkpoints below retained history are swept")
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v6.checkpoint")))
+    TableVersions.clearStateCache()
+    assert(TableVersions.read(spark, root).count() === 80)
+    assert(v6 === 6L && v7 === 7L)
+  }
+
+  test("partitioned tables: partition metadata and pruning survive the delta codec") {
+    val root = newRoot()
+    val groups = Seq("a", "b", "c", "d")
+    val df1 = groups.zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("k", "g")
+    val df2 = groups.zipWithIndex.map { case (g, i) => (10L + i, g) }.toDF("k", "g")
+    TableVersions.append(spark, root, df1, partitionBy = Seq("g"))
+    TableVersions.append(spark, root, df2) // delta commit with partition values
+    assert(commitText(root, "v1.commit").contains("#BASE 0"))
+    TableVersions.clearStateCache()
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "a"))
+      .select("k").collect().map(_.getLong(0)).toSet === Set(0L, 10L))
+    val parts = TableVersions.partitions(spark, root)
+      .select("partition", "n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 2L))
+    // replacePartitions of ONE hot date out of many commits as a delta
+    // (the incremental-materialization shape: 2 removes + 1 add against
+    // 8 live files)
+    TableVersions.replacePartitions(spark, root, Seq((9L, "a")).toDF("k", "g"))
+    val t2 = commitText(root, "v2.commit")
+    assert(t2.contains("#BASE 1") && t2.contains("#RM "), s"replace must delta-commit:\n$t2")
+    TableVersions.clearStateCache()
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "a"))
+      .select("k").collect().map(_.getLong(0)).toSet === Set(9L))
+    assert(TableVersions.read(spark, root).count() === 7)
+  }
+}

@@ -200,10 +200,11 @@ class Round10TableSpec extends SparkSpec {
     assert(text.startsWith("#FORMAT 1\n"), "every new commit must lead with the format header")
     // a future-major commit must be refused loudly, not misread
     val out = f.create(vd, true)
-    try out.write(("#FORMAT 2\n" + text.stripPrefix("#FORMAT 1\n"))
+    try out.write(("#FORMAT 99\n" + text.stripPrefix("#FORMAT 1\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    TableVersions.clearStateCache() // the rewritten commit must be re-read
     val ex = intercept[IllegalStateException] { TableVersions.read(spark, root).count() }
-    assert(ex.getMessage.contains("format major 2"))
+    assert(ex.getMessage.contains("format major 99"))
   }
 
   test("CHECK validation is one job per batch regardless of constraint count") {
