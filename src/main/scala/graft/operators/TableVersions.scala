@@ -409,12 +409,20 @@ object TableVersions {
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val st = commitState(spark, root, version)
+    require(st.files.nonEmpty, s"empty version at $root")
+    if (st.schema.isDefined) readState(spark, root, st)
+    else readWithDvs(spark, st, st.files.map(_.path), mergeSchema)
+  }
+
+  /** The snapshot `st` as a DataFrame — format FileIndex relation with
+    * the snapshot's deletion vectors applied. Shared by [[read]] and
+    * the `graft-table` DV scan path.
+    */
+  private[graft] def readState(spark: SparkSession, root: String,
+      st: CommitState): DataFrame = {
     val files = st.files.map(_.path)
-    require(files.nonEmpty, s"empty version at $root")
-    if (st.schema.isDefined) {
-      val base = graft.sources.GraftTableSource.readFor(spark, root, st)
-      applyDvs(spark, base, files.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
-    } else readWithDvs(spark, st, files, mergeSchema)
+    val base = graft.sources.GraftTableSource.readFor(spark, root, st)
+    applyDvs(spark, base, files.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
   }
 
   /** Read `paths` under `st`'s committed schema with their DELETION

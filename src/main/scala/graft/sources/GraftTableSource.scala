@@ -20,12 +20,18 @@ import graft.operators.TableVersions
   * Options: `versionAsOf` (commit version) / `timestampAsOf` (epoch
   * millis) select a snapshot for time travel; default latest.
   *
-  * Tables carrying DELETION VECTORS refuse this surface loudly: a
-  * `BaseRelation` is one scan and cannot express the tombstone
-  * anti-join — [[TableVersions.read]] (which can) is the right door,
-  * and silently serving deleted rows would be corruption. Legacy
-  * commits without a recorded schema likewise (the relation contract
-  * needs the schema before any file is opened).
+  * Snapshots carrying DELETION VECTORS read through a
+  * [[PrunedFilteredScan]] relation whose scan IS the
+  * `TableVersions.read` plan (format FileIndex + tombstone anti-join):
+  * pushed filters are translated back into the inner plan, so
+  * commit-stats file pruning still happens during that plan's physical
+  * planning, and the anti-join applies the sidecars exactly — any
+  * snapshot `TableVersions.read` serves, the format serves. The cost
+  * is a row-exchange boundary (no whole-stage codegen across it) paid
+  * ONLY by DV-carrying snapshots; DV-free tables keep the native
+  * `HadoopFsRelation` path. Legacy commits without a recorded schema
+  * still refuse (the relation contract needs the schema before any
+  * file is opened).
   */
 class GraftTableSource extends RelationProvider with CreatableRelationProvider
     with DataSourceRegister {
@@ -61,11 +67,7 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     }
     val st = TableVersions.commitState(spark, root)
     if (st.dvs.isEmpty) GraftTableSource.relationFor(spark, root, st)
-    else new BaseRelation { // DV'd table: save() discards this; a scan-
-      // less relation fails to plan instead of serving deleted rows
-      override def sqlContext: SQLContext = ctx
-      override def schema: StructType = st.schema.getOrElse(data.schema)
-    }
+    else new GraftTableSource.DvTableRelation(spark, root, st)
   }
 
   override def createRelation(ctx: SQLContext,
@@ -85,15 +87,71 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
 
 object GraftTableSource {
 
-  /** The [[GraftFileIndex]]-backed relation for a snapshot. Shared by
-    * the `graft-table` format and [[TableVersions.read]]'s fast path.
+  /** The relation for a snapshot: [[GraftFileIndex]]-backed
+    * `HadoopFsRelation` for DV-free states (shared with
+    * [[TableVersions.read]]'s fast path), [[DvTableRelation]] when the
+    * snapshot carries deletion vectors.
     */
-  def relation(spark: SparkSession, root: String, version: Option[Long]): HadoopFsRelation = {
+  def relation(spark: SparkSession, root: String, version: Option[Long]): BaseRelation = {
     val st = TableVersions.commitState(spark, root, version)
-    require(st.dvs.isEmpty,
-      s"graft-table: $root carries deletion vectors; read it via TableVersions.read " +
-        "(a single-scan relation cannot apply positional tombstones)")
-    relationFor(spark, root, st)
+    if (st.dvs.isEmpty) relationFor(spark, root, st)
+    else new DvTableRelation(spark, root, st)
+  }
+
+  /** A DV-carrying snapshot as a scannable relation: `buildScan`
+    * materializes the `TableVersions` read plan (format FileIndex +
+    * (file, pos) anti-join against the sidecars) and hands its row RDD
+    * to Spark. Pushed filters are translated into the inner plan —
+    * Catalyst pushes them through the anti-join's preserved side down
+    * to the parquet scan, where [[GraftFileIndex]] prunes files from
+    * commit stats — and ALL filters are declared unhandled, so Spark
+    * re-applies them above the scan: the translation is purely a
+    * pruning/IO optimization and correctness never depends on it.
+    */
+  private[sources] class DvTableRelation(spark: SparkSession, root: String,
+      st: TableVersions.CommitState) extends BaseRelation
+      with org.apache.spark.sql.sources.PrunedFilteredScan {
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.functions.{col, lit}
+
+    override def sqlContext: SQLContext = spark.sqlContext
+
+    override val schema: StructType =
+      st.schema.map(s => asNullable(s).asInstanceOf[StructType]).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-table: $root has legacy commits without a recorded schema; " +
+            "read it via TableVersions.read(mergeSchema = true)"))
+
+    override def sizeInBytes: Long = st.files.map(_.bytes).sum
+
+    override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
+      filters // every filter re-applied above: translation is best-effort pruning
+
+    private def toColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case sources.StringContains(a, p) => Some(col(a).contains(p))
+      case sources.And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+      case sources.Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+      case sources.Not(c) => toColumn(c).map(!_)
+      case _ => None
+    }
+
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+      val base = TableVersions.readState(spark, root, st)
+      val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+      filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    }
   }
 
   /** [[relation]] over an ALREADY-PARSED commit state — the

@@ -105,15 +105,48 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-table").load(root).count() === 10)
   }
 
-  test("deletion-vector tables refuse the single-scan format surface; read() stays exact") {
+  test("deletion-vector snapshots read through the format surface, equal to read()") {
     val root = newRoot()
-    TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1))
+    TableVersions.append(spark, root,
+      (1L to 1000L).toDF("k").withColumn("v", col("k") * 3).repartition(2))
+    val Some(v1) = TableVersions.deleteWhere(spark, root,
+      col("k").isin(3L, 7L, 500L), maxDvFraction = 0.5): @unchecked
+    val fmt = spark.read.format("graft-table").load(root)
+    assert(fmt.count() === 997)
+    assert(fmt.filter(col("k") === 3L).count() === 0, "tombstoned rows excluded")
+    assert(fmt.orderBy("k").collect() ===
+      TableVersions.read(spark, root).orderBy("k").collect(),
+      "format read must equal TableVersions.read on a DV-carrying snapshot")
+    // SQL over a view, aggregation, projection — the full relation surface
+    fmt.createOrReplaceTempView("gt_dv")
+    assert(spark.sql("SELECT sum(v) FROM gt_dv WHERE k <= 10").head().getLong(0) ===
+      (1L to 10L).filterNot(Set(3L, 7L)).map(_ * 3).sum)
+    // time travel: the pre-delete snapshot still reads DV-free and full
+    assert(spark.read.format("graft-table").option("versionAsOf", v1 - 1)
+      .load(root).count() === 1000)
+  }
+
+  test("DV scan still prunes files from commit stats: non-candidate files never open") {
+    val root = newRoot()
+    TableVersions.append(spark, root,
+      (1L to 9000L).toDF("k").repartitionByRange(3, col("k")))
     val Some(_) = TableVersions.deleteWhere(spark, root,
-      col("k").isin(3L, 7L), maxDvFraction = 0.5): @unchecked
-    val ex = intercept[IllegalArgumentException] {
-      spark.read.format("graft-table").load(root).count()
-    }
-    assert(ex.getMessage.contains("deletion vectors"))
-    assert(TableVersions.read(spark, root).count() === 98)
+      col("k").isin(10L, 20L), maxDvFraction = 0.5): @unchecked
+    val st = TableVersions.commitState(spark, root)
+    assert(st.files.size === 3)
+    // corrupt the file holding the HIGH range: a filtered format read
+    // of the low range only succeeds if planning pruned that file from
+    // the scan using commit stats alone
+    val hi = st.files.maxBy(_.stats("k").minNum.get).path
+    val f = new org.apache.hadoop.fs.Path(hi)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(hi), true)
+    try out.write(Array.fill[Byte](64)(0x42)) finally out.close()
+    TableVersions.clearStateCache()
+    val lowMax = st.files.map(_.stats("k").maxNum.get).sorted.apply(0)
+    val low = spark.read.format("graft-table").load(root)
+      .filter(col("k") <= lowMax.toLong)
+    assert(low.count() === lowMax.toLong - 2,
+      "low-range read succeeds despite the corrupted high file — and excludes tombstones")
   }
 }
