@@ -34,6 +34,13 @@ import graft.operators.TableVersions
   *  - `startingVersion` (default: everything retained) bounds the first
   *    batch: `latest` skips history and tails only new commits — the
   *    "don't re-index the corpus" switch.
+  *  - `maxVersionsPerTrigger` caps how many commit versions one
+  *    micro-batch admits (the Kafka `maxOffsetsPerTrigger` analogue):
+  *    a consumer restarting after a long outage drains its backlog in
+  *    bounded batches instead of one OOM-or-crawl catch-up. The cap's
+  *    FLOOR (the last batch end) is persisted in the source metadata
+  *    dir with an atomic rename BEFORE the batch commits, so a capped
+  *    offer can never move offsets backward across restarts.
   *  - The SCHEMA is fixed at stream start (table schema +
   *    `_change_type`, `_commit_version`); later additive evolution is
   *    surfaced on restart (each batch projects to the declared columns
@@ -104,18 +111,59 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
         if (fs.rename(tmp, marker)) resolved
         else { fs.delete(tmp, false); readMarker() } // raced another starter: theirs wins
       }
-    new CdfSource(spark, path, declared, starting)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
+    new CdfSource(spark, path, declared, starting, maxVersions, metadataPath)
   }
 }
 
 private[sources] class CdfSource(spark: org.apache.spark.sql.SparkSession,
-    path: String, declared: StructType, startExclusive: Long) extends Source {
+    path: String, declared: StructType, startExclusive: Long,
+    maxVersionsPerTrigger: Option[Long], metadataPath: String) extends Source {
 
   override def schema: StructType = declared
 
-  override def getOffset: Option[V1Offset] =
-    TableVersions.currentVersion(spark, path)
-      .filter(_ > startExclusive).map(LongOffset(_))
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val floorPath = new org.apache.hadoop.fs.Path(metadataPath, "graft_cdf_floor")
+  private val ffs = floorPath.getFileSystem(hadoopConf)
+
+  /** Highest batch-end version this source has ever HANDED OUT, the
+    * base the per-trigger cap advances from. Persisted (atomic rename)
+    * in getBatch — i.e. strictly before the engine can commit the
+    * batch — so after a restart `floor >= committed end` always holds
+    * and a capped [[getOffset]] can never offer an offset below the
+    * checkpoint (offsets moving backward corrupt a v1 stream). A
+    * missing file means no batch was ever fetched, where
+    * `startExclusive` is exact.
+    */
+  @volatile private var floor: Long = {
+    val persisted =
+      if (!ffs.exists(floorPath)) Long.MinValue
+      else {
+        val in = ffs.open(floorPath)
+        val txt = try new String(in.readAllBytes()).trim finally in.close()
+        try txt.toLong catch { case _: NumberFormatException => Long.MinValue }
+      }
+    math.max(startExclusive, persisted)
+  }
+
+  private def persistFloor(v: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(floorPath.getParent,
+      s".graft_cdf_floor.tmp-${java.util.UUID.randomUUID()}")
+    val out = ffs.create(tmp, true)
+    try out.write(v.toString.getBytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, hadoopConf)
+    fc.rename(tmp, floorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val cur = TableVersions.currentVersion(spark, path).getOrElse(return None)
+    val offered = maxVersionsPerTrigger match {
+      case Some(m) => math.min(cur, floor + m) // bounded catch-up
+      case None => cur
+    }
+    if (offered > floor) Some(LongOffset(offered)) else None
+  }
 
   private def versionOf(o: V1Offset): Long = o match {
     case LongOffset(v) => v
@@ -125,6 +173,7 @@ private[sources] class CdfSource(spark: org.apache.spark.sql.SparkSession,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startExclusive)
     val to = versionOf(end)
+    if (to > floor) { persistFloor(to); floor = to }
     // project to the declared stream schema: columns added by later
     // additive evolution stay invisible until the stream restarts
     val batch = TableVersions.readChanges(spark, path, from, to)

@@ -92,6 +92,49 @@ class CdfSourceSpec extends SparkSpec {
     assert(spark.read.parquet(logDir).count() === 100)
   }
 
+  test("maxVersionsPerTrigger: a 10-commit backlog drains in 4 bounded batches, restart-safe") {
+    val root = newDir("cdfcap") + "/tbl"
+    val logDir = newDir("cdfcaplog")
+    val ckpt = newDir("cdfcapckpt")
+    (0 until 10).foreach { i =>
+      TableVersions.append(spark, root,
+        ((i * 10L) until ((i + 1) * 10L)).toDF("k").coalesce(1))
+    }
+    // every run is a cold restart consuming ONE capped batch — the
+    // strongest form of "mid-drain restart": state carries only through
+    // the checkpoint + the persisted cap floor
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", root).option("maxVersionsPerTrigger", "3").load()
+        .writeStream.format("parquet")
+        .option("path", logDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val expectedCounts = Seq(30L, 60L, 90L, 100L)
+    expectedCounts.zipWithIndex.foreach { case (n, i) =>
+      runOnce()
+      val log = spark.read.parquet(logDir)
+      assert(log.count() === n, s"after batch ${i + 1}: bounded admission")
+      assert(log.select("_commit_version").distinct().count() === math.min((i + 1) * 3, 10),
+        "versions admitted oldest-first, at most 3 per batch")
+    }
+    // a further run consumes nothing; totals exact — no loss, no dups
+    runOnce()
+    val log = spark.read.parquet(logDir)
+    assert(log.count() === 100)
+    assert(log.groupBy("_commit_version").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      (0L to 9L).map(_ -> 10L).toMap)
+    assert(log.select("k").distinct().count() === 100)
+    // exactly 4 data-bearing offset ranges were logged
+    val off = new org.apache.hadoop.fs.Path(ckpt, "offsets")
+    val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(off).map(_.getPath.getName).count(_.forall(_.isDigit))
+    assert(batches === 4, s"10 versions at cap 3 must take exactly 4 batches, saw $batches")
+  }
+
   private def hfsExists(dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
