@@ -72,6 +72,50 @@ class VersionedLakehouseSpec extends SparkSpec {
       "refresh must only touch affected date partitions")
   }
 
+  test("streaming incremental fact on versioned zones: stream equals rebuild, replay commits nothing") {
+    val g = gen
+    // stream side: seeded versioned lakehouse, then 2 message files
+    // replayed one per micro-batch through the txn-keyed refresh
+    val rootS = java.nio.file.Files.createTempDirectory("vlake_s_").toString
+    val lakeS = new VersionedLakehouse(spark, rootS, cfg)
+    lakeS.runEtl(g.messagesJson(spark, 1500).toDF("value"), batchId = -1L)
+    lakeS.buildFact()
+    g.messagesJson(spark, 800, offset = 1500).toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$rootS/in/b1")
+    g.messagesJson(spark, 700, offset = 2300).toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$rootS/in/b2")
+    val q = graft.streaming.StreamingEtl.startIncrementalFact(spark,
+      graft.streaming.StreamingEtl.FileSource(s"$rootS/in/*", maxFilesPerTrigger = 1),
+      lakeS, s"$rootS/_ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+
+    // forced replay of the last streaming batch (crash between the
+    // table commits and the checkpoint write): nothing re-commits on
+    // any of the four tables
+    val roots = Seq(lakeS.vitalsRoot, lakeS.claimsRoot, lakeS.ehrRoot, lakeS.factRoot)
+    val lastBatch = TableVersions.lastTxn(spark, lakeS.vitalsRoot, "etl_vitals").get
+    assert(lastBatch >= 0L, "streaming batches committed with their engine batch ids")
+    val versionsBefore = roots.map(r => TableVersions.currentVersion(spark, r).get)
+    lakeS.refreshFactIncremental(
+      g.messagesJson(spark, 700, offset = 2300).toDF("value"), lastBatch)
+    val versionsAfter = roots.map(r => TableVersions.currentVersion(spark, r).get)
+    assert(versionsAfter === versionsBefore,
+      "replayed streaming batch must commit no new versions end-to-end")
+
+    // batch side: one full versioned build over all 3000 messages
+    val rootB = java.nio.file.Files.createTempDirectory("vlake_sb_").toString
+    val lakeB = new VersionedLakehouse(spark, rootB, cfg)
+    lakeB.runEtl(g.messagesJson(spark, 3000).toDF("value"), batchId = 0L)
+    lakeB.buildFact()
+
+    val s = lakeS.fact
+    val b = lakeB.fact
+    assert(s.count() === b.count() && s.count() > 0)
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty,
+      "stream-maintained versioned fact must equal the full rebuild")
+  }
+
   test("change-feed-fed daily summary equals its one-shot twin across restarts") {
     val g = gen
     val root = java.nio.file.Files.createTempDirectory("vlake_cdf_").toString
