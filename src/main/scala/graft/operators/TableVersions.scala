@@ -760,20 +760,66 @@ object TableVersions {
     * columns from paths).
     */
   private def stageFiles(spark: SparkSession, root: String, df: DataFrame,
-      partCols: Seq[String], tag: String): (Path, Seq[FileEntry]) = {
+      partCols: Seq[String], tag: String,
+      splitTargetRows: Long = 0L): (Path, Seq[FileEntry]) = {
     val f = fs(spark, root)
     val batchDir = new Path(root, s"data/$tag-${java.util.UUID.randomUUID()}")
     if (partCols.isEmpty) df.write.parquet(batchDir.toString)
     else {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, pmod, xxhash64}
       val dup = partCols.foldLeft(df)((d, c) => d.withColumn(partDirPrefix + c, col(c)))
+      val dirCols = partCols.map(c => col(partDirPrefix + c))
       // cluster by the partition tuple before the partitioned write
       // (Delta's "optimized writes"): without it every task writes a
       // file into every partition it holds rows for — tasks×partitions
       // small files per append; with it an append adds O(partitions)
       // files. One extra shuffle of the batch, the standard trade.
-      dup.repartition(partCols.map(c => col(partDirPrefix + c)): _*)
-        .write.partitionBy(partCols.map(partDirPrefix + _): _*).parquet(batchDir.toString)
+      // SKEW ESCAPE HATCH: one-task-per-tuple serializes a refresh
+      // whose input is dominated by one hot partition (a hot date in a
+      // backfill). With `splitTargetRows` > 0 the tuples are counted
+      // first (one extra pass — cache `df` upstream if it is expensive)
+      // and any tuple above the threshold is SALTED into
+      // ceil(rows/target) deterministic buckets (row-hash modulo), so
+      // the hot partition writes through N parallel tasks into N files
+      // while small tuples keep exactly one. Partition metadata stays
+      // exact: every output file still holds one tuple.
+      val plainDirs = partCols.map(partDirPrefix + _)
+      val (clustered, dirNames) =
+        if (splitTargetRows <= 0L) (dup.repartition(dirCols: _*), plainDirs)
+        else {
+          val cntRows = dup.groupBy(dirCols: _*).count().collect()
+          val nb = cntRows.map(r => math.max(1L,
+            (r.getLong(partCols.size) + splitTargetRows - 1) / splitTargetRows))
+          if (nb.forall(_ == 1L)) (dup.repartition(dirCols: _*), plainDirs)
+          else {
+            val cntSchema = StructType(
+              partCols.map(c => dup.schema(partDirPrefix + c)).toArray :+
+                org.apache.spark.sql.types.StructField("__g_nbuckets",
+                  org.apache.spark.sql.types.LongType, nullable = false))
+            val bRows = cntRows.zip(nb).map { case (r, n) =>
+              Row.fromSeq(r.toSeq.init :+ n) }
+            val bdf = spark.createDataFrame(java.util.Arrays.asList(bRows: _*), cntSchema)
+            val hashCols = df.schema.fields
+              .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+              .map(fd => col(fd.name))
+            val salt =
+              if (hashCols.isEmpty) lit(0L)
+              else pmod(xxhash64(hashCols.toIndexedSeq: _*),
+                coalesce(col("__g_nbuckets"), lit(1L)))
+            // the salt is itself a DIRECTORY column (stripped from both
+            // the data files and partOfPath, like __gbin in compact):
+            // the per-bucket FILE split is then guaranteed by the
+            // partitioned write even when the exchange packs several
+            // buckets into one task, while the (tuple, salt) clustering
+            // gives the hot tuple its N parallel write tasks
+            (dup.join(broadcast(bdf), partCols.map(partDirPrefix + _), "left")
+              .withColumn("__g_salt", salt)
+              .repartition((dirCols :+ col("__g_salt")): _*)
+              .drop("__g_nbuckets"),
+              plainDirs :+ "__g_salt")
+          }
+        }
+      clustered.write.partitionBy(dirNames: _*).parquet(batchDir.toString)
     }
     val files = listParquet(f, batchDir)
     (batchDir, entriesFor(spark, files, df.schema, partOfPath))
@@ -1375,10 +1421,16 @@ object TableVersions {
     * one refresh writer per table, the reference's Airflow-cadence
     * contract).
     */
+  /** `splitTargetRows` > 0 turns on skew-aware staging: a partition
+    * whose refresh input exceeds the threshold writes through
+    * ceil(rows/target) parallel tasks (salted clustering) instead of
+    * serializing on one — see [[stageFiles]].
+    */
   def replacePartitions(spark: SparkSession, root: String, df: DataFrame,
       txn: Option[(String, Long)] = None,
-      drop: Seq[Map[String, String]] = Seq.empty): Long =
-    replaceInternal(spark, root, df, Seq.empty, txn, replaceAll = false, drop)
+      drop: Seq[Map[String, String]] = Seq.empty,
+      splitTargetRows: Long = 0L): Long =
+    replaceInternal(spark, root, df, Seq.empty, txn, replaceAll = false, drop, splitTargetRows)
 
   /** OVERWRITE the whole table as one atomic commit: the next version's
     * listing is exactly the staged batch (the first write of a new
@@ -1402,7 +1454,7 @@ object TableVersions {
     */
   private def replaceInternal(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], txn: Option[(String, Long)], replaceAll: Boolean,
-      drop: Seq[Map[String, String]] = Seq.empty): Long = {
+      drop: Seq[Map[String, String]] = Seq.empty, splitTargetRows: Long = 0L): Long = {
     // an accidentally-empty drop tuple would forall-match EVERY file and
     // silently empty the table's kept partitions — fail loudly instead
     require(drop.forall(_.nonEmpty),
@@ -1421,7 +1473,7 @@ object TableVersions {
     effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from replace"))
     var validated = st0.checks
     if (validated.nonEmpty) validateChecks(df, validated, "replace")
-    val (batchDir, added) = stageFiles(spark, root, df, effPart, "replace")
+    val (batchDir, added) = stageFiles(spark, root, df, effPart, "replace", splitTargetRows)
     val stagedTuples = added.map(_.part).toSet
     var attempt = 0
     while (attempt < 100) {

@@ -128,6 +128,31 @@ class Round11TableSpec extends SparkSpec {
     assert(applied2 === Seq(1L))
   }
 
+  test("skew-aware replacePartitions: a hot partition splits into parallel files, metadata exact") {
+    val root = newRoot()
+    val seed = Seq((0L, "hot"), (1L, "cold")).toDF("k", "g")
+    TableVersions.append(spark, root, seed, partitionBy = Seq("g"))
+    // skewed refresh: 5000 hot rows vs 10 cold rows, target 1000/file
+    val refresh = ((1L to 5000L).map(k => (k, "hot")) ++ (1L to 10L).map(k => (k, "cold")))
+      .toDF("k", "g")
+    TableVersions.replacePartitions(spark, root, refresh, splitTargetRows = 1000L)
+    val st = TableVersions.commitState(spark, root)
+    val hotFiles = st.files.filter(_.part == Map("g" -> "hot"))
+    val coldFiles = st.files.filter(_.part == Map("g" -> "cold"))
+    assert(hotFiles.size === 5, s"hot partition must split ~rows/target ways, got ${hotFiles.size}")
+    assert(coldFiles.size === 1, "small partitions keep one file")
+    assert(hotFiles.map(_.rows).sum === 5000L, "per-file row counts stay exact")
+    // partition metadata still prunes exactly
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "hot")).count() === 5000)
+    assert(TableVersions.readPartitions(spark, root, Map("g" -> "cold")).count() === 10)
+    assert(TableVersions.read(spark, root).count() === 5010)
+    // threshold off (default) keeps the one-file-per-tuple shape
+    TableVersions.replacePartitions(spark, root,
+      (1L to 3000L).map(k => (k, "hot")).toDF("k", "g"))
+    val st2 = TableVersions.commitState(spark, root)
+    assert(st2.files.count(_.part == Map("g" -> "hot")) === 1)
+  }
+
   test("replacePartitions rejects an empty drop tuple instead of emptying the table") {
     val root = newRoot()
     val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("k", "d")
