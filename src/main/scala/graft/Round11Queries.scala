@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Config
+import graft.operators.TableVersions
+import graft.runner.VersionedLakehouse
+
+/** Round-11 oracle query: the VERSIONED LAKEHOUSE end-to-end (q134) —
+  * the flagship runner itself under the DuckDB hash gate, not just
+  * specs. Events are rendered as deterministic healthcare JSON
+  * messages, pushed through the full pipeline ON the table format
+  * (`runEtl` → `buildFact` → `refreshFactIncremental` → replayed
+  * refresh as a txn no-op), and the daily fact report is read back;
+  * the oracle computes the same report one-shot in SQL from the events
+  * table with the ETL/staging/fact semantics inlined (the q132
+  * "feed-driven must converge to one-shot" pattern applied to the
+  * whole healthcare pipeline; ref: dbt_project.yml:27-30 table
+  * materialization + healthcare_etl_pipeline.py's ETL graph).
+  */
+object Round11Queries {
+
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** VERSIONED LAKEHOUSE END-TO-END (q134). Message mapping (all
+    * derived from `event_id`/`user_id`/`value`/`ts` so DuckDB can
+    * reproduce it): purchases → vitals, clicks → claims, views → EHR;
+    * `event_id % 2 = 0` halves the volume; timestamps shift +924 days
+    * so the Jan-2024 events land inside the fact's 30-day lookback
+    * window ending at `cfg.asOf` (2026-08-12). Heart rates span
+    * 40..209, so ~5% trip the ETL range-anomaly filter (P2/P3 doing
+    * real work in the flow); everything else stays in-range.
+    *
+    * The pipeline runs as a deployment would: batch 1 (days 1-26) lands
+    * with `runEtl` + `buildFact`, batch 2 (days 27-30) arrives as an
+    * INCREMENTAL refresh — txn-keyed appends to the three processed
+    * tables plus an atomic date-partition swap of the fact — and the
+    * refresh is then REPLAYED with the same batch id, which must commit
+    * nothing on any of the four tables (verified in-query). The report
+    * groups the final fact by measurement date over rank-independent
+    * grain columns (counts, distinct ids, exact heart-rate sum, decimal
+    * claim totals), so the oracle needs no window functions — the
+    * band-join grain cardinality and the zone machinery are what is
+    * being certified (the rank semantics are q127's oracle).
+    *
+    * Scale shape: identical to the production runner — the incremental
+    * refresh stages O(affected dates), the swap is one commit,
+    * untouched partitions carry by reference, and the replay costs two
+    * metadata reads. The report reads the fact through the commit-
+    * backed FileIndex.
+    */
+  def q134VersionedLakehouse(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Config.default
+    val base = java.nio.file.Files.createTempDirectory("graft_tv").toString
+    val e = Tables.events(spark, dir)
+      .filter(col("event_id") % 2 === 0)
+      .withColumn("sts", col("ts") + expr("INTERVAL 924 DAYS"))
+      .withColumn("pid", concat(lit("P"), col("user_id")))
+    val vitals = e.filter(col("event_type") === "purchase").select(col("ts"), to_json(struct(
+      lit("patient_vitals").as("data_type"),
+      col("pid").as("patient_id"),
+      date_format(col("sts"), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
+      (lit(40) + col("event_id") % 170).cast("int").as("heart_rate"),
+      (lit(36.0) + (col("event_id") % 50) / 10.0).as("temperature"),
+      concat(lit("DEV"), col("event_id") % 7).as("device_id"),
+      concat(lit("W"), col("event_id") % 3).as("location"))).as("value"))
+    val claims = e.filter(col("event_type") === "click").select(col("ts"), to_json(struct(
+      lit("insurance_claim").as("data_type"),
+      concat(lit("C"), col("event_id")).as("claim_id"),
+      col("pid").as("patient_id"),
+      concat(lit("PR"), col("event_id") % 20).as("provider_id"),
+      date_format(col("sts"), "yyyy-MM-dd").as("service_date"),
+      (col("value") + 1.0).as("total_amount"),
+      element_at(array(lit("Medicare"), lit("Private"), lit("Self-Pay")),
+        (col("event_id") % 3 + 1).cast("int")).as("insurance_type"),
+      element_at(array(lit("Submitted"), lit("Under Review"), lit("Paid"), lit("Denied")),
+        (col("event_id") % 4 + 1).cast("int")).as("claim_status"))).as("value"))
+    val ehr = e.filter(col("event_type") === "view").select(col("ts"), to_json(struct(
+      lit("ehr_record").as("data_type"),
+      concat(lit("R"), col("event_id")).as("record_id"),
+      col("pid").as("patient_id"),
+      date_format(col("sts"), "yyyy-MM-dd").as("visit_date"),
+      concat(lit("D"), col("event_id") % 5).as("diagnosis"))).as("value"))
+    val msgs = vitals.unionByName(claims).unionByName(ehr)
+    val batch1 = msgs.filter(dayofmonth(col("ts")) <= 26).select("value")
+    val batch2 = msgs.filter(dayofmonth(col("ts")) > 26).select("value")
+
+    val lake = new VersionedLakehouse(spark, s"$base/vlake", cfg)
+    lake.runEtl(batch1, batchId = 0L)
+    lake.buildFact()
+    val affected = lake.refreshFactIncremental(batch2, batchId = 1L)
+    require(affected.nonEmpty, "the day-27..30 batch must touch fact partitions")
+    // exactly-once: replaying the refresh commits nothing on any table
+    val roots = Seq(lake.vitalsRoot, lake.claimsRoot, lake.ehrRoot, lake.factRoot)
+    val before = roots.map(r => TableVersions.currentVersion(spark, r).get)
+    lake.refreshFactIncremental(batch2, batchId = 1L)
+    require(roots.map(r => TableVersions.currentVersion(spark, r).get) == before,
+      "replayed refresh must be a no-op end-to-end")
+
+    // rank-independent report columns only: the fact's grain count, its
+    // per-row 0/1 claim/EHR indicators and per-row claim value are
+    // invariant under proximity-rank tie ordering (the rank semantics
+    // themselves are q127's totalized oracle)
+    val res = lake.fact
+      .groupBy(to_date(col("measurement_timestamp")).as("measurement_date"))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("patient_id")).cast("long").as("n_patients"),
+        sum(col("total_claims")).cast("long").as("n_claim_rows"),
+        sum(col("total_ehr_records")).cast("long").as("n_ehr_rows"),
+        sum(when(col("encounter_type") === "comprehensive", 1L).otherwise(0L))
+          .as("n_comprehensive"),
+        sum(col("heart_rate")).cast("long").as("sum_hr"),
+        round(sum(col("total_claim_value").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("claims_total"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    rmTree(base)
+    out.orderBy("measurement_date")
+  }
+
+  val q134Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP) + INTERVAL 924 DAY) AS sts
+      |  FROM events WHERE event_id % 2 = 0),
+      |v AS (
+      |  SELECT 'P' || CAST(user_id AS VARCHAR) AS patient_id, sts AS mts,
+      |    40 + event_id % 170 AS heart_rate
+      |  FROM ev WHERE event_type = 'purchase' AND 40 + event_id % 170 <= 200),
+      |c AS (
+      |  SELECT 'C' || CAST(event_id AS VARCHAR) AS claim_id,
+      |    'P' || CAST(user_id AS VARCHAR) AS patient_id,
+      |    CAST(sts AS DATE) AS service_date, value + 1.0 AS total_amount
+      |  FROM ev WHERE event_type = 'click'),
+      |eh AS (
+      |  SELECT 'R' || CAST(event_id AS VARCHAR) AS record_id,
+      |    'P' || CAST(user_id AS VARCHAR) AS patient_id, CAST(sts AS DATE) AS visit_date
+      |  FROM ev WHERE event_type = 'view'),
+      |j1 AS (
+      |  SELECT v.patient_id, v.mts, v.heart_rate, c.claim_id, c.total_amount
+      |  FROM v LEFT JOIN c ON v.patient_id = c.patient_id
+      |    AND abs(datediff('day', c.service_date, CAST(v.mts AS DATE))) <= 7),
+      |j2 AS (
+      |  SELECT j1.*, eh.record_id
+      |  FROM j1 LEFT JOIN eh ON j1.patient_id = eh.patient_id
+      |    AND abs(datediff('day', eh.visit_date, CAST(j1.mts AS DATE))) <= 7)
+      |SELECT CAST(mts AS DATE) AS measurement_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT patient_id) AS BIGINT) AS n_patients,
+      |  CAST(COUNT(claim_id) AS BIGINT) AS n_claim_rows,
+      |  CAST(COUNT(record_id) AS BIGINT) AS n_ehr_rows,
+      |  CAST(SUM(CASE WHEN claim_id IS NOT NULL AND record_id IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_comprehensive,
+      |  CAST(SUM(heart_rate) AS BIGINT) AS sum_hr,
+      |  round(CAST(SUM(CAST(total_amount AS DECIMAL(38,2))) AS DOUBLE), 4) AS claims_total
+      |FROM j2 GROUP BY 1 ORDER BY measurement_date""".stripMargin
+}
