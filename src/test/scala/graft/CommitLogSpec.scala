@@ -158,6 +158,84 @@ class CommitLogSpec extends SparkSpec {
     assert(v6 === 6L && v7 === 7L)
   }
 
+  test("randomized op sequences: every version reconstructs identically via cache, chain, and checkpoint") {
+    val root = newRoot()
+    val prev = spark.conf.getOption("graft.table.checkpointInterval")
+    spark.conf.set("graft.table.checkpointInterval", "4")
+    try {
+      val rnd = new scala.util.Random(20260815L)
+      var nextKey = 0L
+      def batch(n: Int) = {
+        val start = nextKey; nextKey += n
+        (start until nextKey).map(k => (k, k * 3)).toDF("k", "v").coalesce(1 + rnd.nextInt(2))
+      }
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+      def snap(): Unit = {
+        val ver = TableVersions.currentVersion(spark, root).get
+        expected += ver -> TableVersions.read(spark, root).orderBy("k", "v").collect()
+      }
+      TableVersions.append(spark, root, batch(50)); snap()
+      (0 until 14).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => TableVersions.append(spark, root, batch(10 + rnd.nextInt(40)))
+          case 1 => // DV delete of a few existing keys
+            val ks = Seq.fill(3)(rnd.between(0L, nextKey)).distinct
+            TableVersions.deleteWhere(spark, root, col("k").isin(ks: _*), maxDvFraction = 0.5)
+          case 2 => // upsert (DV when small enough, rewrite otherwise)
+            val ks = Seq.fill(4)(rnd.between(0L, nextKey + 5)).distinct
+            TableVersions.upsert(spark, root, ks.map(k => (k, -k)).toDF("k", "v"), "k",
+              maxDvFraction = if (rnd.nextBoolean()) 0.5 else 0.0)
+          case 3 => TableVersions.compact(spark, root, targetBytes = 1L << 30)
+          case 4 => // rewrite delete of a range
+            val lo = rnd.between(0L, nextKey)
+            TableVersions.deleteWhere(spark, root, col("k").between(lo, lo + 10),
+              bounds = Map("k" -> (lo.toDouble, lo.toDouble + 10)))
+          case 5 => // metadata-only / restore flavors
+            if (rnd.nextBoolean()) {
+              TableVersions.addConstraint(spark, root, s"c$nextKey", "k IS NOT NULL")
+            } else {
+              val cur = TableVersions.currentVersion(spark, root).get
+              if (cur > 1) TableVersions.restore(spark, root, cur - 1)
+            }
+        }
+        snap()
+      }
+      // restore may have made later snapshots stale for the SAME version
+      // number never happens (each op commits a NEW version); dedupe all
+      // snapshots by version keeping the FIRST (the state as committed)
+      val byVersion = expected.groupBy(_._1).map { case (v, s) => v -> s.head._2 }
+      // 1. cached reads agree
+      byVersion.foreach { case (v, rows) =>
+        assert(TableVersions.read(spark, root, Some(v)).orderBy("k", "v").collect() === rows,
+          s"cached read of v$v")
+      }
+      // 2. cold chain reads agree (cache dropped)
+      TableVersions.clearStateCache()
+      byVersion.toSeq.sortBy(_._1).foreach { case (v, rows) =>
+        assert(TableVersions.read(spark, root, Some(v)).orderBy("k", "v").collect() === rows,
+          s"cold read of v$v")
+      }
+      // 3. pure chain replay (checkpoints deleted) agrees field-for-field
+      val f = hfs(root)
+      val latest = TableVersions.currentVersion(spark, root).get
+      val withCkpt = TableVersions.commitState(spark, root, Some(latest))
+      f.listStatus(new org.apache.hadoop.fs.Path(root, "_versions")).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".checkpoint"))
+        .foreach(p => f.delete(p, false))
+      TableVersions.clearStateCache()
+      assert(TableVersions.commitState(spark, root, Some(latest)) === withCkpt)
+      byVersion.foreach { case (v, rows) =>
+        assert(TableVersions.read(spark, root, Some(v)).orderBy("k", "v").collect() === rows,
+          s"chain-only read of v$v")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("graft.table.checkpointInterval", p)
+        case None => spark.conf.unset("graft.table.checkpointInterval")
+      }
+    }
+  }
+
   test("partitioned tables: partition metadata and pruning survive the delta codec") {
     val root = newRoot()
     val groups = Seq("a", "b", "c", "d")
