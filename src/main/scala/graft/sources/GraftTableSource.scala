@@ -34,9 +34,39 @@ import graft.operators.TableVersions
   * file is opened).
   */
 class GraftTableSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** `df.writeStream.format("graft-table").option("path", root)` — the
+    * table as a first-class STREAMING SINK with exactly-once appends:
+    * each micro-batch commits via [[TableVersions.appendTxn]] keyed
+    * `(txnAppId, batchId)`, so a replayed batch after a crash between
+    * the table commit and the streaming checkpoint re-commits nothing
+    * (the Delta sink's txn-action shape). Append output mode only — a
+    * table of immutable committed versions IS an append log; aggregate
+    * update/complete modes belong in a foreachBatch upsert. One stream
+    * per `txnAppId` per table (default `graft-table-sink`): two
+    * concurrent streams sharing an app id would mask each other's
+    * batch ids. `option("partitionBy", "a,b")`/`partitionBy(...)` on
+    * the first write declares table partitioning; later writes
+    * inherit. Paired with the `graft-cdf` source this closes the loop:
+    * table → change feed → table is an exactly-once streaming
+    * replication pipeline with no external queue.
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table sink: .option(\"path\", <table root>) or .start(<table root>) is required"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-table sink supports Append output mode only, got $outputMode")
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(partitionColumns)
+    new GraftTableSink(root, parameters.getOrElse("txnAppId", "graft-table-sink"), partitionBy)
+  }
 
   /** `df.write.format("graft-table").mode(…).save(root)` — writes are
     * TRANSACTIONAL commits, never directory drops: `append` commits a
@@ -83,6 +113,30 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       })
     GraftTableSource.relation(spark, root, version)
   }
+}
+
+/** The v1 streaming sink behind `writeStream.format("graft-table")`.
+  * `addBatch` re-wraps the incremental execution's row RDD as a batch
+  * frame (the ForeachBatchSink pattern, via the graftshim), persists it
+  * so the append's validate/stage passes compute the micro-batch once,
+  * and commits through the txn-keyed append — idempotent per
+  * (app, batchId) by the table format's own replay guard.
+  */
+private[sources] class GraftTableSink(root: String, app: String,
+    partitionBy: Seq[String]) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.graftshim.StreamingFrameShim.asBatch(spark, data)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!batch.isEmpty) {
+        TableVersions.appendTxn(spark, root, batch, app, batchId, partitionBy); ()
+      }
+    } finally { batch.unpersist(); () }
+  }
+
+  override def toString: String = s"GraftTableSink[$root]"
 }
 
 object GraftTableSource {

@@ -18,4 +18,17 @@ object StreamingFrameShim {
       .queryExecution.toRdd
     classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
   }
+
+  /** The inverse direction, for a v1 `Sink.addBatch`: re-wrap the
+    * incremental execution's row RDD as a BATCH frame so regular batch
+    * writers (e.g. a transactional table append) can consume it — the
+    * `ForeachBatchSink` pattern. Lazy; the caller decides whether to
+    * persist before multi-pass consumption.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.toRdd
+    classic.internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
 }

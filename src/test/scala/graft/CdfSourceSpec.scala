@@ -135,6 +135,56 @@ class CdfSourceSpec extends SparkSpec {
     assert(batches === 4, s"10 versions at cap 3 must take exactly 4 batches, saw $batches")
   }
 
+  test("graft-table streaming sink: table -> cdf -> table replication is exactly-once") {
+    val src = newDir("replsrc") + "/tbl"
+    val dst = newDir("repldst") + "/tbl"
+    val ckpt = newDir("replckpt")
+    TableVersions.append(spark, src, (1L to 500L).toDF("k").coalesce(1))
+
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", src).load()
+        .filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+        .writeStream.format("graft-table")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", "repl")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    replicate()
+    assert(TableVersions.read(spark, dst).count() === 500)
+    assert(TableVersions.lastTxn(spark, dst, "repl") === Some(0L))
+
+    // more source commits while the stream is down; restart replicates
+    // ONLY the new versions
+    TableVersions.append(spark, src, (501L to 600L).toDF("k").coalesce(1))
+    replicate()
+    val d = TableVersions.read(spark, dst)
+    assert(d.count() === 600, "restart must not re-append consumed versions")
+    assert(d.select("k").distinct().count() === 600)
+
+    // a drained re-run commits nothing on the destination
+    val vBefore = TableVersions.currentVersion(spark, dst).get
+    replicate()
+    assert(TableVersions.currentVersion(spark, dst).get === vBefore)
+    // replica content equals the source table exactly
+    val s = TableVersions.read(spark, src)
+    assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty)
+    // non-append output modes refuse loudly
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-cdf").option("path", src).load()
+        .groupBy("k").count()
+        .writeStream.format("graft-table").option("path", dst)
+        .option("checkpointLocation", newDir("replckpt2"))
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    assert(ex.getMessage.toLowerCase.contains("append"))
+  }
+
   private def hfsExists(dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
