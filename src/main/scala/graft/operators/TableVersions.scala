@@ -1555,18 +1555,22 @@ object TableVersions {
     val live = versions.filter(_ >= keepFrom)
       .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
         st.files.map(_.path) ++ st.dvs.values.map(_._1))).toSet
-    // reconstructability across the horizon: the oldest retained
-    // version must not need the about-to-drop chain
+    // reconstructability across the horizon: no retained delta may need
+    // the about-to-drop chain. Normally only the OLDEST retained version
+    // can chain below keepFrom (bases are the immediate valid
+    // predecessor), but a torn legacy claim at the horizon makes a later
+    // delta's base skip past it — so check every retained delta's base
+    // explicitly and checkpoint the ones that cross.
     if (versions.exists(_ < keepFrom)) {
-      versions.filter(_ >= keepFrom).headOption.foreach { oldest =>
-        val needsCkpt = !f.exists(checkpointPath(root, oldest)) &&
-          (readRaw(f, commitPath(root, oldest)) match {
-            case Some(_: DeltaCommit) => true
+      versions.filter(_ >= keepFrom).foreach { v =>
+        val needsCkpt = !f.exists(checkpointPath(root, v)) &&
+          (readRaw(f, commitPath(root, v)) match {
+            case Some(d: DeltaCommit) => d.base < keepFrom
             case _ => false // full commit or torn legacy: self-contained either way
           })
         if (needsCkpt)
-          readCommitState(spark, root, oldest)
-            .foreach(st => writeCheckpoint(spark, root, oldest, st))
+          readCommitState(spark, root, v)
+            .foreach(st => writeCheckpoint(spark, root, v, st))
       }
     }
     val dataDir = new Path(root, "data")

@@ -158,6 +158,28 @@ class CommitLogSpec extends SparkSpec {
     assert(v6 === 6L && v7 === 7L)
   }
 
+  test("vacuum with a torn claim at the horizon still checkpoints crossing deltas") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 10L).toDF("k").coalesce(1))
+    TableVersions.append(spark, root, (11L to 20L).toDF("k").coalesce(1))
+    // a legacy torn claim burns v2: the next append bases on v1, so the
+    // OLDEST retained version (torn v2) is not the one whose chain
+    // crosses the horizon — v3 is
+    val f = hfs(root)
+    val out = f.create(new org.apache.hadoop.fs.Path(root, "_versions/v2.commit"), true)
+    try out.write("crashed-mid-write no END\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    TableVersions.append(spark, root, (21L to 30L).toDF("k").coalesce(1))
+    assert(commitText(root, "v3.commit").contains("#BASE 1"))
+    TableVersions.vacuum(spark, root, keepVersions = 2) // keepFrom = 2 (torn), retains v3
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v3.checkpoint")),
+      "a retained delta whose base precedes the horizon must be checkpointed")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v0.commit")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v1.commit")))
+    TableVersions.clearStateCache()
+    assert(TableVersions.read(spark, root).count() === 30)
+  }
+
   test("randomized op sequences: every version reconstructs identically via cache, chain, and checkpoint") {
     val root = newRoot()
     val prev = spark.conf.getOption("graft.table.checkpointInterval")
