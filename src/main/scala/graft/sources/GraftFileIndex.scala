@@ -91,7 +91,21 @@ object GraftFileIndex {
       hset.exists(v => rangeMayContain(fe, a.name, a.dataType, v, v))
     case StartsWith(a: Attribute, Literal(v, StringType)) if v != null =>
       prefixMayContain(fe, a.name, v.toString)
-    case _ => true // IsNull / IsNotNull / casts / UDFs / …: no safe prune
+    // null-count pruning: the commit records per-column null counts, so
+    // `IS NULL` provably skips files with zero nulls (the common shape:
+    // a sparse column concentrated in few files). `IS NOT NULL` can only
+    // skip files that are ALL null — those carry no min/max and hence
+    // usually no stats entry at all, so it stays conservative in
+    // practice; the branch is kept for entries that do record it.
+    case IsNotNull(a: Attribute) => fe.stats.get(a.name) match {
+      case Some(cs) if fe.rows >= 0 => cs.nulls < fe.rows
+      case _ => true
+    }
+    case IsNull(a: Attribute) => fe.stats.get(a.name) match {
+      case Some(cs) => cs.nulls > 0 // zero nulls recorded ⇒ skip
+      case _ => true
+    }
+    case _ => true // casts / UDFs / …: no safe prune
   }
 
   /** Interval-overlap check of [lo, hi] (null = unbounded side) against

@@ -69,6 +69,24 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"), plan)
   }
 
+  test("IS NULL prunes to the files that recorded nulls") {
+    val root = newRoot()
+    // file 0: v null for odd k (sparse column present here only);
+    // files 1-2: v fully populated
+    TableVersions.append(spark, root, (1L to 100L).toDF("k")
+      .withColumn("v", when(col("k") % 2 === 0, col("k") * 10)).coalesce(1))
+    TableVersions.append(spark, root, (101L to 200L).toDF("k")
+      .withColumn("v", col("k") * 10).coalesce(1))
+    TableVersions.append(spark, root, (201L to 300L).toDF("k")
+      .withColumn("v", col("k") * 10).coalesce(1))
+    val t = TableVersions.read(spark, root)
+    assert(filesRead(t) === 3)
+    val nulls = t.filter(col("v").isNull)
+    assert(filesRead(nulls) === 1, "zero-null files must be skipped for IS NULL")
+    assert(nulls.count() === 50)
+    assert(t.filter(col("v").isNotNull).count() === 250)
+  }
+
   test("partition-value filters prune partition-pure files") {
     val root = newRoot()
     val df = Seq.tabulate(300)(i => (i.toLong, s"p${i % 3}")).toDF("k", "p")
