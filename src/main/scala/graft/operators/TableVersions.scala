@@ -148,6 +148,104 @@ object TableVersions {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING (Delta's "name mode"): the committed schema carries
+  // LOGICAL names; each field's PHYSICAL name (what the immutable data
+  // files store) rides the field metadata under `graft_physical`,
+  // absent ⇒ identical. [[renameColumn]] is then a metadata-only
+  // commit — no file rewritten, every retained version time-travels
+  // under its own names — and all read paths open files under the
+  // physical schema and project back to logical.
+  // ------------------------------------------------------------------
+
+  private val PhysicalKey = "graft_physical"
+
+  private def physicalOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+
+  private[graft] def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalOf(f))))
+
+  private def mappingActive(s: StructType): Boolean =
+    s.fields.exists(f => physicalOf(f) != f.name)
+
+  private[graft] def mappingActive(st: CommitState): Boolean =
+    st.schema.exists(mappingActive)
+
+  /** logical → physical column name (identity for unmapped/unknown). */
+  private def physicalName(s: Option[StructType], logical: String): String =
+    s.flatMap(_.fields.find(_.name == logical)).map(physicalOf).getOrElse(logical)
+
+  /** Rename a frame's table columns logical → physical before staging
+    * (no-op select when the mapping is identity).
+    */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!mappingActive(schema)) df
+    else {
+      val m = schema.fields.map(f => f.name -> physicalOf(f)).toMap
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** Project a physical-schema frame back to logical names, keeping any
+    * extra (non-table) columns as-is.
+    */
+  private def toLogical(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!mappingActive(schema)) df
+    else {
+      val m = schema.fields.map(f => physicalOf(f) -> f.name).toMap
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** RENAME a column as a METADATA-ONLY commit: the field keeps its
+    * physical name (what every existing immutable file stores) in the
+    * commit's field metadata, and every read path projects physical →
+    * logical — zero data movement, old versions time-travel under
+    * their own names, stats pruning keeps working (stats are keyed by
+    * physical names end-to-end). Restrictions, all loud: partition
+    * columns (their name is partition metadata across every retained
+    * commit), a target name that already exists, and columns referenced
+    * by CHECK constraints (the stored SQL text would dangle). Returns
+    * the committed version.
+    */
+  def renameColumn(spark: SparkSession, root: String, oldName: String, newName: String): Long = {
+    require(oldName != newName, "renameColumn: old and new names are identical")
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      val s = cur.schema.getOrElse(throw new IllegalArgumentException(
+        s"renameColumn: $root has legacy commits without a recorded schema"))
+      require(s.fieldNames.contains(oldName), s"renameColumn: no column '$oldName'")
+      require(!s.fieldNames.contains(newName), s"renameColumn: column '$newName' already exists")
+      require(!cur.partCols.contains(oldName),
+        s"renameColumn: '$oldName' is a partition column (partition names are commit metadata " +
+          "across retained history; rewrite the table to repartition)")
+      cur.checks.foreach { case (n, e) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }
+        require(!refs.contains(oldName),
+          s"renameColumn: CHECK constraint '$n' references '$oldName'; drop it first")
+      }
+      val newFields = s.fields.map { f =>
+        if (f.name != oldName) f
+        else f.copy(name = newName, metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysicalKey, physicalOf(f)).build())
+      }
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v,
+          cur.copy(schemaJson = Some(StructType(newFields).json)), Some(baseV -> cur)))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"renameColumn: lost $attempt commit races at $root")
+  }
+
   private def versionsDir(root: String) = new Path(root, "_versions")
   private def commitPath(root: String, v: Long) = new Path(versionsDir(root), s"v$v.commit")
 
@@ -414,15 +512,17 @@ object TableVersions {
     else readWithDvs(spark, st, st.files.map(_.path), mergeSchema)
   }
 
-  /** The snapshot `st` as a DataFrame — format FileIndex relation with
-    * the snapshot's deletion vectors applied. Shared by [[read]] and
-    * the `graft-table` DV scan path.
+  /** The snapshot `st` as a DataFrame — format FileIndex relation
+    * (PHYSICAL schema — what the files store), deletion vectors
+    * applied, then projected back to the LOGICAL names. Shared by
+    * [[read]] and the `graft-table` wrapped scan path.
     */
   private[graft] def readState(spark: SparkSession, root: String,
       st: CommitState): DataFrame = {
     val files = st.files.map(_.path)
     val base = graft.sources.GraftTableSource.readFor(spark, root, st)
-    applyDvs(spark, base, files.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    val withDvs = applyDvs(spark, base, files.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    st.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
   }
 
   /** Read `paths` under `st`'s committed schema with their DELETION
@@ -437,12 +537,12 @@ object TableVersions {
     */
   private def readWithDvs(spark: SparkSession, st: CommitState, paths: Seq[String],
       mergeSchema: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val base = st.schema match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
     }
-    applyDvs(spark, base, paths.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    val withDvs = applyDvs(spark, base, paths.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    st.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
   }
 
   /** Anti-join `base` (a parquet scan) against the (file, pos) rows of
@@ -759,10 +859,17 @@ object TableVersions {
     * files (metadata partitioning — the read path never reconstructs
     * columns from paths).
     */
-  private def stageFiles(spark: SparkSession, root: String, df: DataFrame,
+  /** `mapSchema` supplies the table's column mapping: incoming frames
+    * carry LOGICAL names and the staged files must store PHYSICAL ones.
+    * Partition directory names stay LOGICAL (partition columns cannot
+    * be renamed, so the two coincide there).
+    */
+  private def stageFiles(spark: SparkSession, root: String, df0: DataFrame,
       partCols: Seq[String], tag: String,
-      splitTargetRows: Long = 0L): (Path, Seq[FileEntry]) = {
+      splitTargetRows: Long = 0L,
+      mapSchema: Option[StructType] = None): (Path, Seq[FileEntry]) = {
     val f = fs(spark, root)
+    val df = mapSchema.map(toPhysical(df0, _)).getOrElse(df0)
     val batchDir = new Path(root, s"data/$tag-${java.util.UUID.randomUUID()}")
     if (partCols.isEmpty) df.write.parquet(batchDir.toString)
     else {
@@ -869,7 +976,8 @@ object TableVersions {
   private def appendInternal(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], txn: Option[(String, Long)]): Long = {
     val base0 = currentVersion(spark, root)
-    val effPart = base0.map(v => commitState(spark, root, Some(v)).partCols) match {
+    val st0 = base0.map(v => commitState(spark, root, Some(v)))
+    val effPart = st0.map(_.partCols) match {
       case Some(existing) =>
         require(partitionBy.isEmpty || partitionBy == existing,
           s"partition columns are fixed at table creation: table has $existing, append passed $partitionBy")
@@ -877,9 +985,10 @@ object TableVersions {
       case None => partitionBy
     }
     effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from append"))
-    var validated = base0.map(v => commitState(spark, root, Some(v)).checks).getOrElse(Map.empty)
+    var validated = st0.map(_.checks).getOrElse(Map.empty)
     if (validated.nonEmpty) validateChecks(df, validated, "append")
-    val (batchDir, added) = stageFiles(spark, root, df, effPart, "batch")
+    val (batchDir, added) = stageFiles(spark, root, df, effPart, "batch",
+      mapSchema = st0.flatMap(_.schema))
     var attempt = 0
     while (attempt < 100) {
       txn.foreach { case (app, b) =>
@@ -1020,8 +1129,10 @@ object TableVersions {
       members.map(m => (normPath(m._1), binIds(key)))
     }
     val memberPaths = toMerge.values.flatten.map(_._1).toSeq.sorted
+    // compaction is a pure LAYOUT rewrite: it reads and writes the
+    // PHYSICAL schema directly (logical names never enter the pass)
     val base = (schema match {
-      case Some(s) => spark.read.schema(s).parquet(memberPaths: _*)
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(memberPaths: _*)
       case None => spark.read.parquet(memberPaths: _*)
     }).withColumn("__gfp", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
     val routed = applyDvs(spark, base,
@@ -1040,7 +1151,7 @@ object TableVersions {
         case seg if seg.startsWith("__gbin=") => partOfBin(seg.stripPrefix("__gbin=").toInt)
         case _ => Map.empty
       }
-    val dataSchema = schema.getOrElse(spark.read.parquet(memberPaths.head).schema)
+    val dataSchema = schema.map(physicalSchema).getOrElse(spark.read.parquet(memberPaths.head).schema)
     val newEntries = entriesFor(spark, listParquet(f, outDir), dataSchema, binOfPath)
     val merged = toMerge.values.flatten.map(_._1).toSet
     commitRewrite(spark, root, merged, newEntries, outDir, dvSnapshotOf(st, merged))
@@ -1064,8 +1175,11 @@ object TableVersions {
     * collection ([[FileManifest.collectFiles]]).
     */
   private def candidatePaths(spark: SparkSession, st: CommitState,
-      bounds: Map[String, (Double, Double)]): Seq[String] = {
-    if (bounds.isEmpty) return st.files.map(_.path)
+      bounds0: Map[String, (Double, Double)]): Seq[String] = {
+    if (bounds0.isEmpty) return st.files.map(_.path)
+    // stats (and the files themselves) are keyed by PHYSICAL names;
+    // callers pass logical bounds
+    val bounds = bounds0.map { case (k, v) => physicalName(st.schema, k) -> v }
     val anyStats = st.files.exists(fe => bounds.keys.exists(fe.stats.contains))
     if (anyStats || st.files.isEmpty) st.files.filter(intersects(_, bounds)).map(_.path)
     else FileManifest.candidateFiles(
@@ -1160,7 +1274,8 @@ object TableVersions {
     // survivors restage through the same (possibly partitioned) write
     // path as appends, so a delete spanning several partitions keeps
     // every surviving row's partition metadata exact
-    val (outDir, added) = stageFiles(spark, root, survivors, st.partCols, "delete")
+    val (outDir, added) = stageFiles(spark, root, survivors, st.partCols, "delete",
+      mapSchema = st.schema)
     commitRewrite(spark, root, candidates.toSet, added, outDir,
       dvSnapshotOf(st, candidates.toSet))
   }
@@ -1195,12 +1310,14 @@ object TableVersions {
       candidates: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = (st.schema match {
-      case Some(s) => spark.read.schema(s).parquet(candidates: _*)
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(candidates: _*)
       case None => spark.read.parquet(candidates: _*)
     })
       .withColumn("__gv_file", col("_metadata.file_path"))
       .withColumn("__gv_pos", col("_metadata.row_index"))
-    applyDvs(spark, base, candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    val withDvs = applyDvs(spark, base, candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    // logical names for the caller's predicate/key join; identity cols kept
+    st.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
   }
 
   /** Stage a merged tombstone sidecar: `victims` (new (file, pos) rows
@@ -1348,7 +1465,8 @@ object TableVersions {
       }
     // restage through the (possibly partitioned) write path: a CDC
     // batch spanning partitions keeps every row's partition metadata
-    val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert")
+    val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert",
+      mapSchema = st.schema)
     commitRewrite(spark, root, candidates.toSet, added, outDir,
       dvSnapshotOf(st, candidates.toSet))
   }
@@ -1385,7 +1503,8 @@ object TableVersions {
       }
     }
     // stage the update rows as NEW files (partition metadata exact)
-    val (outDir, added) = stageFiles(spark, root, updates, st.partCols, "upsert")
+    val (outDir, added) = stageFiles(spark, root, updates, st.partCols, "upsert",
+      mapSchema = st.schema)
     staged match {
       case None => // pure insert against the candidates: files only
         Some(commitDvUpdate(spark, root, Map.empty, Map.empty, Seq(outDir), added))
@@ -1473,7 +1592,8 @@ object TableVersions {
     effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from replace"))
     var validated = st0.checks
     if (validated.nonEmpty) validateChecks(df, validated, "replace")
-    val (batchDir, added) = stageFiles(spark, root, df, effPart, "replace", splitTargetRows)
+    val (batchDir, added) = stageFiles(spark, root, df, effPart, "replace", splitTargetRows,
+      mapSchema = st0.schema)
     val stagedTuples = added.map(_.part).toSet
     var attempt = 0
     while (attempt < 100) {
@@ -1522,10 +1642,12 @@ object TableVersions {
         s"(got ${tuples.size} tuples; pass partition=...)")
     val outDir = new Path(root, s"data/zorder-${java.util.UUID.randomUUID()}")
     val src = readWithDvs(spark, st, scope.map(_.path)) // DVs fold into the new layout
-    ZOrder.cluster(src, keys, numFiles).write.parquet(outDir.toString)
+    val clustered = ZOrder.cluster(src, keys, numFiles) // caller keys are logical
+    st.schema.map(toPhysical(clustered, _)).getOrElse(clustered)
+      .write.parquet(outDir.toString) // files store physical names
     val binPart = tuples.headOption.getOrElse(Map.empty)
     val added = entriesFor(spark, listParquet(f, outDir),
-      st.schema.getOrElse(src.schema), _ => binPart)
+      st.schema.map(physicalSchema).getOrElse(src.schema), _ => binPart)
     commitRewrite(spark, root, scope.map(_.path).toSet, added, outDir,
       dvSnapshotOf(st, scope.map(_.path).toSet))
   }
@@ -1794,10 +1916,12 @@ object TableVersions {
       val base = schema match {
         case Some(s) =>
           if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-          else spark.read.schema(s).parquet(paths: _*)
+          else spark.read.schema(physicalSchema(s)).parquet(paths: _*)
         case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
       }
-      applyDvs(spark, base, entries.flatMap(_._2).distinct)
+      val withDvs = applyDvs(spark, base, entries.flatMap(_._2).distinct)
+      if (paths.isEmpty) withDvs // already logical (built from the logical schema)
+      else schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
     }
     def identities(v: Long): Set[(String, Option[String])] = {
       val st = commitState(spark, root, Some(v))
@@ -1911,8 +2035,12 @@ object TableVersions {
       expectedItemsPerFile: Long = 1000000L): Long = {
     import org.apache.spark.sql.functions.{call_function, col, input_file_name, lit, xxhash64}
     val f = fs(spark, root)
-    val dir = bloomDir(root, keyCol)
-    val live = listing(spark, root, None).map(_._1)
+    val stNow = commitState(spark, root, None)
+    // the sidecar indexes raw data files, so it lives under (and scans
+    // by) the PHYSICAL column name — stable across logical renames
+    val physKey = physicalName(stNow.schema, keyCol)
+    val dir = bloomDir(root, physKey)
+    val live = stNow.files.map(_.path)
     val haveRaw: Seq[String] =
       if (!f.exists(dir)) Seq.empty
       else spark.read.parquet(dir.toString).select("file")
@@ -1923,7 +2051,7 @@ object TableVersions {
       BloomJoin.register(spark)
       spark.read.parquet(missing: _*)
         .groupBy(input_file_name().as("file"))
-        .agg(call_function("graft_bloom_agg", xxhash64(col(keyCol)),
+        .agg(call_function("graft_bloom_agg", xxhash64(col(physKey)),
           lit(expectedItemsPerFile)).as("bloom"))
         .write.mode("append").parquet(dir.toString)
     }
@@ -1955,7 +2083,7 @@ object TableVersions {
     val f = fs(spark, root)
     val st = commitState(spark, root, None)
     val live = st.files.map(_.path)
-    val dir = bloomDir(root, keyCol)
+    val dir = bloomDir(root, physicalName(st.schema, keyCol))
     val candidates =
       if (!f.exists(dir)) live
       else {

@@ -96,7 +96,8 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Ignore => TableVersions.append(spark, root, data, partitionBy)
     }
     val st = TableVersions.commitState(spark, root)
-    if (st.dvs.isEmpty) GraftTableSource.relationFor(spark, root, st)
+    if (st.dvs.isEmpty && !TableVersions.mappingActive(st))
+      GraftTableSource.relationFor(spark, root, st)
     else new GraftTableSource.DvTableRelation(spark, root, st)
   }
 
@@ -142,13 +143,15 @@ private[sources] class GraftTableSink(root: String, app: String,
 object GraftTableSource {
 
   /** The relation for a snapshot: [[GraftFileIndex]]-backed
-    * `HadoopFsRelation` for DV-free states (shared with
+    * `HadoopFsRelation` for plain states (shared with
     * [[TableVersions.read]]'s fast path), [[DvTableRelation]] when the
-    * snapshot carries deletion vectors.
+    * snapshot carries deletion vectors OR a column mapping (both need a
+    * plan on top of the raw scan: the tombstone anti-join / the
+    * physical→logical projection).
     */
   def relation(spark: SparkSession, root: String, version: Option[Long]): BaseRelation = {
     val st = TableVersions.commitState(spark, root, version)
-    if (st.dvs.isEmpty) relationFor(spark, root, st)
+    if (st.dvs.isEmpty && !TableVersions.mappingActive(st)) relationFor(spark, root, st)
     else new DvTableRelation(spark, root, st)
   }
 
@@ -214,12 +217,15 @@ object GraftTableSource {
     */
   def relationFor(spark: SparkSession, root: String,
       st: TableVersions.CommitState): HadoopFsRelation = {
-    // Force-nullable, exactly like `spark.read.schema(...)` does (and
-    // Delta's read schema): files written BEFORE an additive evolution
-    // lack the added columns, and the vectorized reader refuses a
-    // missing column that the schema marks required — null-filling is
-    // the evolution contract.
-    val schema = st.schema.map(s => asNullable(s).asInstanceOf[StructType])
+    // PHYSICAL schema — what the files store (identical to logical
+    // unless columns were renamed; [[TableVersions.readState]] projects
+    // back to logical on top). Force-nullable, exactly like
+    // `spark.read.schema(...)` does (and Delta's read schema): files
+    // written BEFORE an additive evolution lack the added columns, and
+    // the vectorized reader refuses a missing column that the schema
+    // marks required — null-filling is the evolution contract.
+    val schema = st.schema.map(s =>
+        asNullable(TableVersions.physicalSchema(s)).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(
         s"graft-table: $root has legacy commits without a recorded schema; " +
           "read it via TableVersions.read(mergeSchema = true)"))
