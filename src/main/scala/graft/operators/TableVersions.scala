@@ -132,7 +132,8 @@ object TableVersions {
   final case class CommitState(files: Seq[FileEntry], schemaJson: Option[String],
       partCols: Seq[String], txns: Map[String, Long],
       checks: Map[String, String] = Map.empty,
-      dvs: Map[String, (String, Long)] = Map.empty) {
+      dvs: Map[String, (String, Long)] = Map.empty,
+      dropped: Set[String] = Set.empty) {
     def schema: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
     /** DVs narrowed to files actually in `files` — every rewrite path
@@ -246,6 +247,50 @@ object TableVersions {
     throw new IllegalStateException(s"renameColumn: lost $attempt commit races at $root")
   }
 
+  /** DROP a column as a METADATA-ONLY commit: the field leaves the
+    * committed schema (reads stop projecting it — parquet never even
+    * decodes the column), the data stays in the immutable files (old
+    * versions time-travel WITH the column until [[vacuum]] reclaims
+    * their files), and the field's PHYSICAL name enters the commit's
+    * `#DROPPED` registry so a later append can never re-add a column
+    * that would silently resurrect the old values ([[checkEvolution]]
+    * rejects the collision loudly; pick a fresh name). Same loud
+    * restrictions as [[renameColumn]]: partition columns and
+    * CHECK-referenced columns refuse, and the last column cannot be
+    * dropped. Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      val s = cur.schema.getOrElse(throw new IllegalArgumentException(
+        s"dropColumn: $root has legacy commits without a recorded schema"))
+      require(s.fieldNames.contains(name), s"dropColumn: no column '$name'")
+      require(s.fields.length > 1, "dropColumn: cannot drop the table's last column")
+      require(!cur.partCols.contains(name),
+        s"dropColumn: '$name' is a partition column (partition names are commit metadata " +
+          "across retained history; rewrite the table to repartition)")
+      cur.checks.foreach { case (n, e) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }
+        require(!refs.contains(name),
+          s"dropColumn: CHECK constraint '$n' references '$name'; drop it first")
+      }
+      val field = s.fields.find(_.name == name).get
+      val newSchema = StructType(s.fields.filterNot(_.name == name))
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v,
+          cur.copy(schemaJson = Some(newSchema.json),
+            dropped = cur.dropped + physicalOf(field)), Some(baseV -> cur)))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"dropColumn: lost $attempt commit races at $root")
+  }
+
   private def versionsDir(root: String) = new Path(root, "_versions")
   private def commitPath(root: String, v: Long) = new Path(versionsDir(root), s"v$v.commit")
 
@@ -311,7 +356,8 @@ object TableVersions {
       removes: Set[String], schemaJson: Option[String],
       partColsOpt: Option[Seq[String]], txns: Map[String, Long],
       checksOpt: Option[Map[String, String]],
-      dvSets: Map[String, (String, Long)]) extends RawCommit {
+      dvSets: Map[String, (String, Long)],
+      droppedOpt: Option[Set[String]]) extends RawCommit {
     /** Fold this delta onto its base state. A removed file takes its
       * deletion vector with it (the pruneDvs invariant); absent
       * metadata sections inherit.
@@ -323,7 +369,8 @@ object TableVersions {
         partColsOpt.getOrElse(prev.partCols),
         prev.txns ++ txns,
         checksOpt.getOrElse(prev.checks),
-        (prev.dvs -- removes) ++ dvSets)
+        (prev.dvs -- removes) ++ dvSets,
+        droppedOpt.getOrElse(prev.dropped))
   }
 
   /** Parse commit-file text; None when torn (no matching #END —
@@ -356,16 +403,19 @@ object TableVersions {
       val Array(_, fp, dvp, n) = l.split(" ", 4)
       dec(fp) -> (dec(dvp), n.trim.toLong)
     }.toMap
+    val droppedLines = lines.filter(_.startsWith("#DROPPED "))
+      .map(l => dec(l.stripPrefix("#DROPPED ").trim)).toSet
     lines.find(_.startsWith("#BASE ")) match {
       case Some(b) =>
         val removes = lines.filter(_.startsWith("#RM "))
           .map(l => dec(l.stripPrefix("#RM ").trim)).toSet
         Some(DeltaCommit(b.stripPrefix("#BASE ").trim.toLong, files, removes,
           schemaJson, partColsOpt, txns,
-          if (checkLines.nonEmpty) Some(checkLines.toMap) else None, dvs))
+          if (checkLines.nonEmpty) Some(checkLines.toMap) else None, dvs,
+          if (droppedLines.nonEmpty) Some(droppedLines) else None))
       case None =>
         Some(FullCommit(CommitState(files, schemaJson,
-          partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs)))
+          partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs, droppedLines)))
     }
   }
 
@@ -609,7 +659,14 @@ object TableVersions {
 
   private def renderFull(st: CommitState): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append("#FORMAT ").append(if (st.dvs.nonEmpty) 2 else 1).append('\n')
+    // major 2 for every semantics-changing feature: DV tombstones (a
+    // major-1 reader would serve deleted rows), a dropped-column
+    // registry (a major-1 WRITER would resurrect dropped data on
+    // re-add), and column mapping (a pre-mapping reader would read
+    // logical names against physical files and serve nulls)
+    val major =
+      if (st.dvs.nonEmpty || st.dropped.nonEmpty || st.schema.exists(mappingActive)) 2 else 1
+    sb.append("#FORMAT ").append(major).append('\n')
     st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
     if (st.partCols.nonEmpty)
       sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
@@ -620,6 +677,8 @@ object TableVersions {
     st.dvs.toSeq.sortBy(_._1).foreach { case (p, (dv, n)) =>
       sb.append("#DV ").append(enc(p)).append(' ').append(enc(dv))
         .append(' ').append(n).append('\n') }
+    st.dropped.toSeq.sorted.foreach { d =>
+      sb.append("#DROPPED ").append(enc(d)).append('\n') }
     st.files.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
     sb.append(s"#END ${st.files.size}\n")
     sb.toString.getBytes(StandardCharsets.UTF_8)
@@ -637,6 +696,7 @@ object TableVersions {
   private def tryRenderDelta(baseV: Long, baseSt: CommitState,
       st: CommitState): Option[Array[Byte]] = {
     if (baseSt.partCols != st.partCols || baseSt.checks != st.checks) return None
+    if (baseSt.dropped != st.dropped) return None // drops are rare: full commit
     if (st.schemaJson.isEmpty && baseSt.schemaJson.nonEmpty) return None
     val baseByPath = baseSt.files.map(fe => fe.path -> fe).toMap
     val newPaths = st.files.map(_.path).toSet
@@ -937,13 +997,15 @@ object TableVersions {
     * name, same type); new columns append. Drop/rename/type-change
     * throw at commit time — loudly, with the offending column named.
     */
-  private[operators] def checkEvolution(current: StructType, incoming: StructType): StructType = {
+  private[operators] def checkEvolution(current: StructType, incoming: StructType,
+      droppedPhysical: Set[String] = Set.empty): StructType = {
     val in = incoming.fields.map(f => f.name -> f).toMap
     current.fields.foreach { f =>
       in.get(f.name) match {
         case None => throw new IllegalArgumentException(
           s"schema evolution rejected: column '${f.name}' is missing from the append " +
-            "(dropping or renaming columns is not supported; only ADDING columns is)")
+            "(dropping or renaming columns happens through dropColumn/renameColumn, " +
+            "not through an append; appends may only ADD columns)")
         case Some(g) if g.dataType != f.dataType => throw new IllegalArgumentException(
           s"schema evolution rejected: column '${f.name}' changes type " +
             s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
@@ -952,7 +1014,24 @@ object TableVersions {
       }
     }
     val have = current.fieldNames.toSet
-    StructType(current.fields ++ incoming.fields.filterNot(f => have(f.name)))
+    val added = incoming.fields.filterNot(f => have(f.name))
+    // a NEW column's physical name is its logical name — it must not
+    // collide with a physical name already stored in the table's files:
+    // another field's physical (post-rename) or a dropped column's
+    // remnant, either of which would silently RESURRECT old file data
+    // into the new column
+    val occupied = current.fields.map(physicalOf).toSet
+    added.foreach { f =>
+      if (occupied(f.name)) throw new IllegalArgumentException(
+        s"schema evolution rejected: new column '${f.name}' collides with the PHYSICAL " +
+          "name of a renamed column — existing files already store data under that name; " +
+          "pick a different name")
+      if (droppedPhysical(f.name)) throw new IllegalArgumentException(
+        s"schema evolution rejected: new column '${f.name}' matches a previously DROPPED " +
+          "column's physical name — existing files still store the old values, which would " +
+          "silently resurrect; pick a different name")
+    }
+    StructType(current.fields ++ added)
   }
 
   // ------------------------------------------------------------------
@@ -987,6 +1066,12 @@ object TableVersions {
     effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from append"))
     var validated = st0.map(_.checks).getOrElse(Map.empty)
     if (validated.nonEmpty) validateChecks(df, validated, "append")
+    // evolution is re-checked in the commit loop against the winner, but
+    // must ALSO gate staging: a physical-name collision (new column vs a
+    // renamed/dropped column's stored name) would otherwise surface as
+    // an opaque duplicate-column error inside the mapped staging write
+    st0.flatMap(_.schema).foreach(s =>
+      checkEvolution(s, df.schema, st0.map(_.dropped).getOrElse(Set.empty)))
     val (batchDir, added) = stageFiles(spark, root, df, effPart, "batch",
       mapSchema = st0.flatMap(_.schema))
     var attempt = 0
@@ -1015,14 +1100,17 @@ object TableVersions {
       val unseen = prev.map(_.checks).getOrElse(Map.empty) -- validated.keys
       if (unseen.nonEmpty) { validateChecks(df, unseen, "append"); validated ++= unseen }
       val prevSchema = prev.flatMap(_.schema)
-      val newSchema = prevSchema.map(checkEvolution(_, df.schema)).getOrElse(df.schema)
+      val newSchema = prevSchema
+        .map(checkEvolution(_, df.schema, prev.map(_.dropped).getOrElse(Set.empty)))
+        .getOrElse(df.schema)
       val v = nextVersion(spark, root, base)
       val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
       if (tryCommit(spark, root, v, CommitState(
           prev.map(_.files).getOrElse(Seq.empty) ++ added,
           Some(newSchema.json), effPart, txns,
           prev.map(_.checks).getOrElse(Map.empty),
-          prev.map(_.dvs).getOrElse(Map.empty)),
+          prev.map(_.dvs).getOrElse(Map.empty),
+          prev.map(_.dropped).getOrElse(Set.empty)),
           base.zip(prev))) return v
       attempt += 1
     }
@@ -1592,6 +1680,8 @@ object TableVersions {
     effPart.foreach(c => require(df.columns.contains(c), s"partition column '$c' missing from replace"))
     var validated = st0.checks
     if (validated.nonEmpty) validateChecks(df, validated, "replace")
+    // same pre-staging evolution gate as append (see appendInternal)
+    st0.schema.foreach(s => checkEvolution(s, df.schema, st0.dropped))
     val (batchDir, added) = stageFiles(spark, root, df, effPart, "replace", splitTargetRows,
       mapSchema = st0.schema)
     val stagedTuples = added.map(_.part).toSet
@@ -1611,7 +1701,8 @@ object TableVersions {
         if (replaceAll) Seq.empty
         else cur.files.filterNot(fe => stagedTuples(fe.part) ||
           drop.exists(d => d.forall { case (k, vv) => fe.part.get(k).contains(vv) }))
-      val newSchema = cur.schema.map(checkEvolution(_, df.schema)).getOrElse(df.schema)
+      val newSchema = cur.schema.map(checkEvolution(_, df.schema, cur.dropped))
+        .getOrElse(df.schema)
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v, cur.copy(files = kept ++ added,
           schemaJson = Some(newSchema.json), txns = cur.txns ++ txn).pruneDvs,

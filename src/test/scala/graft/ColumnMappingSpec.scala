@@ -150,6 +150,62 @@ class ColumnMappingSpec extends SparkSpec {
       .select("k").head().getLong(0) === 2L)
   }
 
+  test("dropColumn is metadata-only; resurrecting dropped/renamed physical names is rejected") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 100L).toDF("k")
+      .withColumn("v", col("k") * 2).withColumn("extra", col("k") * 3).coalesce(1))
+    val files0 = TableVersions.listing(spark, root).map(_._1).toSet
+    TableVersions.renameColumn(spark, root, "v", "score")
+    // a NEW column named like a renamed column's PHYSICAL would read the
+    // old files' stored values — rejected loudly
+    val exPhys = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root,
+        (101L to 110L).toDF("k").withColumn("score", col("k") * 2)
+          .withColumn("extra", col("k") * 3).withColumn("v", lit(0L)))
+    }
+    assert(exPhys.getMessage.contains("PHYSICAL"))
+    // drop: schema-only, files untouched, old version time-travels with it
+    val vDrop = TableVersions.dropColumn(spark, root, "extra")
+    assert(TableVersions.listing(spark, root).map(_._1).toSet === files0)
+    assert(TableVersions.read(spark, root).columns.toSeq === Seq("k", "score"))
+    assert(TableVersions.read(spark, root, Some(vDrop - 1)).columns.contains("extra"))
+    // re-adding the dropped name would resurrect the stored values
+    val exDrop = intercept[IllegalArgumentException] {
+      TableVersions.append(spark, root,
+        (101L to 110L).toDF("k").withColumn("score", col("k") * 2)
+          .withColumn("extra", lit(0L)))
+    }
+    assert(exDrop.getMessage.contains("DROPPED"))
+    // a genuinely fresh column evolves fine; old files null-fill it
+    TableVersions.append(spark, root,
+      (101L to 110L).toDF("k").withColumn("score", col("k") * 2)
+        .withColumn("note", lit("n")).coalesce(1))
+    val t = TableVersions.read(spark, root)
+    assert(t.count() === 110)
+    assert(t.filter(col("k") === 1L).select("note").head().isNullAt(0))
+    // the dropped registry survives delta/checkpoint reconstruction
+    TableVersions.clearStateCache()
+    assert(TableVersions.commitState(spark, root).dropped === Set("extra"))
+    // restrictions
+    val root2 = newRoot()
+    TableVersions.append(spark, root2,
+      Seq((1L, "a", 5L)).toDF("k", "g", "w"), partitionBy = Seq("g"))
+    assert(intercept[IllegalArgumentException] {
+      TableVersions.dropColumn(spark, root2, "g")
+    }.getMessage.contains("partition column"))
+    TableVersions.addConstraint(spark, root2, "w_pos", "w > 0")
+    assert(intercept[IllegalArgumentException] {
+      TableVersions.dropColumn(spark, root2, "w")
+    }.getMessage.contains("w_pos"))
+    TableVersions.dropConstraint(spark, root2, "w_pos")
+    TableVersions.dropColumn(spark, root2, "w")
+    TableVersions.dropColumn(spark, root2, "k")
+    assert(intercept[IllegalArgumentException] {
+      TableVersions.dropColumn(spark, root2, "g")
+    }.getMessage.contains("last column"))
+    assert(TableVersions.read(spark, root2).columns.toSeq === Seq("g"))
+  }
+
   test("delta commits and checkpoints carry the mapping; reconstruction preserves it") {
     val root = newRoot()
     val prev = spark.conf.getOption("graft.table.checkpointInterval")
