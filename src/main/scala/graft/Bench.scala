@@ -170,7 +170,8 @@ object Bench {
       if (v < 0) "-1"
       else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }.mkString("{", ",", "}")
+    def qsLine(fmt: Double => String): String =
+      results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // Environment-attribution signal: per-pass wall totals and the
     // driver-GC total across both measured passes — if a future round's
@@ -189,7 +190,21 @@ object Bench {
       s""""cs1":${r1(pass1.commonSec)},"cs2":${r1(pass2.commonSec)},""" +
       s""""io1":[${pass1.ioReadMb},${pass1.ioWriteMb}],"io2":[${pass2.ioReadMb},${pass2.ioWriteMb}],""" +
       s""""la1":${r1(pass1.la)},"la2":${r1(pass2.la)}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    def lineWith(qs: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // graceful degradation instead of a cliff: if 2-decimal per-query
+    // values overflow the driver's tail window, fall back to 1-decimal
+    // (100 ms resolution — still far below the box's noise floor;
+    // BENCH_DETAIL above always keeps full precision), and only then
+    // hard-fail.
+    def r1q(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+    val line = {
+      val l2 = lineWith(qsLine(r2))
+      if (l2.length <= 1800) l2 else lineWith(qsLine(r1q))
+    }
     require(line.length <= 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail window")
     println(line)
     spark.stop()

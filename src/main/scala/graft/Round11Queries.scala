@@ -126,6 +126,61 @@ object Round11Queries {
     out.orderBy("measurement_date")
   }
 
+  /** COLUMN MAPPING end-to-end (q135): orders lands range-clustered,
+    * `o_totalprice` RENAMES to `price` and `o_custkey` DROPS — both
+    * metadata-only commits on immutable files — then an append arrives
+    * under the NEW names and a stats-pruned delete runs with LOGICAL
+    * bounds (translated to the files' physical stats). The final read
+    * aggregates under the logical names; the oracle computes the same
+    * state in SQL with the rename expressed as an alias and the drop as
+    * an omitted column — the mapping machinery must be invisible to
+    * query semantics.
+    *
+    * Scale shape: the rename and drop are each ONE small commit
+    * regardless of table size (the Delta name-mode contract); reads
+    * keep planning from physical commit stats, so the delete's
+    * candidate set and the final scan prune exactly as before the
+    * rename.
+    */
+  def q135ColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    val root = java.nio.file.Files.createTempDirectory("graft_tv").toString + "/orders_cm"
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    TableVersions.append(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    TableVersions.renameColumn(spark, root, "o_totalprice", "price")
+    TableVersions.dropColumn(spark, root, "o_custkey")
+    // correction batch under the POST-RENAME schema
+    TableVersions.append(spark, root, orders.filter(col("o_orderkey") % 101 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice").as("price")))
+    // stats-pruned delete: logical predicate + logical bounds, physical stats
+    TableVersions.deleteWhere(spark, root,
+      col("price") > 50000.0 && col("o_orderkey") <= 30000L,
+      bounds = Map("o_orderkey" -> (0.0, 30000.0)))
+    val res = TableVersions.read(spark, root)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("price").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    rmTree(root.stripSuffix("/orders_cm"))
+    out.orderBy("month")
+  }
+
+  val q135Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice AS price FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderdate, o_totalprice
+      |  FROM orders WHERE o_orderkey % 101 = 0)
+      |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM c WHERE NOT (price > 50000 AND o_orderkey <= 30000)
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   val q134Sql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, value,
