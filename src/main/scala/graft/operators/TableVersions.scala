@@ -240,7 +240,8 @@ object TableVersions {
       }
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v,
-          cur.copy(schemaJson = Some(StructType(newFields).json)), Some(baseV -> cur)))
+          cur.copy(schemaJson = Some(StructType(newFields).json)), Some(baseV -> cur),
+          op = s"RENAME COLUMN $oldName -> $newName"))
         return v
       attempt += 1
     }
@@ -284,7 +285,8 @@ object TableVersions {
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v,
           cur.copy(schemaJson = Some(newSchema.json),
-            dropped = cur.dropped + physicalOf(field)), Some(baseV -> cur)))
+            dropped = cur.dropped + physicalOf(field)), Some(baseV -> cur),
+          op = s"DROP COLUMN $name"))
         return v
       attempt += 1
     }
@@ -350,14 +352,14 @@ object TableVersions {
     * INCREMENTAL record against `#BASE` (the streaming-append common
     * case — commit bytes scale with the batch, not the table).
     */
-  private sealed trait RawCommit
-  private final case class FullCommit(st: CommitState) extends RawCommit
+  private sealed trait RawCommit { def op: String }
+  private final case class FullCommit(st: CommitState, op: String = "") extends RawCommit
   private final case class DeltaCommit(base: Long, adds: Seq[FileEntry],
       removes: Set[String], schemaJson: Option[String],
       partColsOpt: Option[Seq[String]], txns: Map[String, Long],
       checksOpt: Option[Map[String, String]],
       dvSets: Map[String, (String, Long)],
-      droppedOpt: Option[Set[String]]) extends RawCommit {
+      droppedOpt: Option[Set[String]], op: String = "") extends RawCommit {
     /** Fold this delta onto its base state. A removed file takes its
       * deletion vector with it (the pruneDvs invariant); absent
       * metadata sections inherit.
@@ -405,6 +407,8 @@ object TableVersions {
     }.toMap
     val droppedLines = lines.filter(_.startsWith("#DROPPED "))
       .map(l => dec(l.stripPrefix("#DROPPED ").trim)).toSet
+    val op = lines.find(_.startsWith("#OP "))
+      .map(l => dec(l.stripPrefix("#OP ").trim)).getOrElse("")
     lines.find(_.startsWith("#BASE ")) match {
       case Some(b) =>
         val removes = lines.filter(_.startsWith("#RM "))
@@ -412,10 +416,10 @@ object TableVersions {
         Some(DeltaCommit(b.stripPrefix("#BASE ").trim.toLong, files, removes,
           schemaJson, partColsOpt, txns,
           if (checkLines.nonEmpty) Some(checkLines.toMap) else None, dvs,
-          if (droppedLines.nonEmpty) Some(droppedLines) else None))
+          if (droppedLines.nonEmpty) Some(droppedLines) else None, op))
       case None =>
         Some(FullCommit(CommitState(files, schemaJson,
-          partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs, droppedLines)))
+          partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs, droppedLines), op))
     }
   }
 
@@ -478,7 +482,7 @@ object TableVersions {
       if (hit.isDefined) state = hit.get
       else {
         val fromCkpt =
-          readRaw(f, checkpointPath(root, cur)).collect { case FullCommit(st) => st }
+          readRaw(f, checkpointPath(root, cur)).collect { case FullCommit(st, _) => st }
         fromCkpt match {
           case Some(st) =>
             state = st
@@ -490,7 +494,7 @@ object TableVersions {
                 s"cannot reconstruct version $v at $root: delta chain needs v$cur, " +
                   "which is absent or torn — the commit log below a delta was removed " +
                   "without a checkpoint (vacuum always writes one; was the log edited?)")
-              case Some(FullCommit(st)) =>
+              case Some(FullCommit(st, _)) =>
                 state = st
                 ck.foreach(stateCache.put(_, st))
               case Some(d: DeltaCommit) =>
@@ -657,7 +661,7 @@ object TableVersions {
     */
   private val FormatMajor = 2
 
-  private def renderFull(st: CommitState): Array[Byte] = {
+  private def renderFull(st: CommitState, op: String = ""): Array[Byte] = {
     val sb = new StringBuilder
     // major 2 for every semantics-changing feature: DV tombstones (a
     // major-1 reader would serve deleted rows), a dropped-column
@@ -667,6 +671,9 @@ object TableVersions {
     val major =
       if (st.dvs.nonEmpty || st.dropped.nonEmpty || st.schema.exists(mappingActive)) 2 else 1
     sb.append("#FORMAT ").append(major).append('\n')
+    // informational audit line (DESCRIBE HISTORY parity): readers of any
+    // major skip unknown # lines, so no version bump
+    if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
     st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
     if (st.partCols.nonEmpty)
       sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
@@ -694,7 +701,7 @@ object TableVersions {
     * holds naturally — [[restore]] is the one that reorders).
     */
   private def tryRenderDelta(baseV: Long, baseSt: CommitState,
-      st: CommitState): Option[Array[Byte]] = {
+      st: CommitState, op: String): Option[Array[Byte]] = {
     if (baseSt.partCols != st.partCols || baseSt.checks != st.checks) return None
     if (baseSt.dropped != st.dropped) return None // drops are rare: full commit
     if (st.schemaJson.isEmpty && baseSt.schemaJson.nonEmpty) return None
@@ -711,6 +718,7 @@ object TableVersions {
     if ((baseSt.dvs -- removes) ++ dvDelta != st.dvs) return None
     val sb = new StringBuilder
     sb.append("#FORMAT 2\n")
+    if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
     sb.append("#BASE ").append(baseV).append('\n')
     if (st.schemaJson != baseSt.schemaJson)
       st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
@@ -726,9 +734,9 @@ object TableVersions {
   }
 
   private def renderCommit(st: CommitState,
-      base: Option[(Long, CommitState)]): Array[Byte] =
-    base.flatMap { case (bv, bst) => tryRenderDelta(bv, bst, st) }
-      .getOrElse(renderFull(st))
+      base: Option[(Long, CommitState)], op: String): Array[Byte] =
+    base.flatMap { case (bv, bst) => tryRenderDelta(bv, bst, st, op) }
+      .getOrElse(renderFull(st, op))
 
   /** Atomically publish `tmp` as `target`, failing (false) when the
     * target name is already claimed. Local filesystems use link(2) —
@@ -763,14 +771,14 @@ object TableVersions {
     * version from one checkpoint + a bounded delta tail.
     */
   private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState,
-      base: Option[(Long, CommitState)] = None): Boolean = {
+      base: Option[(Long, CommitState)] = None, op: String = ""): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
     if (f.exists(target)) return false // cheap pre-check; the promote is the real claim
     val tmp = new Path(versionsDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(renderCommit(st, base)) finally out.close()
+    try out.write(renderCommit(st, base, op)) finally out.close()
     val ok = atomicPromote(f, tmp, target)
     if (ok) maybeCheckpoint(spark, root, v, st)
     ok
@@ -1111,7 +1119,8 @@ object TableVersions {
           prev.map(_.checks).getOrElse(Map.empty),
           prev.map(_.dvs).getOrElse(Map.empty),
           prev.map(_.dropped).getOrElse(Set.empty)),
-          base.zip(prev))) return v
+          base.zip(prev),
+          op = txn.map { case (a, b) => s"APPEND txn=$a/$b" }.getOrElse("APPEND"))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
@@ -1139,7 +1148,7 @@ object TableVersions {
     */
   private[graft] def commitRewrite(spark: SparkSession, root: String, removed: Set[String],
       added: Seq[FileEntry], outDir: Path,
-      dvSnapshot: Map[String, Option[(String, Long)]]): Option[Long] = {
+      dvSnapshot: Map[String, Option[(String, Long)]], op: String = "REWRITE"): Option[Long] = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt < 100) {
@@ -1159,7 +1168,7 @@ object TableVersions {
       // a removed file's deletion vector dies with it (the rewrite
       // re-materialized its live rows)
       if (tryCommit(spark, root, v, cur.copy(files = files).pruneDvs,
-          Some(baseV -> cur)))
+          Some(baseV -> cur), op))
         return Some(v)
       attempt += 1
     }
@@ -1242,7 +1251,8 @@ object TableVersions {
     val dataSchema = schema.map(physicalSchema).getOrElse(spark.read.parquet(memberPaths.head).schema)
     val newEntries = entriesFor(spark, listParquet(f, outDir), dataSchema, binOfPath)
     val merged = toMerge.values.flatten.map(_._1).toSet
-    commitRewrite(spark, root, merged, newEntries, outDir, dvSnapshotOf(st, merged))
+    commitRewrite(spark, root, merged, newEntries, outDir, dvSnapshotOf(st, merged),
+      op = "COMPACT")
   }
 
   // ------------------------------------------------------------------
@@ -1365,7 +1375,7 @@ object TableVersions {
     val (outDir, added) = stageFiles(spark, root, survivors, st.partCols, "delete",
       mapSchema = st.schema)
     commitRewrite(spark, root, candidates.toSet, added, outDir,
-      dvSnapshotOf(st, candidates.toSet))
+      dvSnapshotOf(st, candidates.toSet), op = "DELETE")
   }
 
   /** MERGE-ON-READ delete (deletion vectors): when the matched rows are
@@ -1470,7 +1480,7 @@ object TableVersions {
       perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
     }.toMap
     val snapshot = updates.keySet.map(p => p -> st.dvs.get(p)).toMap
-    Some(commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir)))
+    Some(commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir), op = "DELETE dv"))
   }
 
   /** Commit a DV-reference update (optionally together with `added`
@@ -1484,7 +1494,7 @@ object TableVersions {
   private def commitDvUpdate(spark: SparkSession, root: String,
       updates: Map[String, (String, Long)],
       snapshot: Map[String, Option[(String, Long)]], cleanup: Seq[Path],
-      added: Seq[FileEntry] = Seq.empty): Option[Long] = {
+      added: Seq[FileEntry] = Seq.empty, op: String = "DV UPDATE"): Option[Long] = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt < 100) {
@@ -1497,7 +1507,7 @@ object TableVersions {
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v,
           cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates),
-          Some(baseV -> cur))) return Some(v)
+          Some(baseV -> cur), op)) return Some(v)
       attempt += 1
     }
     throw new IllegalStateException(s"dv update: lost $attempt commit races at $root")
@@ -1556,7 +1566,7 @@ object TableVersions {
     val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert",
       mapSchema = st.schema)
     commitRewrite(spark, root, candidates.toSet, added, outDir,
-      dvSnapshotOf(st, candidates.toSet))
+      dvSnapshotOf(st, candidates.toSet), op = "UPSERT")
   }
 
   /** MERGE-ON-READ upsert (the Delta DV MERGE shape): instead of
@@ -1595,13 +1605,15 @@ object TableVersions {
       mapSchema = st.schema)
     staged match {
       case None => // pure insert against the candidates: files only
-        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, Seq(outDir), added))
+        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, Seq(outDir), added,
+          op = "UPSERT dv"))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
           perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
-        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, Seq(dvDir, outDir), added))
+        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, Seq(dvDir, outDir), added,
+          op = "UPSERT dv"))
     }
   }
 
@@ -1706,7 +1718,9 @@ object TableVersions {
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v, cur.copy(files = kept ++ added,
           schemaJson = Some(newSchema.json), txns = cur.txns ++ txn).pruneDvs,
-          Some(baseV -> cur))) return v
+          Some(baseV -> cur),
+          op = (if (replaceAll) "OVERWRITE" else "REPLACE PARTITIONS") +
+            txn.map { case (a, b) => s" txn=$a/$b" }.getOrElse(""))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"replace: lost $attempt commit races at $root")
@@ -1740,7 +1754,7 @@ object TableVersions {
     val added = entriesFor(spark, listParquet(f, outDir),
       st.schema.map(physicalSchema).getOrElse(src.schema), _ => binPart)
     commitRewrite(spark, root, scope.map(_.path).toSet, added, outDir,
-      dvSnapshotOf(st, scope.map(_.path).toSet))
+      dvSnapshotOf(st, scope.map(_.path).toSet), op = s"ZORDER ${keys.mkString(",")}")
   }
 
   /** Delete data files unreachable from the newest `keepVersions`
@@ -1819,7 +1833,8 @@ object TableVersions {
         .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
       val cur = commitState(spark, root, Some(baseV))
       val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, target.copy(txns = cur.txns), Some(baseV -> cur)))
+      if (tryCommit(spark, root, v, target.copy(txns = cur.txns), Some(baseV -> cur),
+          op = s"RESTORE v$toVersion"))
         return Some(v)
       attempt += 1
     }
@@ -1840,7 +1855,8 @@ object TableVersions {
       version: Option[Long] = None): Long = {
     val src = commitState(spark, root, version)
     require(currentVersion(spark, destRoot).isEmpty, s"destination $destRoot already exists")
-    val ok = tryCommit(spark, destRoot, 0L, src.copy(txns = Map.empty))
+    val ok = tryCommit(spark, destRoot, 0L, src.copy(txns = Map.empty),
+      op = s"CLONE $root")
     if (!ok) throw new IllegalStateException(s"clone destination $destRoot raced another writer")
     0L
   }
@@ -1870,7 +1886,7 @@ object TableVersions {
       val cur = commitState(spark, root, Some(baseV))
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v, cur.copy(checks = cur.checks + (name -> sqlExpr)),
-          Some(baseV -> cur)))
+          Some(baseV -> cur), op = s"ADD CONSTRAINT $name"))
         return v
       attempt += 1
     }
@@ -1887,27 +1903,31 @@ object TableVersions {
       require(cur.checks.contains(name), s"no CHECK constraint '$name' at $root")
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v, cur.copy(checks = cur.checks - name),
-          Some(baseV -> cur)))
+          Some(baseV -> cur), op = s"DROP CONSTRAINT $name"))
         return v
       attempt += 1
     }
     throw new IllegalStateException(s"dropConstraint: lost $attempt commit races at $root")
   }
 
-  /** Commit HISTORY, newest first: (version, n_files, n_bytes, txns) —
-    * one metadata read per retained version, no data access.
+  /** Commit HISTORY, newest first: (version, n_files, n_bytes, DV
+    * counts, the OPERATION that produced the commit — the DESCRIBE
+    * HISTORY audit surface — and txn records). One metadata read per
+    * retained version, no data access.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    val f = fs(spark, root)
     claimedVersions(spark, root).sorted(Ordering[Long].reverse)
       .flatMap { v =>
         readCommitState(spark, root, v).map { st =>
+          val op = readRaw(f, commitPath(root, v)).map(_.op).getOrElse("")
           (v, st.files.size.toLong, st.files.map(_.bytes).sum,
-            st.dvs.size.toLong, st.dvs.values.map(_._2).sum,
+            st.dvs.size.toLong, st.dvs.values.map(_._2).sum, op,
             st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"#TXN $a $b" }.mkString(";"))
         }
       }
-      .toDF("version", "n_files", "n_bytes", "n_dv_files", "n_dv_rows", "txns")
+      .toDF("version", "n_files", "n_bytes", "n_dv_files", "n_dv_rows", "operation", "txns")
   }
 
   /** METADATA-only diff between two versions: which files were added

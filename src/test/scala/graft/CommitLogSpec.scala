@@ -158,6 +158,26 @@ class CommitLogSpec extends SparkSpec {
     assert(v6 === 6L && v7 === 7L)
   }
 
+  test("history records the operation that produced each commit") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 200L).toDF("k").withColumn("v", col("k")))
+    TableVersions.appendTxn(spark, root, (201L to 210L).toDF("k")
+      .withColumn("v", col("k")).coalesce(1), "etl", 3L)
+    TableVersions.deleteWhere(spark, root, col("k").isin(5L), maxDvFraction = 0.1)
+    TableVersions.renameColumn(spark, root, "v", "w")
+    TableVersions.addConstraint(spark, root, "k_pos", "k > 0")
+    TableVersions.compact(spark, root, targetBytes = 1L << 30)
+    val ops = TableVersions.history(spark, root)
+      .select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(0L) === "APPEND")
+    assert(ops(1L) === "APPEND txn=etl/3")
+    assert(ops(2L) === "DELETE dv")
+    assert(ops(3L) === "RENAME COLUMN v -> w")
+    assert(ops(4L) === "ADD CONSTRAINT k_pos")
+    assert(ops(5L) === "COMPACT")
+  }
+
   test("vacuum with a torn claim at the horizon still checkpoints crossing deltas") {
     val root = newRoot()
     TableVersions.append(spark, root, (1L to 10L).toDF("k").coalesce(1))
