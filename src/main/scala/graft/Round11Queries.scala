@@ -169,6 +169,107 @@ object Round11Queries {
     out.orderBy("month")
   }
 
+  /** GENERAL MERGE INTO (q136): the full ANSI/Delta MERGE statement
+    * over the versioned format, certified end-to-end. Two merges run
+    * against an orders table:
+    *
+    *  1. a CDC batch — updates (`op='U'`: price + 1000 for keys % 7 =
+    *     0), deletes (`op='D'`: keys % 7 = 3) and conditioned inserts
+    *     (`op='I'`: new 20M+ keys at a 500 discount) — through the
+    *     MERGE-ON-READ path (`maxDvFraction = 0.5`): the ~29% changed
+    *     rows tombstone into deletion-vector sidecars and only the new
+    *     images append, no candidate file rewrites;
+    *  2. a retention merge — WHEN NOT MATCHED BY SOURCE against the
+    *     active-key set (keys % 5 = 0): stale rows older than
+    *     1995-01-01 DELETE, the rest flag `o_orderstatus = 'S'` —
+    *     a full rewrite that also folds the step-1 DVs away.
+    *
+    * The oracle reproduces both merges as plain SQL set operations;
+    * the report is the month × status order count/value rollup of the
+    * final state, so clause routing (first-match-wins), the DV
+    * tombstones, and the by-source rewrite must all be semantically
+    * invisible.
+    *
+    * Scale shape: merge 1 is the CDC workhorse — commit-stats key
+    * pruning picks candidate files, one inner join finds touched
+    * files, and the DV commit writes O(changed + batch) bytes (Delta's
+    * documented MERGE architecture re-expressed as Catalyst plans).
+    * Merge 2's full rewrite is forced by BY SOURCE semantics (no key
+    * range can prune "rows with no match"), which is exactly Delta's
+    * caveat for that clause.
+    * Ref: the dbt incremental materializations the reference compiles
+    * to BigQuery MERGE (dbt_project.yml:27-30).
+    */
+  def q136MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    import TableVersions.{MergeDelete, MergeInsert, MergeUpdate}
+    val root = java.nio.file.Files.createTempDirectory("graft_tv").toString + "/orders_mg"
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"), col("o_totalprice"))
+    TableVersions.append(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+
+    val upd = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderdate"),
+        (col("o_totalprice") + 1000.0).as("amount"))
+    val del = orders.filter(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), lit("D").as("op"), col("o_orderdate"),
+        col("o_totalprice").as("amount"))
+    val ins = orders.filter(col("o_orderkey") % 101 === 0)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("I").as("op"),
+        col("o_orderdate"), (col("o_totalprice") - 500.0).as("amount"))
+    val v1 = TableVersions.merge(spark, root, upd.unionByName(del).unionByName(ins),
+      on = Seq("o_orderkey"),
+      matched = Seq(
+        MergeUpdate(Map("o_totalprice" -> "s.amount"), Some("s.op = 'U'")),
+        MergeDelete(Some("s.op = 'D'"))),
+      notMatched = Seq(MergeInsert(Map(
+        "o_orderkey" -> "s.o_orderkey", "o_orderdate" -> "s.o_orderdate",
+        "o_orderstatus" -> "'N'", "o_totalprice" -> "s.amount"), Some("s.op = 'I'"))),
+      maxDvFraction = 0.5)
+    require(v1.isDefined, "CDC merge must commit")
+    require(TableVersions.commitState(spark, root).dvs.nonEmpty,
+      "the CDC merge must take the merge-on-read path (DV sidecars present)")
+
+    val active = orders.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey"))
+    val v2 = TableVersions.merge(spark, root, active, on = Seq("o_orderkey"),
+      notMatchedBySource = Seq(
+        MergeDelete(Some("t.o_orderdate < DATE'1995-01-01'")),
+        MergeUpdate(Map("o_orderstatus" -> "'S'"))))
+    require(v2.isDefined, "retention merge must commit")
+    require(TableVersions.commitState(spark, root).dvs.isEmpty,
+      "the by-source rewrite must fold the DVs away")
+
+    val res = TableVersions.read(spark, root)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    rmTree(root.stripSuffix("/orders_mg"))
+    out.orderBy("month", "status")
+  }
+
+  val q136Sql: String =
+    """WITH m1 AS (
+      |  SELECT o_orderkey AS k, o_orderdate AS d, o_orderstatus AS st,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+      |         ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_orderkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_orderdate, 'N', o_totalprice - 500
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |m2 AS (
+      |  SELECT k, d, st, p FROM m1 WHERE k % 5 = 0 AND k < 20000000
+      |  UNION ALL
+      |  SELECT k, d, 'S', p FROM m1
+      |  WHERE NOT (k % 5 = 0 AND k < 20000000) AND d >= DATE '1995-01-01')
+      |SELECT strftime(d, '%Y-%m') AS month, st AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(p AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM m2 GROUP BY 1, 2 ORDER BY month, status""".stripMargin
+
   val q135Sql: String =
     """WITH c AS (
       |  SELECT o_orderkey, o_orderdate, o_totalprice AS price FROM orders

@@ -1617,6 +1617,323 @@ object TableVersions {
     }
   }
 
+  // ------------------------------------------------------------------
+  // General MERGE (the ANSI/Delta MERGE INTO surface)
+  // ------------------------------------------------------------------
+
+  /** One WHEN clause of a [[merge]]. Conditions and SET/VALUES
+    * expressions are SQL strings over two aliases: `t` (the target
+    * row) and `s` (the source row) — e.g. `"s.op = 'U'"`,
+    * `Map("qty" -> "t.qty + s.qty")`. Clauses are evaluated in the
+    * order given and the FIRST whose condition holds applies (the ANSI
+    * MERGE rule); a clause with no condition is unconditional and must
+    * therefore be last in its group.
+    */
+  sealed trait MergeClause { def condition: Option[String] }
+  /** UPDATE SET: `set` maps target columns to expressions; an EMPTY
+    * `set` means `UPDATE SET *` — every target column that exists in
+    * the source by name takes `s.<col>`, the rest keep their values.
+    */
+  final case class MergeUpdate(set: Map[String, String] = Map.empty,
+      condition: Option[String] = None) extends MergeClause
+  /** DELETE the matched target row. */
+  final case class MergeDelete(condition: Option[String] = None) extends MergeClause
+  /** INSERT for a source row with no match: `values` maps target
+    * columns to expressions over `s`; an EMPTY `values` means
+    * `INSERT *` — target columns present in the source by name take
+    * `s.<col>`, the rest insert NULL.
+    */
+  final case class MergeInsert(values: Map[String, String] = Map.empty,
+      condition: Option[String] = None) extends MergeClause
+
+  /** MERGE `source` INTO the table — the general ANSI/Delta
+    * `MERGE INTO t USING s ON …` statement over the versioned format:
+    * ordered WHEN MATCHED update/delete clauses, WHEN NOT MATCHED
+    * inserts, and WHEN NOT MATCHED BY SOURCE update/delete clauses
+    * (the Delta 3.x surface), committed as ONE atomic version.
+    * [[upsert]] stays the fast path for the plain CDC key-replace
+    * shape; `merge` is the full statement.
+    *
+    * Execution is the two-phase shape Delta documents, re-expressed as
+    * Catalyst plans:
+    *
+    *  1. FIND TOUCHED FILES — candidate files are pruned from COMMIT
+    *     stats by the source's `on`-key range (numeric keys; others
+    *     scan conservatively), then one inner join of the candidates'
+    *     rows (deletion vectors applied, row identity from
+    *     `_metadata`) against the source finds (a) the files that
+    *     actually hold matches and (b) the per-target-row match count.
+    *     More than one source match for a target row under an
+    *     update/delete clause throws — the ANSI nondeterminism rule —
+    *     BEFORE anything is staged.
+    *  2. WRITE — only the touched files rewrite: a full-outer join of
+    *     their rows with the source classifies every row once
+    *     (first-match-wins CASE over the clause conditions, a single
+    *     codegen'd projection), survivors and updated images restage
+    *     through the partitioned write path, inserts append, and
+    *     [[commitRewrite]] swaps the touched files atomically under
+    *     the usual conflict rules (file identity = path + DV ref).
+    *     Untouched files carry by reference, so a CDC-sized merge into
+    *     a 100 TB table pays O(touched files + batch), not O(table).
+    *     An insert-only merge (no matched/by-source clauses) removes
+    *     nothing — it degrades to a pruned anti-join append.
+    *
+    * `notMatchedBySource` clauses reference target rows with NO source
+    * match, so they force every live file into the rewrite set (their
+    * conditions see only `t`; there is no key range to prune by) —
+    * same caveat as Delta. With `maxDvFraction` > 0 the changed rows
+    * are instead TOMBSTONED into a deletion-vector sidecar and only
+    * the new images append (merge-on-read, one commit), falling back
+    * to the rewrite when the changed fraction exceeds the bound.
+    *
+    * CHECK constraints validate over the updated/inserted images only
+    * (kept rows passed at their own write time). The CDF shows
+    * delete(old image) + insert(new image) for updates, exactly like
+    * [[upsert]]. Returns the committed version; None on a losing race
+    * with a concurrent rewrite/DV update of a touched file; the
+    * current version unchanged when the merge is a no-op.
+    *
+    * Ref semantics: BigQuery `MERGE` (the reference's dbt
+    * incremental-materialization primitive, dbt_project.yml:27-30);
+    * architecture: the publicly documented Delta MERGE command.
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame, on: Seq[String],
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeInsert] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      extraOn: Option[String] = None,
+      maxDvFraction: Double = 0.0): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, min, when}
+    require(on.nonEmpty, "merge: `on` key columns required")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "merge: at least one WHEN clause required")
+    matched.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "merge: INSERT is not a WHEN MATCHED action")
+      case _ =>
+    }
+    notMatchedBySource.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "merge: INSERT is not a WHEN NOT MATCHED BY SOURCE action")
+      case MergeUpdate(set, _) if set.isEmpty => throw new IllegalArgumentException(
+        "merge: a WHEN NOT MATCHED BY SOURCE update needs an explicit SET " +
+          "(there is no source row to take * from)")
+      case _ =>
+    }
+    def checkOrder(cs: Seq[MergeClause], what: String): Unit =
+      cs.dropRight(1).foreach(c => require(c.condition.isDefined,
+        s"merge: every $what clause except the last needs a condition " +
+          "(an unconditional clause makes later ones unreachable)"))
+    checkOrder(matched, "WHEN MATCHED")
+    checkOrder(notMatched, "WHEN NOT MATCHED")
+    checkOrder(notMatchedBySource, "WHEN NOT MATCHED BY SOURCE")
+    val reserved = Seq("__gv_file", "__gv_pos", "__g_t", "__g_s", "__g_action")
+    reserved.foreach(r => require(!source.columns.contains(r),
+      s"merge: source column name '$r' is reserved"))
+
+    val st = commitState(spark, root, None)
+    val tblSchema = st.schema.getOrElse(
+      spark.read.parquet(st.files.head.path).schema)
+    val tblCols = tblSchema.fieldNames.toSeq
+    on.foreach(k => require(tblCols.contains(k) && source.columns.contains(k),
+      s"merge: on-key '$k' must exist in both the table and the source"))
+    val srcHas = source.columns.toSet
+    (matched ++ notMatchedBySource).foreach {
+      case MergeUpdate(set, _) => set.keys.foreach(c => require(tblCols.contains(c),
+        s"merge: SET target '$c' is not a table column"))
+      case _ =>
+    }
+    notMatched.foreach(i => i.values.keys.foreach(c => require(tblCols.contains(c),
+      s"merge: INSERT target '$c' is not a table column")))
+
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (notMatchedBySource.isEmpty && src.isEmpty)
+        return currentVersion(spark, root) // nothing to match, nothing to insert
+
+      // ---- phase 1: candidates from commit stats, then touched files
+      val numericKeys = on.filter(k => source.schema(k).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      })
+      val candidates: Seq[String] =
+        if (notMatchedBySource.nonEmpty || numericKeys.isEmpty) st.files.map(_.path)
+        else {
+          val aggs = numericKeys.flatMap(k =>
+            Seq(min(col(k).cast("double")), max(col(k).cast("double"))))
+          val row = src.agg(aggs.head, aggs.tail: _*).head()
+          val bounds = numericKeys.zipWithIndex.flatMap { case (k, i) =>
+            if (row.isNullAt(2 * i)) None // all-NULL key: cannot prune on it
+            else Some(k -> (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+          }.toMap
+          if (bounds.isEmpty) st.files.map(_.path)
+          else candidatePaths(spark, st, bounds)
+        }
+      def joinCond: Column = {
+        val keys = on.map(k => col("t." + k) === col("s." + k)).reduce(_ && _)
+        extraOn.map(e => keys && expr(e)).getOrElse(keys)
+      }
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Seq.empty
+        else {
+          val perFile = candidateRowsWithPos(spark, st, candidates).alias("t")
+            .join(src.alias("s"), joinCond, "inner")
+            .groupBy(col("__gv_file"), col("__gv_pos")).agg(count(lit(1)).as("__g_n"))
+            .groupBy(col("__gv_file")).agg(max(col("__g_n")).as("__g_maxn"))
+            .collect() // O(touched files) rows to the driver
+          if (matched.nonEmpty && perFile.exists(_.getLong(1) > 1L))
+            throw new IllegalStateException(
+              "merge: a target row matched more than one source row under an " +
+                "update/delete clause — the result would be nondeterministic " +
+                "(dedupe the source on the merge keys first)")
+          val tn = perFile.map(r => normPath(r.getString(0))).toSet
+          candidates.filter(p => tn(normPath(p)))
+        }
+      val rewriteSet: Seq[String] =
+        if (notMatchedBySource.nonEmpty) st.files.map(_.path)
+        else if (matched.nonEmpty) touched
+        else Seq.empty // insert-only: nothing rewrites
+      if (rewriteSet.isEmpty && notMatched.isEmpty)
+        return currentVersion(spark, root) // no match, no insert clause: no-op
+      // files whose rows participate in the join (match detection needs
+      // every file that HOLDS a match even when nothing rewrites)
+      val joinSet = (rewriteSet ++ touched).distinct
+
+      // ---- phase 2: classify every row once
+      val tRows =
+        if (joinSet.isEmpty)
+          emptyLike(spark, st)
+            .withColumn("__gv_file", lit(null).cast("string"))
+            .withColumn("__gv_pos", lit(null).cast("long"))
+        else candidateRowsWithPos(spark, st, joinSet)
+      val j = tRows.withColumn("__g_t", lit(true)).alias("t")
+        .join(src.withColumn("__g_s", lit(true)).alias("s"), joinCond, "full_outer")
+      def condCol(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
+      def chain(cs: Seq[MergeClause], tag: String): Column =
+        cs.zipWithIndex.foldRight(lit(null).cast("string")) { case ((cl, i), acc) =>
+          when(condCol(cl.condition), lit(s"$tag$i")).otherwise(acc)
+        }
+      val tP = coalesce(col("__g_t"), lit(false))
+      val sP = coalesce(col("__g_s"), lit(false))
+      val action =
+        when(tP && sP, coalesce(chain(matched, "m"), lit("keep")))
+          .when(tP && !sP, coalesce(chain(notMatchedBySource, "b"), lit("keep")))
+          .otherwise(coalesce(chain(notMatched, "i"), lit("drop")))
+      val acted = j.withColumn("__g_action", action)
+
+      def updVal(set: Map[String, String], c: String): Column =
+        set.get(c).map(expr).getOrElse(
+          if (set.isEmpty && srcHas(c)) col("s." + c) else col("t." + c))
+      def insVal(values: Map[String, String], c: String): Column =
+        values.get(c).map(expr).getOrElse(
+          if (values.isEmpty && srcHas(c)) col("s." + c) else lit(null))
+      def tags(cs: Seq[MergeClause], tag: String,
+          p: MergeClause => Boolean): Seq[(String, MergeClause)] =
+        cs.zipWithIndex.collect { case (cl, i) if p(cl) => (s"$tag$i", cl) }
+      val updateTags = tags(matched, "m", _.isInstanceOf[MergeUpdate]) ++
+        tags(notMatchedBySource, "b", _.isInstanceOf[MergeUpdate])
+      val deleteTags = (tags(matched, "m", _.isInstanceOf[MergeDelete]) ++
+        tags(notMatchedBySource, "b", _.isInstanceOf[MergeDelete])).map(_._1)
+      val insertTags = notMatched.zipWithIndex.map { case (cl, i) => (s"i$i", cl) }
+      val outCols: Seq[Column] = tblSchema.fields.toIndexedSeq.map { fd =>
+        val c = fd.name
+        val withUpd = updateTags.foldRight(col("t." + c)) { case ((tg, cl), acc) =>
+          when(col("__g_action") === tg,
+            updVal(cl.asInstanceOf[MergeUpdate].set, c)).otherwise(acc)
+        }
+        val full = insertTags.foldRight(withUpd) { case ((tg, cl), acc) =>
+          when(col("__g_action") === tg, insVal(cl.values, c)).otherwise(acc)
+        }
+        full.cast(fd.dataType).as(c)
+      }
+      val changedTags = updateTags.map(_._1) ++ insertTags.map(_._1)
+      val dropTags = deleteTags :+ "drop"
+      // insert-only merges keep their matched rows IN PLACE (their
+      // files never rewrite), so t-present rows leave the output
+      val keepPred =
+        if (rewriteSet.isEmpty) col("__g_action").isin(insertTags.map(_._1): _*)
+        else !col("__g_action").isin(dropTags: _*)
+
+      val reused = st.checks.nonEmpty || maxDvFraction > 0.0
+      if (reused) acted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (st.checks.nonEmpty && changedTags.nonEmpty)
+          validateChecks(
+            acted.filter(col("__g_action").isin(changedTags: _*)).select(outCols: _*),
+            st.checks, "merge")
+
+        // ---- merge-on-read attempt: tombstone changed rows, append images
+        if (maxDvFraction > 0.0 && rewriteSet.nonEmpty) {
+          mergeViaDv(spark, root, st, rewriteSet, acted, outCols,
+            updateTags.map(_._1) ++ deleteTags, changedTags, maxDvFraction) match {
+            case Some(result) => return result
+            case None => // fraction exceeded / legacy stats: rewrite below
+          }
+        }
+
+        val result = acted.filter(keepPred).select(outCols: _*)
+        val (outDir, added) = stageFiles(spark, root, result, st.partCols, "merge",
+          mapSchema = st.schema)
+        if (rewriteSet.isEmpty && added.isEmpty) {
+          // no file rewrites and no insert images: committing would
+          // write an identical version — make the no-op observable
+          fs(spark, root).delete(outDir, true)
+          currentVersion(spark, root)
+        } else commitRewrite(spark, root, rewriteSet.toSet, added, outDir,
+          dvSnapshotOf(st, rewriteSet.toSet), op = "MERGE")
+      } finally if (reused) { acted.unpersist(); () }
+    } finally { src.unpersist(); () }
+  }
+
+  /** Merge-on-read completion of [[merge]]: the changed target rows
+    * (`victimTags`) tombstone into a DV sidecar, and ONLY the new
+    * images (`changedTags`: updated rows + inserts) append as files —
+    * one [[commitDvUpdate]], O(changed + batch) bytes. None ⇒ fall
+    * back to the rewrite (fraction exceeded or legacy row counts).
+    */
+  private def mergeViaDv(spark: SparkSession, root: String, st: CommitState,
+      rewriteSet: Seq[String], acted: DataFrame, outCols: Seq[Column],
+      victimTags: Seq[String], changedTags: Seq[String],
+      maxFraction: Double): Option[Option[Long]] = {
+    import org.apache.spark.sql.functions.col
+    val candSet = rewriteSet.toSet
+    val candEntries = st.files.filter(fe => candSet(fe.path))
+    if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
+    val totalRows = candEntries.map(_.rows).sum
+    val f = fs(spark, root)
+    if (victimTags.isEmpty) {
+      // insert-only path never reaches here (rewriteSet empty); with no
+      // changed target rows the DV shape has nothing to tombstone
+      return None
+    }
+    val victims = acted.filter(col("__g_action").isin(victimTags: _*))
+      .select(col("__gv_file").as("file"), col("__gv_pos").as("pos"))
+    val staged = stageDvSidecar(spark, root, st, rewriteSet, victims)
+    staged.foreach { case (dvDir, _, _, newMatches) =>
+      if (totalRows == 0 || newMatches.toDouble / totalRows > maxFraction) {
+        f.delete(dvDir, true); return None // rewrite amortizes better
+      }
+    }
+    val images = acted.filter(col("__g_action").isin(changedTags: _*))
+      .select(outCols: _*)
+    val (outDir, added) = stageFiles(spark, root, images, st.partCols, "merge",
+      mapSchema = st.schema)
+    staged match {
+      case None => // no victim rows materialized: pure insert images
+        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, Seq(outDir), added,
+          op = "MERGE dv"))
+      case Some((dvDir, sidecar, perFile, _)) =>
+        val dvUpdates = candEntries.flatMap { fe =>
+          perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
+        }.toMap
+        val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
+        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, Seq(dvDir, outDir), added,
+          op = "MERGE dv"))
+    }
+  }
+
   /** REPLACE exactly the partitions present in `df`, as ONE atomic
     * commit — dynamic partition overwrite with a transaction log
     * (Delta's `replaceWhere` on partition columns): every live file
