@@ -251,6 +251,118 @@ object Round11Queries {
     out.orderBy("month", "status")
   }
 
+  /** CHANGE DATA FEED WITH UPDATE IMAGES (q137): the exact CDC-out
+    * surface under the oracle hash gate. An orders table commits with
+    * `enableChangeFeed=true`, a CDC upsert lands through the
+    * merge-on-read (deletion-vector) path and a general MERGE through
+    * the rewrite path — both writing explicit change-data sidecars —
+    * and `readChanges(updateImages = true)` is aggregated per
+    * (step, change type): update_preimage/update_postimage/delete/
+    * insert counts, key sums and price totals. The oracle reproduces
+    * every image from the base `orders` parquet by composing the two
+    * state transitions in SQL — the merge's preimages must reflect the
+    * UPSERT's postimages (state composition), which is exactly what a
+    * downstream incremental consumer depends on.
+    *
+    * Scale shape: sidecars cost O(changed rows) at write; the feed read
+    * is one scan of the sidecars (no diffing, no full-table read) —
+    * the Delta `delta.enableChangeDataFeed` architecture.
+    * Ref semantics: BigQuery change history / Datastream CDC, the
+    * reference's implied consumption path for processed-zone tables
+    * (healthcare_etl_pipeline.py:296-339 sinks).
+    */
+  def q137ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    import TableVersions.{MergeDelete, MergeInsert, MergeUpdate}
+    val root = java.nio.file.Files.createTempDirectory("graft_tv").toString + "/orders_cdf"
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"), col("o_totalprice"))
+    TableVersions.append(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    val vProp = TableVersions.setTableProperty(
+      spark, root, TableVersions.ChangeFeedProp, "true")
+
+    // step 1: CDC upsert (merge-on-read path) — updates every %13 key,
+    // inserts a +30M twin of every %97 key
+    val upd = orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500)
+    val ins = orders.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 30000000L).as("o_orderkey"), col("o_orderdate"),
+        lit("N").as("o_orderstatus"), (col("o_totalprice") - 250).as("o_totalprice"))
+    val vU = TableVersions.upsert(spark, root, upd.unionByName(ins), "o_orderkey",
+      maxDvFraction = 0.5).get
+    require(TableVersions.commitState(spark, root).dvs.nonEmpty,
+      "the CDC upsert must take the merge-on-read path (DV sidecars present)")
+
+    // step 2: general MERGE (rewrite path) — touches %12=1 (update
+    // via target arithmetic) and %12=2 (delete) keys, inserts +60M
+    // twins of %151 keys. %12∩%13 keys exist, so the merge's preimages
+    // must compose with the upsert's postimages.
+    val src = orders.filter(col("o_orderkey") % 12 === 1)
+        .select(col("o_orderkey"), lit("U").as("op"), col("o_orderdate"),
+          col("o_totalprice").as("amount"))
+      .unionByName(orders.filter(col("o_orderkey") % 12 === 2)
+        .select(col("o_orderkey"), lit("D").as("op"), col("o_orderdate"),
+          col("o_totalprice").as("amount")))
+      .unionByName(orders.filter(col("o_orderkey") % 151 === 0)
+        .select((col("o_orderkey") + 60000000L).as("o_orderkey"), lit("I").as("op"),
+          col("o_orderdate"), (col("o_totalprice") + 0.75).as("amount")))
+    val vM = TableVersions.merge(spark, root, src, on = Seq("o_orderkey"),
+      matched = Seq(
+        MergeUpdate(Map("o_totalprice" -> "t.o_totalprice + 1000"), Some("s.op = 'U'")),
+        MergeDelete(Some("s.op = 'D'"))),
+      notMatched = Seq(MergeInsert(Map(
+        "o_orderkey" -> "s.o_orderkey", "o_orderdate" -> "s.o_orderdate",
+        "o_orderstatus" -> "'X'", "o_totalprice" -> "s.amount"), Some("s.op = 'I'")))).get
+
+    val res = TableVersions.readChanges(spark, root, vProp, vM, updateImages = true)
+      .withColumn("step",
+        when(col("_commit_version") === vU, lit("upsert")).otherwise(lit("merge")))
+      .groupBy(col("step"), col("_change_type").as("change_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double"), 4)
+          .as("total_price"))
+    val out = graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+    rmTree(root.stripSuffix("/orders_cdf"))
+    out.orderBy("step", "change_type")
+  }
+
+  val q137Sql: String =
+    """WITH s1 AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 500
+      |         ELSE o_totalprice END AS p
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 30000000, 'N', o_totalprice - 250
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |ch AS (
+      |  SELECT 'upsert' AS step, 'update_preimage' AS change_type,
+      |    o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT 'upsert', 'update_postimage', o_orderkey, o_totalprice + 500
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT 'upsert', 'insert', o_orderkey + 30000000, o_totalprice - 250
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT 'merge', 'update_preimage', k, p
+      |  FROM s1 WHERE k % 12 = 1 AND k < 30000000
+      |  UNION ALL
+      |  SELECT 'merge', 'update_postimage', k, p + 1000
+      |  FROM s1 WHERE k % 12 = 1 AND k < 30000000
+      |  UNION ALL
+      |  SELECT 'merge', 'delete', k, p
+      |  FROM s1 WHERE k % 12 = 2 AND k < 30000000
+      |  UNION ALL
+      |  SELECT 'merge', 'insert', o_orderkey + 60000000, o_totalprice + 0.75
+      |  FROM orders WHERE o_orderkey % 151 = 0)
+      |SELECT step, change_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_key,
+      |  round(CAST(SUM(CAST(p AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM ch GROUP BY 1, 2 ORDER BY step, change_type""".stripMargin
+
   val q136Sql: String =
     """WITH m1 AS (
       |  SELECT o_orderkey AS k, o_orderdate AS d, o_orderstatus AS st,

@@ -133,7 +133,8 @@ object TableVersions {
       partCols: Seq[String], txns: Map[String, Long],
       checks: Map[String, String] = Map.empty,
       dvs: Map[String, (String, Long)] = Map.empty,
-      dropped: Set[String] = Set.empty) {
+      dropped: Set[String] = Set.empty,
+      props: Map[String, String] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
     /** DVs narrowed to files actually in `files` — every rewrite path
@@ -352,17 +353,21 @@ object TableVersions {
     * INCREMENTAL record against `#BASE` (the streaming-append common
     * case — commit bytes scale with the batch, not the table).
     */
-  private sealed trait RawCommit { def op: String }
-  private final case class FullCommit(st: CommitState, op: String = "") extends RawCommit
+  private sealed trait RawCommit { def op: String; def cdf: Seq[String] }
+  private final case class FullCommit(st: CommitState, op: String = "",
+      cdf: Seq[String] = Nil) extends RawCommit
   private final case class DeltaCommit(base: Long, adds: Seq[FileEntry],
       removes: Set[String], schemaJson: Option[String],
       partColsOpt: Option[Seq[String]], txns: Map[String, Long],
       checksOpt: Option[Map[String, String]],
       dvSets: Map[String, (String, Long)],
-      droppedOpt: Option[Set[String]], op: String = "") extends RawCommit {
+      droppedOpt: Option[Set[String]], op: String = "",
+      cdf: Seq[String] = Nil) extends RawCommit {
     /** Fold this delta onto its base state. A removed file takes its
       * deletion vector with it (the pruneDvs invariant); absent
-      * metadata sections inherit.
+      * metadata sections inherit. Per-commit STEP records (`#OP`,
+      * `#CDF`) never enter the state — they describe the commit, not
+      * the table.
       */
     def applyTo(prev: CommitState): CommitState =
       CommitState(
@@ -372,7 +377,8 @@ object TableVersions {
         prev.txns ++ txns,
         checksOpt.getOrElse(prev.checks),
         (prev.dvs -- removes) ++ dvSets,
-        droppedOpt.getOrElse(prev.dropped))
+        droppedOpt.getOrElse(prev.dropped),
+        prev.props)
   }
 
   /** Parse commit-file text; None when torn (no matching #END —
@@ -409,6 +415,12 @@ object TableVersions {
       .map(l => dec(l.stripPrefix("#DROPPED ").trim)).toSet
     val op = lines.find(_.startsWith("#OP "))
       .map(l => dec(l.stripPrefix("#OP ").trim)).getOrElse("")
+    val props = lines.filter(_.startsWith("#PROP ")).map { l =>
+      val Array(_, k, v) = l.split(" ", 3)
+      dec(k) -> dec(v)
+    }.toMap
+    val cdf = lines.filter(_.startsWith("#CDF "))
+      .map(l => dec(l.stripPrefix("#CDF ").trim)).toSeq
     lines.find(_.startsWith("#BASE ")) match {
       case Some(b) =>
         val removes = lines.filter(_.startsWith("#RM "))
@@ -416,10 +428,11 @@ object TableVersions {
         Some(DeltaCommit(b.stripPrefix("#BASE ").trim.toLong, files, removes,
           schemaJson, partColsOpt, txns,
           if (checkLines.nonEmpty) Some(checkLines.toMap) else None, dvs,
-          if (droppedLines.nonEmpty) Some(droppedLines) else None, op))
+          if (droppedLines.nonEmpty) Some(droppedLines) else None, op, cdf))
       case None =>
         Some(FullCommit(CommitState(files, schemaJson,
-          partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs, droppedLines), op))
+          partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs, droppedLines,
+          props), op, cdf))
     }
   }
 
@@ -482,7 +495,7 @@ object TableVersions {
       if (hit.isDefined) state = hit.get
       else {
         val fromCkpt =
-          readRaw(f, checkpointPath(root, cur)).collect { case FullCommit(st, _) => st }
+          readRaw(f, checkpointPath(root, cur)).collect { case FullCommit(st, _, _) => st }
         fromCkpt match {
           case Some(st) =>
             state = st
@@ -494,7 +507,7 @@ object TableVersions {
                 s"cannot reconstruct version $v at $root: delta chain needs v$cur, " +
                   "which is absent or torn — the commit log below a delta was removed " +
                   "without a checkpoint (vacuum always writes one; was the log edited?)")
-              case Some(FullCommit(st, _)) =>
+              case Some(FullCommit(st, _, _)) =>
                 state = st
                 ck.foreach(stateCache.put(_, st))
               case Some(d: DeltaCommit) =>
@@ -561,7 +574,13 @@ object TableVersions {
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val st = commitState(spark, root, version)
-    require(st.files.nonEmpty, s"empty version at $root")
+    if (st.files.isEmpty) {
+      // a table created empty (CREATE TABLE) or emptied by a delete
+      // reads as zero rows under its committed schema; only legacy
+      // schema-less empties are unreadable
+      require(st.schema.isDefined, s"empty version at $root")
+      return emptyLike(spark, st)
+    }
     if (st.schema.isDefined) readState(spark, root, st)
     else readWithDvs(spark, st, st.files.map(_.path), mergeSchema)
   }
@@ -661,19 +680,27 @@ object TableVersions {
     */
   private val FormatMajor = 2
 
-  private def renderFull(st: CommitState, op: String = ""): Array[Byte] = {
+  private def renderFull(st: CommitState, op: String = "",
+      cdf: Seq[String] = Nil): Array[Byte] = {
     val sb = new StringBuilder
     // major 2 for every semantics-changing feature: DV tombstones (a
     // major-1 reader would serve deleted rows), a dropped-column
     // registry (a major-1 WRITER would resurrect dropped data on
-    // re-add), and column mapping (a pre-mapping reader would read
-    // logical names against physical files and serve nulls)
+    // re-add), column mapping (a pre-mapping reader would read
+    // logical names against physical files and serve nulls), and table
+    // properties (a props-blind WRITER would silently stop honoring
+    // behaviors the table declared, e.g. the change feed)
     val major =
-      if (st.dvs.nonEmpty || st.dropped.nonEmpty || st.schema.exists(mappingActive)) 2 else 1
+      if (st.dvs.nonEmpty || st.dropped.nonEmpty || st.props.nonEmpty ||
+        st.schema.exists(mappingActive)) 2 else 1
     sb.append("#FORMAT ").append(major).append('\n')
     // informational audit line (DESCRIBE HISTORY parity): readers of any
     // major skip unknown # lines, so no version bump
     if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
+    // per-commit STEP record: change-data sidecars written by this
+    // commit (a reader that skips them falls back to diff-derived
+    // insert/delete changes — degraded fidelity, never wrong rows)
+    cdf.foreach(d => sb.append("#CDF ").append(enc(d)).append('\n'))
     st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
     if (st.partCols.nonEmpty)
       sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
@@ -681,6 +708,8 @@ object TableVersions {
       sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
     st.checks.toSeq.sortBy(_._1).foreach { case (n, e) =>
       sb.append("#CHECK ").append(enc(n)).append(' ').append(enc(e)).append('\n') }
+    st.props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append("#PROP ").append(enc(k)).append(' ').append(enc(v)).append('\n') }
     st.dvs.toSeq.sortBy(_._1).foreach { case (p, (dv, n)) =>
       sb.append("#DV ").append(enc(p)).append(' ').append(enc(dv))
         .append(' ').append(n).append('\n') }
@@ -701,9 +730,10 @@ object TableVersions {
     * holds naturally — [[restore]] is the one that reorders).
     */
   private def tryRenderDelta(baseV: Long, baseSt: CommitState,
-      st: CommitState, op: String): Option[Array[Byte]] = {
+      st: CommitState, op: String, cdf: Seq[String] = Nil): Option[Array[Byte]] = {
     if (baseSt.partCols != st.partCols || baseSt.checks != st.checks) return None
     if (baseSt.dropped != st.dropped) return None // drops are rare: full commit
+    if (baseSt.props != st.props) return None // property changes are rare: full commit
     if (st.schemaJson.isEmpty && baseSt.schemaJson.nonEmpty) return None
     val baseByPath = baseSt.files.map(fe => fe.path -> fe).toMap
     val newPaths = st.files.map(_.path).toSet
@@ -719,6 +749,7 @@ object TableVersions {
     val sb = new StringBuilder
     sb.append("#FORMAT 2\n")
     if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
+    cdf.foreach(d => sb.append("#CDF ").append(enc(d)).append('\n'))
     sb.append("#BASE ").append(baseV).append('\n')
     if (st.schemaJson != baseSt.schemaJson)
       st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
@@ -734,9 +765,10 @@ object TableVersions {
   }
 
   private def renderCommit(st: CommitState,
-      base: Option[(Long, CommitState)], op: String): Array[Byte] =
-    base.flatMap { case (bv, bst) => tryRenderDelta(bv, bst, st, op) }
-      .getOrElse(renderFull(st, op))
+      base: Option[(Long, CommitState)], op: String,
+      cdf: Seq[String] = Nil): Array[Byte] =
+    base.flatMap { case (bv, bst) => tryRenderDelta(bv, bst, st, op, cdf) }
+      .getOrElse(renderFull(st, op, cdf))
 
   /** Atomically publish `tmp` as `target`, failing (false) when the
     * target name is already claimed. Local filesystems use link(2) —
@@ -771,14 +803,15 @@ object TableVersions {
     * version from one checkpoint + a bounded delta tail.
     */
   private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState,
-      base: Option[(Long, CommitState)] = None, op: String = ""): Boolean = {
+      base: Option[(Long, CommitState)] = None, op: String = "",
+      cdf: Seq[String] = Nil): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
     if (f.exists(target)) return false // cheap pre-check; the promote is the real claim
     val tmp = new Path(versionsDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(renderCommit(st, base, op)) finally out.close()
+    try out.write(renderCommit(st, base, op, cdf)) finally out.close()
     val ok = atomicPromote(f, tmp, target)
     if (ok) maybeCheckpoint(spark, root, v, st)
     ok
@@ -1060,6 +1093,55 @@ object TableVersions {
       partitionBy: Seq[String] = Seq.empty): Long =
     appendInternal(spark, root, df, partitionBy, None)
 
+  /** CREATE TABLE: commit version 0 with a declared schema, partition
+    * columns and properties but NO data files — the SQL `CREATE TABLE`
+    * primitive (every other writer creates tables implicitly on first
+    * append). Reads serve zero rows under the schema; the first append
+    * must match the declaration (same evolution rules as any append).
+    * Fails if the root already has a committed version.
+    */
+  def createEmpty(spark: SparkSession, root: String, schema: StructType,
+      partCols: Seq[String] = Seq.empty,
+      props: Map[String, String] = Map.empty): Long = {
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"createEmpty: partition column '$c' missing from the schema"))
+    require(currentVersion(spark, root).isEmpty, s"table $root already exists")
+    val st = CommitState(Seq.empty, Some(schema.json), partCols, Map.empty,
+      props = props)
+    if (!tryCommit(spark, root, 0L, st, op = "CREATE TABLE"))
+      throw new IllegalStateException(s"createEmpty: $root raced another writer")
+    0L
+  }
+
+  /** ALTER TABLE ADD COLUMN — a METADATA-ONLY commit appending a
+    * nullable column to the committed schema: existing immutable files
+    * simply null-fill it at read (the additive-evolution rule appends
+    * already follow), so no data moves. The name is gated by
+    * [[checkEvolution]]'s resurrection guards (no collision with a
+    * renamed column's physical name or a dropped remnant).
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      val s = cur.schema.getOrElse(throw new IllegalArgumentException(
+        s"addColumn: $root has legacy commits without a recorded schema"))
+      require(!s.fieldNames.contains(name), s"addColumn: column '$name' already exists")
+      val newField = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+      // reuse the append-evolution gate: same collision/resurrection rules
+      val newSchema = checkEvolution(s, StructType(s.fields :+ newField), cur.dropped)
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, cur.copy(schemaJson = Some(newSchema.json)),
+          Some(baseV -> cur), op = s"ADD COLUMN $name"))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"addColumn: lost $attempt commit races at $root")
+  }
+
   private def appendInternal(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], txn: Option[(String, Long)]): Long = {
     val base0 = currentVersion(spark, root)
@@ -1118,7 +1200,8 @@ object TableVersions {
           Some(newSchema.json), effPart, txns,
           prev.map(_.checks).getOrElse(Map.empty),
           prev.map(_.dvs).getOrElse(Map.empty),
-          prev.map(_.dropped).getOrElse(Set.empty)),
+          prev.map(_.dropped).getOrElse(Set.empty),
+          prev.map(_.props).getOrElse(Map.empty)),
           base.zip(prev),
           op = txn.map { case (a, b) => s"APPEND txn=$a/$b" }.getOrElse("APPEND"))) return v
       attempt += 1
@@ -1148,19 +1231,24 @@ object TableVersions {
     */
   private[graft] def commitRewrite(spark: SparkSession, root: String, removed: Set[String],
       added: Seq[FileEntry], outDir: Path,
-      dvSnapshot: Map[String, Option[(String, Long)]], op: String = "REWRITE"): Option[Long] = {
+      dvSnapshot: Map[String, Option[(String, Long)]], op: String = "REWRITE",
+      cdf: Seq[String] = Nil, extraCleanup: Seq[Path] = Nil): Option[Long] = {
     val f = fs(spark, root)
+    def abort(): Unit = {
+      f.delete(outDir, true)
+      extraCleanup.foreach(p => f.delete(p, true))
+    }
     var attempt = 0
     while (attempt < 100) {
       val baseV = currentVersion(spark, root)
         .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
       val cur = commitState(spark, root, Some(baseV))
       if (!removed.subsetOf(cur.files.map(_.path).toSet)) {
-        f.delete(outDir, true)
+        abort()
         return None // true conflict: a competing rewrite removed our inputs
       }
       if (removed.exists(p => cur.dvs.get(p) != dvSnapshot.getOrElse(p, None))) {
-        f.delete(outDir, true)
+        abort()
         return None // true conflict: a concurrent DV update tombstoned our inputs
       }
       val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
@@ -1168,7 +1256,7 @@ object TableVersions {
       // a removed file's deletion vector dies with it (the rewrite
       // re-materialized its live rows)
       if (tryCommit(spark, root, v, cur.copy(files = files).pruneDvs,
-          Some(baseV -> cur), op))
+          Some(baseV -> cur), op, cdf))
         return Some(v)
       attempt += 1
     }
@@ -1494,7 +1582,8 @@ object TableVersions {
   private def commitDvUpdate(spark: SparkSession, root: String,
       updates: Map[String, (String, Long)],
       snapshot: Map[String, Option[(String, Long)]], cleanup: Seq[Path],
-      added: Seq[FileEntry] = Seq.empty, op: String = "DV UPDATE"): Option[Long] = {
+      added: Seq[FileEntry] = Seq.empty, op: String = "DV UPDATE",
+      cdf: Seq[String] = Nil): Option[Long] = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt < 100) {
@@ -1507,7 +1596,7 @@ object TableVersions {
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v,
           cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates),
-          Some(baseV -> cur), op)) return Some(v)
+          Some(baseV -> cur), op, cdf)) return Some(v)
       attempt += 1
     }
     throw new IllegalStateException(s"dv update: lost $attempt commit races at $root")
@@ -1550,8 +1639,35 @@ object TableVersions {
         if (range.isNullAt(0)) st.files.map(_.path) // all-NULL keys: cannot prune
         else candidatePaths(spark, st, Map(keyCol -> (range.getDouble(0), range.getDouble(1))))
       }
+    // EXACT change-data capture (table property `enableChangeFeed`):
+    // matched keys' old/new rows become update_preimage/update_postimage
+    // and unmatched batch rows insert — written as a `_cdf/` sidecar the
+    // commit references, so [[readChanges]] serves update images instead
+    // of diff-derived delete+insert. Costs two extra candidate-file
+    // scans per CDC batch; off by default, same stance as Delta's
+    // `delta.enableChangeDataFeed`.
+    val cdfName: Option[String] =
+      if (!cdfEnabled(st)) None
+      else {
+        import org.apache.spark.sql.functions.lit
+        val existing =
+          if (candidates.isEmpty) emptyLike(spark, st)
+          else readWithDvs(spark, st, candidates)
+        val matchedKeys = existing.select(col(keyCol))
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi").distinct()
+        val pre = existing
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = updates.join(matchedKeys, Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = updates.join(matchedKeys, Seq(keyCol), "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        stageChangeData(spark, root, st, pre.unionByName(post).unionByName(ins))
+      }
+    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     if (maxDvFraction > 0.0 && candidates.nonEmpty)
-      upsertViaDv(spark, root, st, candidates, updates, keyCol, maxDvFraction) match {
+      upsertViaDv(spark, root, st, candidates, updates, keyCol, maxDvFraction,
+          cdfName) match {
         case Some(result) => return result // committed (or true conflict)
         case None => // fraction exceeded / legacy stats — fall back to rewrite
       }
@@ -1566,7 +1682,8 @@ object TableVersions {
     val (outDir, added) = stageFiles(spark, root, rewritten, st.partCols, "upsert",
       mapSchema = st.schema)
     commitRewrite(spark, root, candidates.toSet, added, outDir,
-      dvSnapshotOf(st, candidates.toSet), op = "UPSERT")
+      dvSnapshotOf(st, candidates.toSet), op = "UPSERT",
+      cdf = cdfName.toSeq, extraCleanup = cdfDirs)
   }
 
   /** MERGE-ON-READ upsert (the Delta DV MERGE shape): instead of
@@ -1584,13 +1701,14 @@ object TableVersions {
     */
   private def upsertViaDv(spark: SparkSession, root: String, st: CommitState,
       candidates: Seq[String], updates: DataFrame, keyCol: String,
-      maxFraction: Double): Option[Option[Long]] = {
+      maxFraction: Double, cdfName: Option[String] = None): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.col
     val candSet = candidates.toSet
     val candEntries = st.files.filter(fe => candSet(fe.path))
     if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
     val totalRows = candEntries.map(_.rows).sum
     val f = fs(spark, root)
+    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     val victims = candidateRowsWithPos(spark, st, candidates)
       .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(col("__gv_file").as("file"), col("__gv_pos").as("pos"))
@@ -1605,15 +1723,15 @@ object TableVersions {
       mapSchema = st.schema)
     staged match {
       case None => // pure insert against the candidates: files only
-        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, Seq(outDir), added,
-          op = "UPSERT dv"))
+        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, cdfDirs :+ outDir, added,
+          op = "UPSERT dv", cdf = cdfName.toSeq))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
           perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
-        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, Seq(dvDir, outDir), added,
-          op = "UPSERT dv"))
+        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, cdfDirs ++ Seq(dvDir, outDir),
+          added, op = "UPSERT dv", cdf = cdfName.toSeq))
     }
   }
 
@@ -1856,7 +1974,7 @@ object TableVersions {
         if (rewriteSet.isEmpty) col("__g_action").isin(insertTags.map(_._1): _*)
         else !col("__g_action").isin(dropTags: _*)
 
-      val reused = st.checks.nonEmpty || maxDvFraction > 0.0
+      val reused = st.checks.nonEmpty || maxDvFraction > 0.0 || cdfEnabled(st)
       if (reused) acted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (st.checks.nonEmpty && changedTags.nonEmpty)
@@ -1864,10 +1982,36 @@ object TableVersions {
             acted.filter(col("__g_action").isin(changedTags: _*)).select(outCols: _*),
             st.checks, "merge")
 
+        // EXACT change-data capture (table property `enableChangeFeed`):
+        // the classified frame already holds every image — update rows'
+        // old/new values become update_preimage/update_postimage,
+        // deleted rows' old values delete, insert rows insert — one
+        // sidecar write, identical for the DV and rewrite paths.
+        val cdfName: Option[String] =
+          if (!cdfEnabled(st)) None
+          else {
+            val updTagSeq = updateTags.map(_._1)
+            val tCols: Seq[Column] = tblSchema.fields.toIndexedSeq.map(fd =>
+              col("t." + fd.name).cast(fd.dataType).as(fd.name))
+            def img(ts: Seq[String], cs: Seq[Column], ct: String): Option[DataFrame] =
+              if (ts.isEmpty) None
+              else Some(acted.filter(col("__g_action").isin(ts: _*))
+                .select(cs: _*).withColumn("_change_type", lit(ct)))
+            val frames = Seq(
+              img(updTagSeq, tCols, "update_preimage"),
+              img(updTagSeq, outCols, "update_postimage"),
+              img(deleteTags, tCols, "delete"),
+              img(insertTags.map(_._1), outCols, "insert")).flatten
+            if (frames.isEmpty) None
+            else stageChangeData(spark, root, st, frames.reduce(_.unionByName(_)))
+          }
+        val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
+
         // ---- merge-on-read attempt: tombstone changed rows, append images
         if (maxDvFraction > 0.0 && rewriteSet.nonEmpty) {
           mergeViaDv(spark, root, st, rewriteSet, acted, outCols,
-            updateTags.map(_._1) ++ deleteTags, changedTags, maxDvFraction) match {
+            updateTags.map(_._1) ++ deleteTags, changedTags, maxDvFraction,
+            cdfName) match {
             case Some(result) => return result
             case None => // fraction exceeded / legacy stats: rewrite below
           }
@@ -1879,10 +2023,13 @@ object TableVersions {
         if (rewriteSet.isEmpty && added.isEmpty) {
           // no file rewrites and no insert images: committing would
           // write an identical version — make the no-op observable
-          fs(spark, root).delete(outDir, true)
+          val f = fs(spark, root)
+          f.delete(outDir, true)
+          cdfDirs.foreach(p => f.delete(p, true))
           currentVersion(spark, root)
         } else commitRewrite(spark, root, rewriteSet.toSet, added, outDir,
-          dvSnapshotOf(st, rewriteSet.toSet), op = "MERGE")
+          dvSnapshotOf(st, rewriteSet.toSet), op = "MERGE",
+          cdf = cdfName.toSeq, extraCleanup = cdfDirs)
       } finally if (reused) { acted.unpersist(); () }
     } finally { src.unpersist(); () }
   }
@@ -1896,13 +2043,14 @@ object TableVersions {
   private def mergeViaDv(spark: SparkSession, root: String, st: CommitState,
       rewriteSet: Seq[String], acted: DataFrame, outCols: Seq[Column],
       victimTags: Seq[String], changedTags: Seq[String],
-      maxFraction: Double): Option[Option[Long]] = {
+      maxFraction: Double, cdfName: Option[String] = None): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.col
     val candSet = rewriteSet.toSet
     val candEntries = st.files.filter(fe => candSet(fe.path))
     if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
     val totalRows = candEntries.map(_.rows).sum
     val f = fs(spark, root)
+    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     if (victimTags.isEmpty) {
       // insert-only path never reaches here (rewriteSet empty); with no
       // changed target rows the DV shape has nothing to tombstone
@@ -1922,15 +2070,15 @@ object TableVersions {
       mapSchema = st.schema)
     staged match {
       case None => // no victim rows materialized: pure insert images
-        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, Seq(outDir), added,
-          op = "MERGE dv"))
+        Some(commitDvUpdate(spark, root, Map.empty, Map.empty, cdfDirs :+ outDir, added,
+          op = "MERGE dv", cdf = cdfName.toSeq))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
           perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
-        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, Seq(dvDir, outDir), added,
-          op = "MERGE dv"))
+        Some(commitDvUpdate(spark, root, dvUpdates, snapshot, cdfDirs ++ Seq(dvDir, outDir),
+          added, op = "MERGE dv", cdf = cdfName.toSeq))
     }
   }
 
@@ -2128,6 +2276,17 @@ object TableVersions {
       }
       dead.foreach(p => f.delete(p, false))
     }
+    // change-data sidecars: keep the ones retained commits reference,
+    // sweep the rest (dirs of dropped commits and orphans of conflicted
+    // commit attempts)
+    val cdfDir = cdfRootDir(root)
+    if (f.exists(cdfDir)) {
+      val liveCdf = versions.filter(_ >= keepFrom)
+        .flatMap(v => readRaw(f, commitPath(root, v)).map(_.cdf).getOrElse(Nil)).toSet
+      f.listStatus(cdfDir).foreach { s =>
+        if (!liveCdf(s.getPath.getName)) { f.delete(s.getPath, true); () }
+      }
+    }
     versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
     checkpoints.filter(_ < keepFrom).foreach { v => f.delete(checkpointPath(root, v), false); () }
   }
@@ -2227,6 +2386,83 @@ object TableVersions {
     throw new IllegalStateException(s"dropConstraint: lost $attempt commit races at $root")
   }
 
+  // ------------------------------------------------------------------
+  // TABLE PROPERTIES — a small committed key→value registry (`#PROP`
+  // lines, carried by every commit like checks) that gates optional
+  // table behaviors; the Delta `TBLPROPERTIES` shape. The one behavior
+  // defined so far: `enableChangeFeed=true` makes upsert/merge commits
+  // write EXPLICIT change-data sidecars so [[readChanges]] can serve
+  // update_preimage/update_postimage rows (Delta's
+  // `delta.enableChangeDataFeed`).
+  // ------------------------------------------------------------------
+
+  /** The property key that turns on exact change-data capture. */
+  val ChangeFeedProp = "enableChangeFeed"
+
+  private def cdfEnabled(st: CommitState): Boolean =
+    st.props.get(ChangeFeedProp).exists(_.equalsIgnoreCase("true"))
+
+  private def cdfRootDir(root: String) = new Path(root, "_cdf")
+
+  /** Set a table property as a metadata-only commit. Returns the
+    * committed version. Property changes always render as FULL commits
+    * (they are rare; the delta codec stays untouched).
+    */
+  def setTableProperty(spark: SparkSession, root: String, key: String, value: String): Long = {
+    require(key.nonEmpty && !key.contains(' '), s"property key must be wordlike: '$key'")
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, cur.copy(props = cur.props + (key -> value)),
+          Some(baseV -> cur), op = s"SET PROPERTY $key"))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"setTableProperty: lost $attempt commit races at $root")
+  }
+
+  /** Remove a table property (metadata-only commit). */
+  def unsetTableProperty(spark: SparkSession, root: String, key: String): Long = {
+    var attempt = 0
+    while (attempt < 100) {
+      val baseV = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
+      val cur = commitState(spark, root, Some(baseV))
+      require(cur.props.contains(key), s"no table property '$key' at $root")
+      val v = nextVersion(spark, root, Some(baseV))
+      if (tryCommit(spark, root, v, cur.copy(props = cur.props - key),
+          Some(baseV -> cur), op = s"UNSET PROPERTY $key"))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"unsetTableProperty: lost $attempt commit races at $root")
+  }
+
+  /** The committed properties of `version` (default: latest). */
+  def tableProperties(spark: SparkSession, root: String,
+      version: Option[Long] = None): Map[String, String] =
+    commitState(spark, root, version).props
+
+  /** Write `changes` (table columns + `_change_type`) as a change-data
+    * sidecar directory under `_cdf/` and return its name for the
+    * commit's `#CDF` line — or None when the frame produced no files
+    * (nothing changed). Columns are stored under PHYSICAL names so the
+    * sidecar, like the data files it describes, survives later column
+    * renames; [[readChanges]] projects back to logical.
+    */
+  private def stageChangeData(spark: SparkSession, root: String, st: CommitState,
+      changes: DataFrame): Option[String] = {
+    val name = s"cdf-${java.util.UUID.randomUUID()}"
+    val dir = new Path(cdfRootDir(root), name)
+    val mapped = st.schema.map(s => toPhysical(changes, s)).getOrElse(changes)
+    mapped.write.parquet(dir.toString)
+    val f = fs(spark, root)
+    if (listParquet(f, dir).isEmpty) { f.delete(dir, true); None } else Some(name)
+  }
+
   /** Commit HISTORY, newest first: (version, n_files, n_bytes, DV
     * counts, the OPERATION that produced the commit — the DESCRIBE
     * HISTORY audit surface — and txn records). One metadata read per
@@ -2307,8 +2543,19 @@ object TableVersions {
     * version — a lagging consumer would silently double-apply the
     * corpus. (Delta's CDF errors the same way when the requested range
     * is beyond the retention horizon.)
+    *
+    * UPDATE IMAGES: when the table committed with the `enableChangeFeed`
+    * property set, upsert/merge commits carry explicit change-data
+    * sidecars, and those steps are served EXACTLY from them — with
+    * `updateImages = true` an updated row surfaces as
+    * `update_preimage` + `update_postimage` (Delta's CDF types) instead
+    * of delete + insert; with the default `false` the types fold back to
+    * delete/insert so existing consumers see the familiar two-type
+    * stream. Steps without sidecars (appends, deletes, rewrites, or
+    * commits from before the property was set) always diff as before.
     */
-  def readChanges(spark: SparkSession, root: String, fromExclusive: Long, to: Long): DataFrame = {
+  def readChanges(spark: SparkSession, root: String, fromExclusive: Long,
+      to: Long, updateImages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val claimed = claimedVersions(spark, root).sorted
     val goodVersions = claimed
@@ -2357,9 +2604,59 @@ object TableVersions {
     }
     val idCache = scala.collection.mutable.Map.empty[Long, Set[(String, Option[String])]]
     def identitiesCached(v: Long) = idCache.getOrElseUpdate(v, identities(v))
+    // Steps whose commit references EXPLICIT change-data sidecars
+    // (`#CDF` — written by upsert/merge when the table's
+    // `enableChangeFeed` property is set) are served from those files:
+    // exact update_preimage/update_postimage/delete/insert rows, no
+    // diffing. All other steps fall back to the identity diff below.
+    val fsRoot = fs(spark, root)
+    val cdfOf: Map[Long, Seq[String]] = steps.map { v =>
+      v -> readRaw(fsRoot, commitPath(root, v)).map(_.cdf).getOrElse(Nil)
+    }.toMap
+    val cdfSteps = steps.filter(v => cdfOf(v).nonEmpty)
+    val cdfFrame: Option[DataFrame] =
+      if (cdfSteps.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col, regexp_extract, when}
+        val dirVersion = cdfSteps.flatMap(v => cdfOf(v).map(n => n -> v))
+        val dirs = dirVersion.map { case (n, _) => new Path(cdfRootDir(root), n).toString }
+        val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        val logical = schema.map(toLogical(raw, _)).getOrElse(raw)
+        val versioned =
+          if (dirVersion.size == 1) logical.withColumn("_commit_version", lit(dirVersion.head._2))
+          else {
+            val vmap = spark.createDataFrame(
+              java.util.Arrays.asList(dirVersion.map { case (n, v) => Row(n, v) }: _*),
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField("__gcd", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType))))
+            logical
+              .withColumn("__gcd",
+                regexp_extract(col("_metadata.file_path"), "/(cdf-[^/]+)/[^/]*$", 1))
+              .join(broadcast(vmap), "__gcd")
+              .drop("__gcd")
+          }
+        // align to `to`'s committed columns (additive evolution:
+        // older sidecars null-fill newer columns), table order
+        val have = versioned.columns.toSet
+        val tableCols: Seq[Column] = schema match {
+          case Some(s) => s.fields.toIndexedSeq.map(fd =>
+            if (have(fd.name)) col(fd.name)
+            else lit(null).cast(fd.dataType).as(fd.name))
+          case None => versioned.columns.toIndexedSeq
+            .filterNot(c => c == "_change_type" || c == "_commit_version").map(col)
+        }
+        val typed =
+          if (updateImages) col("_change_type")
+          else when(col("_change_type") === "update_preimage", lit("delete"))
+            .when(col("_change_type") === "update_postimage", lit("insert"))
+            .otherwise(col("_change_type"))
+        Some(versioned.select(
+          (tableCols :+ typed.as("_change_type") :+ col("_commit_version")): _*))
+      }
     case class Step(v: Long, added: Seq[(String, Option[String])],
         removed: Seq[(String, Option[String])])
-    val stepInfos = steps.flatMap { v =>
+    val stepInfos = steps.filter(v => cdfOf(v).isEmpty).flatMap { v =>
       val prev = goodVersions.filter(_ < v).maxOption
       val curIds = identitiesCached(v)
       val prevIds = prev.map(identitiesCached).getOrElse(Set.empty[(String, Option[String])])
@@ -2430,7 +2727,7 @@ object TableVersions {
           .withColumn("_commit_version", lit(s.v))
       }
     }
-    val frames = flatGroup(insFlat, _.added, "insert").toSeq ++
+    val frames = cdfFrame.toSeq ++ flatGroup(insFlat, _.added, "insert").toSeq ++
       flatGroup(delFlat, _.removed, "delete").toSeq ++ perStep
     if (frames.isEmpty) emptyCdf else frames.reduceLeft(_.unionByName(_))
   }
