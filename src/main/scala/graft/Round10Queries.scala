@@ -155,18 +155,27 @@ object Round10Queries {
     tv.append(spark, root, t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")))
     tv.optimizeZOrder(spark, root, Seq("o_orderkey"), numFiles = 8)
-    // small takedowns: merge-on-read (verified: the listing is unchanged)
+    // small takedowns: merge-on-read (verified: the listing is unchanged).
+    // The fraction guard is per CANDIDATE file, so the delete ranges are
+    // SCALE-RELATIVE (keys here are dense 0..m): a 2%-of-keyspace range
+    // is ~16% of the one Z-ordered file holding it at EVERY sf, keeping
+    // the DV-vs-rewrite routing deterministic across scales. The oracle
+    // mirrors the ranges with m = max(o_orderkey) scalar subqueries.
+    val m = t(spark, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0)
     val files0 = tv.listing(spark, root).map(_._1).toSet
-    tv.deleteWhere(spark, root, col("o_orderkey").between(100L, 400L),
-      bounds = Map("o_orderkey" -> (100.0, 400.0)), maxDvFraction = 0.2)
-    tv.deleteWhere(spark, root, col("o_orderkey").between(7000L, 7300L),
-      bounds = Map("o_orderkey" -> (7000.0, 7300.0)), maxDvFraction = 0.2)
+    tv.deleteWhere(spark, root, col("o_orderkey").between(100L, 100L + m / 50),
+      bounds = Map("o_orderkey" -> (100.0, (100L + m / 50).toDouble)), maxDvFraction = 0.2)
+    tv.deleteWhere(spark, root, col("o_orderkey").between(m / 2, m / 2 + m / 100),
+      bounds = Map("o_orderkey" -> ((m / 2).toDouble, (m / 2 + m / 100).toDouble)),
+      maxDvFraction = 0.2)
     require(tv.listing(spark, root).map(_._1).toSet == files0,
       "small deletes must not rewrite data files")
     require(tv.commitState(spark, root).dvs.nonEmpty)
-    // a bulk delete exceeds the fraction guard and rewrites
-    tv.deleteWhere(spark, root, col("o_orderkey") > 120000L,
-      bounds = Map("o_orderkey" -> (120000.0, Double.MaxValue)), maxDvFraction = 0.2)
+    // a bulk delete (the top fifth of the keyspace) exceeds the
+    // fraction guard and rewrites
+    tv.deleteWhere(spark, root, col("o_orderkey") > m * 4 / 5,
+      bounds = Map("o_orderkey" -> ((m * 4 / 5).toDouble, Double.MaxValue)),
+      maxDvFraction = 0.2)
     // compaction folds whatever tombstones remain
     tv.compact(spark, root, targetBytes = 64L << 20)
     val res = tv.read(spark, root)
@@ -180,12 +189,13 @@ object Round10Queries {
   }
 
   val q133Sql: String =
-    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    """WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders)
+      |SELECT strftime(o_orderdate, '%Y-%m') AS month,
       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
-      |FROM orders
-      |WHERE o_orderkey NOT BETWEEN 100 AND 400
-      |  AND o_orderkey NOT BETWEEN 7000 AND 7300
-      |  AND o_orderkey <= 120000
+      |FROM orders, mx
+      |WHERE o_orderkey NOT BETWEEN 100 AND 100 + m // 50
+      |  AND o_orderkey NOT BETWEEN m // 2 AND m // 2 + m // 100
+      |  AND o_orderkey <= m * 4 // 5
       |GROUP BY 1 ORDER BY month""".stripMargin
 }
