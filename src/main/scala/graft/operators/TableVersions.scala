@@ -16,10 +16,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * [[Compaction]] (bin packing) and [[ZOrder]] (clustering), this
   * completes a self-contained table format.
   *
-  * Layout:
+  * Layout (all self-references ROOT-RELATIVE since format major 3, so
+  * the table directory moves/copies/renames as a unit — [[moveTable]]):
   * {{{
   *   <root>/data/<batch-uuid>/part-*.parquet   immutable data files
   *   <root>/_versions/v<N>.commit              version N's COMMIT FILE
+  *   <root>/_cdf/cdf-<uuid>/part-*.parquet     change-data sidecars
   *   <root>/_bloom/<key>/part-*.parquet        optional per-file bloom
   *                                             sidecar (point lookups)
   * }}}
@@ -305,13 +307,63 @@ object TableVersions {
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  // ------------------------------------------------------------------
+  // LOCATION-INDEPENDENT PATHS: commits and deletion-vector sidecars
+  // store paths RELATIVE to the table root (the Delta convention), so
+  // a table directory can be moved/copied/renamed as a unit — and at
+  // 1M files the metadata sheds the ~100-byte common prefix per entry.
+  // Absolute paths remain first-class on both sides: out-of-root
+  // references (shallow [[clone]]) render absolute, and legacy
+  // absolute commits parse unchanged. All parsed FILE paths are
+  // canonicalized to the scheme-less URI path (`file:/x` ≡ `/x` — the
+  // two renderings Hadoop listings and `_metadata` produce), so path
+  // equality is form-insensitive across eras.
+  // ------------------------------------------------------------------
+
+  /** `file:`-scheme (or scheme-less) paths canonicalize to the bare URI
+    * path; other schemes (an hdfs/s3 URI in a cross-store clone) pass
+    * through untouched — stripping their authority would corrupt them.
+    */
+  private def canonAbs(p: String): String = {
+    val u = new Path(p).toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath else p
+  }
+
+  /** Render-side: `p` relativized against `root` when under it. */
+  private def relNorm(root: String, p: String): String = {
+    val c = canonAbs(p)
+    val r = canonAbs(root).stripSuffix("/") + "/"
+    if (c.startsWith(r)) c.substring(r.length) else c
+  }
+
+  private val absoluteRe = java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
+
+  /** Parse-side: a relative stored path resolves against the table
+    * root; absolute paths (legacy commits, out-of-root references)
+    * canonicalize via [[canonAbs]].
+    */
+  private def resolvePath(root: String, p: String): String =
+    if (p.startsWith("/") || absoluteRe.matcher(p).matches()) canonAbs(p)
+    else canonAbs(root).stripSuffix("/") + "/" + p
+
+  /** Column-expression twin of [[relNorm]] for sidecar contents: strips
+    * a `file:`-style scheme, then the root prefix. Era-agnostic — new
+    * (relative) and legacy (absolute) sidecar entries and `_metadata`
+    * paths all canonicalize to the same key.
+    */
+  private def relCanonCol(root: String, c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val r = java.util.regex.Pattern.quote(canonAbs(root).stripSuffix("/") + "/")
+    regexp_replace(regexp_replace(c, "^file:/+", "/"), "^" + r, "")
+  }
   private val None_ = "~"
   private def encNumOpt(o: Option[Double]): String = o.map(java.lang.Double.toString).getOrElse(None_)
   private def encStrOpt(o: Option[String]): String = o.map(enc).getOrElse(None_)
   private def decNumOpt(s: String): Option[Double] = if (s == None_) None else Some(s.toDouble)
   private def decStrOpt(s: String): Option[String] = if (s == None_) None else Some(dec(s))
 
-  private def renderFileLine(fe: FileEntry): String = {
+  private def renderFileLine(root: String)(fe: FileEntry): String = {
     val part =
       if (fe.part.isEmpty) "-"
       else fe.part.toSeq.sortBy(_._1).map { case (k, v) => enc(k) + "=" + enc(v) }.mkString(",")
@@ -321,16 +373,18 @@ object TableVersions {
         Seq(enc(c), encNumOpt(s.minNum), encNumOpt(s.maxNum),
           encStrOpt(s.minStr), encStrOpt(s.maxStr), s.nulls.toString).mkString("|")
       }.mkString(";")
-    Seq(enc(fe.path), fe.bytes.toString, fe.rows.toString, part, stats).mkString("\t")
+    Seq(enc(relNorm(root, fe.path)), fe.bytes.toString, fe.rows.toString, part, stats)
+      .mkString("\t")
   }
 
-  private def parseFileLine(l: String): FileEntry = {
+  private def parseFileLine(root: String)(l: String): FileEntry = {
     val fields = l.split("\t", -1)
     if (fields.length < 5) {
       // legacy two-field line (path may contain tabs): no stats — the
       // file is simply never pruned (conservative by construction)
       val i = l.lastIndexOf('\t')
-      FileEntry(l.substring(0, i), l.substring(i + 1).toLong, -1L, Map.empty, Map.empty)
+      FileEntry(resolvePath(root, l.substring(0, i)), l.substring(i + 1).toLong,
+        -1L, Map.empty, Map.empty)
     } else {
       val part =
         if (fields(3) == "-") Map.empty[String, String]
@@ -344,7 +398,8 @@ object TableVersions {
           dec(p(0)) -> ColStats(decNumOpt(p(1)), decNumOpt(p(2)),
             decStrOpt(p(3)), decStrOpt(p(4)), p(5).toLong)
         }.toMap
-      FileEntry(dec(fields(0)), fields(1).toLong, fields(2).toLong, part, stats)
+      FileEntry(resolvePath(root, dec(fields(0))), fields(1).toLong, fields(2).toLong,
+        part, stats)
     }
   }
 
@@ -386,6 +441,10 @@ object TableVersions {
     * debris). Throws on a format major above this reader's.
     */
   private def parseCommitText(text: String, where: Path): Option[RawCommit] = {
+    // commits/checkpoints live at <root>/_versions/<name> — derive the
+    // root relative stored paths resolve against from the file's own
+    // location, so a moved/copied table directory reads in place
+    val root = where.getParent.getParent.toString
     val lines = text.split("\n").filter(_.nonEmpty)
     if (lines.isEmpty || !lines.last.startsWith("#END ")) return None
     lines.find(_.startsWith("#FORMAT ")).foreach { l =>
@@ -394,7 +453,7 @@ object TableVersions {
         s"commit $where was written by format major $major; this reader understands ≤ $FormatMajor — " +
           "refusing to misread it (upgrade the reader)")
     }
-    val files = lines.init.filterNot(_.startsWith("#")).map(parseFileLine).toSeq
+    val files = lines.init.filterNot(_.startsWith("#")).map(parseFileLine(root)).toSeq
     if (lines.last != s"#END ${files.size}") return None
     val schemaJson = lines.find(_.startsWith("#SCHEMA ")).map(_.stripPrefix("#SCHEMA "))
     val partColsOpt = lines.find(_.startsWith("#PART "))
@@ -409,7 +468,7 @@ object TableVersions {
     }
     val dvs = lines.filter(_.startsWith("#DV ")).map { l =>
       val Array(_, fp, dvp, n) = l.split(" ", 4)
-      dec(fp) -> (dec(dvp), n.trim.toLong)
+      resolvePath(root, dec(fp)) -> (resolvePath(root, dec(dvp)), n.trim.toLong)
     }.toMap
     val droppedLines = lines.filter(_.startsWith("#DROPPED "))
       .map(l => dec(l.stripPrefix("#DROPPED ").trim)).toSet
@@ -424,7 +483,7 @@ object TableVersions {
     lines.find(_.startsWith("#BASE ")) match {
       case Some(b) =>
         val removes = lines.filter(_.startsWith("#RM "))
-          .map(l => dec(l.stripPrefix("#RM ").trim)).toSet
+          .map(l => resolvePath(root, dec(l.stripPrefix("#RM ").trim))).toSet
         Some(DeltaCommit(b.stripPrefix("#BASE ").trim.toLong, files, removes,
           schemaJson, partColsOpt, txns,
           if (checkLines.nonEmpty) Some(checkLines.toMap) else None, dvs,
@@ -582,7 +641,7 @@ object TableVersions {
       return emptyLike(spark, st)
     }
     if (st.schema.isDefined) readState(spark, root, st)
-    else readWithDvs(spark, st, st.files.map(_.path), mergeSchema)
+    else readWithDvs(spark, root, st, st.files.map(_.path), mergeSchema)
   }
 
   /** The snapshot `st` as a DataFrame — format FileIndex relation
@@ -594,7 +653,7 @@ object TableVersions {
       st: CommitState): DataFrame = {
     val files = st.files.map(_.path)
     val base = graft.sources.GraftTableSource.readFor(spark, root, st)
-    val withDvs = applyDvs(spark, base, files.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    val withDvs = applyDvs(spark, root, base, files.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
     st.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
   }
 
@@ -608,28 +667,31 @@ object TableVersions {
     * Sidecars are fraction-bounded at write time ([[deleteWhere]]), so
     * the join's build side is small by construction.
     */
-  private def readWithDvs(spark: SparkSession, st: CommitState, paths: Seq[String],
-      mergeSchema: Boolean = false): DataFrame = {
+  private def readWithDvs(spark: SparkSession, root: String, st: CommitState,
+      paths: Seq[String], mergeSchema: Boolean = false): DataFrame = {
     val base = st.schema match {
       case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
     }
-    val withDvs = applyDvs(spark, base, paths.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    val withDvs = applyDvs(spark, root, base,
+      paths.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
     st.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
   }
 
   /** Anti-join `base` (a parquet scan) against the (file, pos) rows of
-    * `dvPaths`. No-op plan when `dvPaths` is empty.
+    * `dvPaths`. No-op plan when `dvPaths` is empty. Both join sides
+    * canonicalize through [[relCanonCol]], so new (root-relative) and
+    * legacy (absolute) sidecar entries both hit their `_metadata` rows.
     */
-  private def applyDvs(spark: SparkSession, base: DataFrame,
+  private def applyDvs(spark: SparkSession, root: String, base: DataFrame,
       dvPaths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (dvPaths.isEmpty) base
     else {
       val dv = spark.read.parquet(dvPaths: _*)
-        .select(col("file").as("__gdv_file"), col("pos").as("__gdv_pos"))
+        .select(relCanonCol(root, col("file")).as("__gdv_file"), col("pos").as("__gdv_pos"))
       base
-        .withColumn("__g_file", col("_metadata.file_path"))
+        .withColumn("__g_file", relCanonCol(root, col("_metadata.file_path")))
         .withColumn("__g_pos", col("_metadata.row_index"))
         .join(dv, col("__g_file") === col("__gdv_file") && col("__g_pos") === col("__gdv_pos"),
           "left_anti")
@@ -678,20 +740,26 @@ object TableVersions {
     * the whole table) — semantics-changing features must bump the
     * major, the reason Delta bumps readerVersion for DVs.
     */
-  private val FormatMajor = 2
+  private val FormatMajor = 3
 
-  private def renderFull(st: CommitState, op: String = "",
+  private def renderFull(root: String, st: CommitState, op: String = "",
       cdf: Seq[String] = Nil): Array[Byte] = {
     val sb = new StringBuilder
-    // major 2 for every semantics-changing feature: DV tombstones (a
-    // major-1 reader would serve deleted rows), a dropped-column
-    // registry (a major-1 WRITER would resurrect dropped data on
-    // re-add), column mapping (a pre-mapping reader would read
-    // logical names against physical files and serve nulls), and table
-    // properties (a props-blind WRITER would silently stop honoring
-    // behaviors the table declared, e.g. the change feed)
+    // majors track semantics: 2 for DV tombstones (a major-1 reader
+    // would serve deleted rows), a dropped-column registry (a major-1
+    // WRITER would resurrect dropped data on re-add), column mapping
+    // (a pre-mapping reader would read logical names against physical
+    // files and serve nulls), and table properties (a props-blind
+    // WRITER would silently stop honoring behaviors the table
+    // declared); 3 when any stored path is RELATIVE (a pre-relative
+    // reader would fail loudly on resolution — never wrong data, but
+    // the major keeps the refusal at parse time where it belongs)
+    val hasRelative = st.files.exists(fe => relNorm(root, fe.path) != canonAbs(fe.path)) ||
+      st.dvs.exists { case (p, (dv, _)) =>
+        relNorm(root, p) != canonAbs(p) || relNorm(root, dv) != canonAbs(dv) }
     val major =
-      if (st.dvs.nonEmpty || st.dropped.nonEmpty || st.props.nonEmpty ||
+      if (hasRelative) 3
+      else if (st.dvs.nonEmpty || st.dropped.nonEmpty || st.props.nonEmpty ||
         st.schema.exists(mappingActive)) 2 else 1
     sb.append("#FORMAT ").append(major).append('\n')
     // informational audit line (DESCRIBE HISTORY parity): readers of any
@@ -711,11 +779,11 @@ object TableVersions {
     st.props.toSeq.sortBy(_._1).foreach { case (k, v) =>
       sb.append("#PROP ").append(enc(k)).append(' ').append(enc(v)).append('\n') }
     st.dvs.toSeq.sortBy(_._1).foreach { case (p, (dv, n)) =>
-      sb.append("#DV ").append(enc(p)).append(' ').append(enc(dv))
-        .append(' ').append(n).append('\n') }
+      sb.append("#DV ").append(enc(relNorm(root, p))).append(' ')
+        .append(enc(relNorm(root, dv))).append(' ').append(n).append('\n') }
     st.dropped.toSeq.sorted.foreach { d =>
       sb.append("#DROPPED ").append(enc(d)).append('\n') }
-    st.files.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
+    st.files.foreach(fe => sb.append(renderFileLine(root)(fe)).append('\n'))
     sb.append(s"#END ${st.files.size}\n")
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
@@ -729,7 +797,7 @@ object TableVersions {
     * or a file reorder (every writer builds `kept ++ added`, so order
     * holds naturally — [[restore]] is the one that reorders).
     */
-  private def tryRenderDelta(baseV: Long, baseSt: CommitState,
+  private def tryRenderDelta(root: String, baseV: Long, baseSt: CommitState,
       st: CommitState, op: String, cdf: Seq[String] = Nil): Option[Array[Byte]] = {
     if (baseSt.partCols != st.partCols || baseSt.checks != st.checks) return None
     if (baseSt.dropped != st.dropped) return None // drops are rare: full commit
@@ -747,7 +815,13 @@ object TableVersions {
     val dvDelta = st.dvs.filter { case (p, r) => !baseSt.dvs.get(p).contains(r) }
     if ((baseSt.dvs -- removes) ++ dvDelta != st.dvs) return None
     val sb = new StringBuilder
-    sb.append("#FORMAT 2\n")
+    // incremental commits were introduced at major 2; major 3 marks
+    // relative stored paths (see renderFull) — the common case here
+    val deltaHasRel = adds.exists(fe => relNorm(root, fe.path) != canonAbs(fe.path)) ||
+      removes.exists(p => relNorm(root, p) != canonAbs(p)) ||
+      dvDelta.exists { case (p, (dv, _)) =>
+        relNorm(root, p) != canonAbs(p) || relNorm(root, dv) != canonAbs(dv) }
+    sb.append(if (deltaHasRel) "#FORMAT 3\n" else "#FORMAT 2\n")
     if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
     cdf.foreach(d => sb.append("#CDF ").append(enc(d)).append('\n'))
     sb.append("#BASE ").append(baseV).append('\n')
@@ -756,19 +830,20 @@ object TableVersions {
     txnDelta.toSeq.sortBy(_._1).foreach { case (a, b) =>
       sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
     dvDelta.toSeq.sortBy(_._1).foreach { case (p, (dv, n)) =>
-      sb.append("#DV ").append(enc(p)).append(' ').append(enc(dv))
-        .append(' ').append(n).append('\n') }
-    removes.toSeq.sorted.foreach(p => sb.append("#RM ").append(enc(p)).append('\n'))
-    adds.foreach(fe => sb.append(renderFileLine(fe)).append('\n'))
+      sb.append("#DV ").append(enc(relNorm(root, p))).append(' ')
+        .append(enc(relNorm(root, dv))).append(' ').append(n).append('\n') }
+    removes.toSeq.sorted.foreach(p =>
+      sb.append("#RM ").append(enc(relNorm(root, p))).append('\n'))
+    adds.foreach(fe => sb.append(renderFileLine(root)(fe)).append('\n'))
     sb.append(s"#END ${adds.size}\n")
     Some(sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
-  private def renderCommit(st: CommitState,
+  private def renderCommit(root: String, st: CommitState,
       base: Option[(Long, CommitState)], op: String,
       cdf: Seq[String] = Nil): Array[Byte] =
-    base.flatMap { case (bv, bst) => tryRenderDelta(bv, bst, st, op, cdf) }
-      .getOrElse(renderFull(st, op, cdf))
+    base.flatMap { case (bv, bst) => tryRenderDelta(root, bv, bst, st, op, cdf) }
+      .getOrElse(renderFull(root, st, op, cdf))
 
   /** Atomically publish `tmp` as `target`, failing (false) when the
     * target name is already claimed. Local filesystems use link(2) —
@@ -811,7 +886,7 @@ object TableVersions {
     if (f.exists(target)) return false // cheap pre-check; the promote is the real claim
     val tmp = new Path(versionsDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(renderCommit(st, base, op, cdf)) finally out.close()
+    try out.write(renderCommit(root, st, base, op, cdf)) finally out.close()
     val ok = atomicPromote(f, tmp, target)
     if (ok) maybeCheckpoint(spark, root, v, st)
     ok
@@ -845,7 +920,7 @@ object TableVersions {
       if (f.exists(target)) return
       val tmp = new Path(versionsDir(root), s".tmp-ckpt-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, true)
-      try out.write(renderFull(st)) finally out.close()
+      try out.write(renderFull(root, st)) finally out.close()
       if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
       val ptrTmp = new Path(versionsDir(root), s".tmp-ptr-${java.util.UUID.randomUUID()}")
       val pout = f.create(ptrTmp, true)
@@ -1320,7 +1395,7 @@ object TableVersions {
       case Some(s) => spark.read.schema(physicalSchema(s)).parquet(memberPaths: _*)
       case None => spark.read.parquet(memberPaths: _*)
     }).withColumn("__gfp", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-    val routed = applyDvs(spark, base,
+    val routed = applyDvs(spark, root, base,
         memberPaths.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
       .join(org.apache.spark.sql.functions.broadcast(
         fileBin.toDF("__gfp", "__gbin")), Seq("__gfp"))
@@ -1386,7 +1461,7 @@ object TableVersions {
     val files = candidatePaths(spark, st, bounds)
     val df =
       if (files.isEmpty) emptyLike(spark, st)
-      else readWithDvs(spark, st, files)
+      else readWithDvs(spark, root, st, files)
     bounds.foldLeft(df) { case (d, (cn, (lo, hi))) => d.filter(col(cn) >= lo && col(cn) <= hi) }
   }
 
@@ -1405,7 +1480,7 @@ object TableVersions {
     val st = commitState(spark, root, version)
     val files = entriesMatching(st, filter).map(_.path)
     if (files.isEmpty) emptyLike(spark, st)
-    else readWithDvs(spark, st, files)
+    else readWithDvs(spark, root, st, files)
   }
 
   /** Distinct partition tuples of `version` with file/row counts —
@@ -1453,7 +1528,7 @@ object TableVersions {
         case Some(result) => return result // committed (or true conflict)
         case None => // fraction exceeded / legacy stats — fall through to rewrite
       }
-    val src = readWithDvs(spark, st, candidates) // already-tombstoned rows stay deleted
+    val src = readWithDvs(spark, root, st, candidates) // already-tombstoned rows stay deleted
     // keep rows where predicate is NOT TRUE (false or NULL) — 3-valued
     // logic: DELETE removes only rows the predicate positively matched
     val survivors = src.filter(!(predicate <=> lit(true)))
@@ -1492,7 +1567,7 @@ object TableVersions {
     * Callers rename to the sidecar's (`file`, `pos`) only AFTER
     * projecting the identity columns out.
     */
-  private def candidateRowsWithPos(spark: SparkSession, st: CommitState,
+  private def candidateRowsWithPos(spark: SparkSession, root: String, st: CommitState,
       candidates: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = (st.schema match {
@@ -1501,7 +1576,7 @@ object TableVersions {
     })
       .withColumn("__gv_file", col("_metadata.file_path"))
       .withColumn("__gv_pos", col("_metadata.row_index"))
-    val withDvs = applyDvs(spark, base, candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
+    val withDvs = applyDvs(spark, root, base, candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct)
     // logical names for the caller's predicate/key join; identity cols kept
     st.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
   }
@@ -1522,20 +1597,25 @@ object TableVersions {
     // renderings differ between _metadata (file:///x) and the listing
     // (file:/x); compare on the scheme-stripped path.
     val existingDvPaths = candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct
-    val candNorm = candidates.map(normPath)
+    val candRel = candidates.map(p => relNorm(root, p))
     val carried =
       if (existingDvPaths.isEmpty) victims.limit(0)
       else spark.read.parquet(existingDvPaths: _*).select(col("file"), col("pos"))
-        .filter(regexp_replace(col("file"), "^file:/+", "/").isin(candNorm: _*))
+        .filter(relCanonCol(root, col("file")).isin(candRel: _*))
     val dvDir = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}")
-    victims.unionByName(carried).coalesce(1).write.parquet(dvDir.toString)
+    // sidecar entries store ROOT-RELATIVE paths (like the commit log),
+    // so the table directory moves/copies as a unit; relCanonCol keeps
+    // legacy absolute entries joining correctly on the way through
+    victims.unionByName(carried)
+      .select(relCanonCol(root, col("file")).as("file"), col("pos"))
+      .coalesce(1).write.parquet(dvDir.toString)
     val sidecar = listParquet(f, dvDir).headOption.map(_._1).getOrElse {
       f.delete(dvDir, true); return None // nothing matched and nothing carried
     }
     // per-file totals (old + new tombstones) from the one sidecar file —
     // O(#files) rows to the driver, not O(rows)
     val perFile = spark.read.parquet(sidecar)
-      .groupBy(regexp_replace(col("file"), "^file:/+", "/").as("fp")).count()
+      .groupBy(relCanonCol(root, col("file")).as("fp")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val candSet = candidates.toSet
     val prior = st.files.filter(fe => candSet(fe.path))
@@ -1555,7 +1635,7 @@ object TableVersions {
     val totalRows = candEntries.map(_.rows).sum
     if (totalRows == 0) return Some(currentVersion(spark, root))
     val f = fs(spark, root)
-    val victims = candidateRowsWithPos(spark, st, candidates)
+    val victims = candidateRowsWithPos(spark, root, st, candidates)
       .filter(predicate <=> lit(true))
       .select(col("__gv_file").as("file"), col("__gv_pos").as("pos"))
     val (dvDir, sidecar, perFile, newMatches) =
@@ -1565,7 +1645,7 @@ object TableVersions {
       f.delete(dvDir, true); return None // too big for merge-on-read: rewrite
     }
     val updates = candEntries.flatMap { fe =>
-      perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
+      perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
     }.toMap
     val snapshot = updates.keySet.map(p => p -> st.dvs.get(p)).toMap
     Some(commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir), op = "DELETE dv"))
@@ -1652,7 +1732,7 @@ object TableVersions {
         import org.apache.spark.sql.functions.lit
         val existing =
           if (candidates.isEmpty) emptyLike(spark, st)
-          else readWithDvs(spark, st, candidates)
+          else readWithDvs(spark, root, st, candidates)
         val matchedKeys = existing.select(col(keyCol))
           .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi").distinct()
         val pre = existing
@@ -1674,7 +1754,7 @@ object TableVersions {
     val rewritten =
       if (candidates.isEmpty) updates // pure insert
       else {
-        val src = readWithDvs(spark, st, candidates) // rewrite re-materializes the DVs away
+        val src = readWithDvs(spark, root, st, candidates) // rewrite re-materializes the DVs away
         src.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti").unionByName(updates)
       }
     // restage through the (possibly partitioned) write path: a CDC
@@ -1709,7 +1789,7 @@ object TableVersions {
     val totalRows = candEntries.map(_.rows).sum
     val f = fs(spark, root)
     val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
-    val victims = candidateRowsWithPos(spark, st, candidates)
+    val victims = candidateRowsWithPos(spark, root, st, candidates)
       .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(col("__gv_file").as("file"), col("__gv_pos").as("pos"))
     val staged = stageDvSidecar(spark, root, st, candidates, victims)
@@ -1727,7 +1807,7 @@ object TableVersions {
           op = "UPSERT dv", cdf = cdfName.toSeq))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
-          perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
+          perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
         Some(commitDvUpdate(spark, root, dvUpdates, snapshot, cdfDirs ++ Seq(dvDir, outDir),
@@ -1896,7 +1976,7 @@ object TableVersions {
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else {
-          val perFile = candidateRowsWithPos(spark, st, candidates).alias("t")
+          val perFile = candidateRowsWithPos(spark, root, st, candidates).alias("t")
             .join(src.alias("s"), joinCond, "inner")
             .groupBy(col("__gv_file"), col("__gv_pos")).agg(count(lit(1)).as("__g_n"))
             .groupBy(col("__gv_file")).agg(max(col("__g_n")).as("__g_maxn"))
@@ -1925,7 +2005,7 @@ object TableVersions {
           emptyLike(spark, st)
             .withColumn("__gv_file", lit(null).cast("string"))
             .withColumn("__gv_pos", lit(null).cast("long"))
-        else candidateRowsWithPos(spark, st, joinSet)
+        else candidateRowsWithPos(spark, root, st, joinSet)
       val j = tRows.withColumn("__g_t", lit(true)).alias("t")
         .join(src.withColumn("__g_s", lit(true)).alias("s"), joinCond, "full_outer")
       def condCol(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
@@ -2074,7 +2154,7 @@ object TableVersions {
           op = "MERGE dv", cdf = cdfName.toSeq))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
-          perFile.get(normPath(fe.path)).map(n => fe.path -> (sidecar, n))
+          perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
         Some(commitDvUpdate(spark, root, dvUpdates, snapshot, cdfDirs ++ Seq(dvDir, outDir),
@@ -2211,7 +2291,7 @@ object TableVersions {
       s"optimizeZOrder on a partitioned table must be scoped to one partition " +
         s"(got ${tuples.size} tuples; pass partition=...)")
     val outDir = new Path(root, s"data/zorder-${java.util.UUID.randomUUID()}")
-    val src = readWithDvs(spark, st, scope.map(_.path)) // DVs fold into the new layout
+    val src = readWithDvs(spark, root, st, scope.map(_.path)) // DVs fold into the new layout
     val clustered = ZOrder.cluster(src, keys, numFiles) // caller keys are logical
     st.schema.map(toPhysical(clustered, _)).getOrElse(clustered)
       .write.parquet(outDir.toString) // files store physical names
@@ -2244,9 +2324,11 @@ object TableVersions {
       n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
     val checkpoints = all.collect { case n if n.startsWith("v") && n.endsWith(".checkpoint") =>
       n.stripPrefix("v").stripSuffix(".checkpoint").toLong }
+    // liveness is form-insensitive: parsed states carry canonical
+    // plain paths while listings return file:-qualified ones
     val live = versions.filter(_ >= keepFrom)
       .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
-        st.files.map(_.path) ++ st.dvs.values.map(_._1))).toSet
+        st.files.map(_.path) ++ st.dvs.values.map(_._1))).map(normPath).toSet
     // reconstructability across the horizon: no retained delta may need
     // the about-to-drop chain. Normally only the OLDEST retained version
     // can chain below keepFrom (bases are the immediate valid
@@ -2272,7 +2354,7 @@ object TableVersions {
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !live(st.getPath.toString)) dead += st.getPath
+          !live(normPath(st.getPath.toString))) dead += st.getPath
       }
       dead.foreach(p => f.delete(p, false))
     }
@@ -2289,6 +2371,103 @@ object TableVersions {
     }
     versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
     checkpoints.filter(_ < keepFrom).foreach { v => f.delete(checkpointPath(root, v), false); () }
+  }
+
+  /** MOVE/RENAME the table directory as a unit. New-era metadata is
+    * root-relative, so the move itself is one filesystem rename; any
+    * LEGACY commits/checkpoints/DV sidecars that still self-reference
+    * the OLD root absolutely are then rebased to relative in place
+    * ([[rebaseMetadata]] — idempotent, so a crash mid-sweep is repaired
+    * by calling it again with the same arguments). Single-writer
+    * administrative op, like [[vacuum]]. Bloom sidecar entries are NOT
+    * rebased: a stale absolute entry just stops matching its file,
+    * which the bloom read paths already treat as "not indexed yet"
+    * (conservative), and the next maintenance pass re-indexes.
+    */
+  def moveTable(spark: SparkSession, from: String, to: String): Unit = {
+    val f = fs(spark, from)
+    require(f.exists(versionsDir(from)), s"no graft table at $from")
+    require(!f.exists(new Path(to)), s"destination $to already exists")
+    val toPath = new Path(to)
+    Option(toPath.getParent).foreach(f.mkdirs(_))
+    if (!f.rename(new Path(from), toPath))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+    rebaseMetadata(spark, to, from)
+  }
+
+  /** Rewrite absolute self-references under `oldRoot` to ROOT-RELATIVE
+    * in every retained commit, checkpoint, and DV sidecar at `root` —
+    * the legacy half of [[moveTable]]. Line-level surgery on the commit
+    * text (only path fields change; counts, stats, order, and unknown
+    * lines are preserved byte-for-byte), and a same-filename content
+    * swap for sidecars, so every `#DV` reference stays valid.
+    */
+  private[graft] def rebaseMetadata(spark: SparkSession, root: String,
+      oldRoot: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    val oldPrefix = canonAbs(oldRoot).stripSuffix("/") + "/"
+    def rebase(p: String): String = {
+      val c = canonAbs(p)
+      if (c.startsWith(oldPrefix)) c.substring(oldPrefix.length) else p
+    }
+    val vd = versionsDir(root)
+    if (!f.exists(vd)) return
+    f.listStatus(vd).filter { s =>
+      s.isFile && (s.getPath.getName.endsWith(".commit") ||
+        s.getPath.getName.endsWith(".checkpoint"))
+    }.foreach { s =>
+      val in = f.open(s.getPath)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      val out = text.split("\n", -1).map { l =>
+        if (l.startsWith("#RM ")) "#RM " + enc(rebase(dec(l.stripPrefix("#RM ").trim)))
+        else if (l.startsWith("#DV ")) {
+          val Array(_, fp, dvp, n) = l.split(" ", 4)
+          s"#DV ${enc(rebase(dec(fp)))} ${enc(rebase(dec(dvp)))} $n"
+        } else if (l.isEmpty || l.startsWith("#")) l
+        else { // file line: only field 0 is a path
+          val i = l.indexOf('\t')
+          if (i < 0) l else enc(rebase(dec(l.substring(0, i)))) + l.substring(i)
+        }
+      }.mkString("\n")
+      if (out != text) {
+        val tmp = new Path(vd, s".tmp-rebase-${java.util.UUID.randomUUID()}")
+        val o = f.create(tmp, true)
+        try o.write(out.getBytes(StandardCharsets.UTF_8)) finally o.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, s.getPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+    // legacy DV sidecars: absolute `file` entries under the old root
+    // become relative; the rewritten single file keeps its exact name
+    // so commit references stay valid
+    val dataDir = new Path(root, "data")
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("dv-"))
+        .foreach { d =>
+          listParquet(f, d.getPath).foreach { case (sidecar, _) =>
+            val df = spark.read.parquet(sidecar)
+            val oldRe = "^" + java.util.regex.Pattern.quote(oldPrefix)
+            val needs = df.filter(
+              org.apache.spark.sql.functions.regexp_replace(
+                col("file"), "^file:/+", "/").rlike(oldRe)).limit(1).count() > 0
+            if (needs) {
+              val fixed = df.select(relCanonCol(oldRoot, col("file")).as("file"), col("pos"))
+                .coalesce(1)
+              val tmpDir = new Path(d.getPath, s".tmp-rebase-${java.util.UUID.randomUUID()}")
+              fixed.write.parquet(tmpDir.toString)
+              val newFile = listParquet(f, tmpDir).head._1
+              f.delete(new Path(sidecar), false)
+              if (!f.rename(new Path(newFile), new Path(sidecar)))
+                throw new IllegalStateException(s"sidecar rebase swap failed at $sidecar")
+              f.delete(tmpDir, true)
+            }
+          }
+        }
+    }
+    clearStateCache() // rewritten files carry new identities anyway; be explicit
   }
 
   /** RESTORE — roll the table back to `toVersion` by committing a NEW
@@ -2594,7 +2773,7 @@ object TableVersions {
           else spark.read.schema(physicalSchema(s)).parquet(paths: _*)
         case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
       }
-      val withDvs = applyDvs(spark, base, entries.flatMap(_._2).distinct)
+      val withDvs = applyDvs(spark, root, base, entries.flatMap(_._2).distinct)
       if (paths.isEmpty) withDvs // already logical (built from the logical schema)
       else schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
     }
@@ -2823,7 +3002,7 @@ object TableVersions {
       }
     val base =
       if (candidates.isEmpty) emptyLike(spark, st)
-      else readWithDvs(spark, st, candidates) // a tombstoned row must not resurface here
+      else readWithDvs(spark, root, st, candidates) // a tombstoned row must not resurface here
     base.filter(col(keyCol) === key)
   }
 

@@ -38,13 +38,14 @@ class CommitLogSpec extends SparkSpec {
     // a 40-file table...
     TableVersions.append(spark, root, (1L to 4000L).toDF("k").repartition(40))
     assert(TableVersions.commitState(spark, root).files.size === 40)
-    assert(commitText(root, "v0.commit").startsWith("#FORMAT 1\n"),
-      "a self-contained DV-free commit stays readable by a major-1 reader")
+    assert(commitText(root, "v0.commit").startsWith("#FORMAT 3\n"),
+      "relative stored paths are a major-3 feature — a pre-relative reader must refuse")
     // ...then a 1-file streaming append: the commit must reference ONE
     // file, not 41
     TableVersions.appendTxn(spark, root, Seq(9001L).toDF("k").coalesce(1), "stream", 7L)
     val t1 = commitText(root, "v1.commit")
-    assert(t1.startsWith("#FORMAT 2\n"), "delta commits are a major-2 feature")
+    assert(t1.startsWith("#FORMAT 3\n"),
+      "a delta adding relative paths carries major 3 (deltas alone are major 2)")
     assert(t1.contains("\n#BASE 0\n"))
     assert(t1.contains("#TXN stream 7"))
     val addLines = t1.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -86,9 +87,9 @@ class CommitLogSpec extends SparkSpec {
       assert(f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v6.checkpoint")))
       val ptr = commitText(root, "_last_checkpoint").trim
       assert(ptr === "6", s"_last_checkpoint hint must track the newest checkpoint, got $ptr")
-      // DV-bearing checkpoint carries major 2 (a major-1 reader would
-      // serve the tombstoned rows)
-      assert(commitText(root, "v6.checkpoint").startsWith("#FORMAT 2\n"))
+      // relative-path checkpoint carries major 3 (and would carry 2 for
+      // its DVs even without them — majors track semantics)
+      assert(commitText(root, "v6.checkpoint").startsWith("#FORMAT 3\n"))
       // fresh reconstruction (cache dropped) of EVERY retained version
       // equals the state captured when it was current
       TableVersions.clearStateCache()

@@ -197,10 +197,10 @@ class Round10TableSpec extends SparkSpec {
     val in = f.open(vd)
     val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    assert(text.startsWith("#FORMAT 1\n"), "every new commit must lead with the format header")
+    assert(text.startsWith("#FORMAT 3\n"), "every new commit must lead with the format header")
     // a future-major commit must be refused loudly, not misread
     val out = f.create(vd, true)
-    try out.write(("#FORMAT 99\n" + text.stripPrefix("#FORMAT 1\n"))
+    try out.write(("#FORMAT 99\n" + text.stripPrefix("#FORMAT 3\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     TableVersions.clearStateCache() // the rewritten commit must be re-read
     val ex = intercept[IllegalStateException] { TableVersions.read(spark, root).count() }
