@@ -363,6 +363,79 @@ object Round11Queries {
       |  round(CAST(SUM(CAST(p AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
       |FROM ch GROUP BY 1, 2 ORDER BY step, change_type""".stripMargin
 
+  /** SQL CATALOG END-TO-END (q138): the `GraftCatalog` DML surface
+    * under the oracle hash gate — CREATE TABLE / INSERT INTO / DELETE
+    * FROM / a second INSERT / time travel (`VERSION AS OF`) all through
+    * `spark.sql` on a session with NO build-time extensions (two conf
+    * lines register the catalog, the exact deployment shape the
+    * driver's sessions need). Every statement lands on the format's
+    * transactional commits: v0 CREATE, v1 INSERT (atomic append), v2
+    * DELETE (commit-stats-pruned rewrite), v3 INSERT. The result
+    * aggregates the FINAL state and the `VERSION AS OF 1` snapshot in
+    * one frame — the time-travel read must see through the later
+    * delete.
+    *
+    * The catalog instance is cached by the session at first use, so the
+    * warehouse conf is set once per JVM and each invocation uses a
+    * UUID table name (Bench runs every query twice).
+    *
+    * Ref semantics: the reference's BigQuery dataset DDL+DML surface
+    * (terraform/main.tf:195-245; healthcare_data_pipeline_dag.py report
+    * SQL over named tables).
+    */
+  def q138SqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (!spark.conf.getOption("spark.sql.catalog.graft.warehouse").exists(_.nonEmpty))
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val tbl = s"graft.db.o_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      t(spark, dir, "orders").createOrReplaceTempView("orders_src_q138")
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_orderdate DATE, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, o_orderdate, " +
+        "o_totalprice FROM orders_src_q138")
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F'")
+      spark.sql(s"INSERT INTO $tbl SELECT o_orderkey + 20000000, 'Z', o_orderdate, " +
+        "o_totalprice + 111.5 FROM orders_src_q138 WHERE o_orderkey % 131 = 0")
+      val res = spark.sql(
+        s"""SELECT 'final' AS stage, o_orderstatus AS status,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+           |FROM $tbl GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'v1', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4)
+           |FROM $tbl VERSION AS OF 1 GROUP BY o_orderstatus""".stripMargin)
+      graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
+        .orderBy("stage", "status")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      ()
+    }
+  }
+
+  val q138Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice FROM orders),
+      |fin AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS p
+      |  FROM base WHERE o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, 'Z', o_totalprice + 111.5
+      |  FROM base WHERE o_orderkey % 131 = 0),
+      |ch AS (
+      |  SELECT 'final' AS stage, status, k, p FROM fin
+      |  UNION ALL
+      |  SELECT 'v1', o_orderstatus, o_orderkey, o_totalprice FROM base)
+      |SELECT stage, status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_key,
+      |  round(CAST(sum(CAST(p AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM ch GROUP BY 1, 2 ORDER BY stage, status""".stripMargin
+
   val q136Sql: String =
     """WITH m1 AS (
       |  SELECT o_orderkey AS k, o_orderdate AS d, o_orderstatus AS st,

@@ -1,0 +1,364 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TableVersions
+
+/** `GraftCatalog` — the versioned table format as a Spark SQL CATALOG,
+  * so the full SQL DML surface works with no session rebuild:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  *   spark.sql("CREATE TABLE graft.db.t (k BIGINT, v STRING) PARTITIONED BY (p)")
+  *   spark.sql("INSERT INTO graft.db.t SELECT ...")
+  *   spark.sql("INSERT OVERWRITE graft.db.t SELECT ...")
+  *   spark.sql("DELETE FROM graft.db.t WHERE k < 10")
+  *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 3")
+  *   spark.sql("ALTER TABLE graft.db.t SET TBLPROPERTIES ('enableChangeFeed'='true')")
+  *   spark.sql("ALTER TABLE graft.db.t RENAME COLUMN v TO w")
+  * }}}
+  *
+  * Identifiers map to `warehouse/<namespace…>/<name>`; a single-part
+  * identifier containing `/` addresses a table by PATH (the
+  * ``graft.`/abs/path` `` form Delta uses). Every DML statement lands
+  * on the format's own transactional primitives: INSERT INTO →
+  * [[TableVersions.append]] (an atomic commit), INSERT OVERWRITE →
+  * [[TableVersions.overwrite]] (an audited, time-travelable replace),
+  * DELETE FROM → [[TableVersions.deleteWhere]] (commit-stats pruned,
+  * merge-on-read capable), ALTER TABLE → the metadata-only commits
+  * (properties, rename/drop/add column), `VERSION AS OF` /
+  * `TIMESTAMP AS OF` → snapshot loads. DROP TABLE removes the
+  * directory; RENAME TABLE is a filesystem move.
+  *
+  * READ PATH AND ITS COST: catalog SELECTs plan through the DSv2
+  * [[V1Scan]] bridge — pushed filters and required columns reach the
+  * inner `TableVersions.read` plan, where commit-stats FILE SKIPPING
+  * and parquet pushdown still happen during that plan's physical
+  * planning — but the rows cross a row-exchange boundary (no
+  * whole-stage codegen across it), the same trade the DV relation
+  * documents. This keeps the catalog self-contained: it works on ANY
+  * session (the driver's included) with two conf lines, no
+  * `spark.sql.extensions` at session build. For codegen-hot analytics
+  * over DV-free snapshots, `spark.read.format("graft-table")` remains
+  * the native `HadoopFsRelation` path; the catalog is the DML and
+  * governance surface. (Delta solves this with an analyzer rule
+  * injected at session build — rejected here because the driver's
+  * sessions are built without extensions.)
+  *
+  * Ref semantics: the reference's BigQuery datasets/tables DDL+DML
+  * surface (`terraform/main.tf:195-245` dataset layout,
+  * `healthcare_data_pipeline_dag.py` report SQL over named tables).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def fs =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog: spark.sql.catalog.$name.warehouse is required"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    if (ident.namespace.isEmpty && ident.name.contains("/")) ident.name
+    else (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    TableVersions.currentVersion(spark, pathOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = pathOf(ident)
+    if (TableVersions.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    new GraftTable(root, None)
+  }
+
+  /** `SELECT … FROM t VERSION AS OF <n>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = pathOf(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-table versions are commit numbers; got '$version'")
+    }
+    if (TableVersions.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    new GraftTable(root, Some(v))
+  }
+
+  /** `SELECT … FROM t TIMESTAMP AS OF <ts>` (micros from Spark). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = pathOf(ident)
+    val v = TableVersions.versionAsOf(spark, root, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version committed at or before $timestamp at $root"))
+    new GraftTable(root, Some(v))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_versions")))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partCols = partitions.toSeq.map { t =>
+      // the concrete case classes are private[sql]; match structurally
+      if (t.name != "identity" || t.references.length != 1 ||
+        t.references.head.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"graft-table supports identity partitioning only, got $t")
+      t.references.head.fieldNames.head
+    }
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
+    // engine-supplied bookkeeping keys are not table properties
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => reserved(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+    TableVersions.createEmpty(spark, pathOf(ident), schema, partCols, props)
+    new GraftTable(pathOf(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = pathOf(ident)
+    if (TableVersions.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1, s"graft-table: nested $what is not supported")
+      names.head
+    }
+    changes.foreach {
+      case c: TableChange.SetProperty =>
+        TableVersions.setTableProperty(spark, root, c.property, c.value)
+      case c: TableChange.RemoveProperty =>
+        TableVersions.unsetTableProperty(spark, root, c.property)
+      case c: TableChange.RenameColumn =>
+        TableVersions.renameColumn(spark, root, one(c.fieldNames, "RENAME COLUMN"), c.newName)
+      case c: TableChange.DeleteColumn =>
+        TableVersions.dropColumn(spark, root, one(c.fieldNames, "DROP COLUMN"))
+      case c: TableChange.AddColumn =>
+        TableVersions.addColumn(spark, root, one(c.fieldNames, "ADD COLUMN"), c.dataType)
+      case c => throw new UnsupportedOperationException(
+        s"graft-table: unsupported ALTER TABLE change $c")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    val f = fs
+    if (f.exists(p)) { f.delete(p, true); true } else false
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent.toString)
+    // commit metadata is root-relative, so this is one directory rename
+    // (legacy absolute self-references are rebased in the same call)
+    TableVersions.moveTable(spark, pathOf(oldIdent), pathOf(newIdent))
+  }
+
+  // ---- namespaces: plain warehouse directories ----
+
+  private def nsPath(namespace: Array[String]) =
+    new Path((warehouse +: namespace.toSeq).mkString("/"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = fs
+    val w = new Path(warehouse)
+    if (!f.exists(w)) return Array.empty
+    f.listStatus(w).toSeq
+      .filter(s => s.isDirectory && !f.exists(new Path(s.getPath, "_versions")))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace)); ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-table namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    val f = fs
+    if (!f.exists(p)) return false
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    f.delete(p, true)
+  }
+}
+
+private[graft] object GraftCatalog {
+
+  /** `sources.Filter` → `Column` for the pushable subset; None keeps
+    * the filter Spark-side. Used for DELETE WHERE translation and for
+    * forwarding SELECT pushdown into the inner plan (where commit
+    * stats prune files).
+    */
+  def translate(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (a <- translate(l); b <- translate(r)) yield a && b
+    case sources.Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case sources.Not(c) => translate(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
+/** One catalog table (optionally pinned to a time-travel version).
+  * Reads via the [[V1Scan]] bridge, writes via the [[V1Write]] bridge
+  * onto the transactional append/overwrite, deletes via the format's
+  * stats-pruned `deleteWhere`.
+  */
+private[sources] class GraftTable(root: String, version: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark = SparkSession.active
+  private val snapshot = TableVersions.commitState(spark, root, version)
+
+  override def name(): String = s"graft.`$root`" + version.map(v => s"@v$v").getOrElse("")
+
+  // the read plan force-nullables (pre-evolution files null-fill), so
+  // the declared schema must agree; physical-name metadata is an
+  // implementation detail the SQL surface must not leak
+  override def schema(): StructType = StructType(
+    snapshot.schema.getOrElse(spark.read.parquet(snapshot.files.head.path).schema)
+      .fields.map(f => f.copy(nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  override def partitioning(): Array[Transform] =
+    snapshot.partCols.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    (snapshot.props ++ Map(
+      TableCatalog.PROP_PROVIDER -> "graft-table",
+      TableCatalog.PROP_LOCATION -> root)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  // ---- read: V1Scan bridge ----
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: Option[StructType] = None
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // record the translatable subset for IO pruning but keep EVERY
+        // filter Spark-side (the push is a pure optimization, so the
+        // translation can stay conservative) — the DvTableRelation rule
+        pushed = filters.filter(f => GraftCatalog.translate(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+
+      override def build(): Scan = new V1Scan {
+        private val out = required.getOrElse(schema())
+        override def readSchema(): StructType = out
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            ctx: SQLContext): T = {
+          val filters = pushed.toSeq
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = out
+            override def buildScan(): RDD[Row] = {
+              var df = TableVersions.read(ctx.sparkSession, root, version)
+              filters.flatMap(GraftCatalog.translate).foreach(c => df = df.filter(c))
+              if (out.isEmpty) df.select() .rdd
+              else df.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+
+  // ---- write: V1Write bridge onto the transactional commits ----
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      require(version.isEmpty, s"cannot write to the time-travel snapshot $name")
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              val s = data.sparkSession
+              if (overwrite || overwriteFlag)
+                TableVersions.overwrite(s, root, data, snapshot.partCols)
+              else TableVersions.append(s, root, data)
+              ()
+            }
+          }
+      }
+    }
+
+  // ---- DELETE FROM … WHERE ----
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f => GraftCatalog.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.toSeq.flatMap(GraftCatalog.translate)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TableVersions.deleteWhere(spark, root, pred)
+    ()
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableVersions
+
+/** The `GraftCatalog` SQL surface: CREATE TABLE / INSERT INTO /
+  * INSERT OVERWRITE / DELETE FROM / TRUNCATE / time travel / ALTER
+  * TABLE (properties, rename/add/drop column) / DROP / SHOW TABLES /
+  * path-addressed tables — all through `spark.sql` on a session with
+  * NO build-time extensions (the conf-only registration the driver's
+  * sessions need), every statement landing on the format's
+  * transactional commits. File pruning through the catalog read is
+  * proven behaviorally (a corrupted out-of-range file does not fail a
+  * pruned SELECT).
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ONE warehouse for the suite: the session caches the catalog
+  // instance at first use, so the conf must be set exactly once
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("gcw").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    w
+  }
+  private def newWarehouse(): String = warehouse
+
+  test("create / insert / select round-trip, partitioned") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.t1 (k BIGINT, v STRING, p STRING) PARTITIONED BY (p)")
+    // empty table reads as zero rows under the declared schema
+    assert(spark.sql("SELECT * FROM graft.db.t1").count() === 0)
+    spark.sql("INSERT INTO graft.db.t1 VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x')")
+    spark.sql("INSERT INTO graft.db.t1 VALUES (4, 'd', 'y')")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.t1").head().getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.t1 WHERE p = 'x'").head().getLong(0) === 2L)
+    // partitioning declared at CREATE landed in the commits
+    val st = TableVersions.commitState(spark, s"$w/db/t1")
+    assert(st.partCols === Seq("p"))
+    assert(st.files.forall(_.part.contains("p")))
+  }
+
+  test("INSERT OVERWRITE is an audited replace; the old state time-travels") {
+    newWarehouse()
+    spark.sql("CREATE TABLE graft.db.t2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.t2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE graft.db.t2 VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM graft.db.t2").as[Long].collect().toSeq === Seq(9L))
+    assert(spark.sql("SELECT k FROM graft.db.t2 VERSION AS OF 1")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("DELETE FROM with a pushable predicate; TRUNCATE empties transactionally") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.t3 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.t3 SELECT id, concat('v', id) FROM range(100)")
+    spark.sql("DELETE FROM graft.db.t3 WHERE k >= 90")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t3").head().getLong(0) === 90L)
+    spark.sql("TRUNCATE TABLE graft.db.t3")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t3").head().getLong(0) === 0L)
+    // both were commits, not directory drops: full history still reads
+    assert(TableVersions.read(spark, s"$w/db/t3", Some(1L)).count() === 100L)
+    assert(TableVersions.history(spark, s"$w/db/t3").count() === 4L)
+  }
+
+  test("ALTER TABLE: properties, rename/add/drop column as metadata commits") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.t4 (k BIGINT, a STRING, b DOUBLE)")
+    spark.sql("INSERT INTO graft.db.t4 VALUES (1, 'x', 1.5)")
+    spark.sql("ALTER TABLE graft.db.t4 SET TBLPROPERTIES ('enableChangeFeed'='true')")
+    assert(TableVersions.tableProperties(spark, s"$w/db/t4")
+      .get("enableChangeFeed").contains("true"))
+    spark.sql("ALTER TABLE graft.db.t4 RENAME COLUMN a TO label")
+    spark.sql("ALTER TABLE graft.db.t4 ADD COLUMNS (extra BIGINT)")
+    spark.sql("ALTER TABLE graft.db.t4 DROP COLUMN b")
+    val out = spark.sql("SELECT * FROM graft.db.t4")
+    assert(out.columns.toSeq === Seq("k", "label", "extra"))
+    assert(out.head().getString(1) === "x" && out.head().isNullAt(2))
+    spark.sql("ALTER TABLE graft.db.t4 UNSET TBLPROPERTIES ('enableChangeFeed')")
+    assert(!TableVersions.tableProperties(spark, s"$w/db/t4").contains("enableChangeFeed"))
+    // none of that moved data: only the two INSERT-era files exist
+    assert(TableVersions.commitState(spark, s"$w/db/t4").files.size === 1)
+  }
+
+  test("path-addressed table and TIMESTAMP AS OF") {
+    newWarehouse()
+    val root = Files.createTempDirectory("gcp").toString + "/ptbl"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("graft-table").save(root)
+    assert(spark.sql(s"SELECT sum(k) FROM graft.`$root`").head().getLong(0) === 3L)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Seq((3L, "c")).toDF("k", "v").write.format("graft-table").mode("append").save(root)
+    val ts = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(t0 + 500))
+    assert(spark.sql(s"SELECT sum(k) FROM graft.`$root` TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT sum(k) FROM graft.`$root`").head().getLong(0) === 6L)
+  }
+
+  test("catalog reads prune files from commit stats (corrupt out-of-range file)") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.t5 (k BIGINT, v STRING)")
+    // two range-disjoint files via two inserts
+    spark.sql("INSERT INTO graft.db.t5 SELECT id, concat('v', id) FROM range(0, 50)")
+    spark.sql("INSERT INTO graft.db.t5 SELECT id, concat('v', id) FROM range(1000, 1050)")
+    val high = TableVersions.commitState(spark, s"$w/db/t5").files
+      .find(_.stats.get("k").exists(_.minNum.exists(_ >= 1000))).get
+    // corrupt the high-range file: a SELECT that needs only the low
+    // range must succeed — proof the filter pruned the file at planning
+    val p = java.nio.file.Paths.get(new java.net.URI("file://" + high.path).getPath)
+    java.nio.file.Files.write(p, Array.fill[Byte](16)(0))
+    assert(spark.sql("SELECT count(*) FROM graft.db.t5 WHERE k < 50").head().getLong(0) === 50L)
+    intercept[Throwable] { // sanity: the corrupt file breaks an unpruned read
+      spark.sql("SELECT count(*) FROM graft.db.t5").collect()
+    }
+  }
+
+  test("SHOW TABLES, DROP TABLE, RENAME TABLE, duplicate-create errors") {
+    newWarehouse()
+    spark.sql("CREATE NAMESPACE graft.db2") // own namespace: SHOW is exact
+    spark.sql("CREATE TABLE graft.db2.s1 (k BIGINT)")
+    spark.sql("CREATE TABLE graft.db2.s2 (k BIGINT)")
+    val shown = spark.sql("SHOW TABLES IN graft.db2").select("tableName")
+      .as[String].collect().toSet
+    assert(shown === Set("s1", "s2"))
+    intercept[Exception] { spark.sql("CREATE TABLE graft.db2.s1 (k BIGINT)") }
+    spark.sql("INSERT INTO graft.db2.s1 VALUES (7)")
+    spark.sql("ALTER TABLE graft.db2.s1 RENAME TO db2.s3")
+    assert(spark.sql("SELECT k FROM graft.db2.s3").head().getLong(0) === 7L)
+    spark.sql("DROP TABLE graft.db2.s2")
+    assert(spark.sql("SHOW TABLES IN graft.db2").select("tableName")
+      .as[String].collect().toSet === Set("s3"))
+  }
+
+  test("change feed composes with SQL DML (property set at CREATE)") {
+    val w = newWarehouse()
+    spark.sql(
+      "CREATE TABLE graft.db.t6 (k BIGINT, v STRING) TBLPROPERTIES ('enableChangeFeed'='true')")
+    spark.sql("INSERT INTO graft.db.t6 VALUES (1, 'a'), (2, 'b')")
+    val root = s"$w/db/t6"
+    TableVersions.upsert(spark, root, Seq((1L, "A"), (3L, "c")).toDF("k", "v"), "k")
+    val types = TableVersions
+      .readChanges(spark, root, 1L, TableVersions.currentVersion(spark, root).get,
+        updateImages = true)
+      .select("_change_type").as[String].collect().sorted.toSeq
+    assert(types === Seq("insert", "update_postimage", "update_preimage"))
+  }
+}
