@@ -409,7 +409,12 @@ object Round11Queries {
            |UNION ALL
            |SELECT 'v1', o_orderstatus, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4)
-           |FROM $tbl VERSION AS OF 1 GROUP BY o_orderstatus""".stripMargin)
+           |FROM $tbl VERSION AS OF 1 GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'stats', '*', CAST(count(*) AS BIGINT),
+           |  CAST(min(o_orderkey) + max(o_orderkey) AS BIGINT),
+           |  round(max(o_totalprice), 4)
+           |FROM $tbl""".stripMargin)
       graft.CacheScope.trackCheckpoint(res.localCheckpoint(true))
         .orderBy("stage", "status")
     } finally {
@@ -434,7 +439,12 @@ object Round11Queries {
       |SELECT stage, status, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(k) AS BIGINT) AS sum_key,
       |  round(CAST(sum(CAST(p AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
-      |FROM ch GROUP BY 1, 2 ORDER BY stage, status""".stripMargin
+      |FROM ch GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'stats', '*', CAST(count(*) AS BIGINT),
+      |  CAST(min(k) + max(k) AS BIGINT), round(max(p), 4)
+      |FROM fin
+      |ORDER BY stage, status""".stripMargin
 
   val q136Sql: String =
     """WITH m1 AS (

@@ -177,6 +177,13 @@ object TableVersions {
     st.schema.exists(mappingActive)
 
   /** logical → physical column name (identity for unmapped/unknown). */
+  /** The physical column name `logical` resolves to under `st`'s
+    * mapping (identity when no mapping) — commit stats are keyed
+    * physical; the catalog's stats-answered aggregates translate here.
+    */
+  private[graft] def physicalNameFor(st: CommitState, logical: String): String =
+    physicalName(st.schema, logical)
+
   private def physicalName(s: Option[StructType], logical: String): String =
     s.flatMap(_.fields.find(_.name == logical)).map(physicalOf).getOrElse(logical)
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
@@ -229,6 +229,99 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+/** STATS-ANSWERED AGGREGATES (Delta/Iceberg "optimized metadata
+  * query"): `COUNT(*)`, `COUNT(col)`, `MIN(col)`, `MAX(col)` with no
+  * GROUP BY and no WHERE are answered from the COMMIT's per-file
+  * row/null/min-max stats — one metadata read instead of a scan, which
+  * at 1M files is the difference between milliseconds and a cluster
+  * job. EXACTNESS over coverage: refused (→ Spark scans normally)
+  * whenever the snapshot carries deletion vectors, any file lacks row
+  * counts (legacy) or the column's stats entry (its all-null files
+  * record none), the type's footer stats aren't exactly representable
+  * (strings truncate; decimals store unscaled), or an integer-family
+  * bound reaches 2^53 (the stats channel is a Double — beyond that a
+  * long→double round-trip is ambiguous). DISTINCT never pushes.
+  */
+private[sources] object StatsAggregate {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  private val ExactLong = (1L << 53).toDouble
+
+  def answer(st: TableVersions.CommitState, logical: StructType,
+      agg: Aggregation): Option[(StructType, Row)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (st.dvs.nonEmpty) return None
+    if (st.files.exists(_.rows < 0)) return None
+    val totalRows = st.files.map(_.rows).sum
+    def colName(e: VExpr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    def fieldOf(n: String) = logical.fields.find(_.name == n)
+    // stats are keyed by PHYSICAL name (stable across column renames)
+    def statsFor(n: String): Option[Seq[(TableVersions.ColStats, Long)]] = {
+      val phys = TableVersions.physicalNameFor(st, n)
+      val withRows = st.files.filter(_.rows > 0)
+      val entries = withRows.map(fe => fe.stats.get(phys).map(s => (s, fe.rows)))
+      if (entries.exists(_.isEmpty)) None else Some(entries.flatten)
+    }
+    def exact(v: Double): Boolean =
+      math.abs(v) < ExactLong && v == math.rint(v) && !v.isNaN
+    def toLiteral(dt: DataType, v: Double): Option[Any] = dt match {
+      case DoubleType => Some(v)
+      case FloatType => Some(v.toFloat)
+      case LongType if exact(v) => Some(v.toLong)
+      case IntegerType if exact(v) => Some(v.toInt)
+      case ShortType if exact(v) => Some(v.toShort)
+      case ByteType if exact(v) => Some(v.toByte)
+      case DateType if exact(v) =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong)))
+      case TimestampType if exact(v) =>
+        val us = v.toLong
+        Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)))
+      case TimestampNTZType if exact(v) =>
+        val us = v.toLong
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+    def extremum(f: AggregateFunc, col: VExpr, pick: Seq[Double] => Double,
+        side: TableVersions.ColStats => Option[Double]): Option[(StructField, Any)] =
+      for {
+        n <- colName(col)
+        fd <- fieldOf(n)
+        es <- statsFor(n)
+        v <- if (es.isEmpty) Some(null: Any) // zero live rows: SQL NULL
+        else {
+          val bounds = es.map { case (s, _) => side(s) }
+          if (bounds.exists(_.isEmpty)) None
+          else toLiteral(fd.dataType, pick(bounds.flatten))
+        }
+      } yield (StructField(f.toString, fd.dataType, nullable = true), v)
+    val answered: Array[Option[(StructField, Any)]] = agg.aggregateExpressions.map {
+      case f: CountStar =>
+        Some((StructField(f.toString, LongType, nullable = false), totalRows: Any))
+      case c: Count if !c.isDistinct =>
+        for {
+          n <- colName(c.column); _ <- fieldOf(n)
+          es <- statsFor(n)
+        } yield (StructField(c.toString, LongType, nullable = false),
+          (totalRows - es.map(_._1.nulls).sum): Any)
+      case m: Min => extremum(m, m.column, _.min, _.minNum)
+      case m: Max => extremum(m, m.column, _.max, _.maxNum)
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) return None
+    val fields = answered.flatten.map(_._1)
+    val values = answered.flatten.map(_._2)
+    Some((StructType(fields.toIndexedSeq), Row.fromSeq(values.toIndexedSeq)))
+  }
+}
+
 private[graft] object GraftCatalog {
 
   /** `sources.Filter` → `Column` for the pushable subset; None keeps
@@ -294,9 +387,11 @@ private[sources] class GraftTable(root: String, version: Option[Long])
   // ---- read: V1Scan bridge ----
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+        with SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
       private var required: Option[StructType] = None
+      private var aggAnswer: Option[(StructType, Row)] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // record the translatable subset for IO pruning but keep EVERY
@@ -309,20 +404,40 @@ private[sources] class GraftTable(root: String, version: Option[Long])
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = Some(requiredSchema)
 
+      // COUNT/MIN/MAX answered from commit stats — only COMPLETE
+      // pushdown (the one row IS the result), only when exact (see
+      // [[StatsAggregate]]). Spark only attempts this when every
+      // filter was pushed, and this builder declares all filters
+      // unhandled, so an aggregation can only arrive filter-free.
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        pushed.isEmpty && StatsAggregate.answer(snapshot, schema(), agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        if (pushed.nonEmpty) return false
+        aggAnswer = StatsAggregate.answer(snapshot, schema(), agg)
+        aggAnswer.isDefined
+      }
+
       override def build(): Scan = new V1Scan {
-        private val out = required.getOrElse(schema())
+        private val out = aggAnswer.map(_._1).orElse(required).getOrElse(schema())
         override def readSchema(): StructType = out
         override def toV1TableScan[T <: BaseRelation with TableScan](
             ctx: SQLContext): T = {
           val filters = pushed.toSeq
+          val answered = aggAnswer
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = out
-            override def buildScan(): RDD[Row] = {
-              var df = TableVersions.read(ctx.sparkSession, root, version)
-              filters.flatMap(GraftCatalog.translate).foreach(c => df = df.filter(c))
-              if (out.isEmpty) df.select() .rdd
-              else df.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd
+            override def buildScan(): RDD[Row] = answered match {
+              case Some((sch, row)) => // metadata-only: no file is opened
+                ctx.sparkSession.createDataFrame(
+                  java.util.Arrays.asList(row), sch).rdd
+              case None =>
+                var df = TableVersions.read(ctx.sparkSession, root, version)
+                filters.flatMap(GraftCatalog.translate).foreach(c => df = df.filter(c))
+                if (out.isEmpty) df.select().rdd
+                else df.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd
             }
           }.asInstanceOf[T]
         }

@@ -116,7 +116,8 @@ class GraftCatalogSpec extends SparkSpec {
     java.nio.file.Files.write(p, Array.fill[Byte](16)(0))
     assert(spark.sql("SELECT count(*) FROM graft.db.t5 WHERE k < 50").head().getLong(0) === 50L)
     intercept[Throwable] { // sanity: the corrupt file breaks an unpruned read
-      spark.sql("SELECT count(*) FROM graft.db.t5").collect()
+      // (SUM is never stats-answered, so this genuinely scans)
+      spark.sql("SELECT sum(k) FROM graft.db.t5").collect()
     }
   }
 
@@ -135,6 +136,54 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db2.s2")
     assert(spark.sql("SHOW TABLES IN graft.db2").select("tableName")
       .as[String].collect().toSet === Set("s3"))
+  }
+
+  test("COUNT/MIN/MAX answer from commit stats: metadata-only, exact, safe fallbacks") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.t7 (k BIGINT, d DATE, v STRING)")
+    spark.sql("INSERT INTO graft.db.t7 SELECT id, DATE'2024-01-01' + CAST(id AS INT), " +
+      "concat('v', id) FROM range(0, 500)")
+    // second insert carries NULLs in k (count(k) must subtract them);
+    // it keeps SOME non-null k in the same file — a file ALL-null in a
+    // column records no stats entry for it, which (by design) refuses
+    // the pushdown rather than guessing, tested further down
+    spark.sql("INSERT INTO graft.db.t7 SELECT /*+ COALESCE(1) */ " +
+      "CASE WHEN id < 7 THEN NULL ELSE -id END, DATE'2023-12-25', 'x' FROM range(0, 10)")
+    // corrupt EVERY data file: only a metadata-answered plan can succeed
+    TableVersions.commitState(spark, s"$w/db/t7").files.foreach { fe =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(new java.net.URI("file://" + fe.path).getPath),
+        Array.fill[Byte](16)(0))
+    }
+    val r = spark.sql("SELECT count(*), count(k), min(k), max(k), min(d), max(d) " +
+      "FROM graft.db.t7").head()
+    assert(r.getLong(0) === 510L)
+    assert(r.getLong(1) === 503L)
+    assert(r.getLong(2) === -9L && r.getLong(3) === 499L)
+    assert(r.getDate(4).toString === "2023-12-25")
+    assert(r.getDate(5).toString === "2025-05-14")
+    // strings, DISTINCT, and filtered aggregates must NOT push — they
+    // need the (corrupted) data, so they fail rather than lie
+    intercept[Throwable] { spark.sql("SELECT min(v) FROM graft.db.t7").collect() }
+    intercept[Throwable] { spark.sql("SELECT count(DISTINCT k) FROM graft.db.t7").collect() }
+    intercept[Throwable] { spark.sql("SELECT count(*) FROM graft.db.t7 WHERE k > 3").collect() }
+    // a DV-carrying snapshot refuses stats answers (tombstones make
+    // them wrong): the same aggregate now scans — and stays correct
+    spark.sql("CREATE TABLE graft.db.t8 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.t8 SELECT id, concat('v', id) FROM range(0, 100)")
+    TableVersions.deleteWhere(spark, s"$w/db/t8", col("k") < 10L, maxDvFraction = 0.5)
+    assert(TableVersions.commitState(spark, s"$w/db/t8").dvs.nonEmpty)
+    val r8 = spark.sql("SELECT count(*), min(k) FROM graft.db.t8").head()
+    assert(r8.getLong(0) === 90L && r8.getLong(1) === 10L)
+    // a file ALL-null in a column records no stats entry for it: the
+    // ambiguity refuses the pushdown (count falls back to a scan and
+    // stays correct) while count(*) still answers from metadata
+    spark.sql("CREATE TABLE graft.db.t9 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.t9 SELECT /*+ COALESCE(1) */ CAST(NULL AS BIGINT), " +
+      "concat('v', id) FROM range(0, 5)")
+    spark.sql("INSERT INTO graft.db.t9 VALUES (42, 'z')")
+    val r9 = spark.sql("SELECT count(*), count(k), min(k) FROM graft.db.t9").head()
+    assert(r9.getLong(0) === 6L && r9.getLong(1) === 1L && r9.getLong(2) === 42L)
   }
 
   test("change feed composes with SQL DML (property set at CREATE)") {
