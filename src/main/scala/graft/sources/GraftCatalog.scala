@@ -66,7 +66,7 @@ import graft.operators.TableVersions
   * surface (`terraform/main.tf:195-245` dataset layout,
   * `healthcare_data_pipeline_dag.py` report SQL over named tables).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -218,6 +218,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft-table namespaces carry no metadata")
+
+  // ---- maintenance procedures: CALL graft.system.<name>(...) ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = nsPath(namespace)

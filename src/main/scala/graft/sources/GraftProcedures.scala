@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableVersions
+
+/** MAINTENANCE PROCEDURES for the versioned format, exposed through
+  * Spark's DSv2 `CALL` statement (the Iceberg `CALL catalog.system.*`
+  * architecture) — the operational surface (compaction, clustering,
+  * retention, restore, clone, rename, bloom maintenance, history) as
+  * plain SQL on any session that registered the catalog:
+  *
+  * {{{
+  *   CALL graft.system.optimize(`table` => 'db.t', target_mb => 128)
+  *   CALL graft.system.zorder('db.t', 'k,ts', 16)
+  *   CALL graft.system.vacuum('db.t', 5)
+  *   CALL graft.system.restore('db.t', 3)
+  *   CALL graft.system.history('db.t')
+  *   CALL graft.system.clone_table('db.t', '/elsewhere/t2')
+  *   CALL graft.system.move_table('db.t', 'db.t_renamed')
+  *   CALL graft.system.maintain_bloom('db.t', 'k')
+  * }}}
+  *
+  * Tables are addressed as 'ns.name' against the catalog warehouse or
+  * by absolute path ('/…'). Every procedure returns its outcome as
+  * rows (a [[LocalScan]]), so `CALL` results compose with the rest of
+  * SQL tooling. Ref semantics: the reference's operational surface is
+  * Airflow tasks + BigQuery administrative DDL
+  * (`healthcare_data_pipeline_dag.py`); this is the table-format-native
+  * equivalent.
+  */
+private[sources] object GraftProcedures {
+
+  private def spark = SparkSession.active
+
+  /** 'ns.name' → warehouse path; '/abs' or 'scheme:/…' passes through. */
+  private def resolve(warehouse: String, table: String): String =
+    if (table.startsWith("/") || table.contains(":/")) table
+    else (warehouse +: table.split('.').toSeq).mkString("/")
+
+  private val TBL = ProcedureParameter.in("table", StringType).build()
+
+  private def str(row: InternalRow, i: Int): String = row.getUTF8String(i).toString
+
+  /** One bound procedure: fixed parameters, rows computed by `run`. */
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      outSchema: StructType)(run: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft-table maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft-table maintenance: $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false // mutates table state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val out = run(input).toArray
+          java.util.Collections.singletonList[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = outSchema
+          }).iterator()
+        }
+      }
+    }
+
+  private val versionOut = StructType(Seq(StructField("version", LongType)))
+  private def versionRow(v: Option[Long]): Seq[InternalRow] =
+    Seq(InternalRow(v.map(Long.box).orNull))
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")} (expected 'system')")
+    def root(row: InternalRow): String = resolve(warehouse, str(row, 0))
+    ident.name match {
+      case "optimize" =>
+        proc("optimize", Seq(TBL,
+          ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build()),
+          versionOut) { in =>
+          versionRow(TableVersions.compact(spark, root(in), in.getInt(1).toLong << 20))
+        }
+      case "zorder" =>
+        proc("zorder", Seq(TBL,
+          ProcedureParameter.in("columns", StringType).build(),
+          ProcedureParameter.in("num_files", IntegerType).build()),
+          versionOut) { in =>
+          versionRow(TableVersions.optimizeZOrder(spark, root(in),
+            str(in, 1).split(',').toSeq.map(_.trim), in.getInt(2)))
+        }
+      case "vacuum" =>
+        proc("vacuum", Seq(TBL,
+          ProcedureParameter.in("keep_versions", IntegerType).defaultValue("2").build()),
+          StructType(Seq(StructField("done", BooleanType)))) { in =>
+          TableVersions.vacuum(spark, root(in), in.getInt(1))
+          Seq(InternalRow(true))
+        }
+      case "restore" =>
+        proc("restore", Seq(TBL,
+          ProcedureParameter.in("version", LongType).build()),
+          versionOut) { in =>
+          versionRow(TableVersions.restore(spark, root(in), in.getLong(1)))
+        }
+      case "history" =>
+        val schema = StructType(Seq(
+          StructField("version", LongType), StructField("n_files", LongType),
+          StructField("n_bytes", LongType), StructField("n_dv_files", LongType),
+          StructField("n_dv_rows", LongType), StructField("operation", StringType),
+          StructField("txns", StringType)))
+        proc("history", Seq(TBL), schema) { in =>
+          TableVersions.history(spark, root(in)).collect().toSeq.map { r =>
+            InternalRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4), UTF8String.fromString(r.getString(5)),
+              UTF8String.fromString(r.getString(6)))
+          }
+        }
+      case "clone_table" =>
+        proc("clone_table", Seq(TBL,
+          ProcedureParameter.in("target", StringType).build()),
+          versionOut) { in =>
+          versionRow(Some(TableVersions.shallowClone(spark, root(in),
+            resolve(warehouse, str(in, 1)))))
+        }
+      case "move_table" =>
+        proc("move_table", Seq(TBL,
+          ProcedureParameter.in("to", StringType).build()),
+          StructType(Seq(StructField("moved_to", StringType)))) { in =>
+          val to = resolve(warehouse, str(in, 1))
+          TableVersions.moveTable(spark, root(in), to)
+          Seq(InternalRow(UTF8String.fromString(to)))
+        }
+      case "maintain_bloom" =>
+        proc("maintain_bloom", Seq(TBL,
+          ProcedureParameter.in("column", StringType).build()),
+          StructType(Seq(StructField("files_indexed", LongType)))) { in =>
+          Seq(InternalRow(TableVersions.maintainBloomIndex(spark, root(in), str(in, 1))))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure graft.system.$other — available: optimize, zorder, vacuum, " +
+          "restore, history, clone_table, move_table, maintain_bloom")
+    }
+  }
+
+  val names: Seq[String] = Seq("optimize", "zorder", "vacuum", "restore", "history",
+    "clone_table", "move_table", "maintain_bloom")
+}

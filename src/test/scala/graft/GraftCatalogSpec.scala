@@ -186,6 +186,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r9.getLong(0) === 6L && r9.getLong(1) === 1L && r9.getLong(2) === 42L)
   }
 
+  test("CALL graft.system.*: maintenance procedures through SQL") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.m1 (k BIGINT, v STRING)")
+    (1 to 5).foreach { i =>
+      spark.sql(s"INSERT INTO graft.db.m1 SELECT id, concat('v', id) " +
+        s"FROM range(${(i - 1) * 100}, ${i * 100})")
+    }
+    val root = s"$w/db/m1"
+    assert(TableVersions.commitState(spark, root).files.size > 1)
+    // optimize (compact) returns the committed version; the table reads back whole
+    val v = spark.sql("CALL graft.system.optimize(`table` => 'db.m1', target_mb => 128)")
+      .head().getLong(0)
+    assert(v > 0L)
+    assert(TableVersions.commitState(spark, root).files.size === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 500L)
+    // zorder re-clusters; history through CALL shows every operation
+    spark.sql("CALL graft.system.zorder('db.m1', 'k', 4)")
+    assert(TableVersions.commitState(spark, root).files.size === 4)
+    val ops = spark.sql("CALL graft.system.history('db.m1')")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.head.startsWith("ZORDER") && ops.contains("COMPACT"))
+    // restore rolls back to the compacted snapshot as a NEW audited version
+    spark.sql(s"CALL graft.system.restore('db.m1', $v)")
+    assert(TableVersions.commitState(spark, root).files.size === 1)
+    // clone + move compose with the catalog's table addressing
+    spark.sql("CALL graft.system.clone_table('db.m1', 'db.m1_clone')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.m1_clone").head().getLong(0) === 500L)
+    val moved = spark.sql("CALL graft.system.move_table('db.m1_clone', 'db.m1_moved')")
+      .head().getString(0)
+    assert(moved.endsWith("db/m1_moved"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.m1_moved").head().getLong(0) === 500L)
+    // bloom maintenance indexes the live files; vacuum sweeps history
+    assert(spark.sql("CALL graft.system.maintain_bloom('db.m1', 'k')")
+      .head().getLong(0) === 1L)
+    spark.sql("CALL graft.system.vacuum('db.m1', 1)")
+    intercept[Exception] { TableVersions.read(spark, root, Some(0L)).count() }
+    assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 500L)
+    // unknown procedures fail loudly (Spark wraps the loud roster
+    // message in FAILED_TO_LOAD_ROUTINE; the cause carries it)
+    val ex = intercept[Exception] { spark.sql("CALL graft.system.nope('db.m1')") }
+    assert(ex.getMessage.contains("nope"))
+    assert(Option(ex.getCause).exists(_.getMessage.contains("unknown procedure")))
+  }
+
   test("change feed composes with SQL DML (property set at CREATE)") {
     val w = newWarehouse()
     spark.sql(
