@@ -241,10 +241,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
 /** STATS-ANSWERED AGGREGATES (Delta/Iceberg "optimized metadata
   * query"): `COUNT(*)`, `COUNT(col)`, `MIN(col)`, `MAX(col)` with no
-  * GROUP BY and no WHERE are answered from the COMMIT's per-file
-  * row/null/min-max stats — one metadata read instead of a scan, which
-  * at 1M files is the difference between milliseconds and a cluster
-  * job. EXACTNESS over coverage: refused (→ Spark scans normally)
+  * WHERE — globally or GROUPED BY PARTITION COLUMNS (their values ride
+  * the commit's per-file partition tuples, so a partition-inventory
+  * query is one group per tuple) — are answered from the COMMIT's
+  * per-file row/null/min-max stats: one metadata read instead of a
+  * scan, which at 1M files is the difference between milliseconds and
+  * a cluster job. EXACTNESS over coverage: refused (→ Spark scans normally)
   * whenever the snapshot carries deletion vectors, any file lacks row
   * counts (legacy) or the column's stats entry (its all-null files
   * record none), the type's footer stats aren't exactly representable
@@ -258,22 +260,55 @@ private[sources] object StatsAggregate {
   import org.apache.spark.sql.types._
 
   private val ExactLong = (1L << 53).toDouble
+  private val HiveNullDir = "__HIVE_DEFAULT_PARTITION__"
 
   def answer(st: TableVersions.CommitState, logical: StructType,
-      agg: Aggregation): Option[(StructType, Row)] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[Row])] = {
     if (st.dvs.nonEmpty) return None
     if (st.files.exists(_.rows < 0)) return None
-    val totalRows = st.files.map(_.rows).sum
     def colName(e: VExpr): Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
       case _ => None
     }
     def fieldOf(n: String) = logical.fields.find(_.name == n)
+    // GROUP BY pushes only over PARTITION columns (their values are in
+    // the commit's per-file partition tuples — the partition-inventory
+    // query shape, answered without opening a file). Partition columns
+    // never rename (a format restriction), so logical == physical here.
+    val groupFields: Seq[StructField] = agg.groupByExpressions.toSeq.map { e =>
+      (for {
+        n <- colName(e)
+        fd <- fieldOf(n)
+        if st.partCols.contains(n)
+      } yield fd).getOrElse(return None)
+    }
+    def partLiteral(dt: DataType, raw: String): Option[Any] = {
+      if (raw == HiveNullDir) return None // a null partition value: refuse
+      try dt match {
+        case StringType => Some(raw)
+        case LongType => Some(raw.toLong)
+        case IntegerType => Some(raw.toInt)
+        case ShortType => Some(raw.toShort)
+        case ByteType => Some(raw.toByte)
+        case BooleanType => Some(raw.toBoolean)
+        case DateType => Some(java.sql.Date.valueOf(java.time.LocalDate.parse(raw)))
+        case _ => None
+      } catch { case _: IllegalArgumentException | _: java.time.DateTimeException => None }
+    }
+    val groups: Seq[(Seq[Any], Seq[TableVersions.FileEntry])] =
+      if (groupFields.isEmpty) Seq((Nil, st.files))
+      else st.files.groupBy(fe => groupFields.map(fd => fe.part.get(fd.name)))
+        .toSeq.map { case (rawKey, files) =>
+          val key = rawKey.zip(groupFields).map { case (raw, fd) =>
+            raw.flatMap(partLiteral(fd.dataType, _)).getOrElse(return None)
+          }
+          (key, files)
+        }
     // stats are keyed by PHYSICAL name (stable across column renames)
-    def statsFor(n: String): Option[Seq[(TableVersions.ColStats, Long)]] = {
+    def statsFor(files: Seq[TableVersions.FileEntry],
+        n: String): Option[Seq[(TableVersions.ColStats, Long)]] = {
       val phys = TableVersions.physicalNameFor(st, n)
-      val withRows = st.files.filter(_.rows > 0)
+      val withRows = files.filter(_.rows > 0)
       val entries = withRows.map(fe => fe.stats.get(phys).map(s => (s, fe.rows)))
       if (entries.exists(_.isEmpty)) None else Some(entries.flatten)
     }
@@ -299,12 +334,13 @@ private[sources] object StatsAggregate {
           java.time.ZoneOffset.UTC))
       case _ => None
     }
-    def extremum(f: AggregateFunc, col: VExpr, pick: Seq[Double] => Double,
+    def extremum(files: Seq[TableVersions.FileEntry], f: AggregateFunc, col: VExpr,
+        pick: Seq[Double] => Double,
         side: TableVersions.ColStats => Option[Double]): Option[(StructField, Any)] =
       for {
         n <- colName(col)
         fd <- fieldOf(n)
-        es <- statsFor(n)
+        es <- statsFor(files, n)
         v <- if (es.isEmpty) Some(null: Any) // zero live rows: SQL NULL
         else {
           val bounds = es.map { case (s, _) => side(s) }
@@ -312,23 +348,31 @@ private[sources] object StatsAggregate {
           else toLiteral(fd.dataType, pick(bounds.flatten))
         }
       } yield (StructField(f.toString, fd.dataType, nullable = true), v)
-    val answered: Array[Option[(StructField, Any)]] = agg.aggregateExpressions.map {
-      case f: CountStar =>
-        Some((StructField(f.toString, LongType, nullable = false), totalRows: Any))
-      case c: Count if !c.isDistinct =>
-        for {
-          n <- colName(c.column); _ <- fieldOf(n)
-          es <- statsFor(n)
-        } yield (StructField(c.toString, LongType, nullable = false),
-          (totalRows - es.map(_._1.nulls).sum): Any)
-      case m: Min => extremum(m, m.column, _.min, _.minNum)
-      case m: Max => extremum(m, m.column, _.max, _.maxNum)
-      case _ => None
+    def answerGroup(files: Seq[TableVersions.FileEntry]): Option[Seq[(StructField, Any)]] = {
+      val totalRows = files.map(_.rows).sum
+      val answered: Array[Option[(StructField, Any)]] = agg.aggregateExpressions.map {
+        case f: CountStar =>
+          Some((StructField(f.toString, LongType, nullable = false), totalRows: Any))
+        case c: Count if !c.isDistinct =>
+          for {
+            n <- colName(c.column); _ <- fieldOf(n)
+            es <- statsFor(files, n)
+          } yield (StructField(c.toString, LongType, nullable = false),
+            (totalRows - es.map(_._1.nulls).sum): Any)
+        case m: Min => extremum(files, m, m.column, _.min, _.minNum)
+        case m: Max => extremum(files, m, m.column, _.max, _.maxNum)
+        case _ => None
+      }
+      if (answered.exists(_.isEmpty)) None else Some(answered.flatten.toIndexedSeq)
     }
-    if (answered.exists(_.isEmpty)) return None
-    val fields = answered.flatten.map(_._1)
-    val values = answered.flatten.map(_._2)
-    Some((StructType(fields.toIndexedSeq), Row.fromSeq(values.toIndexedSeq)))
+    val perGroup = groups.map { case (key, files) =>
+      answerGroup(files).map(a => (key, a)).getOrElse(return None)
+    }
+    val aggFields = perGroup.headOption.map(_._2.map(_._1))
+      .getOrElse(answerGroup(Seq.empty).getOrElse(return None).map(_._1))
+    val schema = StructType((groupFields ++ aggFields).toIndexedSeq)
+    val rows = perGroup.map { case (key, a) => Row.fromSeq(key ++ a.map(_._2)) }
+    Some((schema, rows))
   }
 }
 
@@ -401,7 +445,7 @@ private[sources] class GraftTable(root: String, version: Option[Long])
         with SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
       private var required: Option[StructType] = None
-      private var aggAnswer: Option[(StructType, Row)] = None
+      private var aggAnswer: Option[(StructType, Seq[Row])] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // record the translatable subset for IO pruning but keep EVERY
@@ -440,9 +484,8 @@ private[sources] class GraftTable(root: String, version: Option[Long])
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = out
             override def buildScan(): RDD[Row] = answered match {
-              case Some((sch, row)) => // metadata-only: no file is opened
-                ctx.sparkSession.createDataFrame(
-                  java.util.Arrays.asList(row), sch).rdd
+              case Some((sch, rows)) => // metadata-only: no file is opened
+                ctx.sparkSession.createDataFrame(rows.asJava, sch).rdd
               case None =>
                 var df = TableVersions.read(ctx.sparkSession, root, version)
                 filters.flatMap(GraftCatalog.translate).foreach(c => df = df.filter(c))

@@ -184,6 +184,27 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.db.t9 VALUES (42, 'z')")
     val r9 = spark.sql("SELECT count(*), count(k), min(k) FROM graft.db.t9").head()
     assert(r9.getLong(0) === 6L && r9.getLong(1) === 1L && r9.getLong(2) === 42L)
+    // GROUP BY partition columns answers per partition tuple from the
+    // commit — proven metadata-only by corrupting the data files
+    spark.sql("CREATE TABLE graft.db.t10 (k BIGINT, p STRING, d INT) PARTITIONED BY (p, d)")
+    spark.sql("INSERT INTO graft.db.t10 SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' " +
+      "END, CAST(id % 3 AS INT) FROM range(0, 60)")
+    TableVersions.commitState(spark, s"$w/db/t10").files.foreach { fe =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(new java.net.URI("file://" + fe.path).getPath),
+        Array.fill[Byte](16)(0))
+    }
+    val g = spark.sql("SELECT p, d, count(*) AS n, min(k) AS mn, max(k) AS mx " +
+      "FROM graft.db.t10 GROUP BY p, d ORDER BY p, d").collect()
+    assert(g.length === 6)
+    assert(g.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq(("a", 0, 10L), ("a", 1, 10L), ("a", 2, 10L),
+        ("b", 0, 10L), ("b", 1, 10L), ("b", 2, 10L)))
+    assert(g.head.getLong(3) === 0L && g.head.getLong(4) === 54L) // p=a,d=0: 0,6,..54
+    // grouping by a NON-partition column needs the data: fails loudly
+    intercept[Throwable] {
+      spark.sql("SELECT k, count(*) FROM graft.db.t10 GROUP BY k").collect()
+    }
   }
 
   test("CALL graft.system.*: maintenance procedures through SQL") {
