@@ -207,6 +207,23 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.c1 AS SELECT id AS k, concat('v', id) AS v " +
+      "FROM range(0, 50)")
+    assert(spark.sql("SELECT count(*), min(k) FROM graft.db.c1").head().getLong(0) === 50L)
+    assert(TableVersions.commitState(spark, s"$w/db/c1").schema.get.fieldNames.toSeq ===
+      Seq("k", "v"))
+    // partitioned CTAS
+    spark.sql("CREATE TABLE graft.db.c2 PARTITIONED BY (p) AS " +
+      "SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS p FROM range(0, 20)")
+    assert(TableVersions.commitState(spark, s"$w/db/c2").partCols === Seq("p"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.c2 WHERE p = 'x'").head().getLong(0) === 10L)
+    // RTAS: new schema replaces the old table
+    spark.sql("REPLACE TABLE graft.db.c1 AS SELECT id * 2 AS twice FROM range(0, 5)")
+    assert(spark.sql("SELECT max(twice) FROM graft.db.c1").head().getLong(0) === 8L)
+  }
+
   test("CALL graft.system.*: maintenance procedures through SQL") {
     val w = newWarehouse()
     spark.sql("CREATE TABLE graft.db.m1 (k BIGINT, v STRING)")
