@@ -2702,6 +2702,27 @@ object TableVersions {
   // from the TOUCHED files only.
   // ------------------------------------------------------------------
 
+  /** Versions in (`fromExclusive`, `to`] whose step REMOVED any file
+    * identity — i.e. was not a pure append (delete, upsert, merge,
+    * compaction, restore, replace). Metadata-only: one cached
+    * commit-state read per version. The `graft-table` STREAMING source
+    * uses this to enforce append-only semantics (Delta's fail-on-
+    * changes / `skipChangeCommits` stance) without a per-trigger scan.
+    */
+  private[graft] def changeCommitVersions(spark: SparkSession, root: String,
+      fromExclusive: Long, to: Long): Seq[Long] = {
+    val good = claimedVersions(spark, root).sorted
+      .filter(v => readCommitState(spark, root, v).isDefined)
+    def ids(v: Long): Set[(String, Option[String])] = {
+      val st = commitState(spark, root, Some(v))
+      st.files.map(fe => (fe.path, st.dvs.get(fe.path).map(_._1))).toSet
+    }
+    good.filter(v => v > fromExclusive && v <= to).filter { v =>
+      val prev = good.filter(_ < v).maxOption
+      prev.exists(p => (ids(p) -- ids(v)).nonEmpty)
+    }
+  }
+
   /** Row-level changes per committed version step in
     * (`fromExclusive`, `to`] — the incremental-consumption API
     * (Delta's CDF shape): columns = table schema +

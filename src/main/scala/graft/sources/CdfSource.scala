@@ -76,10 +76,23 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val spark = sqlContext.sparkSession
     val path = parameters("path")
     val declared = schema.getOrElse(cdfSchema(spark, path))
-    // Resolve the starting point ONCE per stream and pin it in the
-    // source's metadata dir (the Kafka-source initial-offset pattern):
-    // "latest" re-resolved on every restart would silently skip any
-    // commit that landed while the stream was down.
+    val starting = CdfSourceProvider.resolveStart(spark, metadataPath, parameters, path)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
+    new CdfSource(spark, path, declared, starting, maxVersions, metadataPath)
+  }
+}
+
+private[sources] object CdfSourceProvider {
+
+  /** Resolve the stream's starting point ONCE and pin it in the
+    * source's metadata dir (the Kafka-source initial-offset pattern):
+    * "latest" re-resolved on every restart would silently skip any
+    * commit that landed while the stream was down. Shared by the
+    * `graft-cdf` source and the `graft-table` streaming source.
+    */
+  def resolveStart(spark: org.apache.spark.sql.SparkSession, metadataPath: String,
+      parameters: Map[String, String], path: String): Long = {
     val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft_cdf_start")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(): Long = {
@@ -111,9 +124,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
         if (fs.rename(tmp, marker)) resolved
         else { fs.delete(tmp, false); readMarker() } // raced another starter: theirs wins
       }
-    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
-    maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
-    new CdfSource(spark, path, declared, starting, maxVersions, metadataPath)
+    starting
   }
 }
 
@@ -174,15 +185,61 @@ private[sources] class CdfSource(spark: org.apache.spark.sql.SparkSession,
     val from = start.map(versionOf).getOrElse(startExclusive)
     val to = versionOf(end)
     if (to > floor) { persistFloor(to); floor = to }
-    // project to the declared stream schema: columns added by later
-    // additive evolution stay invisible until the stream restarts
-    val batch = TableVersions.readChanges(spark, path, from, to)
-      .select(declared.fieldNames.map(col).toIndexedSeq: _*)
     // a v1 Source must hand back a STREAMING frame: re-wrap the batch
     // plan's row RDD (lazy — nothing materializes here) under
     // isStreaming=true, the Delta-source pattern
-    org.apache.spark.sql.graftshim.StreamingFrameShim.asStreaming(spark, batch, declared)
+    org.apache.spark.sql.graftshim.StreamingFrameShim.asStreaming(
+      spark, batchFrame(from, to), schema)
   }
 
+  /** The batch rows for (`from`, `to`] in this source's [[schema]].
+    * Subclass hook: the `graft-table` streaming source narrows the
+    * change feed to append-only table rows here.
+    */
+  protected def batchFrame(from: Long, to: Long): DataFrame =
+    // project to the declared stream schema: columns added by later
+    // additive evolution stay invisible until the stream restarts
+    TableVersions.readChanges(spark, path, from, to)
+      .select(declared.fieldNames.map(col).toIndexedSeq: _*)
+
   override def stop(): Unit = ()
+}
+
+/** `readStream.format("graft-table")` — stream a versioned TABLE's
+  * appends (the Delta "streaming from a table" surface): commit
+  * versions as offsets, rows in the TABLE schema, append-only by
+  * contract. A commit that removed any file identity (delete, upsert,
+  * merge, compaction, restore, replace) THROWS by default — silently
+  * emitting its inserts would desync every downstream consumer — or is
+  * skipped WHOLE with `skipChangeCommits=true` (Delta's option of the
+  * same name). Detection is metadata-only ([[TableVersions
+  * .changeCommitVersions]] — cached commit reads, no scan per
+  * trigger). Options `startingVersion` and `maxVersionsPerTrigger`
+  * work as in `graft-cdf`; for update/delete consumption, use
+  * `graft-cdf` itself.
+  */
+private[sources] class GraftTableStreamSource(spark: org.apache.spark.sql.SparkSession,
+    path: String, cdfDeclared: StructType, tableSchema: StructType,
+    startExclusive: Long, maxVersionsPerTrigger: Option[Long], metadataPath: String,
+    skipChangeCommits: Boolean)
+  extends CdfSource(spark, path, cdfDeclared, startExclusive, maxVersionsPerTrigger,
+    metadataPath) {
+
+  override def schema: StructType = tableSchema
+
+  override protected def batchFrame(from: Long, to: Long): DataFrame = {
+    val changed = TableVersions.changeCommitVersions(spark, path, from, to)
+    if (changed.nonEmpty && !skipChangeCommits)
+      throw new UnsupportedOperationException(
+        s"graft-table streaming source: commits ${changed.mkString("v", ", v", "")} at $path " +
+          "are not pure appends (delete/upsert/merge/compact/restore/replace). Streaming " +
+          "from a table is append-only — set skipChangeCommits=true to skip those commits " +
+          "entirely, or stream the change feed (format 'graft-cdf') to consume updates " +
+          "and deletes as rows")
+    val cdf = TableVersions.readChanges(spark, path, from, to)
+    val kept =
+      if (changed.isEmpty) cdf
+      else cdf.filter(!col("_commit_version").isInCollection(changed))
+    kept.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 }

@@ -34,9 +34,54 @@ import graft.operators.TableVersions
   * file is opened).
   */
 class GraftTableSource extends RelationProvider with CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** The table's logical schema with field metadata scrubbed (the
+    * physical-name mapping is an implementation detail a stream's
+    * declared schema must not leak).
+    */
+  private def tableSchema(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val base = TableVersions.commitState(spark, path).schema.getOrElse(
+      TableVersions.read(spark, path).schema)
+    org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      f.copy(nullable = true, metadata = org.apache.spark.sql.types.Metadata.empty)))
+  }
+
+  /** `spark.readStream.format("graft-table").load(root)` — stream the
+    * TABLE's appends (Delta's "streaming from a table"): rows in the
+    * table schema, commit versions as offsets, append-only by contract
+    * (non-append commits throw, or are skipped whole with
+    * `skipChangeCommits=true`); see [[GraftTableStreamSource]].
+    */
+  override def sourceSchema(ctx: SQLContext, schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table streaming requires a path"))
+    (shortName(), schema.getOrElse(tableSchema(ctx.sparkSession, path)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = ctx.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table streaming requires a path"))
+    val tbl = schema.getOrElse(tableSchema(spark, path))
+    val cdfDeclared = tbl
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+    val starting = CdfSourceProvider.resolveStart(spark, metadataPath, parameters, path)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
+    new GraftTableStreamSource(spark, path, cdfDeclared, tbl, starting, maxVersions,
+      metadataPath, parameters.get("skipChangeCommits").exists(_.toBoolean))
+  }
 
   /** `df.writeStream.format("graft-table").option("path", root)` — the
     * table as a first-class STREAMING SINK with exactly-once appends:

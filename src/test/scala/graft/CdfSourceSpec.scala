@@ -70,6 +70,56 @@ class CdfSourceSpec extends SparkSpec {
       snapshot.exceptAll(reconstructed).isEmpty)
   }
 
+  test("graft-table stream: append tailing, change commits throw, skipChangeCommits skips whole") {
+    val root = newDir("tblsrc") + "/tbl"
+    val logDir = newDir("tblsrclog")
+    val ckpt = newDir("tblsrcckpt")
+    TableVersions.append(spark, root,
+      (1L to 300L).toDF("k").withColumn("v", col("k") * 2).coalesce(1))
+    TableVersions.append(spark, root,
+      (301L to 400L).toDF("k").withColumn("v", col("k") * 2).coalesce(1))
+
+    def runStream(skip: Boolean = false): Unit = {
+      val reader = spark.readStream.format("graft-table").option("path", root)
+      val q = (if (skip) reader.option("skipChangeCommits", "true") else reader).load()
+        .writeStream.format("parquet")
+        .option("path", logDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    val log1 = spark.read.parquet(logDir)
+    // rows arrive in the TABLE schema — no _change_type/_commit_version
+    assert(log1.columns.sorted.toSeq === Seq("k", "v"))
+    assert(log1.count() === 400)
+
+    // a checkpointed restart consumes only the new append
+    TableVersions.append(spark, root,
+      (401L to 450L).toDF("k").withColumn("v", col("k") * 2).coalesce(1))
+    runStream()
+    assert(spark.read.parquet(logDir).count() === 450)
+
+    // a DV delete is NOT an append: the stream fails loudly naming the option
+    val Some(_) = TableVersions.deleteWhere(spark, root, col("k").isin(5L, 7L),
+      maxDvFraction = 0.1): @unchecked
+    TableVersions.append(spark, root, Seq((500L, 1000L)).toDF("k", "v"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runStream() }
+    assert(ex.getMessage.contains("skipChangeCommits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+    assert(spark.read.parquet(logDir).count() === 450, "the failed batch must commit nothing")
+
+    // skipChangeCommits=true: the delete commit is skipped WHOLE, the
+    // append after it flows
+    runStream(skip = true)
+    val log3 = spark.read.parquet(logDir)
+    assert(log3.count() === 451)
+    assert(log3.filter(col("k") === 500L).count() === 1)
+    // the tombstoned keys were NOT re-emitted or retracted: the stream
+    // saw only appends, exactly the Delta skipChangeCommits contract
+    assert(log3.filter(col("k").isin(5L, 7L)).count() === 2, "original appends stay consumed")
+  }
+
   test("cdf stream: startingVersion=latest tails only new commits") {
     val root = newDir("cdfsrc2") + "/tbl"
     val logDir = newDir("cdflog2")
