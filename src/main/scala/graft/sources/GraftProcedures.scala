@@ -133,6 +133,19 @@ private[sources] object GraftProcedures {
           TableVersions.moveTable(spark, root(in), to)
           Seq(InternalRow(UTF8String.fromString(to)))
         }
+      case "add_constraint" => // Spark SQL has no CHECK DDL; Delta adds it via extensions
+        proc("add_constraint", Seq(TBL,
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("expr", StringType).build()),
+          versionOut) { in =>
+          versionRow(Some(TableVersions.addConstraint(spark, root(in), str(in, 1), str(in, 2))))
+        }
+      case "drop_constraint" =>
+        proc("drop_constraint", Seq(TBL,
+          ProcedureParameter.in("name", StringType).build()),
+          versionOut) { in =>
+          versionRow(Some(TableVersions.dropConstraint(spark, root(in), str(in, 1))))
+        }
       case "maintain_bloom" =>
         proc("maintain_bloom", Seq(TBL,
           ProcedureParameter.in("column", StringType).build()),
@@ -140,11 +153,10 @@ private[sources] object GraftProcedures {
           Seq(InternalRow(TableVersions.maintainBloomIndex(spark, root(in), str(in, 1))))
         }
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure graft.system.$other — available: optimize, zorder, vacuum, " +
-          "restore, history, clone_table, move_table, maintain_bloom")
+        s"unknown procedure graft.system.$other — available: ${names.mkString(", ")}")
     }
   }
 
   val names: Seq[String] = Seq("optimize", "zorder", "vacuum", "restore", "history",
-    "clone_table", "move_table", "maintain_bloom")
+    "clone_table", "move_table", "maintain_bloom", "add_constraint", "drop_constraint")
 }

@@ -261,6 +261,16 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graft.system.vacuum('db.m1', 1)")
     intercept[Exception] { TableVersions.read(spark, root, Some(0L)).count() }
     assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 500L)
+    // CHECK constraints as procedures (Spark SQL has no CHECK DDL):
+    // committed, enforced on the next INSERT, droppable
+    spark.sql("CALL graft.system.add_constraint('db.m1', 'k_small', 'k < 1000')")
+    val exc = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.m1 VALUES (5000, 'big')")
+    }
+    assert(exc.getMessage.contains("k_small"))
+    spark.sql("CALL graft.system.drop_constraint('db.m1', 'k_small')")
+    spark.sql("INSERT INTO graft.db.m1 VALUES (5000, 'big')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 501L)
     // unknown procedures fail loudly (Spark wraps the loud roster
     // message in FAILED_TO_LOAD_ROUTINE; the cause carries it)
     val ex = intercept[Exception] { spark.sql("CALL graft.system.nope('db.m1')") }
