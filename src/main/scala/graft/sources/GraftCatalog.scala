@@ -483,6 +483,12 @@ private[sources] class GraftTable(root: String, version: Option[Long])
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = out
+            // exact size from the commit: a small dimension table read
+            // through the catalog must broadcast in joins instead of
+            // inheriting defaultSizeInBytes (= never broadcast)
+            override def sizeInBytes: Long =
+              if (answered.isDefined) 64L // one metadata-built row
+              else snapshot.files.map(_.bytes).sum
             override def buildScan(): RDD[Row] = answered match {
               case Some((sch, rows)) => // metadata-only: no file is opened
                 ctx.sparkSession.createDataFrame(rows.asJava, sch).rdd

@@ -207,6 +207,18 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog reads report exact size from the commit: small tables broadcast in joins") {
+    newWarehouse()
+    spark.sql("CREATE TABLE graft.db.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db.dim SELECT id, concat('n', id) FROM range(0, 100)")
+    val big = spark.range(0, 100000).toDF("k")
+    val joined = big.join(spark.table("graft.db.dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 100-row catalog table must broadcast, got:\n${plan.take(1500)}")
+    assert(joined.count() === 100)
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT") {
     val w = newWarehouse()
     spark.sql("CREATE TABLE graft.db.c1 AS SELECT id AS k, concat('v', id) AS v " +
