@@ -48,6 +48,14 @@ private[sources] object GraftProcedures {
 
   private def str(row: InternalRow, i: Int): String = row.getUTF8String(i).toString
 
+  /** 'k=v,k2=v2' → partition scope for optimize/zorder ('' = whole table). */
+  private def partitionSpec(s: String): Map[String, String] =
+    if (s.trim.isEmpty) Map.empty
+    else s.split(',').map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k.trim -> v.trim
+    }.toMap
+
   /** One bound procedure: fixed parameters, rows computed by `run`. */
   private def proc(procName: String, params: Seq[ProcedureParameter],
       outSchema: StructType)(run: InternalRow => Seq[InternalRow]): UnboundProcedure =
@@ -80,17 +88,20 @@ private[sources] object GraftProcedures {
     ident.name match {
       case "optimize" =>
         proc("optimize", Seq(TBL,
-          ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build()),
+          ProcedureParameter.in("target_mb", IntegerType).defaultValue("128").build(),
+          ProcedureParameter.in("partition", StringType).defaultValue("''").build()),
           versionOut) { in =>
-          versionRow(TableVersions.compact(spark, root(in), in.getInt(1).toLong << 20))
+          versionRow(TableVersions.compact(spark, root(in), in.getInt(1).toLong << 20,
+            partitionSpec(str(in, 2))))
         }
       case "zorder" =>
         proc("zorder", Seq(TBL,
           ProcedureParameter.in("columns", StringType).build(),
-          ProcedureParameter.in("num_files", IntegerType).build()),
+          ProcedureParameter.in("num_files", IntegerType).build(),
+          ProcedureParameter.in("partition", StringType).defaultValue("''").build()),
           versionOut) { in =>
           versionRow(TableVersions.optimizeZOrder(spark, root(in),
-            str(in, 1).split(',').toSeq.map(_.trim), in.getInt(2)))
+            str(in, 1).split(',').toSeq.map(_.trim), in.getInt(2), partitionSpec(str(in, 3))))
         }
       case "vacuum" =>
         proc("vacuum", Seq(TBL,

@@ -273,6 +273,18 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graft.system.vacuum('db.m1', 1)")
     intercept[Exception] { TableVersions.read(spark, root, Some(0L)).count() }
     assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 500L)
+    // partition-scoped optimize compacts ONLY the named partition
+    spark.sql("CREATE TABLE graft.db.m2 (k BIGINT, p STRING) PARTITIONED BY (p)")
+    (1 to 3).foreach { _ =>
+      spark.sql("INSERT INTO graft.db.m2 SELECT /*+ COALESCE(1) */ id, 'x' FROM range(0, 10)")
+      spark.sql("INSERT INTO graft.db.m2 SELECT /*+ COALESCE(1) */ id, 'y' FROM range(0, 10)")
+    }
+    def filesPer(part: String): Int = TableVersions.commitState(spark, s"$w/db/m2")
+      .files.count(_.part.get("p").contains(part))
+    assert(filesPer("x") === 3 && filesPer("y") === 3)
+    spark.sql("CALL graft.system.optimize('db.m2', 128, 'p=x')")
+    assert(filesPer("x") === 1 && filesPer("y") === 3,
+      "partition scope must compact only p=x")
     // CHECK constraints as procedures (Spark SQL has no CHECK DDL):
     // committed, enforced on the next INSERT, droppable
     spark.sql("CALL graft.system.add_constraint('db.m1', 'k_small', 'k < 1000')")
