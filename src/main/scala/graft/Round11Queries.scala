@@ -446,6 +446,76 @@ object Round11Queries {
       |FROM fin
       |ORDER BY stage, status""".stripMargin
 
+  /** SQL ROW-LEVEL DML END-TO-END (q139): UPDATE, an
+    * arbitrary-predicate DELETE, and MERGE INTO — all through
+    * `spark.sql` on a catalog table via the delta-based row-level
+    * protocol (`SupportsDelta`): per-task spills, tombstones as
+    * deletion vectors under the fraction guard, one atomic commit per
+    * statement. The modulo predicates have no `sources.Filter` form,
+    * so every statement exercises the row-level path (not the
+    * metadata delete), and their selectivities are uniform in the
+    * dense keyspace, so the MoR-vs-rewrite routing is
+    * scale-independent. The oracle composes the three state
+    * transitions in SQL — update, then delete, then merge (whose
+    * matched set must reflect the delete).
+    */
+  def q139SqlDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (!spark.conf.getOption("spark.sql.catalog.graft.warehouse").exists(_.nonEmpty))
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val tbl = s"graft.db.d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      t(spark, dir, "orders").createOrReplaceTempView("orders_src_q139")
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_orderdate DATE, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, o_orderdate, " +
+        "o_totalprice FROM orders_src_q139")
+      spark.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 100 WHERE o_orderkey % 7 = 0")
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 11 = 3")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT o_orderkey AS k, CAST(NULL AS DATE) AS d, CAST(NULL AS DOUBLE) AS p
+           |  FROM orders_src_q139 WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 3
+           |  UNION ALL
+           |  SELECT o_orderkey + 40000000, o_orderdate, o_totalprice
+           |  FROM orders_src_q139 WHERE o_orderkey % 201 = 0) s
+           |ON t.o_orderkey = s.k
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice * 2
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_orderdate,
+           |  o_totalprice) VALUES (s.k, 'M', s.d, s.p - 3.25)""".stripMargin)
+      val res = spark.sql(
+        s"""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+           |FROM $tbl GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+      graft.CacheScope.trackCheckpoint(res.localCheckpoint(true)).orderBy("status")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      ()
+    }
+  }
+
+  val q139Sql: String =
+    """WITH s1 AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+      |         ELSE o_totalprice END AS p
+      |  FROM orders),
+      |s2 AS (SELECT * FROM s1 WHERE k % 11 <> 3),
+      |s3 AS (
+      |  SELECT k, st, CASE WHEN k % 13 = 0 THEN p * 2 ELSE p END AS p FROM s2
+      |  UNION ALL
+      |  SELECT o_orderkey + 40000000, 'M', o_totalprice - 3.25
+      |  FROM orders WHERE o_orderkey % 201 = 0)
+      |SELECT st AS status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_key,
+      |  round(CAST(sum(CAST(p AS DECIMAL(38,2))) AS DOUBLE), 4) AS total_price
+      |FROM s3 GROUP BY 1 ORDER BY status""".stripMargin
+
   val q136Sql: String =
     """WITH m1 AS (
       |  SELECT o_orderkey AS k, o_orderdate AS d, o_orderstatus AS st,

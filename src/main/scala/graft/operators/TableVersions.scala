@@ -2380,6 +2380,126 @@ object TableVersions {
     checkpoints.filter(_ < keepFrom).foreach { v => f.delete(checkpointPath(root, v), false); () }
   }
 
+  // ------------------------------------------------------------------
+  // SQL ROW-LEVEL OPERATIONS backend (SupportsDelta): the catalog's
+  // UPDATE / MERGE INTO / arbitrary-predicate DELETE land here.
+  // ------------------------------------------------------------------
+
+  /** Row-identity METADATA column names the catalog scan can serve —
+    * the `SupportsDelta` rowId (Iceberg's `_file`/`_pos` shape).
+    */
+  val RowIdFileCol = "__graft_file"
+  val RowIdPosCol = "__graft_pos"
+
+  /** Snapshot rows under LOGICAL names plus the row-identity columns
+    * (file path + row index, existing deletion vectors applied) — the
+    * scan behind SQL row-level operations and metadata-column reads.
+    */
+  private[graft] def readStateWithRowId(spark: SparkSession, root: String,
+      st: CommitState): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (st.files.isEmpty)
+      return emptyLike(spark, st)
+        .withColumn(RowIdFileCol, lit(null).cast("string"))
+        .withColumn(RowIdPosCol, lit(null).cast("long"))
+    candidateRowsWithPos(spark, root, st, st.files.map(_.path))
+      .withColumnRenamed("__gv_file", RowIdFileCol)
+      .withColumnRenamed("__gv_pos", RowIdPosCol)
+  }
+
+  /** Commit one SQL row-level statement: tombstone `victims` (rows of
+    * `file`, `pos` — identities captured by [[readStateWithRowId]]
+    * under snapshot `st`) and append `inserts` (logical rows), as ONE
+    * atomic version. Merge-on-read when the tombstones stay within
+    * `maxDvFraction` of the touched files' rows (a CDC-sized UPDATE
+    * writes O(changed rows)); otherwise the touched files rewrite.
+    * CHECK constraints validate the inserted images. Concurrency: the
+    * DV/rewrite conflict rules apply against `st`'s file identities —
+    * a true conflict throws, naming the retry, instead of silently
+    * dropping a concurrent writer's tombstones.
+    *
+    * Change-feed note: statements committed here serve [[readChanges]]
+    * through the identity diff (exact delete/insert rows); explicit
+    * update-image sidecars remain the `upsert`/`merge` APIs' feature —
+    * Spark's delta protocol splits updates into delete+insert before
+    * the connector ever sees them.
+    */
+  private[graft] def applySqlDelta(spark: SparkSession, root: String, st: CommitState,
+      victims: DataFrame, inserts: DataFrame, op: String,
+      maxDvFraction: Double = 0.2): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    // a pure DELETE arrives with an EMPTY insert schema (no data
+    // columns in the write) — nothing to validate or stage
+    val noInserts = inserts.schema.isEmpty
+    if (!noInserts) validateChecks(inserts, st.checks, op)
+    def conflict(): Nothing = throw new IllegalStateException(
+      s"$op at $root lost to a concurrent writer that touched the same files — " +
+        "re-run the statement against the new snapshot")
+    def stageInserts(): (Option[Path], Seq[FileEntry]) =
+      if (noInserts) (None, Seq.empty)
+      else {
+        val (d, a) = stageFiles(spark, root, inserts, st.partCols, "sqlwrite",
+          mapSchema = st.schema)
+        (Some(d), a)
+      }
+    val victimRel = victims
+      .select(relCanonCol(root, col("file")).as("file"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched files from the tombstones' identities: O(touched) rows
+      val touched = victimRel.select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val candSet = st.files.map(_.path).filter(p => touched(relNorm(root, p))).toSet
+      val candidates = candSet.toSeq
+      val candEntries = st.files.filter(fe => candSet(fe.path))
+      if (candidates.isEmpty) { // pure INSERT (merge with no matches)
+        val (outDir, added) = stageInserts()
+        if (added.isEmpty) { outDir.foreach(f.delete(_, true)); return currentVersion(spark, root).get }
+        return commitDvUpdate(spark, root, Map.empty, Map.empty, outDir.toSeq, added, op)
+          .getOrElse(conflict())
+      }
+      val totalRows = candEntries.map(_.rows).sum
+      if (maxDvFraction > 0.0 && candEntries.forall(_.rows >= 0)) {
+        stageDvSidecar(spark, root, st, candidates, victimRel) match {
+          case None => // no tombstones materialized: insert-only after all
+            val (outDir, added) = stageInserts()
+            if (added.isEmpty) { outDir.foreach(f.delete(_, true)); return currentVersion(spark, root).get }
+            return commitDvUpdate(spark, root, Map.empty, Map.empty, outDir.toSeq, added, op)
+              .getOrElse(conflict())
+          case Some((dvDir, sidecar, perFile, newMatches))
+              if totalRows > 0 && newMatches.toDouble / totalRows <= maxDvFraction =>
+            val (outDir, added) = stageInserts()
+            val updates = candEntries.flatMap { fe =>
+              perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
+            }.toMap
+            val snapshot = updates.keySet.map(p => p -> st.dvs.get(p)).toMap
+            return commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir) ++ outDir.toSeq,
+              added, op).getOrElse(conflict())
+          case Some((dvDir, _, _, _)) => // fraction exceeded: rewrite amortizes better
+            f.delete(dvDir, true)
+        }
+      }
+      // REWRITE path: the touched files' surviving rows re-materialize
+      // together with the inserts; untouched files carry by reference
+      val vAlias = victimRel.select(col("file").as("__gs_file"), col("pos").as("__gs_pos"))
+      val survivors = candidateRowsWithPos(spark, root, st, candidates)
+        .join(vAlias,
+          relCanonCol(root, col("__gv_file")) === col("__gs_file") &&
+            col("__gv_pos") === col("__gs_pos"),
+          "left_anti")
+        .drop("__gv_file", "__gv_pos")
+      val restaged = if (noInserts) survivors else survivors.unionByName(inserts)
+      val (outDir, added) = stageFiles(spark, root, restaged,
+        st.partCols, "sqlwrite", mapSchema = st.schema)
+      commitRewrite(spark, root, candSet, added, outDir, dvSnapshotOf(st, candSet), op)
+        .getOrElse(conflict())
+    } finally {
+      victimRel.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** MOVE/RENAME the table directory as a unit. New-era metadata is
     * root-relative, so the move itself is one filesystem rename; any
     * LEGACY commits/checkpoints/DV sidecars that still self-reference

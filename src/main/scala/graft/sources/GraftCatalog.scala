@@ -411,7 +411,8 @@ private[graft] object GraftCatalog {
   * stats-pruned `deleteWhere`.
   */
 private[sources] class GraftTable(root: String, version: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
   private val snapshot = TableVersions.commitState(spark, root, version)
@@ -437,6 +438,38 @@ private[sources] class GraftTable(root: String, version: Option[Long])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  // ---- row-level SQL: UPDATE / MERGE INTO / arbitrary DELETE ----
+
+  /** Row identity as METADATA columns (Iceberg's `_file`/`_pos`): the
+    * `SupportsDelta` rowId resolves against these, and they are
+    * selectable for debugging (`SELECT __graft_file, * FROM t`).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = TableVersions.RowIdFileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = TableVersions.RowIdPosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row index within its data file"
+    })
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty, s"cannot modify the time-travel snapshot ${name()}")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(root, snapshot, schema(), info.command)
+    }
+  }
 
   // ---- read: V1Scan bridge ----
 
@@ -493,7 +526,12 @@ private[sources] class GraftTable(root: String, version: Option[Long])
               case Some((sch, rows)) => // metadata-only: no file is opened
                 ctx.sparkSession.createDataFrame(rows.asJava, sch).rdd
               case None =>
-                var df = TableVersions.read(ctx.sparkSession, root, version)
+                val needsRowId = out.fieldNames.exists(n =>
+                  n == TableVersions.RowIdFileCol || n == TableVersions.RowIdPosCol)
+                var df =
+                  if (needsRowId)
+                    TableVersions.readStateWithRowId(ctx.sparkSession, root, snapshot)
+                  else TableVersions.read(ctx.sparkSession, root, version)
                 filters.flatMap(GraftCatalog.translate).foreach(c => df = df.filter(c))
                 if (out.isEmpty) df.select().rdd
                 else df.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd

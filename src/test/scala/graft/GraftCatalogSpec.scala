@@ -19,16 +19,9 @@ import graft.operators.TableVersions
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
-  // ONE warehouse for the suite: the session caches the catalog
-  // instance at first use, so the conf must be set exactly once
-  private lazy val warehouse: String = {
-    val w = Files.createTempDirectory("gcw").toString
-    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
-    w
-  }
-  private def newWarehouse(): String = warehouse
+  // ONE warehouse for the whole JVM ([[TestCatalog]]): the session
+  // caches the catalog instance at first use
+  private def newWarehouse(): String = TestCatalog.warehouse(spark)
 
   test("create / insert / select round-trip, partitioned") {
     val w = newWarehouse()

@@ -1,0 +1,123 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableVersions
+
+/** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE on catalog
+  * tables — the delta-based row-level protocol (`SupportsDelta`) over
+  * the versioned format: changed rows spill per task, tombstones land
+  * as deletion vectors under the fraction guard (merge-on-read — a
+  * small UPDATE rewrites NO data file) with the touched-file rewrite
+  * fallback, and every statement is one atomic commit that composes
+  * with time travel, the change feed, and constraints.
+  */
+class SqlRowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def warehouse: String = TestCatalog.warehouse(spark)
+
+  test("UPDATE: small change takes the merge-on-read path, no data file rewrites") {
+    val w = warehouse
+    spark.sql("CREATE TABLE graft.db.u1 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.u1 SELECT id, id * 10 FROM range(0, 1000)")
+    val root = s"$w/db/u1"
+    val files0 = TableVersions.listing(spark, root).map(_._1).toSet
+    spark.sql("UPDATE graft.db.u1 SET v = v + 1 WHERE k % 97 = 0")
+    // semantics
+    assert(spark.sql("SELECT sum(v) FROM graft.db.u1").head().getLong(0) ===
+      (0L until 1000L).map(k => k * 10 + (if (k % 97 == 0) 1 else 0)).sum)
+    assert(spark.sql("SELECT count(*) FROM graft.db.u1 WHERE v % 10 = 1").head().getLong(0)
+      === 11L)
+    // mechanics: tombstones, not rewrites — original files all still live
+    val st = TableVersions.commitState(spark, root)
+    assert(files0.subsetOf(st.files.map(_.path).toSet),
+      "a small UPDATE must not rewrite data files (merge-on-read)")
+    assert(st.dvs.nonEmpty, "the update's deletes land as deletion vectors")
+    // one atomic commit: the pre-update state time-travels
+    val cur = TableVersions.currentVersion(spark, root).get
+    assert(spark.sql(s"SELECT sum(v) FROM graft.db.u1 VERSION AS OF ${cur - 1}")
+      .head().getLong(0) === (0L until 1000L).map(_ * 10).sum)
+  }
+
+  test("DELETE with an untranslatable predicate routes through row-level ops") {
+    warehouse
+    spark.sql("CREATE TABLE graft.db.u2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.u2 SELECT id, concat('v', id) FROM range(0, 500)")
+    spark.sql("DELETE FROM graft.db.u2 WHERE k % 10 = 3") // no sources.Filter form
+    assert(spark.sql("SELECT count(*) FROM graft.db.u2").head().getLong(0) === 450L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.u2 WHERE k % 10 = 3")
+      .head().getLong(0) === 0L)
+  }
+
+  test("MERGE INTO: update + delete + insert in one atomic SQL statement") {
+    val w = warehouse
+    spark.sql("CREATE TABLE graft.db.u3 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.u3 SELECT id, id FROM range(0, 300)")
+    Seq((5L, "U", 500L), (17L, "U", 1700L), (23L, "D", 0L), (900L, "I", 9000L))
+      .toDF("k", "op", "nv").createOrReplaceTempView("u3_src")
+    spark.sql(
+      """MERGE INTO graft.db.u3 t USING u3_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.nv
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graft.db.u3 WHERE k IN (5, 17, 23, 900, 42)")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((5L, 500L), (17L, 1700L), (42L, 42L), (900L, 9000L)))
+    assert(spark.sql("SELECT count(*) FROM graft.db.u3").head().getLong(0) === 300L)
+    // one commit for the whole statement, audited
+    val root = s"$w/db/u3"
+    val ops = TableVersions.history(spark, root).select("operation")
+      .as[String].collect()
+    assert(ops.head.startsWith("SQL MERGE"), ops.mkString(", "))
+    // the feed serves the statement as exact delete/insert rows
+    val cur = TableVersions.currentVersion(spark, root).get
+    val ch = TableVersions.readChanges(spark, root, cur - 1, cur)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(ch === Set(("delete", 5L), ("delete", 17L), ("delete", 23L),
+      ("insert", 5L), ("insert", 17L), ("insert", 900L)))
+  }
+
+  test("a big UPDATE exceeds the DV fraction and rewrites the touched files") {
+    val w = warehouse
+    spark.sql("CREATE TABLE graft.db.u4 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.u4 SELECT /*+ COALESCE(2) */ id, id FROM range(0, 1000)")
+    val root = s"$w/db/u4"
+    val files0 = TableVersions.listing(spark, root).map(_._1).toSet
+    spark.sql("UPDATE graft.db.u4 SET v = 0 WHERE k < 900") // 90% of rows
+    assert(spark.sql("SELECT sum(v) FROM graft.db.u4").head().getLong(0) ===
+      (900L until 1000L).map(identity).sum)
+    val st = TableVersions.commitState(spark, root)
+    assert(st.dvs.isEmpty, "a table-sized update must rewrite, not accumulate DVs")
+    assert(files0.intersect(st.files.map(_.path).toSet).isEmpty,
+      "every touched file re-materialized")
+  }
+
+  test("UPDATE respects CHECK constraints and rolls back whole") {
+    val w = warehouse
+    spark.sql("CREATE TABLE graft.db.u5 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.u5 SELECT id, id FROM range(0, 100)")
+    spark.sql("CALL graft.system.add_constraint('db.u5', 'v_cap', 'v < 1000')")
+    val ex = intercept[Exception] {
+      spark.sql("UPDATE graft.db.u5 SET v = v + 5000 WHERE k < 10")
+    }
+    assert(ex.getMessage.contains("v_cap") ||
+      Option(ex.getCause).exists(_.getMessage.contains("v_cap")))
+    // nothing committed, no tombstones, no staged debris in play
+    val root = s"$w/db/u5"
+    assert(spark.sql("SELECT sum(v) FROM graft.db.u5").head().getLong(0) ===
+      (0L until 100L).sum)
+    assert(TableVersions.commitState(spark, root).dvs.isEmpty)
+  }
+
+  test("row identity is selectable as metadata columns") {
+    warehouse
+    spark.sql("CREATE TABLE graft.db.u6 (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.u6 SELECT id FROM range(0, 10)")
+    val r = spark.sql("SELECT __graft_file, __graft_pos, k FROM graft.db.u6 WHERE k = 3")
+      .head()
+    assert(r.getString(0).contains("/data/"))
+    assert(r.getLong(1) >= 0L)
+  }
+}
