@@ -77,46 +77,59 @@ object FileManifest {
         val c = new org.apache.hadoop.conf.Configuration(false)
         confPairs.foreach { case (k, v) => c.set(k, v) }
         it.flatMap { case (file, nBytes) =>
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(file), c))
-          try {
-            val blocks = reader.getFooter.getBlocks.asScala.toSeq
-            val nRows = blocks.map(_.getRowCount).sum
-            cols.map { cn =>
-              var minN: Option[Double] = None; var maxN: Option[Double] = None
-              var minS: Option[String] = None; var maxS: Option[String] = None
-              var nulls = 0L
-              var statsOk = true
-              for (b <- blocks; cc <- b.getColumns.asScala
-                   if cc.getPath.toDotString == cn) {
-                val st = cc.getStatistics
-                if (st == null || !st.hasNonNullValue) statsOk = false
-                else {
-                  nulls += (if (st.isNumNullsSet) st.getNumNulls else 0L)
-                  (st.genericGetMin, st.genericGetMax) match {
-                    case (mn: Number, mx: Number) =>
-                      minN = Some(minN.fold(mn.doubleValue)(_ min mn.doubleValue))
-                      maxN = Some(maxN.fold(mx.doubleValue)(_ max mx.doubleValue))
-                    case (mn: org.apache.parquet.io.api.Binary,
-                          mx: org.apache.parquet.io.api.Binary) =>
-                      val (a, z) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
-                      minS = Some(minS.fold(a)(p => if (a < p) a else p))
-                      maxS = Some(maxS.fold(z)(p => if (z > p) z else p))
-                    case _ => statsOk = false
-                  }
-                }
-              }
-              if (!statsOk) { minN = None; maxN = None; minS = None; maxS = None }
-              (file, nBytes, nRows, cn,
-                minN.map(Double.box).orNull, maxN.map(Double.box).orNull,
-                minS.orNull, maxS.orNull, nulls)
-            }
-          } finally reader.close()
+          statsOfFile(c, file, nBytes, cols).map { t =>
+            (t._1, t._2, t._3, t._4,
+              t._5.map(Double.box).orNull, t._6.map(Double.box).orNull,
+              t._7.orNull, t._8.orNull, t._9)
+          }
         }
       }
       .toDF("file", "n_bytes", "n_rows", "col",
         "min_num", "max_num", "min_str", "max_str", "null_count")
+  }
+
+  /** Footer stats of ONE file, one tuple per stat column — shared by
+    * the distributed pass above and [[TableVersions]]' driver-side
+    * SMALL-BATCH path (a 1-file streaming append must not pay a whole
+    * Spark job for one footer read).
+    */
+  def statsOfFile(c: org.apache.hadoop.conf.Configuration, file: String, nBytes: Long,
+      cols: Seq[String]): Seq[(String, Long, Long, String, Option[Double], Option[Double],
+        Option[String], Option[String], Long)] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), c))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      cols.map { cn =>
+        var minN: Option[Double] = None; var maxN: Option[Double] = None
+        var minS: Option[String] = None; var maxS: Option[String] = None
+        var nulls = 0L
+        var statsOk = true
+        for (b <- blocks; cc <- b.getColumns.asScala
+             if cc.getPath.toDotString == cn) {
+          val st = cc.getStatistics
+          if (st == null || !st.hasNonNullValue) statsOk = false
+          else {
+            nulls += (if (st.isNumNullsSet) st.getNumNulls else 0L)
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: Number, mx: Number) =>
+                minN = Some(minN.fold(mn.doubleValue)(_ min mn.doubleValue))
+                maxN = Some(maxN.fold(mx.doubleValue)(_ max mx.doubleValue))
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                val (a, z) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                minS = Some(minS.fold(a)(p => if (a < p) a else p))
+                maxS = Some(maxS.fold(z)(p => if (z > p) z else p))
+              case _ => statsOk = false
+            }
+          }
+        }
+        if (!statsOk) { minN = None; maxN = None; minS = None; maxS = None }
+        (file, nBytes, nRows, cn, minN, maxN, minS, maxS, nulls)
+      }
+    } finally reader.close()
   }
 
   /** Files that can contain rows with `lo <= colName <= hi` — i.e. drop

@@ -979,23 +979,38 @@ object TableVersions {
     * footers are ever read for stats — every later prune reads the
     * commit).
     */
+  /** Below this count, footers are read INLINE on the driver — a
+    * streaming micro-batch committing 1-4 files must not pay a whole
+    * Spark job (scheduling + task launch) for a few metadata-sized
+    * footer reads; larger batches keep the distributed pass.
+    */
+  private val driverStatsMax = 8
+
   private def entriesFor(spark: SparkSession, files: Seq[(String, Long)],
       schema: StructType, partOf: String => Map[String, String]): Seq[FileEntry] = {
     val cols = statColsOf(schema)
     if (files.isEmpty) return Seq.empty
     if (cols.isEmpty)
       return files.map { case (p, b) => FileEntry(p, b, -1L, partOf(p), Map.empty) }
-    val rows = FileManifest.collectFiles(spark, files, cols).collect()
-    val byFile = rows.groupBy(_.getString(0))
-    files.map { case (p, b) =>
-      val rs = byFile.getOrElse(p, Array.empty[Row])
-      val nRows = rs.headOption.map(_.getLong(2)).getOrElse(-1L)
-      val stats = rs.flatMap { r =>
-        val cs = ColStats(
+    // (file, bytes, rows, col, minNum, maxNum, minStr, maxStr, nulls)
+    val rows: Seq[(String, Long, Long, String, Option[Double], Option[Double],
+        Option[String], Option[String], Long)] =
+      if (files.size <= driverStatsMax) {
+        val c = spark.sparkContext.hadoopConfiguration
+        files.flatMap { case (p, b) => FileManifest.statsOfFile(c, p, b, cols) }
+      } else FileManifest.collectFiles(spark, files, cols).collect().toSeq.map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
           if (r.isNullAt(4)) None else Some(r.getDouble(4)),
           if (r.isNullAt(5)) None else Some(r.getDouble(5)),
           Option(r.getString(6)), Option(r.getString(7)), r.getLong(8))
-        if (cs.minNum.isEmpty && cs.minStr.isEmpty) None else Some(r.getString(3) -> cs)
+      }
+    val byFile = rows.groupBy(_._1)
+    files.map { case (p, b) =>
+      val rs = byFile.getOrElse(p, Seq.empty)
+      val nRows = rs.headOption.map(_._3).getOrElse(-1L)
+      val stats = rs.flatMap { r =>
+        val cs = ColStats(r._5, r._6, r._7, r._8, r._9)
+        if (cs.minNum.isEmpty && cs.minStr.isEmpty) None else Some(r._4 -> cs)
       }.toMap
       FileEntry(p, b, nRows, partOf(p), stats)
     }
