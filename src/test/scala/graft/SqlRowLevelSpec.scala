@@ -111,6 +111,57 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(TableVersions.commitState(spark, root).dvs.isEmpty)
   }
 
+  test("UPDATE on a partitioned table: in-place and partition-moving updates") {
+    val w = warehouse
+    spark.sql("CREATE TABLE graft.db.u7 (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.db.u7 SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' " +
+      "END FROM range(0, 200)")
+    // partition-moving update: the row's delete lands in its old
+    // partition, the reinsert lands in the new one with exact metadata
+    spark.sql("UPDATE graft.db.u7 SET p = 'c' WHERE k % 50 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.u7 WHERE p = 'c'").head().getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.u7").head().getLong(0) === 200L)
+    val st = TableVersions.commitState(spark, s"$w/db/u7")
+    val moved = st.files.filter(_.part.get("p").contains("c"))
+    assert(moved.nonEmpty && moved.forall(_.part("p") == "c"),
+      "reinserted rows carry exact partition metadata")
+    // partition pruning still exact after the move
+    assert(spark.sql("SELECT sum(k) FROM graft.db.u7 WHERE p = 'c'").head().getLong(0) ===
+      (0L until 200L).filter(_ % 50 == 0).sum)
+  }
+
+  test("UPDATE through an active column mapping (renamed column)") {
+    val w = warehouse
+    spark.sql("CREATE TABLE graft.db.u8 (k BIGINT, amount BIGINT)")
+    spark.sql("INSERT INTO graft.db.u8 SELECT id, id * 100 FROM range(0, 50)")
+    spark.sql("ALTER TABLE graft.db.u8 RENAME COLUMN amount TO total")
+    spark.sql("UPDATE graft.db.u8 SET total = total + 7 WHERE k % 10 = 0")
+    assert(spark.sql("SELECT sum(total) FROM graft.db.u8").head().getLong(0) ===
+      (0L until 50L).map(k => k * 100 + (if (k % 10 == 0) 7 else 0)).sum)
+    // the rename stayed metadata-only: physical files still store the
+    // old name; the update wrote THROUGH the mapping
+    val st = TableVersions.commitState(spark, s"$w/db/u8")
+    assert(TableVersions.read(spark, s"$w/db/u8").columns.toSeq === Seq("k", "total"))
+    assert(st.schema.get.fieldNames.toSeq === Seq("k", "total"))
+  }
+
+  test("UPDATE on a table already carrying deletion vectors keeps old tombstones") {
+    val w = warehouse
+    spark.sql("CREATE TABLE graft.db.u9 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.u9 SELECT id, id FROM range(0, 400)")
+    val root = s"$w/db/u9"
+    // first a DV delete through the API, then a SQL UPDATE touching the
+    // same files: the update's sidecar must CARRY the old tombstones
+    TableVersions.deleteWhere(spark, root, col("k").isin(3L, 7L), maxDvFraction = 0.2)
+    assert(TableVersions.commitState(spark, root).dvs.nonEmpty)
+    spark.sql("UPDATE graft.db.u9 SET v = 0 WHERE k % 100 = 1")
+    val ks = spark.sql("SELECT k FROM graft.db.u9").as[Long].collect().toSet
+    assert(!ks.contains(3L) && !ks.contains(7L), "old tombstones survive the update")
+    assert(spark.sql("SELECT count(*) FROM graft.db.u9 WHERE v = 0 AND k <> 0")
+      .head().getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.u9").head().getLong(0) === 398L)
+  }
+
   test("row identity is selectable as metadata columns") {
     warehouse
     spark.sql("CREATE TABLE graft.db.u6 (k BIGINT)")
