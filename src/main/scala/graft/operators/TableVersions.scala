@@ -364,6 +364,50 @@ object TableVersions {
     val r = java.util.regex.Pattern.quote(canonAbs(root).stripSuffix("/") + "/")
     regexp_replace(regexp_replace(c, "^file:/+", "/"), "^" + r, "")
   }
+
+  /** The table root that OWNS a DV sidecar, derived from the sidecar's
+    * own path (`<ownerRoot>/data/dv-<uuid>/part-*.parquet`). Relative
+    * `file` entries inside a sidecar are relative to the root of the
+    * table that WROTE it — never to whoever happens to be reading: a
+    * shallow [[clone]] references the source's sidecars ABSOLUTELY, so
+    * resolving their relative entries against the clone's root would
+    * make the anti-join keys never match and silently resurrect every
+    * deleted row. Falls back to `readerRoot` for a path outside the
+    * standard layout (can only be a same-table legacy sidecar).
+    */
+  private def dvOwnerRoot(readerRoot: String, sidecarPath: String): String = {
+    val c = canonAbs(sidecarPath)
+    val i = c.lastIndexOf("/data/dv-")
+    if (i >= 0) c.substring(0, i) else canonAbs(readerRoot)
+  }
+
+  /** Column twin of [[resolvePath]] for sidecar `file` entries: strips
+    * a `file:`-style scheme rendering, then resolves RELATIVE entries
+    * against `ownerRoot` — yielding the canonical ABSOLUTE data path,
+    * the clone-safe join key (`_metadata.file_path` is always
+    * absolute). Non-`file:` scheme'd entries (cross-store clones) pass
+    * through untouched, matching [[canonAbs]].
+    */
+  private def absCanonCol(ownerRoot: String, c: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, lit, regexp_replace, when}
+    val noScheme = regexp_replace(c, "^file:/+", "/")
+    when(noScheme.rlike("^([A-Za-z][A-Za-z0-9+.-]*:)?/"), noScheme)
+      .otherwise(concat(lit(canonAbs(ownerRoot).stripSuffix("/") + "/"), noScheme))
+  }
+
+  /** All (file, pos) tombstones of `dvPaths` with `file` resolved to
+    * the canonical ABSOLUTE data path: sidecars group by their OWN
+    * table root ([[dvOwnerRoot]]) so a clone's foreign sidecars and
+    * this table's own resolve each against the right base.
+    */
+  private def dvEntriesAbs(spark: SparkSession, readerRoot: String,
+      dvPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dvPaths.groupBy(dvOwnerRoot(readerRoot, _)).toSeq.map { case (owner, ps) =>
+      spark.read.parquet(ps: _*)
+        .select(absCanonCol(owner, col("file")).as("file"), col("pos"))
+    }.reduce(_ unionByName _)
+  }
   private val None_ = "~"
   private def encNumOpt(o: Option[Double]): String = o.map(java.lang.Double.toString).getOrElse(None_)
   private def encStrOpt(o: Option[String]): String = o.map(enc).getOrElse(None_)
@@ -687,18 +731,21 @@ object TableVersions {
 
   /** Anti-join `base` (a parquet scan) against the (file, pos) rows of
     * `dvPaths`. No-op plan when `dvPaths` is empty. Both join sides
-    * canonicalize through [[relCanonCol]], so new (root-relative) and
-    * legacy (absolute) sidecar entries both hit their `_metadata` rows.
+    * canonicalize to the ABSOLUTE data path: sidecar entries resolve
+    * against their OWNING table's root ([[dvEntriesAbs]] — a clone's
+    * foreign sidecars keep working), `_metadata.file_path` just sheds
+    * its `file:` scheme. Legacy absolute entries pass through
+    * unchanged, so the key is era-insensitive too.
     */
   private def applyDvs(spark: SparkSession, root: String, base: DataFrame,
       dvPaths: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, regexp_replace}
     if (dvPaths.isEmpty) base
     else {
-      val dv = spark.read.parquet(dvPaths: _*)
-        .select(relCanonCol(root, col("file")).as("__gdv_file"), col("pos").as("__gdv_pos"))
+      val dv = dvEntriesAbs(spark, root, dvPaths)
+        .select(col("file").as("__gdv_file"), col("pos").as("__gdv_pos"))
       base
-        .withColumn("__g_file", relCanonCol(root, col("_metadata.file_path")))
+        .withColumn("__g_file", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
         .withColumn("__g_pos", col("_metadata.row_index"))
         .join(dv, col("__g_file") === col("__gdv_file") && col("__g_pos") === col("__gdv_pos"),
           "left_anti")
@@ -1619,11 +1666,15 @@ object TableVersions {
     // renderings differ between _metadata (file:///x) and the listing
     // (file:/x); compare on the scheme-stripped path.
     val existingDvPaths = candidates.flatMap(p => st.dvs.get(p)).map(_._1).distinct
-    val candRel = candidates.map(p => relNorm(root, p))
+    // carried entries resolve to ABSOLUTE via each sidecar's OWN root
+    // (a clone carries tombstones out of the source's sidecars), then
+    // the write below relativizes against THIS table's root — in-root
+    // files store relative, foreign files stay absolute
+    val candAbs = candidates.map(canonAbs)
     val carried =
       if (existingDvPaths.isEmpty) victims.limit(0)
-      else spark.read.parquet(existingDvPaths: _*).select(col("file"), col("pos"))
-        .filter(relCanonCol(root, col("file")).isin(candRel: _*))
+      else dvEntriesAbs(spark, root, existingDvPaths)
+        .filter(col("file").isin(candAbs: _*))
     val dvDir = new Path(root, s"data/dv-${java.util.UUID.randomUUID()}")
     // sidecar entries store ROOT-RELATIVE paths (like the commit log),
     // so the table directory moves/copies as a unit; relCanonCol keeps
@@ -2333,7 +2384,8 @@ object TableVersions {
     * commits above it keep reconstructing after their chain below is
     * gone.
     */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+      cdfGraceMs: Long = 10 * 60 * 1000L): Unit = {
     require(keepVersions >= 1)
     val f = fs(spark, root)
     val latest = currentVersion(spark, root).getOrElse(return)
@@ -2382,13 +2434,20 @@ object TableVersions {
     }
     // change-data sidecars: keep the ones retained commits reference,
     // sweep the rest (dirs of dropped commits and orphans of conflicted
-    // commit attempts)
+    // commit attempts). Recently-written unreferenced dirs are SPARED
+    // for `cdfGraceMs`: a concurrent upsert/merge stages its sidecar
+    // BEFORE entering the commit retry loop, so an in-flight writer's
+    // dir looks orphaned here — deleting it would leave the eventual
+    // commit's `#CDF` dangling and readChanges failing for that step.
     val cdfDir = cdfRootDir(root)
     if (f.exists(cdfDir)) {
       val liveCdf = versions.filter(_ >= keepFrom)
         .flatMap(v => readRaw(f, commitPath(root, v)).map(_.cdf).getOrElse(Nil)).toSet
+      val now = System.currentTimeMillis()
       f.listStatus(cdfDir).foreach { s =>
-        if (!liveCdf(s.getPath.getName)) { f.delete(s.getPath, true); () }
+        if (!liveCdf(s.getPath.getName) && now - s.getModificationTime > cdfGraceMs) {
+          f.delete(s.getPath, true); ()
+        }
       }
     }
     versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
@@ -2567,9 +2626,17 @@ object TableVersions {
           val Array(_, fp, dvp, n) = l.split(" ", 4)
           s"#DV ${enc(rebase(dec(fp)))} ${enc(rebase(dec(dvp)))} $n"
         } else if (l.isEmpty || l.startsWith("#")) l
-        else { // file line: only field 0 is a path
+        else if (l.split("\t", -1).length < 5) {
+          // LEGACY two-field line: the path is RAW (never URL-encoded)
+          // and may itself contain tabs — split at the LAST tab and
+          // rebase without enc/dec, mirroring parseFileLine's legacy
+          // branch (dec() would mangle '+'/'%' in a raw path, and an
+          // enc()'d output would be read back verbatim)
+          val i = l.lastIndexOf('\t')
+          if (i < 0) l else rebase(l.substring(0, i)) + l.substring(i)
+        } else { // modern 5-field line: only field 0 is a path, enc'd
           val i = l.indexOf('\t')
-          if (i < 0) l else enc(rebase(dec(l.substring(0, i)))) + l.substring(i)
+          enc(rebase(dec(l.substring(0, i)))) + l.substring(i)
         }
       }.mkString("\n")
       if (out != text) {

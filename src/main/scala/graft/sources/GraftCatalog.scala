@@ -163,6 +163,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case c: TableChange.DeleteColumn =>
         TableVersions.dropColumn(spark, root, one(c.fieldNames, "DROP COLUMN"))
       case c: TableChange.AddColumn =>
+        // added columns are always nullable (old files null-fill) and
+        // append at the end — refuse LOUDLY rather than silently commit
+        // a weaker column than the DDL declared
+        if (!c.isNullable) throw new UnsupportedOperationException(
+          "graft-table: ADD COLUMN ... NOT NULL is not supported — existing files " +
+            "null-fill the new column; add it nullable, backfill, then ADD CONSTRAINT")
+        if (c.position != null) throw new UnsupportedOperationException(
+          "graft-table: ADD COLUMN with FIRST/AFTER position is not supported — " +
+            "new columns append at the end of the schema")
+        if (c.comment != null) throw new UnsupportedOperationException(
+          "graft-table: ADD COLUMN with COMMENT is not supported")
         TableVersions.addColumn(spark, root, one(c.fieldNames, "ADD COLUMN"), c.dataType)
       case c => throw new UnsupportedOperationException(
         s"graft-table: unsupported ALTER TABLE change $c")

@@ -78,6 +78,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!TableVersions.tableProperties(spark, s"$w/db/t4").contains("enableChangeFeed"))
     // none of that moved data: only the two INSERT-era files exist
     assert(TableVersions.commitState(spark, s"$w/db/t4").files.size === 1)
+    // unsupported ADD COLUMN facets refuse LOUDLY instead of silently
+    // committing a weaker column than the DDL declared
+    val nn = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t4 ADD COLUMNS (strict BIGINT NOT NULL)")
+    }
+    assert(nn.getMessage.contains("NOT NULL"), nn.getMessage)
+    val pos = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t4 ADD COLUMNS (early BIGINT FIRST)")
+    }
+    assert(pos.getMessage.contains("position"), pos.getMessage)
+    assert(spark.sql("SELECT * FROM graft.db.t4").columns.toSeq ===
+      Seq("k", "label", "extra"), "refused changes must not commit")
   }
 
   test("path-addressed table and TIMESTAMP AS OF") {
