@@ -31,9 +31,35 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val gcByQuery = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
 
+    // Spill attribution (the round-11 verdict's ask: q104's 6.7× driver
+    // regression was consistent with persist-spill under memory
+    // pressure, but the artifact couldn't prove it). A stage-completion
+    // listener accumulates executor spill bytes (memory+disk); per-query
+    // deltas land in the artifact so "this query spilled" is readable
+    // from BENCH_r{N}.json alone. Listener delivery is async — a query's
+    // last stages may attribute to its successor — fine for the signal
+    // this carries (totals are exact by pass end).
+    val spilledBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val tm = e.stageInfo.taskMetrics
+        if (tm != null) {
+          spilledBytes.addAndGet(tm.memoryBytesSpilled + tm.diskBytesSpilled); ()
+        }
+      }
+    })
+    val spillByQuery = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    // storage-memory high-water mark (cached/persisted blocks), sampled
+    // after each query — persists that balloon show up here even when
+    // they don't spill
+    def storageMemBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       val g0 = gcMillis()
+      val s0 = spilledBytes.get()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
@@ -49,6 +75,7 @@ object Bench {
         // separately) stay warm until the pass drain.
         CacheScope.drainCheckpoints()
         gcByQuery(name) += gcMillis() - g0
+        spillByQuery(name) += spilledBytes.get() - s0
       }
     }
 
@@ -101,24 +128,29 @@ object Bench {
     def sweep(): Unit = { System.gc(); Thread.sleep(500) }
     sweep()
     gcByQuery.clear() // attribute GC to the MEASURED passes only
+    spillByQuery.clear() // likewise spill
     // One measured pass: per-query seconds, the common-set (r7-cohort)
     // wall subtotal — accumulated BEFORE the lateCohort tail runs, so
     // later-round queries' load cannot leak into it — plus the pass's
     // /proc/self/io delta and its starting 1-min loadavg.
     val lateSet = SparkEntry.lateCohort.toSet
     final case class Pass(res: Map[String, Double], commonSec: Double,
-        ioReadMb: Long, ioWriteMb: Long, la: Double)
+        ioReadMb: Long, ioWriteMb: Long, la: Double, spillMb: Long, peakStorageMb: Long)
     def pass(): Pass = {
       val la = loadavg()
       val io0 = ioBytes()
+      val sp0 = spilledBytes.get()
       var commonSec = 0.0
+      var peakStorage = 0L
       val res = names.map { n =>
         val v = run(n)
         if (!lateSet(n) && v >= 0) commonSec += v
+        peakStorage = math.max(peakStorage, storageMemBytes())
         n -> v
       }.toMap
       val io1 = ioBytes()
-      Pass(res, commonSec, (io1._1 - io0._1) / 1000000L, (io1._2 - io0._2) / 1000000L, la)
+      Pass(res, commonSec, (io1._1 - io0._1) / 1000000L, (io1._2 - io0._2) / 1000000L, la,
+        (spilledBytes.get() - sp0) / 1000000L, peakStorage / 1000000L)
     }
     val (results, pass1, pass2) = {
       val p1 = pass()
@@ -146,6 +178,12 @@ object Bench {
     // (full-name line for humans; the compact line carries the total).
     val gcDetail = names.map(n => "\"" + n + "\":" + gcByQuery(n)).mkString("{", ",", "}")
     println(s"""BENCH_GC_MS $gcDetail""")
+    // Per-query executor spill MB summed over both measured passes —
+    // full-name line for humans/logs; the compact line carries pass
+    // totals plus the top offenders.
+    val spillDetail = names.map(n => "\"" + n + "\":" + spillByQuery(n) / 1000000L)
+      .mkString("{", ",", "}")
+    println(s"""BENCH_SPILL_MB $spillDetail""")
     // The ten long hc_* keys are abbreviated on the COMPACT line only
     // (fixed table below; BENCH_DETAIL keeps full names) — the line
     // must carry the round-9 attribution fields and 140+ queries inside
@@ -186,10 +224,20 @@ object Bench {
     // io1/io2 = [MB read, MB written] via /proc/self/io per pass;
     // la1/la2 = 1-min loadavg at pass start. Together with gc/p1/p2
     // these make pass-level drift attributable from the artifact alone.
+    // sp = executor spill MB per measured pass; pk = storage-memory
+    // high-water MB per pass; sq = the top-3 spilling queries (MB,
+    // both passes summed, only entries > 0) — the round-11 ask: a
+    // future q104-style regression must be attributable to spill (or
+    // ruled out) from this line alone.
+    val topSpill = spillByQuery.toSeq.filter(_._2 > 0).sortBy(-_._2).take(3)
+      .map { case (n, b) => "\"" + shortKey(n) + "\":" + b / 1000000L }
+      .mkString("{", ",", "}")
     val env = s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)},""" +
       s""""cs1":${r1(pass1.commonSec)},"cs2":${r1(pass2.commonSec)},""" +
       s""""io1":[${pass1.ioReadMb},${pass1.ioWriteMb}],"io2":[${pass2.ioReadMb},${pass2.ioWriteMb}],""" +
-      s""""la1":${r1(pass1.la)},"la2":${r1(pass2.la)}"""
+      s""""la1":${r1(pass1.la)},"la2":${r1(pass2.la)},""" +
+      s""""sp":[${pass1.spillMb},${pass2.spillMb}],"pk":[${pass1.peakStorageMb},${pass2.peakStorageMb}],""" +
+      s""""sq":$topSpill"""
     def lineWith(qs: String) =
       s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     // graceful degradation instead of a cliff: if 2-decimal per-query

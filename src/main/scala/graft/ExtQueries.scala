@@ -629,30 +629,37 @@ object ExtQueries {
     * Each stage only shuffles on its natural key (shingle / component /
     * source); drops flow as left-anti joins, never collected.
     *
-    * The two SHARED stage frames are persisted (MEMORY_AND_DISK,
-    * CacheScope-tracked): `q` feeds three subtrees (shingle pairs, word
-    * counts, the anti-join) and `deduped` two (contamination pairs, the
-    * final anti-join) — without a cache each consumer re-evaluates the
-    * quality-feature/shingle pipelines, real work done twice at any
-    * scale. Measured at sf0.1 (quiet box, bracketed): persist ≈ the
-    * uncached plan on wall-clock here (the recompute is cheap at this
-    * SF) and strictly less work; eager `localCheckpoint` was ~9% slower
-    * (extra materialization job, lineage truncation buys nothing) — so
-    * persist, not checkpoint. At 100 TB the cached frame is the
-    * filtered survivor set, far smaller than the documents scan it
-    * replaces on every reuse.
+    * The two SHARED stage results are persisted as NARROW ID SETS
+    * (doc_id only, MEMORY_AND_DISK, CacheScope-tracked): the quality
+    * survivors feed three subtrees (shingle pairs, word counts, the
+    * anti-join) and the dedup survivors two (contamination pairs, the
+    * final anti-join) — without a cache each consumer re-runs the
+    * quality-feature/connected-components pipelines, real work done
+    * twice at any scale. What is deliberately NOT cached is the full
+    * document TEXT: consumers re-derive the wide frame as a LEFT SEMI
+    * join of the column-pruned parquet scan against the cached id set.
+    * A persisted full-text frame is exactly the block that spills
+    * under memory pressure (the r11 driver bench showed this query
+    * 6.7× slower with io-contention while the clean-box runs were
+    * flat), while the id set is O(rows × 8 bytes) and effectively
+    * never spills; the re-scan it costs is columnar, pushed-down and
+    * page-cache-friendly. At 100 TB the cached set stays ~GBs where
+    * the text frame would be ~TBs.
     */
   def q104Curate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
     val test = docs.filter(col("doc_id") % 10 >= 8).select("doc_id", "lang", "text")
     val cand = docs.filter(col("doc_id") % 10 < 8).select("doc_id", "lang", "text")
-    // stage 1: quality gate
-    val q = graft.CacheScope.track(
+    // stage 1: quality gate — cache only the survivor ID SET; the wide
+    // text frame re-derives per consumer via a semi-join against the
+    // column-pruned scan (see scaladoc: the narrow cache cannot spill)
+    val qualityIds = graft.CacheScope.track(
       TextAnalysis.qualityFeatures(cand)
         .filter(col("quality_score") >= 0.8)
-        .select("doc_id", "lang", "text")
+        .select("doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val q = cand.join(qualityIds, Seq("doc_id"), "left_semi")
     // stage 2: duplicate-cluster keep-best (q102 parameters/policy)
     val pairs = Dedup.ngramJaccard(q, "doc_id", "text",
       k = 3, minJaccard = 0.2, maxDocFreq = 200)
@@ -665,9 +672,10 @@ object ExtQueries {
           .orderBy(col("word_count").desc, col("doc_id").asc)))
       .filter(col("rk") > 1)
       .select("doc_id")
-    val deduped = graft.CacheScope.track(
-      q.join(dupDrops, Seq("doc_id"), "left_anti")
+    val dedupedIds = graft.CacheScope.track(
+      qualityIds.join(dupDrops, Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deduped = cand.join(dedupedIds, Seq("doc_id"), "left_semi")
     // stage 3: benchmark decontamination (drop-ANY-leak direction)
     val contaminated = Dedup.contaminationPairs(deduped, test, "doc_id", "text",
         k = 3, minContainment = 0.2, maxDocFreq = 1000)
