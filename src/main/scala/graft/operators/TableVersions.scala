@@ -460,8 +460,30 @@ object TableVersions {
     * case — commit bytes scale with the batch, not the table).
     */
   private sealed trait RawCommit { def op: String; def cdf: Seq[String] }
+  /** `filesPq`: set on format-major-4 CHECKPOINTS whose O(#files)
+    * listing lives in a `#FILESPQ` parquet dataset beside the text
+    * (name relative to `_versions/`, expected row count); `st.files`
+    * and `st.dvs` are then EMPTY until [[resolveCkpt]] loads them.
+    */
   private final case class FullCommit(st: CommitState, op: String = "",
-      cdf: Seq[String] = Nil) extends RawCommit
+      cdf: Seq[String] = Nil, filesPq: Option[(String, Long)] = None) extends RawCommit
+
+  /** One file entry as a row of a PARQUET checkpoint: the columnar,
+    * distributed-decodable listing for large tables (the Delta
+    * parquet-checkpoint architecture — at 1M files the text form is
+    * ~100 MB of single-threaded driver parse; the parquet form decodes
+    * in parallel as columnar batches). `idx` preserves the commit's
+    * exact file ORDER (state equality is order-sensitive — delta
+    * rendering depends on it); `dvFile`/`dvRows` inline the file's
+    * deletion-vector reference, so one dataset carries the whole
+    * O(#files) state.
+    */
+  private[graft] final case class CkptStatsRow(minNum: Option[Double],
+      maxNum: Option[Double], minStr: Option[String], maxStr: Option[String],
+      nulls: Long)
+  private[graft] final case class CkptFileRow(idx: Long, path: String, bytes: Long,
+      rows: Long, part: Map[String, String], stats: Map[String, CkptStatsRow],
+      dvFile: Option[String], dvRows: Option[Long])
   private final case class DeltaCommit(base: Long, adds: Seq[FileEntry],
       removes: Set[String], schemaJson: Option[String],
       partColsOpt: Option[Seq[String]], txns: Map[String, Long],
@@ -531,6 +553,12 @@ object TableVersions {
     }.toMap
     val cdf = lines.filter(_.startsWith("#CDF "))
       .map(l => dec(l.stripPrefix("#CDF ").trim)).toSeq
+    // parquet-backed listing (checkpoints only, format major 4): the
+    // file entries + DV references live in a sibling parquet dataset
+    val filesPq = lines.find(_.startsWith("#FILESPQ ")).map { l =>
+      val Array(_, d, n) = l.split(" ", 3)
+      (dec(d), n.trim.toLong)
+    }
     lines.find(_.startsWith("#BASE ")) match {
       case Some(b) =>
         val removes = lines.filter(_.startsWith("#RM "))
@@ -542,7 +570,7 @@ object TableVersions {
       case None =>
         Some(FullCommit(CommitState(files, schemaJson,
           partColsOpt.getOrElse(Seq.empty), txns, checkLines.toMap, dvs, droppedLines,
-          props), op, cdf))
+          props), op, cdf, filesPq))
     }
   }
 
@@ -581,6 +609,37 @@ object TableVersions {
   private def checkpointPath(root: String, v: Long) =
     new Path(versionsDir(root), s"v$v.checkpoint")
 
+  /** Resolve a parsed checkpoint into its full state: inline listings
+    * pass through; a `#FILESPQ` reference loads the parquet dataset
+    * (distributed columnar decode, order restored via `idx`, DV
+    * references re-inflated). None — fall back to the commit-chain
+    * walk — when the dataset is missing, incomplete (no `_SUCCESS`) or
+    * row-count-inconsistent: a parquet checkpoint is never a
+    * correctness dependency.
+    */
+  private def resolveCkpt(spark: SparkSession, root: String,
+      fc: FullCommit): Option[CommitState] = fc.filesPq match {
+    case None => Some(fc.st)
+    case Some((name, count)) =>
+      try {
+        val f = fs(spark, root)
+        val dir = new Path(versionsDir(root), name)
+        if (!f.exists(new Path(dir, "_SUCCESS"))) return None
+        import spark.implicits._
+        val rows = spark.read.parquet(dir.toString).as[CkptFileRow]
+          .collect().sortBy(_.idx)
+        if (rows.length.toLong != count) return None
+        val files = rows.toIndexedSeq.map { r =>
+          FileEntry(resolvePath(root, r.path), r.bytes, r.rows, r.part,
+            r.stats.map { case (c, s) =>
+              c -> ColStats(s.minNum, s.maxNum, s.minStr, s.maxStr, s.nulls) })
+        }
+        val dvs = rows.flatMap(r => r.dvFile.map(d =>
+          resolvePath(root, r.path) -> (resolvePath(root, d), r.dvRows.getOrElse(0L)))).toMap
+        Some(fc.st.copy(files = files, dvs = dvs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The full state of version `v`, reconstructed as CHECKPOINT-OR-FULL
     * + DELTA TAIL: walk back from `v` until a cached state, a
     * checkpoint file, or a full commit, then fold the collected deltas
@@ -605,7 +664,8 @@ object TableVersions {
       if (hit.isDefined) state = hit.get
       else {
         val fromCkpt =
-          readRaw(f, checkpointPath(root, cur)).collect { case FullCommit(st, _, _) => st }
+          readRaw(f, checkpointPath(root, cur)).collect { case fc: FullCommit => fc }
+            .flatMap(fc => resolveCkpt(spark, root, fc))
         fromCkpt match {
           case Some(st) =>
             state = st
@@ -617,9 +677,9 @@ object TableVersions {
                 s"cannot reconstruct version $v at $root: delta chain needs v$cur, " +
                   "which is absent or torn — the commit log below a delta was removed " +
                   "without a checkpoint (vacuum always writes one; was the log edited?)")
-              case Some(FullCommit(st, _, _)) =>
-                state = st
-                ck.foreach(stateCache.put(_, st))
+              case Some(fc: FullCommit) => // commits never carry #FILESPQ
+                state = fc.st
+                ck.foreach(stateCache.put(_, fc.st))
               case Some(d: DeltaCommit) =>
                 require(d.base < cur, s"malformed commit v$cur at $root: #BASE ${d.base} is not older")
                 chain = (d, ck) :: chain
@@ -792,9 +852,13 @@ object TableVersions {
     * unknown lines and serve DELETED rows) or is an incremental
     * `#BASE`/`#RM` delta (a major-1 reader would mistake the adds for
     * the whole table) — semantics-changing features must bump the
-    * major, the reason Delta bumps readerVersion for DVs.
+    * major, the reason Delta bumps readerVersion for DVs. Major 4
+    * marks a CHECKPOINT whose file listing lives in a `#FILESPQ`
+    * parquet dataset (a ≤3 reader would parse it as an EMPTY table —
+    * the major makes it refuse loudly instead); ordinary commits never
+    * exceed 3.
     */
-  private val FormatMajor = 3
+  private val FormatMajor = 4
 
   private def renderFull(root: String, st: CommitState, op: String = "",
       cdf: Seq[String] = Nil): Array[Byte] = {
@@ -839,6 +903,32 @@ object TableVersions {
       sb.append("#DROPPED ").append(enc(d)).append('\n') }
     st.files.foreach(fe => sb.append(renderFileLine(root)(fe)).append('\n'))
     sb.append(s"#END ${st.files.size}\n")
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Render the checkpoint TEXT for a PARQUET-backed listing: every
+    * scalar section inline, the O(#files) file lines and `#DV`
+    * references delegated to the `#FILESPQ` dataset. Format major 4 —
+    * a pre-parquet reader would parse this as an EMPTY table, so the
+    * major makes it refuse loudly instead ([[FormatMajor]]).
+    */
+  private def renderFullRef(root: String, st: CommitState, pqName: String,
+      count: Long): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("#FORMAT 4\n")
+    sb.append("#FILESPQ ").append(enc(pqName)).append(' ').append(count).append('\n')
+    st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
+    if (st.partCols.nonEmpty)
+      sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
+    st.txns.toSeq.sortBy(_._1).foreach { case (a, b) =>
+      sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
+    st.checks.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      sb.append("#CHECK ").append(enc(n)).append(' ').append(enc(e)).append('\n') }
+    st.props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append("#PROP ").append(enc(k)).append(' ').append(enc(v)).append('\n') }
+    st.dropped.toSeq.sorted.foreach { d =>
+      sb.append("#DROPPED ").append(enc(d)).append('\n') }
+    sb.append("#END 0\n")
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -899,37 +989,112 @@ object TableVersions {
     base.flatMap { case (bv, bst) => tryRenderDelta(root, bv, bst, st, op, cdf) }
       .getOrElse(renderFull(root, st, op, cdf))
 
-  /** Atomically publish `tmp` as `target`, failing (false) when the
-    * target name is already claimed. Local filesystems use link(2) —
-    * create-if-absent with content, atomic in the kernel; HDFS-class
-    * stores use the namenode rename (atomic, fails on existing
-    * destination). Object stores without an atomic create-if-absent
-    * need a store-supplied CAS here — the external-LogStore caveat.
+  // ------------------------------------------------------------------
+  // OBJECT-STORE COMMIT SEAM (the Delta LogStore architecture): the
+  // one primitive the whole commit protocol rests on — "publish these
+  // bytes at this name IFF the name is unclaimed, atomically, never
+  // torn-visible". HDFS/local renames are atomic and refuse an
+  // existing destination, so temp-write + rename IS that primitive
+  // there; on GCS/S3 the Hadoop connectors implement rename as
+  // copy+delete (non-atomic, and it CLOBBERS), so those stores must
+  // claim via their native atomic create-if-absent (conditional PUT —
+  // the object only becomes visible when the preconditioned upload
+  // completes). Scheme-unknown filesystems REFUSE loudly instead of
+  // silently assuming rename atomicity.
+  // ------------------------------------------------------------------
+
+  /** The commit-claim contract: exactly-once name claiming with
+    * content. Implementations must be atomic (two racing claims of one
+    * name: exactly one true) and never leave a torn target visible.
     */
-  private def atomicPromote(f: FileSystem, tmp: Path, target: Path): Boolean = {
-    val ok =
-      if ("file" == Option(f.getUri.getScheme).getOrElse("file")) {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.io.IOException => false
+  private[graft] sealed trait LogStore {
+    def putIfAbsent(f: FileSystem, dir: Path, target: Path, content: Array[Byte]): Boolean
+  }
+
+  /** Rename-based claim for stores whose rename is atomic and fails on
+    * an existing destination (HDFS namenode, viewfs). Local
+    * filesystems claim via link(2) — create-if-absent with content,
+    * atomic in the kernel.
+    */
+  private[graft] object RenameLogStore extends LogStore {
+    def putIfAbsent(f: FileSystem, dir: Path, target: Path, content: Array[Byte]): Boolean = {
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(content) finally out.close()
+      val ok =
+        if ("file" == Option(f.getUri.getScheme).getOrElse("file")) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
+          }
+        } else {
+          try f.rename(tmp, target)
+          catch { case _: java.io.IOException => false }
         }
-      } else {
-        try f.rename(tmp, target)
-        catch { case _: java.io.IOException => false }
+      f.delete(tmp, false)
+      ok
+    }
+  }
+
+  /** Conditional-create claim for stores whose `create(overwrite =
+    * false)` is an atomic all-or-nothing publish: object stores map it
+    * to a preconditioned upload (GCS if-generation-match=0, S3
+    * If-None-Match) — the object is visible only once the complete
+    * upload commits, so there is no torn-visible window and no tmp
+    * file to clean. NOT safe on raw HDFS (create-then-write leaves a
+    * torn file visible on a crash mid-write) — HDFS stays on
+    * [[RenameLogStore]].
+    */
+  private[graft] object ConditionalCreateLogStore extends LogStore {
+    def putIfAbsent(f: FileSystem, dir: Path, target: Path, content: Array[Byte]): Boolean =
+      try {
+        val out = f.create(target, false)
+        try out.write(content) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
       }
-    f.delete(tmp, false)
-    ok
+  }
+
+  /** Resolve the claim implementation for `f`'s scheme: the session
+    * conf `graft.table.logstore.<scheme>` (`rename` |
+    * `conditional-create`) wins; otherwise rename-atomic schemes map
+    * to [[RenameLogStore]], known object stores to
+    * [[ConditionalCreateLogStore]], and an UNKNOWN scheme throws —
+    * assuming rename atomicity where the store does copy+delete would
+    * silently lose the claim contract exactly where commits race.
+    */
+  private[graft] def logStoreFor(spark: SparkSession, f: FileSystem): LogStore = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    spark.conf.get(s"graft.table.logstore.$scheme", "") match {
+      case "rename" => RenameLogStore
+      case "conditional-create" => ConditionalCreateLogStore
+      case "" => scheme match {
+        case "file" | "hdfs" | "viewfs" => RenameLogStore
+        case "gs" | "s3" | "s3a" | "s3n" | "abfs" | "abfss" | "wasb" | "wasbs" | "oss" =>
+          ConditionalCreateLogStore
+        case other => throw new IllegalStateException(
+          s"no commit LogStore known for filesystem scheme '$other' — rename atomicity " +
+            s"cannot be assumed there; set graft.table.logstore.$other to 'rename' " +
+            "(atomic-rename stores) or 'conditional-create' (atomic create-if-absent stores)")
+      }
+      case bad => throw new IllegalArgumentException(
+        s"graft.table.logstore.$scheme = '$bad'; expected 'rename' or 'conditional-create'")
+    }
   }
 
   /** Write commit `v` (incremental against `base` when expressible) and
-    * promote it atomically. On success, every Nth commit also drops a
-    * CHECKPOINT (see [[writeCheckpoint]]) so readers reconstruct any
-    * version from one checkpoint + a bounded delta tail.
+    * promote it atomically through the scheme's [[LogStore]]. On
+    * success, every Nth commit also drops a CHECKPOINT (see
+    * [[writeCheckpoint]]) so readers reconstruct any version from one
+    * checkpoint + a bounded delta tail.
     */
   private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState,
       base: Option[(Long, CommitState)] = None, op: String = "",
@@ -937,11 +1102,9 @@ object TableVersions {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
-    if (f.exists(target)) return false // cheap pre-check; the promote is the real claim
-    val tmp = new Path(versionsDir(root), s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(renderCommit(root, st, base, op, cdf)) finally out.close()
-    val ok = atomicPromote(f, tmp, target)
+    if (f.exists(target)) return false // cheap pre-check; the claim is the real gate
+    val ok = logStoreFor(spark, f).putIfAbsent(f, versionsDir(root), target,
+      renderCommit(root, st, base, op, cdf))
     if (ok) maybeCheckpoint(spark, root, v, st)
     ok
   }
@@ -960,11 +1123,62 @@ object TableVersions {
     if (k > 0 && v > 0 && v % k == 0) writeCheckpoint(spark, root, v, st)
   }
 
+  /** File-count threshold above which checkpoints store their listing
+    * as a PARQUET dataset (`v<N>.ckptpq/`, format major 4) instead of
+    * text lines: columnar, distributed-decodable — at 1M files the
+    * text form is ~100 MB of single-threaded driver parse per cold
+    * read, the parquet form a parallel job over columnar batches.
+    * Session conf `graft.table.parquetCheckpointThreshold`; ≤0
+    * disables the parquet form entirely.
+    */
+  private def parquetCheckpointThreshold(spark: SparkSession): Int =
+    spark.conf.get("graft.table.parquetCheckpointThreshold", "50000").toInt
+
+  /** Stage the parquet listing for a checkpoint of `st` at version `v`:
+    * one row per file entry (order-preserving `idx`, partition values,
+    * stats, inlined DV reference), written to a temp dir and renamed
+    * to `v<N>.ckptpq`. Returns (name, row count) on success, None on
+    * ANY failure (the caller then writes the self-contained text form
+    * — parquet checkpoints are an optimization, never a correctness
+    * dependency).
+    */
+  private def writeCheckpointParquet(spark: SparkSession, root: String, v: Long,
+      st: CommitState): Option[(String, Long)] =
+    try {
+      import spark.implicits._
+      val f = fs(spark, root)
+      val name = s"v$v.ckptpq"
+      val target = new Path(versionsDir(root), name)
+      val n = st.files.size.toLong
+      if (f.exists(target)) return Some((name, n))
+      val rows = st.files.zipWithIndex.map { case (fe, i) =>
+        CkptFileRow(i.toLong, relNorm(root, fe.path), fe.bytes, fe.rows, fe.part,
+          fe.stats.map { case (c, s) =>
+            c -> CkptStatsRow(s.minNum, s.maxNum, s.minStr, s.maxStr, s.nulls) },
+          st.dvs.get(fe.path).map(d => relNorm(root, d._1)),
+          st.dvs.get(fe.path).map(_._2))
+      }
+      val tmp = new Path(versionsDir(root), s".tmp-ckptpq-${java.util.UUID.randomUUID()}")
+      // parallelize (not createDataset of a local Seq) so the encode and
+      // write distribute; ~100k entries per output file
+      val slices = math.max(1, math.min(32, rows.size / 100000))
+      spark.createDataset(spark.sparkContext.parallelize(rows, slices))
+        .write.parquet(tmp.toString)
+      if (f.rename(tmp, target)) Some((name, n))
+      else {
+        f.delete(tmp, true)
+        if (f.exists(target)) Some((name, n)) else None // raced twin wrote it
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Write `v<N>.checkpoint` — the FULL state of version N in the
     * commit-file rendering — plus the `_last_checkpoint` hint, both via
-    * write-temp-then-rename. Checkpoints are pure read-optimization
-    * sidecars: losing one costs a longer walk, never correctness, so
-    * failures here are swallowed (the commit already promoted).
+    * write-temp-then-rename. Above [[parquetCheckpointThreshold]] the
+    * O(#files) listing goes to a `#FILESPQ` parquet dataset and the
+    * text holds only the scalar state. Checkpoints are pure
+    * read-optimization sidecars: losing one costs a longer walk, never
+    * correctness, so failures here are swallowed (the commit already
+    * promoted).
     */
   private[graft] def writeCheckpoint(spark: SparkSession, root: String, v: Long,
       st: CommitState): Unit =
@@ -972,9 +1186,17 @@ object TableVersions {
       val f = fs(spark, root)
       val target = checkpointPath(root, v)
       if (f.exists(target)) return
+      val pqT = parquetCheckpointThreshold(spark)
+      val pq =
+        if (pqT > 0 && st.files.size >= pqT) writeCheckpointParquet(spark, root, v, st)
+        else None
+      val body = pq match {
+        case Some((name, n)) => renderFullRef(root, st, name, n)
+        case None => renderFull(root, st)
+      }
       val tmp = new Path(versionsDir(root), s".tmp-ckpt-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, true)
-      try out.write(renderFull(root, st)) finally out.close()
+      try out.write(body) finally out.close()
       if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
       val ptrTmp = new Path(versionsDir(root), s".tmp-ptr-${java.util.UUID.randomUUID()}")
       val pout = f.create(ptrTmp, true)
@@ -2393,11 +2615,13 @@ object TableVersions {
     val vd = versionsDir(root)
     val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
     all.collect { case n if n.startsWith(".tmp-") => n }
-      .foreach { n => f.delete(new Path(vd, n), false); () }
+      .foreach { n => f.delete(new Path(vd, n), true); () } // recursive: ckptpq temps are dirs
     val versions = all.collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
       n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
     val checkpoints = all.collect { case n if n.startsWith("v") && n.endsWith(".checkpoint") =>
       n.stripPrefix("v").stripSuffix(".checkpoint").toLong }
+    val ckptPqs = all.collect { case n if n.startsWith("v") && n.endsWith(".ckptpq") =>
+      n.stripPrefix("v").stripSuffix(".ckptpq").toLong }
     // liveness is form-insensitive: parsed states carry canonical
     // plain paths while listings return file:-qualified ones
     val live = versions.filter(_ >= keepFrom)
@@ -2452,6 +2676,8 @@ object TableVersions {
     }
     versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
     checkpoints.filter(_ < keepFrom).foreach { v => f.delete(checkpointPath(root, v), false); () }
+    ckptPqs.filter(_ < keepFrom).foreach { v =>
+      f.delete(new Path(vd, s"v$v.ckptpq"), true); () }
   }
 
   // ------------------------------------------------------------------
