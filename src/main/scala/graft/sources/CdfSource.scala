@@ -79,52 +79,78 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val starting = CdfSourceProvider.resolveStart(spark, metadataPath, parameters, path)
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
-    new CdfSource(spark, path, declared, starting, maxVersions, metadataPath)
+    new CdfSource(spark, path, declared, starting.exclusive, maxVersions, metadataPath)
   }
 }
 
 private[sources] object CdfSourceProvider {
 
+  /** A stream's pinned starting point: `exclusive` is the version
+    * offsets advance from; `snapshot` (the `graft-table`
+    * `startingVersion=snapshot` bootstrap) is the version whose FULL
+    * DV-aware snapshot the first batch serves before tailing appends.
+    */
+  final case class Start(exclusive: Long, snapshot: Option[Long])
+
   /** Resolve the stream's starting point ONCE and pin it in the
     * source's metadata dir (the Kafka-source initial-offset pattern):
-    * "latest" re-resolved on every restart would silently skip any
-    * commit that landed while the stream was down. Shared by the
-    * `graft-cdf` source and the `graft-table` streaming source.
+    * "latest"/"snapshot" re-resolved on every restart would silently
+    * skip (or re-serve) any commit that landed while the stream was
+    * down. Shared by the `graft-cdf` source and the `graft-table`
+    * streaming source; `allowSnapshot=false` (graft-cdf) refuses the
+    * snapshot mode loudly — a change feed of snapshot rows would
+    * fabricate insert events that never happened.
     */
   def resolveStart(spark: org.apache.spark.sql.SparkSession, metadataPath: String,
-      parameters: Map[String, String], path: String): Long = {
+      parameters: Map[String, String], path: String,
+      allowSnapshot: Boolean = false): Start = {
     val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft_cdf_start")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readMarker(): Long = {
-      val in = fs.open(marker)
-      val txt = try new String(in.readAllBytes()).trim finally in.close()
-      try txt.toLong
-      catch {
+    def parse(txt: String): Start =
+      try {
+        if (txt.startsWith("snapshot:")) {
+          val s = txt.stripPrefix("snapshot:").toLong
+          Start(s - 1, Some(s))
+        } else Start(txt.toLong, None)
+      } catch {
         case e: NumberFormatException => throw new IllegalStateException(
           s"corrupt graft-cdf start marker at $marker (content: '$txt'); " +
-            "write the intended exclusive starting version into it, or delete " +
-            "the checkpoint dir to restart the stream from scratch", e)
+            "write the intended exclusive starting version (or 'snapshot:<v>') into it, " +
+            "or delete the checkpoint dir to restart the stream from scratch", e)
       }
+    def readMarker(): Start = {
+      val in = fs.open(marker)
+      val txt = try new String(in.readAllBytes()).trim finally in.close()
+      parse(txt)
     }
-    val starting =
-      if (fs.exists(marker)) readMarker()
-      else {
-        val resolved = parameters.get("startingVersion") match {
-          case Some("latest") => TableVersions.currentVersion(spark, path).getOrElse(-1L)
-          case Some(v) => v.toLong - 1 // startingVersion is INCLUSIVE, offsets exclusive
-          case None => -1L
-        }
-        // write-temp-then-rename: a crash mid-write must not leave a
-        // truncated marker that poisons every restart
-        fs.mkdirs(marker.getParent)
-        val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
-          s".graft_cdf_start.tmp-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
-        try out.write(resolved.toString.getBytes) finally out.close()
-        if (fs.rename(tmp, marker)) resolved
-        else { fs.delete(tmp, false); readMarker() } // raced another starter: theirs wins
+    if (fs.exists(marker)) readMarker()
+    else {
+      val (rendered, resolved) = parameters.get("startingVersion") match {
+        case Some("snapshot") =>
+          require(allowSnapshot, "startingVersion=snapshot is a graft-table streaming " +
+            "option (bootstrap the current rows, then tail appends); the graft-cdf change " +
+            "feed has no snapshot form — use startingVersion=<v> or latest")
+          TableVersions.currentVersion(spark, path) match {
+            case Some(s) => (s"snapshot:$s", Start(s - 1, Some(s)))
+            case None => ("-1", Start(-1L, None)) // empty table: nothing to bootstrap
+          }
+        case Some("latest") =>
+          val v = TableVersions.currentVersion(spark, path).getOrElse(-1L)
+          (v.toString, Start(v, None))
+        case Some(v) => // startingVersion is INCLUSIVE, offsets exclusive
+          ((v.toLong - 1).toString, Start(v.toLong - 1, None))
+        case None => ("-1", Start(-1L, None))
       }
-    starting
+      // write-temp-then-rename: a crash mid-write must not leave a
+      // truncated marker that poisons every restart
+      fs.mkdirs(marker.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+        s".graft_cdf_start.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(rendered.getBytes) finally out.close()
+      if (fs.rename(tmp, marker)) resolved
+      else { fs.delete(tmp, false); readMarker() } // raced another starter: theirs wins
+    }
   }
 }
 
@@ -217,17 +243,27 @@ private[sources] class CdfSource(spark: org.apache.spark.sql.SparkSession,
   * trigger). Options `startingVersion` and `maxVersionsPerTrigger`
   * work as in `graft-cdf`; for update/delete consumption, use
   * `graft-cdf` itself.
+  *
+  * INITIAL SNAPSHOT (`startingVersion=snapshot`, Delta's
+  * table-streaming bootstrap): the version current at stream start is
+  * PINNED; the first batch serves its full DV-aware snapshot (one
+  * versioned read — deletes already folded, no history replayed, no
+  * vacuum-horizon dependence), and everything after tails appends
+  * exactly as above. A new downstream consumer bootstraps without a
+  * manual backfill, and a restart across the bootstrap never
+  * double-serves: the snapshot version rides the pinned start marker.
   */
 private[sources] class GraftTableStreamSource(spark: org.apache.spark.sql.SparkSession,
     path: String, cdfDeclared: StructType, tableSchema: StructType,
-    startExclusive: Long, maxVersionsPerTrigger: Option[Long], metadataPath: String,
-    skipChangeCommits: Boolean)
-  extends CdfSource(spark, path, cdfDeclared, startExclusive, maxVersionsPerTrigger,
+    start: CdfSourceProvider.Start, maxVersionsPerTrigger: Option[Long],
+    metadataPath: String, skipChangeCommits: Boolean)
+  extends CdfSource(spark, path, cdfDeclared, start.exclusive, maxVersionsPerTrigger,
     metadataPath) {
 
   override def schema: StructType = tableSchema
 
-  override protected def batchFrame(from: Long, to: Long): DataFrame = {
+  /** Append rows of commits in (`from`, `to`] — the tail path. */
+  private def tailFrame(from: Long, to: Long): DataFrame = {
     val changed = TableVersions.changeCommitVersions(spark, path, from, to)
     if (changed.nonEmpty && !skipChangeCommits)
       throw new UnsupportedOperationException(
@@ -242,4 +278,15 @@ private[sources] class GraftTableStreamSource(spark: org.apache.spark.sql.SparkS
       else cdf.filter(!col("_commit_version").isInCollection(changed))
     kept.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  override protected def batchFrame(from: Long, to: Long): DataFrame =
+    start.snapshot match {
+      case Some(sv) if from < sv =>
+        // bootstrap batch: the pinned snapshot (deletes folded), plus
+        // any appends that landed between the pin and this batch's end
+        val snap = TableVersions.read(spark, path, Some(math.min(to, sv)))
+          .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+        if (to <= sv) snap else snap.unionByName(tailFrame(sv, to))
+      case _ => tailFrame(from, to)
+    }
 }

@@ -76,7 +76,8 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     val cdfDeclared = tbl
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", org.apache.spark.sql.types.LongType)
-    val starting = CdfSourceProvider.resolveStart(spark, metadataPath, parameters, path)
+    val starting = CdfSourceProvider.resolveStart(spark, metadataPath, parameters, path,
+      allowSnapshot = true)
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
     new GraftTableStreamSource(spark, path, cdfDeclared, tbl, starting, maxVersions,

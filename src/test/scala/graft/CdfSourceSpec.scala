@@ -142,6 +142,59 @@ class CdfSourceSpec extends SparkSpec {
     assert(spark.read.parquet(logDir).count() === 100)
   }
 
+  test("graft-table stream: startingVersion=snapshot bootstraps current rows, then tails") {
+    val root = newDir("snapsrc") + "/tbl"
+    val logDir = newDir("snaplog")
+    val ckpt = newDir("snapckpt")
+    // a history a pure append-tail could NOT replay: a DV delete and an
+    // upsert — the snapshot bootstrap folds them instead of throwing
+    TableVersions.append(spark, root,
+      (1L to 300L).toDF("k").withColumn("v", col("k") * 2).coalesce(1))
+    val Some(_) = TableVersions.deleteWhere(spark, root, col("k").isin(5L, 7L),
+      maxDvFraction = 0.1): @unchecked
+    TableVersions.upsert(spark, root, Seq((10L, -1L)).toDF("k", "v"), "k")
+    TableVersions.append(spark, root,
+      (301L to 350L).toDF("k").withColumn("v", col("k") * 2).coalesce(1))
+    val oneShot = TableVersions.read(spark, root).as[(Long, Long)].collect().toSet
+
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", root).option("startingVersion", "snapshot").load()
+        .writeStream.format("parquet")
+        .option("path", logDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    val boot = spark.read.parquet(logDir).as[(Long, Long)].collect().toSet
+    assert(boot === oneShot, "bootstrap batch must equal the one-shot snapshot read")
+
+    // restart across the checkpoint: later appends tail, nothing re-serves
+    val late = (400L to 410L).map(k => (k, k * 2))
+    TableVersions.append(spark, root, late.toDF("k", "v").coalesce(1))
+    runStream()
+    assert(spark.read.parquet(logDir).as[(Long, Long)].collect().toSet ===
+      oneShot ++ late, "bootstrap + tail must equal one-shot read UNION later appends")
+
+    // the append-only contract still guards the tail after the pin
+    TableVersions.upsert(spark, root, Seq((400L, -9L)).toDF("k", "v"), "k")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runStream() }
+    assert(ex.getMessage.contains("skipChangeCommits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+
+    // the cdf source refuses the snapshot mode loudly
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft-cdf")
+        .option("path", root).option("startingVersion", "snapshot").load()
+        .writeStream.format("noop").option("checkpointLocation", newDir("snapbad"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(bad).exists(m => m != null && m.contains("graft-table streaming option")))
+  }
+
   test("maxVersionsPerTrigger: a 10-commit backlog drains in 4 bounded batches, restart-safe") {
     val root = newDir("cdfcap") + "/tbl"
     val logDir = newDir("cdfcaplog")
