@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.TableVersions
+
+/** CROSS-PROCESS commit races: two SEPARATE JVMs — each with its own
+  * SparkSession, state cache, and claim attempts — write the same
+  * table root concurrently (appends racing appends racing
+  * compactions). At 100 TB the writers ARE separate jobs; in-process
+  * race specs (CommitLogSpec, Round8TableSpec) cannot see a broken
+  * claim that only a second process would expose. The contract pinned
+  * here: every version number is claimed by exactly one writer, no
+  * version is ever torn-visible, losers rebase or abort (never
+  * overwrite), and no committed row is lost or duplicated.
+  */
+class CrossProcessRaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the forked second JVM needs the same JDK17 module opens Spark needs
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("two JVMs racing appends+compactions: unique claims, no torn version, no lost rows") {
+    val root = Files.createTempDirectory("xrace").toString + "/tbl"
+    // seed so both writers inherit one schema
+    TableVersions.append(spark, root, Seq(("seed-0", "seed")).toDF("id", "writer"))
+
+    val nBatches = 6
+    val rowsPer = 40
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.RaceWriterMain", root, "ext", nBatches.toString, rowsPer.toString))
+    val logFile = Files.createTempFile("xrace", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(logFile)
+    val proc = pb.start()
+
+    // the HOST writes concurrently through its own session
+    (0 until nBatches).foreach { i =>
+      val df = (0 until rowsPer).map(j => (s"host-$i-$j", "host")).toDF("id", "writer").coalesce(1)
+      TableVersions.append(spark, root, df)
+      if (i % 3 == 1) { TableVersions.compact(spark, root, 8L << 20); () }
+    }
+    val exited = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    val tail = scala.io.Source.fromFile(logFile)
+    val log = try tail.mkString finally tail.close()
+    assert(exited && proc.exitValue() === 0,
+      s"external writer failed (exit ${if (exited) proc.exitValue() else "timeout"}):\n" +
+        log.takeRight(3000))
+    assert(log.contains("RACE_WRITER_DONE ext"))
+
+    // no lost and no duplicated rows, across every writer
+    TableVersions.clearStateCache()
+    val rows = TableVersions.read(spark, root).as[(String, String)].collect()
+    assert(rows.length === 1 + 2 * nBatches * rowsPer,
+      s"expected every committed batch exactly once, got ${rows.length}")
+    assert(rows.map(_._1).distinct.length === rows.length, "no id may appear twice")
+    assert(rows.count(_._2 == "ext") === nBatches * rowsPer)
+    assert(rows.count(_._2 == "host") === nBatches * rowsPer)
+
+    // every claimed version is whole (readable, never torn) and the
+    // numbering is contiguous — one claim per name, no overwrites
+    val latest = TableVersions.currentVersion(spark, root).get
+    (0L to latest).foreach { v =>
+      val st = TableVersions.commitState(spark, root, Some(v))
+      assert(st.files.nonEmpty || v === 0L, s"v$v must reconstruct whole")
+    }
+    assert(TableVersions.history(spark, root).count() === latest + 1,
+      "history must list exactly one commit per claimed version")
+    // compactions may have rebased or aborted, but the final row set is
+    // what the appends committed — rewrites never change content
+    assert(TableVersions.read(spark, root).groupBy("writer").count().count() === 3)
+  }
+}
