@@ -1598,7 +1598,8 @@ object TableVersions {
   private[graft] def commitRewrite(spark: SparkSession, root: String, removed: Set[String],
       added: Seq[FileEntry], outDir: Path,
       dvSnapshot: Map[String, Option[(String, Long)]], op: String = "REWRITE",
-      cdf: Seq[String] = Nil, extraCleanup: Seq[Path] = Nil): Option[Long] = {
+      cdf: Seq[String] = Nil, extraCleanup: Seq[Path] = Nil,
+      schemaEvolved: Option[(String, Option[String])] = None): Option[Long] = {
     val f = fs(spark, root)
     def abort(): Unit = {
       f.delete(outDir, true)
@@ -1617,11 +1618,20 @@ object TableVersions {
         abort()
         return None // true conflict: a concurrent DV update tombstoned our inputs
       }
+      // a schema-evolving commit must still be evolving the schema it
+      // computed from — a concurrent rename/drop/add wins and we abort
+      // rather than clobber it
+      if (schemaEvolved.exists { case (_, base) => cur.schemaJson != base }) {
+        abort()
+        return None
+      }
       val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
       val v = nextVersion(spark, root, Some(baseV))
       // a removed file's deletion vector dies with it (the rewrite
       // re-materialized its live rows)
-      if (tryCommit(spark, root, v, cur.copy(files = files).pruneDvs,
+      if (tryCommit(spark, root, v,
+          cur.copy(files = files,
+            schemaJson = schemaEvolved.map(_._1).orElse(cur.schemaJson)).pruneDvs,
           Some(baseV -> cur), op, cdf))
         return Some(v)
       attempt += 1
@@ -1958,7 +1968,8 @@ object TableVersions {
       updates: Map[String, (String, Long)],
       snapshot: Map[String, Option[(String, Long)]], cleanup: Seq[Path],
       added: Seq[FileEntry] = Seq.empty, op: String = "DV UPDATE",
-      cdf: Seq[String] = Nil): Option[Long] = {
+      cdf: Seq[String] = Nil,
+      schemaEvolved: Option[(String, Option[String])] = None): Option[Long] = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt < 100) {
@@ -1966,11 +1977,13 @@ object TableVersions {
         .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
       val cur = commitState(spark, root, Some(baseV))
       val livePaths = cur.files.map(_.path).toSet
-      val conflict = updates.keys.exists(p => !livePaths(p) || cur.dvs.get(p) != snapshot(p))
+      val conflict = updates.keys.exists(p => !livePaths(p) || cur.dvs.get(p) != snapshot(p)) ||
+        schemaEvolved.exists { case (_, base) => cur.schemaJson != base }
       if (conflict) { cleanup.foreach(d => f.delete(d, true)); return None }
       val v = nextVersion(spark, root, Some(baseV))
       if (tryCommit(spark, root, v,
-          cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates),
+          cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates,
+            schemaJson = schemaEvolved.map(_._1).orElse(cur.schemaJson)),
           Some(baseV -> cur), op, cdf)) return Some(v)
       attempt += 1
     }
@@ -2195,7 +2208,8 @@ object TableVersions {
       notMatched: Seq[MergeInsert] = Nil,
       notMatchedBySource: Seq[MergeClause] = Nil,
       extraOn: Option[String] = None,
-      maxDvFraction: Double = 0.0): Option[Long] = {
+      maxDvFraction: Double = 0.0,
+      autoMerge: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, min, when}
     require(on.nonEmpty, "merge: `on` key columns required")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -2220,13 +2234,40 @@ object TableVersions {
     checkOrder(matched, "WHEN MATCHED")
     checkOrder(notMatched, "WHEN NOT MATCHED")
     checkOrder(notMatchedBySource, "WHEN NOT MATCHED BY SOURCE")
-    val reserved = Seq("__gv_file", "__gv_pos", "__g_t", "__g_s", "__g_action")
+    val reserved = Seq("__gv_file", "__gv_pos", "__g_t", "__g_s", "__g_action", "__g_tf")
     reserved.foreach(r => require(!source.columns.contains(r),
       s"merge: source column name '$r' is reserved"))
 
     val st = commitState(spark, root, None)
-    val tblSchema = st.schema.getOrElse(
+    val tblSchema0 = st.schema.getOrElse(
       spark.read.parquet(st.files.head.path).schema)
+    // SCHEMA EVOLUTION (opt-in `autoMerge`, Delta's autoMerge shape):
+    // extra source columns append to the table schema as NULLABLE
+    // fields — checkEvolution's resurrection guards still reject a new
+    // name colliding with a renamed column's physical name or a
+    // dropped column's remnant. Existing files null-fill on read (the
+    // force-nullable physical schema); the new schema commits
+    // ATOMICALLY with the merge itself, conflict-checked against the
+    // schema it evolved from.
+    val newFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (!autoMerge) Seq.empty
+      else source.schema.fields.toIndexedSeq
+        .filterNot(f => tblSchema0.fieldNames.contains(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
+    if (newFields.nonEmpty) require(st.schema.isDefined,
+      s"merge autoMerge: $root has legacy commits without a recorded schema")
+    val tblSchema =
+      if (newFields.isEmpty) tblSchema0
+      else checkEvolution(tblSchema0,
+        StructType(tblSchema0.fields ++ newFields), st.dropped)
+    val schemaEvolved: Option[(String, Option[String])] =
+      if (newFields.isEmpty) None else Some((tblSchema.json, st.schemaJson))
+    val tHasCol = tblSchema0.fieldNames.toSet
+    // the t side of the join has only the PRE-evolution columns; an
+    // evolved column's target-row base value is NULL
+    def tBase(c: String): org.apache.spark.sql.Column =
+      if (tHasCol(c)) org.apache.spark.sql.functions.col("t." + c)
+      else org.apache.spark.sql.functions.lit(null)
     val tblCols = tblSchema.fieldNames.toSeq
     on.foreach(k => require(tblCols.contains(k) && source.columns.contains(k),
       s"merge: on-key '$k' must exist in both the table and the source"))
@@ -2268,39 +2309,18 @@ object TableVersions {
         val keys = on.map(k => col("t." + k) === col("s." + k)).reduce(_ && _)
         extraOn.map(e => keys && expr(e)).getOrElse(keys)
       }
-      val touched: Seq[String] =
-        if (candidates.isEmpty) Seq.empty
-        else {
-          val perFile = candidateRowsWithPos(spark, root, st, candidates).alias("t")
-            .join(src.alias("s"), joinCond, "inner")
-            .groupBy(col("__gv_file"), col("__gv_pos")).agg(count(lit(1)).as("__g_n"))
-            .groupBy(col("__gv_file")).agg(max(col("__g_n")).as("__g_maxn"))
-            .collect() // O(touched files) rows to the driver
-          if (matched.nonEmpty && perFile.exists(_.getLong(1) > 1L))
-            throw new IllegalStateException(
-              "merge: a target row matched more than one source row under an " +
-                "update/delete clause — the result would be nondeterministic " +
-                "(dedupe the source on the merge keys first)")
-          val tn = perFile.map(r => normPath(r.getString(0))).toSet
-          candidates.filter(p => tn(normPath(p)))
-        }
-      val rewriteSet: Seq[String] =
-        if (notMatchedBySource.nonEmpty) st.files.map(_.path)
-        else if (matched.nonEmpty) touched
-        else Seq.empty // insert-only: nothing rewrites
-      if (rewriteSet.isEmpty && notMatched.isEmpty)
-        return currentVersion(spark, root) // no match, no insert clause: no-op
-      // files whose rows participate in the join (match detection needs
-      // every file that HOLDS a match even when nothing rewrites)
-      val joinSet = (rewriteSet ++ touched).distinct
 
-      // ---- phase 2: classify every row once
+      // ---- phase 2 (SINGLE PASS): classify every candidate row once.
+      // The ANSI multiple-match guard and the touched-file set both
+      // derive from this join's persisted result (one O(touched files)
+      // aggregate) instead of a separate inner-join pre-pass — the
+      // merge scans its candidates exactly once.
       val tRows =
-        if (joinSet.isEmpty)
+        if (candidates.isEmpty)
           emptyLike(spark, st)
             .withColumn("__gv_file", lit(null).cast("string"))
             .withColumn("__gv_pos", lit(null).cast("long"))
-        else candidateRowsWithPos(spark, root, st, joinSet)
+        else candidateRowsWithPos(spark, root, st, candidates)
       val j = tRows.withColumn("__g_t", lit(true)).alias("t")
         .join(src.withColumn("__g_s", lit(true)).alias("s"), joinCond, "full_outer")
       def condCol(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
@@ -2314,11 +2334,14 @@ object TableVersions {
         when(tP && sP, coalesce(chain(matched, "m"), lit("keep")))
           .when(tP && !sP, coalesce(chain(notMatchedBySource, "b"), lit("keep")))
           .otherwise(coalesce(chain(notMatched, "i"), lit("drop")))
+      // always persisted: the guard aggregate, validation, CDF images,
+      // DV victims, and the restage all reuse this one classified frame
       val acted = j.withColumn("__g_action", action)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       def updVal(set: Map[String, String], c: String): Column =
         set.get(c).map(expr).getOrElse(
-          if (set.isEmpty && srcHas(c)) col("s." + c) else col("t." + c))
+          if (set.isEmpty && srcHas(c)) col("s." + c) else tBase(c))
       def insVal(values: Map[String, String], c: String): Column =
         values.get(c).map(expr).getOrElse(
           if (values.isEmpty && srcHas(c)) col("s." + c) else lit(null))
@@ -2332,7 +2355,7 @@ object TableVersions {
       val insertTags = notMatched.zipWithIndex.map { case (cl, i) => (s"i$i", cl) }
       val outCols: Seq[Column] = tblSchema.fields.toIndexedSeq.map { fd =>
         val c = fd.name
-        val withUpd = updateTags.foldRight(col("t." + c)) { case ((tg, cl), acc) =>
+        val withUpd = updateTags.foldRight(tBase(c).cast(fd.dataType)) { case ((tg, cl), acc) =>
           when(col("__g_action") === tg,
             updVal(cl.asInstanceOf[MergeUpdate].set, c)).otherwise(acc)
         }
@@ -2343,15 +2366,35 @@ object TableVersions {
       }
       val changedTags = updateTags.map(_._1) ++ insertTags.map(_._1)
       val dropTags = deleteTags :+ "drop"
-      // insert-only merges keep their matched rows IN PLACE (their
-      // files never rewrite), so t-present rows leave the output
-      val keepPred =
-        if (rewriteSet.isEmpty) col("__g_action").isin(insertTags.map(_._1): _*)
-        else !col("__g_action").isin(dropTags: _*)
 
-      val reused = st.checks.nonEmpty || maxDvFraction > 0.0 || cdfEnabled(st)
-      if (reused) acted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // ANSI multiple-match guard + touched-file set, ONE aggregate
+        // over the classified frame (O(touched files) rows to the
+        // driver) — the fold that replaces the former inner-join pass
+        val perFile: Array[(String, Long)] =
+          if (matched.isEmpty) Array.empty
+          else acted.filter(tP && sP)
+            .groupBy(col("__gv_file"), col("__gv_pos")).agg(count(lit(1)).as("__g_n"))
+            .groupBy(col("__gv_file")).agg(max(col("__g_n")).as("__g_maxn"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+        if (perFile.exists(_._2 > 1L))
+          throw new IllegalStateException(
+            "merge: a target row matched more than one source row under an " +
+              "update/delete clause — the result would be nondeterministic " +
+              "(dedupe the source on the merge keys first)")
+        val touchedNorm = perFile.map(p => normPath(p._1)).toSet
+        val rewriteSet: Seq[String] =
+          if (notMatchedBySource.nonEmpty) st.files.map(_.path)
+          else if (matched.nonEmpty) candidates.filter(p => touchedNorm(normPath(p)))
+          else Seq.empty // insert-only: nothing rewrites
+        if (rewriteSet.isEmpty && notMatched.isEmpty)
+          return currentVersion(spark, root) // no match, no insert clause: no-op
+        // insert-only merges keep their matched rows IN PLACE (their
+        // files never rewrite), so t-present rows leave the output
+        val keepPred =
+          if (rewriteSet.isEmpty) col("__g_action").isin(insertTags.map(_._1): _*)
+          else !col("__g_action").isin(dropTags: _*)
+
         if (st.checks.nonEmpty && changedTags.nonEmpty)
           validateChecks(
             acted.filter(col("__g_action").isin(changedTags: _*)).select(outCols: _*),
@@ -2367,7 +2410,7 @@ object TableVersions {
           else {
             val updTagSeq = updateTags.map(_._1)
             val tCols: Seq[Column] = tblSchema.fields.toIndexedSeq.map(fd =>
-              col("t." + fd.name).cast(fd.dataType).as(fd.name))
+              tBase(fd.name).cast(fd.dataType).as(fd.name))
             def img(ts: Seq[String], cs: Seq[Column], ct: String): Option[DataFrame] =
               if (ts.isEmpty) None
               else Some(acted.filter(col("__g_action").isin(ts: _*))
@@ -2386,15 +2429,34 @@ object TableVersions {
         if (maxDvFraction > 0.0 && rewriteSet.nonEmpty) {
           mergeViaDv(spark, root, st, rewriteSet, acted, outCols,
             updateTags.map(_._1) ++ deleteTags, changedTags, maxDvFraction,
-            cdfName) match {
+            cdfName, schemaEvolved, if (schemaEvolved.isDefined) Some(tblSchema) else st.schema) match {
             case Some(result) => return result
             case None => // fraction exceeded / legacy stats: rewrite below
           }
         }
 
-        val result = acted.filter(keepPred).select(outCols: _*)
+        // rewrite path: the classified frame holds EVERY candidate's
+        // rows, but only rewriteSet's files re-materialize — untouched
+        // candidates' rows stay in place (a broadcast semi-filter on
+        // the O(touched) file list; s-only insert rows pass through)
+        val result0 = acted.filter(keepPred)
+        val narrowed =
+          if (notMatchedBySource.nonEmpty || matched.isEmpty ||
+            rewriteSet.size == candidates.size) result0
+          else {
+            import org.apache.spark.sql.functions.{broadcast, regexp_replace}
+            import spark.implicits._
+            val tDf = rewriteSet.map(normPath).toDF("__g_tf")
+            result0.join(broadcast(tDf),
+              regexp_replace(regexp_replace(col("__gv_file"),
+                "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""), "^file:/+", "/") === col("__g_tf"),
+              "left_outer")
+              .filter(col("__g_tf").isNotNull || col("__gv_file").isNull)
+              .drop("__g_tf")
+          }
+        val result = narrowed.select(outCols: _*)
         val (outDir, added) = stageFiles(spark, root, result, st.partCols, "merge",
-          mapSchema = st.schema)
+          mapSchema = if (schemaEvolved.isDefined) Some(tblSchema) else st.schema)
         if (rewriteSet.isEmpty && added.isEmpty) {
           // no file rewrites and no insert images: committing would
           // write an identical version — make the no-op observable
@@ -2404,8 +2466,8 @@ object TableVersions {
           currentVersion(spark, root)
         } else commitRewrite(spark, root, rewriteSet.toSet, added, outDir,
           dvSnapshotOf(st, rewriteSet.toSet), op = "MERGE",
-          cdf = cdfName.toSeq, extraCleanup = cdfDirs)
-      } finally if (reused) { acted.unpersist(); () }
+          cdf = cdfName.toSeq, extraCleanup = cdfDirs, schemaEvolved = schemaEvolved)
+      } finally { acted.unpersist(); () }
     } finally { src.unpersist(); () }
   }
 
@@ -2418,7 +2480,9 @@ object TableVersions {
   private def mergeViaDv(spark: SparkSession, root: String, st: CommitState,
       rewriteSet: Seq[String], acted: DataFrame, outCols: Seq[Column],
       victimTags: Seq[String], changedTags: Seq[String],
-      maxFraction: Double, cdfName: Option[String] = None): Option[Option[Long]] = {
+      maxFraction: Double, cdfName: Option[String] = None,
+      schemaEvolved: Option[(String, Option[String])] = None,
+      stageSchema: Option[StructType] = None): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.col
     val candSet = rewriteSet.toSet
     val candEntries = st.files.filter(fe => candSet(fe.path))
@@ -2442,18 +2506,18 @@ object TableVersions {
     val images = acted.filter(col("__g_action").isin(changedTags: _*))
       .select(outCols: _*)
     val (outDir, added) = stageFiles(spark, root, images, st.partCols, "merge",
-      mapSchema = st.schema)
+      mapSchema = stageSchema.orElse(st.schema))
     staged match {
       case None => // no victim rows materialized: pure insert images
         Some(commitDvUpdate(spark, root, Map.empty, Map.empty, cdfDirs :+ outDir, added,
-          op = "MERGE dv", cdf = cdfName.toSeq))
+          op = "MERGE dv", cdf = cdfName.toSeq, schemaEvolved = schemaEvolved))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
           perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
         Some(commitDvUpdate(spark, root, dvUpdates, snapshot, cdfDirs ++ Seq(dvDir, outDir),
-          added, op = "MERGE dv", cdf = cdfName.toSeq))
+          added, op = "MERGE dv", cdf = cdfName.toSeq, schemaEvolved = schemaEvolved))
     }
   }
 
