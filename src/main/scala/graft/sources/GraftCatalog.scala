@@ -273,6 +273,121 @@ private[sources] object StatsAggregate {
   private val ExactLong = (1L << 53).toDouble
   private val HiveNullDir = "__HIVE_DEFAULT_PARTITION__"
 
+  private def partLit(dt: DataType, raw: String): Option[Any] = {
+    if (raw == HiveNullDir) return None // a null partition value
+    try dt match {
+      case StringType => Some(raw)
+      case LongType => Some(raw.toLong)
+      case IntegerType => Some(raw.toInt)
+      case ShortType => Some(raw.toShort)
+      case ByteType => Some(raw.toByte)
+      case BooleanType => Some(raw.toBoolean)
+      case DateType => Some(java.sql.Date.valueOf(java.time.LocalDate.parse(raw)))
+      case _ => None
+    } catch { case _: IllegalArgumentException | _: java.time.DateTimeException => None }
+  }
+
+  /** Is `f` a filter this object can evaluate EXACTLY against the
+    * commit's per-file partition tuples — every referenced column a
+    * partition column, every shape one with unambiguous semantics?
+    * Declaring such a filter handled is what lets Spark attempt
+    * aggregate pushdown under a WHERE at all (it requires every filter
+    * consumed by the source). Must stay in lockstep with [[evalPart]].
+    */
+  def partitionOnly(st: TableVersions.CommitState, logical: StructType,
+      f: Filter): Boolean = {
+    def isPart(n: String) = st.partCols.contains(n) &&
+      logical.fields.exists(_.name == n)
+    f match {
+      case sources.EqualTo(n, v) => isPart(n) && v != null
+      case sources.In(n, vs) => isPart(n) && vs != null && vs.forall(_ != null)
+      case sources.GreaterThan(n, v) => isPart(n) && v != null
+      case sources.GreaterThanOrEqual(n, v) => isPart(n) && v != null
+      case sources.LessThan(n, v) => isPart(n) && v != null
+      case sources.LessThanOrEqual(n, v) => isPart(n) && v != null
+      case sources.IsNull(n) => isPart(n)
+      case sources.IsNotNull(n) => isPart(n)
+      case sources.And(l, r) => partitionOnly(st, logical, l) && partitionOnly(st, logical, r)
+      case sources.Or(l, r) => partitionOnly(st, logical, l) && partitionOnly(st, logical, r)
+      case _ => false // Not/StartsWith/…: keep Spark-side
+    }
+  }
+
+  /** Exact same-type comparison of a partition value against a filter
+    * literal; None = type mismatch or unsupported pair (refuse — the
+    * exactness-over-coverage stance).
+    */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
+    case (x: java.lang.Integer, y: java.lang.Integer) => Some(Integer.compare(x, y))
+    case (x: java.lang.Short, y: java.lang.Short) => Some(java.lang.Short.compare(x, y))
+    case (x: java.lang.Byte, y: java.lang.Byte) => Some(java.lang.Byte.compare(x, y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
+    case (x: java.sql.Date, y: java.time.LocalDate) =>
+      Some(x.toLocalDate.compareTo(y))
+    case _ => None
+  }
+
+  /** Evaluate `f` against one file's partition tuple under SQL WHERE
+    * semantics (NULL comparisons filter the file out). None = cannot
+    * evaluate exactly — the caller must refuse the whole pushdown.
+    */
+  private def evalPart(st: TableVersions.CommitState, logical: StructType,
+      fe: TableVersions.FileEntry, f: Filter): Option[Boolean] = {
+    // Some(None) = committed NULL partition value; None = unevaluable
+    def value(n: String): Option[Option[Any]] =
+      logical.fields.find(_.name == n).flatMap { fd =>
+        fe.part.get(n) match {
+          case None => None // no tuple recorded for a partition column: refuse
+          case Some(HiveNullDir) => Some(None)
+          case Some(raw) => partLit(fd.dataType, raw).map(v => Some(v))
+        }
+      }
+    def rel(n: String, v: Any, p: Int => Boolean): Option[Boolean] = value(n).flatMap {
+      case None => Some(false) // NULL relop literal = unknown → filtered
+      case Some(a) => cmp(a, v).map(p)
+    }
+    f match {
+      case sources.EqualTo(n, v) => rel(n, v, _ == 0)
+      case sources.In(n, vs) => value(n).flatMap {
+        case None => Some(false)
+        case Some(a) =>
+          val ms = vs.map(v => cmp(a, v))
+          if (ms.exists(_.isEmpty)) None else Some(ms.flatten.exists(_ == 0))
+      }
+      case sources.GreaterThan(n, v) => rel(n, v, _ > 0)
+      case sources.GreaterThanOrEqual(n, v) => rel(n, v, _ >= 0)
+      case sources.LessThan(n, v) => rel(n, v, _ < 0)
+      case sources.LessThanOrEqual(n, v) => rel(n, v, _ <= 0)
+      case sources.IsNull(n) => value(n).map(_.isEmpty)
+      case sources.IsNotNull(n) => value(n).map(_.nonEmpty)
+      case sources.And(l, r) =>
+        for (a <- evalPart(st, logical, fe, l); b <- evalPart(st, logical, fe, r)) yield a && b
+      case sources.Or(l, r) =>
+        for (a <- evalPart(st, logical, fe, l); b <- evalPart(st, logical, fe, r)) yield a || b
+      case _ => None
+    }
+  }
+
+  /** The snapshot narrowed to the files whose partition tuples satisfy
+    * every filter — partition values are constant per file
+    * (partitions-as-metadata), so file-level selection IS row-level
+    * selection and every downstream stat stays exact. None when any
+    * file/filter pair cannot be evaluated exactly.
+    */
+  def pruneByPartition(st: TableVersions.CommitState, logical: StructType,
+      filters: Seq[Filter]): Option[TableVersions.CommitState] = {
+    if (filters.isEmpty) return Some(st)
+    val kept = st.files.map { fe =>
+      val votes = filters.map(f => evalPart(st, logical, fe, f))
+      if (votes.exists(_.isEmpty)) return None
+      (fe, votes.flatten.forall(identity))
+    }.collect { case (fe, true) => fe }
+    Some(st.copy(files = kept).pruneDvs)
+  }
+
   def answer(st: TableVersions.CommitState, logical: StructType,
       agg: Aggregation): Option[(StructType, Seq[Row])] = {
     if (st.dvs.nonEmpty) return None
@@ -446,9 +561,14 @@ private[sources] class GraftTable(root: String, version: Option[Long])
       TableCatalog.PROP_PROVIDER -> "graft-table",
       TableCatalog.PROP_LOCATION -> root)).asJava
 
+  // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE WITH SCHEMA EVOLUTION INTO`
+  // (Spark's native clause) derives AddColumn changes from the extra
+  // source columns and drives them through [[GraftCatalog.alterTable]]
+  // — the same nullable-append commit as ALTER TABLE, with the same
+  // loud refusals for anything beyond a plain nullable add
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // ---- row-level SQL: UPDATE / MERGE INTO / arbitrary DELETE ----
 
@@ -488,15 +608,27 @@ private[sources] class GraftTable(root: String, version: Option[Long])
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
         with SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
+      private var handledPart: Array[Filter] = Array.empty
       private var required: Option[StructType] = None
       private var aggAnswer: Option[(StructType, Seq[Row])] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // record the translatable subset for IO pruning but keep EVERY
-        // filter Spark-side (the push is a pure optimization, so the
-        // translation can stay conservative) — the DvTableRelation rule
+        // non-partition filter Spark-side (the push is a pure
+        // optimization there, so the translation can stay conservative
+        // — the DvTableRelation rule). PARTITION-ONLY filters this
+        // source can evaluate exactly against the commit's per-file
+        // partition tuples are declared HANDLED instead: that is what
+        // lets Spark even attempt aggregate pushdown under a WHERE
+        // ("count rows in yesterday's partition" answered from
+        // metadata), and the plain-scan path applies them itself via
+        // the same exact translation.
         pushed = filters.filter(f => GraftCatalog.translate(f).isDefined)
-        filters
+        val (handled, kept) = filters.partition(f =>
+          GraftCatalog.translate(f).isDefined &&
+            StatsAggregate.partitionOnly(snapshot, schema(), f))
+        handledPart = handled
+        kept
       }
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
@@ -504,16 +636,21 @@ private[sources] class GraftTable(root: String, version: Option[Long])
 
       // COUNT/MIN/MAX answered from commit stats — only COMPLETE
       // pushdown (the one row IS the result), only when exact (see
-      // [[StatsAggregate]]). Spark only attempts this when every
-      // filter was pushed, and this builder declares all filters
-      // unhandled, so an aggregation can only arrive filter-free.
+      // [[StatsAggregate]]). Spark attempts this only when every
+      // filter was consumed by the source; this builder consumes
+      // exactly the partition-only subset, so an aggregation arrives
+      // either filter-free or under partition predicates — the latter
+      // prune the per-file stat rows before answering.
+      private def prunedForAgg: Option[TableVersions.CommitState] =
+        StatsAggregate.pruneByPartition(snapshot, schema(), handledPart.toSeq)
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        pushed.isEmpty && StatsAggregate.answer(snapshot, schema(), agg).isDefined
+        pushed.length == handledPart.length &&
+          prunedForAgg.exists(st => StatsAggregate.answer(st, schema(), agg).isDefined)
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-        if (pushed.nonEmpty) return false
-        aggAnswer = StatsAggregate.answer(snapshot, schema(), agg)
+        if (pushed.length != handledPart.length) return false
+        aggAnswer = prunedForAgg.flatMap(st => StatsAggregate.answer(st, schema(), agg))
         aggAnswer.isDefined
       }
 

@@ -210,6 +210,24 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Throwable] {
       spark.sql("SELECT k, count(*) FROM graft.db.t10 GROUP BY k").collect()
     }
+    // a WHERE over partition columns ONLY prunes the per-file stat rows
+    // first and still answers from metadata — the "count rows in
+    // yesterday's partition" shape, proven on the same corrupted files
+    val f1 = spark.sql(
+      "SELECT count(*), min(k), max(k) FROM graft.db.t10 WHERE p = 'a' AND d = 0").head()
+    assert(f1.getLong(0) === 10L && f1.getLong(1) === 0L && f1.getLong(2) === 54L)
+    val f2 = spark.sql("SELECT p, count(*) AS n FROM graft.db.t10 " +
+      "WHERE d >= 1 GROUP BY p ORDER BY p").collect()
+    assert(f2.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 20L), ("b", 20L)))
+    assert(spark.sql("SELECT count(*) FROM graft.db.t10 WHERE p IN ('a')")
+      .head().getLong(0) === 30L)
+    // an empty partition selection answers 0 rows, never errors
+    assert(spark.sql("SELECT count(*) FROM graft.db.t10 WHERE p = 'zz'")
+      .head().getLong(0) === 0L)
+    // mixing in a NON-partition predicate still needs the data: loud
+    intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM graft.db.t10 WHERE p = 'a' AND k > 3").collect()
+    }
   }
 
   test("catalog reads report exact size from the commit: small tables broadcast in joins") {
@@ -305,6 +323,32 @@ class GraftCatalogSpec extends SparkSpec {
     val ex = intercept[Exception] { spark.sql("CALL graft.system.nope('db.m1')") }
     assert(ex.getMessage.contains("nope"))
     assert(Option(ex.getCause).exists(_.getMessage.contains("unknown procedure")))
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION: extra source columns evolve the table") {
+    val w = newWarehouse()
+    spark.sql("CREATE TABLE graft.db.me (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.me VALUES (1, 'a'), (2, 'b')")
+    spark.range(0, 0).createOrReplaceTempView("mes_empty")
+    Seq((2L, "B", 9.5), (3L, "c", 3.25)).toDF("k", "v", "score")
+      .createOrReplaceTempView("mes")
+    // WITHOUT the clause, star actions expand over TARGET columns only
+    // (Spark's stance): extra source columns never evolve the schema
+    spark.sql("MERGE INTO graft.db.me t USING mes_empty s ON t.k = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.id)")
+    assert(spark.table("graft.db.me").columns.toSeq === Seq("k", "v"),
+      "no clause, no evolution")
+    // WITH SCHEMA EVOLUTION: Spark derives AddColumn changes, our
+    // catalog commits them (nullable, appended), old rows null-fill
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.db.me t USING mes s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val out = spark.sql("SELECT k, v, score FROM graft.db.me ORDER BY k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ===
+      Seq((1L, "a", null), (2L, "B", 9.5), (3L, "c", 3.25)))
+    // the evolution is a committed metadata step: time travel shows it
+    assert(TableVersions.commitState(spark, s"$w/db/me").schema.get.fieldNames.toSeq ===
+      Seq("k", "v", "score"))
   }
 
   test("change feed composes with SQL DML (property set at CREATE)") {

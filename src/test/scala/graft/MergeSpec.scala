@@ -243,4 +243,54 @@ class MergeSpec extends SparkSpec {
       matched = Seq(MergeUpdate(Map("amt" -> "s.newAmt")))) === v0)
     assert(TableVersions.currentVersion(spark, root) === v0)
   }
+
+  test("autoMerge: extra source columns append nullable, atomically with the merge") {
+    val root = newRoot()
+    seed(root)
+    val src = Seq((5L, "U5", 50.5, "hi"), (900L, "N", 9.0, "new"))
+      .toDF("k", "name", "amt", "note")
+    // WITHOUT autoMerge the extra column is ignored (today's contract)
+    TableVersions.merge(spark, root, src, Seq("k"),
+      matched = Seq(MergeUpdate(Map.empty)), notMatched = Seq(MergeInsert(Map.empty)))
+    assert(TableVersions.read(spark, root).columns.toSeq === Seq("k", "name", "amt"))
+
+    // WITH autoMerge: `note` appends nullable; SET */INSERT * carry it
+    val root2 = newRoot()
+    seed(root2)
+    val Some(v) = TableVersions.merge(spark, root2, src, Seq("k"),
+      matched = Seq(MergeUpdate(Map.empty)), notMatched = Seq(MergeInsert(Map.empty)),
+      autoMerge = true): @unchecked
+    val out = TableVersions.read(spark, root2)
+    assert(out.columns.toSeq === Seq("k", "name", "amt", "note"))
+    assert(out.count() === 401)
+    assert(out.filter($"k" === 5L).head().getString(3) === "hi")
+    assert(out.filter($"k" === 900L).head().getString(3) === "new")
+    assert(out.filter($"k" === 6L).head().isNullAt(3), "old rows null-fill")
+    // the evolution landed IN the merge commit, not a separate version
+    assert(TableVersions.commitState(spark, root2, Some(v - 1)).schema.get.fieldNames.toSeq
+      === Seq("k", "name", "amt"), "prior version keeps the old schema")
+    assert(TableVersions.history(spark, root2).count() === v + 1)
+
+    // merge-on-read path evolves too (DV + appended images carry the column)
+    val root3 = newRoot()
+    seed(root3)
+    val Some(_) = TableVersions.merge(spark, root3,
+      Seq((7L, "U7", 7.7, 1L)).toDF("k", "name", "amt", "rank"), Seq("k"),
+      matched = Seq(MergeUpdate(Map.empty)), maxDvFraction = 0.5,
+      autoMerge = true): @unchecked
+    assert(TableVersions.commitState(spark, root3).dvs.nonEmpty, "DV path taken")
+    val o3 = TableVersions.read(spark, root3)
+    assert(o3.columns.toSeq === Seq("k", "name", "amt", "rank"))
+    assert(o3.filter($"k" === 7L).head().getLong(3) === 1L)
+    assert(o3.filter($"k" === 8L).head().isNullAt(3))
+
+    // resurrection guard: a dropped column's name cannot auto-evolve back
+    TableVersions.dropColumn(spark, root2, "note")
+    val e = intercept[IllegalArgumentException] {
+      TableVersions.merge(spark, root2,
+        Seq((901L, "X", 1.0, "boo")).toDF("k", "name", "amt", "note"), Seq("k"),
+        notMatched = Seq(MergeInsert(Map.empty)), autoMerge = true)
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+  }
 }
