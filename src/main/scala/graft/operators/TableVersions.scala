@@ -597,8 +597,10 @@ object TableVersions {
         size() > stateCacheMax
     })
 
-  /** Test hook: drop every cached reconstructed state. */
-  private[graft] def clearStateCache(): Unit = stateCache.clear()
+  /** Test hook: drop every cached reconstructed state (and the
+    * per-root version floors — external log surgery invalidates both).
+    */
+  private[graft] def clearStateCache(): Unit = { stateCache.clear(); versionFloor.clear() }
 
   private def cacheKey(f: FileSystem, p: Path): Option[(String, Long, Long)] =
     try {
@@ -708,11 +710,45 @@ object TableVersions {
         n.stripPrefix("v").stripSuffix(".commit").toLong }
   }
 
+  /** Hot-path accelerator for [[currentVersion]]: the highest version
+    * this JVM has ever CONFIRMED per table root. The value is only a
+    * FLOOR (monotone while the floor's commit file still exists) —
+    * currentVersion probes FORWARD from it with O(new commits)
+    * exists() calls instead of an O(#versions) directory LISTING per
+    * call. At 10k commits on an object store the listing is the
+    * per-query metadata bottleneck; forward probes are O(1) amortized
+    * for a tailing reader. A stale floor costs extra probes, never a
+    * wrong answer; a floor whose commit file vanished (vacuum'd
+    * history from another process, a recreated table root, test
+    * surgery) falls back to the full listing. [[clearStateCache]]
+    * drops it together with the state cache.
+    */
+  private val versionFloor = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Highest fully-committed version, if any (torn commits skipped). */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    claimedVersions(spark, root)
-      .sorted(Ordering[Long].reverse)
-      .find(v => readCommitState(spark, root, v).isDefined)
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val key = canonAbs(root)
+    val floor = versionFloor.get(key)
+    val latestClaimed: Option[Long] =
+      if (versionFloor.containsKey(key) && f.exists(commitPath(root, floor))) {
+        var v = floor
+        while (f.exists(commitPath(root, v + 1))) v += 1
+        Some(v)
+      } else {
+        claimedVersions(spark, root).maxOption
+      }
+    latestClaimed.foreach(v => versionFloor.merge(key, v, math.max(_, _)))
+    // walk DOWN from the newest claim to the newest READABLE one (a
+    // torn claim is legacy-only; under the promote protocol the first
+    // probe answers)
+    var cur = latestClaimed.getOrElse(return None)
+    while (cur >= 0) {
+      if (readCommitState(spark, root, cur).isDefined) return Some(cur)
+      cur -= 1
+    }
+    None
+  }
 
   /** The full parsed commit state of `version` (default: latest). */
   def commitState(spark: SparkSession, root: String, version: Option[Long] = None): CommitState = {
@@ -2671,7 +2707,7 @@ object TableVersions {
     * gone.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
-      cdfGraceMs: Long = 10 * 60 * 1000L): Unit = {
+      graceMs: Long = 10 * 60 * 1000L): Unit = {
     require(keepVersions >= 1)
     val f = fs(spark, root)
     val latest = currentVersion(spark, root).getOrElse(return)
@@ -2709,6 +2745,16 @@ object TableVersions {
             .foreach(st => writeCheckpoint(spark, root, v, st))
       }
     }
+    // files referenced by ANY still-present commit (including the
+    // versions about to drop): known-dead history, deletable now. A
+    // file referenced by NOTHING is either crash debris (deletable
+    // after the grace) or an IN-FLIGHT writer's staged batch — writers
+    // stage data BEFORE entering the commit retry loop, so sweeping a
+    // fresh orphan would tear the commit that is about to reference it
+    val refAll = live ++ versions.filter(_ < keepFrom)
+      .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
+        st.files.map(_.path) ++ st.dvs.values.map(_._1))).map(normPath)
+    val nowMs = System.currentTimeMillis()
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) {
       val it = f.listFiles(dataDir, true)
@@ -2716,14 +2762,16 @@ object TableVersions {
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !live(normPath(st.getPath.toString))) dead += st.getPath
+          !live(normPath(st.getPath.toString)) &&
+          (refAll(normPath(st.getPath.toString)) ||
+            nowMs - st.getModificationTime > graceMs)) dead += st.getPath
       }
       dead.foreach(p => f.delete(p, false))
     }
     // change-data sidecars: keep the ones retained commits reference,
     // sweep the rest (dirs of dropped commits and orphans of conflicted
     // commit attempts). Recently-written unreferenced dirs are SPARED
-    // for `cdfGraceMs`: a concurrent upsert/merge stages its sidecar
+    // for `graceMs`: a concurrent upsert/merge stages its sidecar
     // BEFORE entering the commit retry loop, so an in-flight writer's
     // dir looks orphaned here — deleting it would leave the eventual
     // commit's `#CDF` dangling and readChanges failing for that step.
@@ -2733,7 +2781,7 @@ object TableVersions {
         .flatMap(v => readRaw(f, commitPath(root, v)).map(_.cdf).getOrElse(Nil)).toSet
       val now = System.currentTimeMillis()
       f.listStatus(cdfDir).foreach { s =>
-        if (!liveCdf(s.getPath.getName) && now - s.getModificationTime > cdfGraceMs) {
+        if (!liveCdf(s.getPath.getName) && now - s.getModificationTime > graceMs) {
           f.delete(s.getPath, true); ()
         }
       }

@@ -172,14 +172,14 @@ class ChangeDataFeedSpec extends SparkSpec {
     assert(f.listStatus(cdfDir).length === 1)
     // plant an orphan (a conflicted commit attempt's leftover)
     f.mkdirs(new org.apache.hadoop.fs.Path(cdfDir, "cdf-orphan"))
-    TableVersions.vacuum(spark, root, keepVersions = 10, cdfGraceMs = 0L) // v2 retained
+    TableVersions.vacuum(spark, root, keepVersions = 10, graceMs = 0L) // v2 retained
     val names = f.listStatus(cdfDir).map(_.getPath.getName).toSet
     assert(!names.contains("cdf-orphan") && names.size === 1)
     // more commits, then retention that drops the upsert step
     (1 to 3).foreach { i =>
       TableVersions.append(spark, root, Seq((600L + i, "x", 1.0)).toDF("k", "name", "amt"))
     }
-    TableVersions.vacuum(spark, root, keepVersions = 2, cdfGraceMs = 0L)
+    TableVersions.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
     assert(f.listStatus(cdfDir).isEmpty)
     // the horizon guard still refuses a range that starts below retention
     intercept[IllegalStateException] {

@@ -89,7 +89,7 @@ class ParquetCheckpointSpec extends SparkSpec {
         "missing parquet dataset must fall back to the chain walk")
 
       // vacuum sweeps ckptpq dirs below the horizon together with their text twins
-      TableVersions.vacuum(spark, root, keepVersions = 2, cdfGraceMs = 0L)
+      TableVersions.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
       (0L until latest - 1).foreach { v =>
         assert(!f.exists(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.ckptpq")),
           s"v$v.ckptpq must be swept below the retention horizon")

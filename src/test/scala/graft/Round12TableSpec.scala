@@ -95,6 +95,52 @@ class Round12TableSpec extends SparkSpec {
       s"legacy line must rebase to the RAW relative path, got:\n$text")
   }
 
+  test("vacuum spares a fresh orphan DATA file; dropped-history files still sweep at once") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1)) // v0
+    TableVersions.deleteWhere(spark, root, col("k") <= 50L)               // v1 rewrite
+    val f = hfs(root)
+    // an in-flight writer's freshly staged batch: referenced by NOTHING
+    val live = TableVersions.commitState(spark, root).files.head.path
+    val orphan = new org.apache.hadoop.fs.Path(root, "data/batch-inflight/part-0.parquet")
+    f.mkdirs(orphan.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(f, new org.apache.hadoop.fs.Path(live),
+      f, orphan, false, spark.sparkContext.hadoopConfiguration)
+    TableVersions.vacuum(spark, root, keepVersions = 1) // default grace
+    assert(f.exists(orphan), "a fresh unreferenced staged file must survive the grace")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_versions/v0.commit")),
+      "the dropped version's commit is gone")
+    // v0's files were referenced by a KNOWN (dropped) commit: swept at
+    // once even under the default grace — that is the point of vacuum
+    val remaining = {
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    assert(remaining === 2, s"live file + spared orphan only, got $remaining")
+    assert(TableVersions.read(spark, root).count() === 50)
+    TableVersions.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(!f.exists(orphan), "grace 0 sweeps the orphan")
+  }
+
+  test("currentVersion forward-probe: tails new commits, survives root recreation") {
+    val root = newRoot()
+    TableVersions.append(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    TableVersions.append(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    assert(TableVersions.currentVersion(spark, root) === Some(1L))
+    TableVersions.append(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    assert(TableVersions.currentVersion(spark, root) === Some(2L),
+      "the floor probe must see commits newer than the cached floor")
+    // recreate the table at the SAME root: the cached floor's commit
+    // file is gone — must fall back to the listing, never lie
+    hfs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    assert(TableVersions.currentVersion(spark, root) === None)
+    TableVersions.append(spark, root, Seq((9L, "z")).toDF("k", "v"))
+    assert(TableVersions.currentVersion(spark, root) === Some(0L))
+    assert(TableVersions.read(spark, root).count() === 1)
+  }
+
   test("vacuum spares fresh unreferenced _cdf dirs within the grace window") {
     val root = newRoot()
     TableVersions.append(spark, root, Seq((1L, "a")).toDF("k", "v"))
@@ -107,7 +153,7 @@ class Round12TableSpec extends SparkSpec {
     TableVersions.vacuum(spark, root, keepVersions = 10)
     assert(f.exists(new org.apache.hadoop.fs.Path(cdfDir, "cdf-inflight")),
       "default grace must spare a just-written unreferenced sidecar dir")
-    TableVersions.vacuum(spark, root, keepVersions = 10, cdfGraceMs = 0L)
+    TableVersions.vacuum(spark, root, keepVersions = 10, graceMs = 0L)
     assert(!f.exists(new org.apache.hadoop.fs.Path(cdfDir, "cdf-inflight")),
       "grace 0 sweeps it")
   }
