@@ -82,4 +82,48 @@ class CrossProcessRaceSpec extends SparkSpec {
     // what the appends committed — rewrites never change content
     assert(TableVersions.read(spark, root).groupBy("writer").count().count() === 3)
   }
+
+  test("cross-process: DV deletes racing an external compacting appender never resurrect") {
+    val root = Files.createTempDirectory("xrace2").toString + "/tbl"
+    TableVersions.append(spark, root,
+      (0 until 100).map(i => (s"s-$i", "seed")).toDF("id", "writer").repartition(2))
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val logFile = Files.createTempFile("xrace2", ".log").toFile
+    val proc = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.RaceWriterMain", root, "ext", "4", "30")): _*)
+      .redirectErrorStream(true).redirectOutput(logFile).start()
+
+    // the HOST deletes seed rows in small DV-sized batches, retrying
+    // when an external compaction rewrote the candidate files (the
+    // conflict rule returns None — losers retry, never clobber)
+    import org.apache.spark.sql.functions.col
+    (0 until 5).foreach { b =>
+      val ids = (b * 10 until b * 10 + 10).map(i => s"s-$i")
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 50) {
+        done = TableVersions.deleteWhere(spark, root,
+          col("id").isin(ids: _*), maxDvFraction = 0.5).isDefined
+        attempts += 1
+      }
+      assert(done, s"delete batch $b must eventually commit past the race")
+    }
+    assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      proc.exitValue() === 0, {
+      val src = scala.io.Source.fromFile(logFile)
+      try s"external writer failed:\n${src.mkString.takeRight(2000)}" finally src.close()
+    })
+
+    TableVersions.clearStateCache()
+    val rows = TableVersions.read(spark, root).as[(String, String)].collect()
+    val deleted = (0 until 50).map(i => s"s-$i").toSet
+    assert(rows.length === 50 + 4 * 30, s"got ${rows.length}")
+    assert(!rows.exists(r => deleted(r._1)),
+      "no tombstoned row may resurrect through a racing compaction")
+    assert(rows.count(_._2 == "seed") === 50 && rows.count(_._2 == "ext") === 120)
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
 }
