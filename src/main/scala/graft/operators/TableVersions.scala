@@ -723,7 +723,12 @@ object TableVersions {
     * surgery) falls back to the full listing. [[clearStateCache]]
     * drops it together with the state cache.
     */
-  private val versionFloor = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val versionFloorMax = 1024
+  private val versionFloor = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Long](128, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Long]): Boolean =
+        size() > versionFloorMax // LRU-bounded: bench/verify sessions touch thousands of temp roots
+    })
 
   /** Highest fully-committed version, if any (torn commits skipped). */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
