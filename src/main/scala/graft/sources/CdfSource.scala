@@ -125,7 +125,23 @@ private[sources] object CdfSourceProvider {
     }
     if (fs.exists(marker)) readMarker()
     else {
-      val (rendered, resolved) = parameters.get("startingVersion") match {
+      require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+        "specify at most one of startingVersion and startingTimestamp")
+      // startingTimestamp resolves ONCE to the first version committed
+      // strictly AFTER the instant (Delta's option of the same name:
+      // "changes at or after"), then pins like any other start
+      val effectiveStart = parameters.get("startingTimestamp") match {
+        case Some(ts) =>
+          val ms = java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))).getTime
+          // first version committed AT OR AFTER the instant = one past
+          // the last version committed strictly before it
+          val before = TableVersions.versionAsOf(spark, path, ms - 1)
+          Some((before.getOrElse(-1L) + 1).toString)
+        case None => parameters.get("startingVersion")
+      }
+      val (rendered, resolved) = effectiveStart match {
         case Some("snapshot") =>
           require(allowSnapshot, "startingVersion=snapshot is a graft-table streaming " +
             "option (bootstrap the current rows, then tail appends); the graft-cdf change " +

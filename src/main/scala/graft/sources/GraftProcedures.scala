@@ -105,9 +105,13 @@ private[sources] object GraftProcedures {
         }
       case "vacuum" =>
         proc("vacuum", Seq(TBL,
-          ProcedureParameter.in("keep_versions", IntegerType).defaultValue("2").build()),
+          ProcedureParameter.in("keep_versions", IntegerType).defaultValue("2").build(),
+          // orphan grace minutes: freshly staged files/sidecars of
+          // in-flight writers are spared this long (0 = sweep all)
+          ProcedureParameter.in("grace_minutes", IntegerType).defaultValue("10").build()),
           StructType(Seq(StructField("done", BooleanType)))) { in =>
-          TableVersions.vacuum(spark, root(in), in.getInt(1))
+          TableVersions.vacuum(spark, root(in), in.getInt(1),
+            graceMs = in.getInt(2) * 60L * 1000L)
           Seq(InternalRow(true))
         }
       case "restore" =>

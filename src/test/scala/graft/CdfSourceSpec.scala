@@ -142,6 +142,38 @@ class CdfSourceSpec extends SparkSpec {
     assert(spark.read.parquet(logDir).count() === 100)
   }
 
+  test("cdf stream: startingTimestamp consumes commits at or after the instant") {
+    val root = newDir("cdfts") + "/tbl"
+    val logDir = newDir("cdftslog")
+    val ckpt = newDir("cdftsckpt")
+    TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1)) // v0
+    Thread.sleep(1100)
+    // default-zone wall clock: the option parses via Timestamp.valueOf
+    // (JVM default zone) and compares against commit file mtimes
+    val cut = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    Thread.sleep(1100)
+    TableVersions.append(spark, root, (101L to 130L).toDF("k").coalesce(1)) // v1
+    TableVersions.append(spark, root, (131L to 140L).toDF("k").coalesce(1)) // v2
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", root).option("startingTimestamp", cut).load()
+      .writeStream.format("parquet")
+      .option("path", logDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ks = spark.read.parquet(logDir).select("k").as[Long].collect().toSet
+    assert(ks === (101L to 140L).toSet,
+      "only commits at or after the instant stream; history before it is skipped")
+    // both options at once refuse
+    intercept[Exception] {
+      spark.readStream.format("graft-cdf").option("path", root)
+        .option("startingVersion", "1").option("startingTimestamp", cut).load()
+        .writeStream.format("noop").option("checkpointLocation", newDir("cdftsbad"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+
   test("graft-table stream: startingVersion=snapshot bootstraps current rows, then tails") {
     val root = newDir("snapsrc") + "/tbl"
     val logDir = newDir("snaplog")

@@ -293,7 +293,7 @@ class GraftCatalogSpec extends SparkSpec {
     // bloom maintenance indexes the live files; vacuum sweeps history
     assert(spark.sql("CALL graft.system.maintain_bloom('db.m1', 'k')")
       .head().getLong(0) === 1L)
-    spark.sql("CALL graft.system.vacuum('db.m1', 1)")
+    spark.sql("CALL graft.system.vacuum('db.m1', 1, 0)") // grace 0: sweep everything
     intercept[Exception] { TableVersions.read(spark, root, Some(0L)).count() }
     assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 500L)
     // partition-scoped optimize compacts ONLY the named partition
