@@ -600,7 +600,9 @@ object TableVersions {
   /** Test hook: drop every cached reconstructed state (and the
     * per-root version floors — external log surgery invalidates both).
     */
-  private[graft] def clearStateCache(): Unit = { stateCache.clear(); versionFloor.clear() }
+  private[graft] def clearStateCache(): Unit = {
+    stateCache.clear(); versionFloor.clear(); pushedCache.clear()
+  }
 
   private def cacheKey(f: FileSystem, p: Path): Option[(String, Long, Long)] =
     try {
@@ -767,6 +769,179 @@ object TableVersions {
   def listing(spark: SparkSession, root: String, version: Option[Long] = None): Seq[(String, Long)] =
     commitState(spark, root, version).files.map(fe => (fe.path, fe.bytes))
 
+  // ------------------------------------------------------------------
+  // FILTERED CHECKPOINT RECONSTRUCTION: serve a big snapshot's listing
+  // from its parquet checkpoint WITHOUT materializing every entry on
+  // the driver. A query's pushed-down predicates translate into a
+  // coarse Column filter evaluated INSIDE the checkpoint's parquet
+  // read (distributed, columnar), and only the survivors — plus the
+  // bounded delta tail — ever reach driver-side exact evaluation:
+  // per-query driver cost drops from O(#files × #preds) to
+  // O(survivors). The Delta stats-indexed-checkpoint / Iceberg
+  // manifest-filtering architecture.
+  // ------------------------------------------------------------------
+
+  /** A snapshot reconstructible as PARQUET CHECKPOINT + DELTA TAIL,
+    * held unmaterialized: the checkpoint dataset location and expected
+    * row count, the tail's folded adds/removes/DV overrides (bounded
+    * by the checkpoint cadence), and the version's SCALAR state
+    * (schema, partition columns, checks, props — `files`/`dvs` empty
+    * by construction). `dvMap`/`sizeEstimate` lazily run one small
+    * columnar job each and memoize — both O(#DV'd files) / O(1) rows
+    * on the driver, never O(#files).
+    */
+  private[graft] final case class PushedListing(root: String, ckptDir: String,
+      ckptCount: Long, tailAdds: Seq[FileEntry], tailRemoves: Set[String],
+      tailDvSets: Map[String, (String, Long)], scalar: CommitState) {
+
+    /** Upper bound on the snapshot's file count (tail removes not
+      * subtracted — threshold gating only).
+      */
+    def totalFiles: Long = ckptCount + tailAdds.size
+
+    @volatile private var dvCache: Map[String, (String, Long)] = null
+    @volatile private var sizeCache: java.lang.Long = null
+
+    /** The snapshot's final deletion-vector map (file → (sidecar,
+      * rows)): checkpoint rows' inline references, minus tail removes,
+      * overridden by tail DV updates. One projected job over the DV'd
+      * subset, memoized.
+      */
+    def dvMap(spark: SparkSession): Map[String, (String, Long)] = {
+      if (dvCache == null) {
+        import org.apache.spark.sql.functions.col
+        val fromCkpt = spark.read.schema(ckptRowSchema).parquet(ckptDir)
+          .where(col("dvFile").isNotNull)
+          .select("path", "dvFile", "dvRows")
+          .collect()
+          .map(r => resolvePath(root, r.getString(0)) ->
+            (resolvePath(root, r.getString(1)), r.getLong(2)))
+          .toMap
+        dvCache = (fromCkpt -- tailRemoves) ++ tailDvSets
+      }
+      dvCache
+    }
+
+    /** Planning-statistic byte size: checkpoint total + tail adds
+      * (removes not subtracted — an overestimate only ever keeps a
+      * broadcast from being chosen, never wrongly chooses one).
+      */
+    def sizeEstimate(spark: SparkSession): Long = {
+      if (sizeCache == null) {
+        import org.apache.spark.sql.functions.sum
+        val base = spark.read.schema(ckptRowSchema).parquet(ckptDir)
+          .agg(sum("bytes")).head()
+        sizeCache = (if (base.isNullAt(0)) 0L else base.getLong(0)) +
+          tailAdds.map(_.bytes).sum
+      }
+      sizeCache
+    }
+
+    /** All file paths (rare consumers — `FileIndex.inputFiles`): one
+      * projected job, minus removes, plus tail adds.
+      */
+    def allPaths(spark: SparkSession): Array[String] = {
+      val base = spark.read.schema(ckptRowSchema).parquet(ckptDir)
+        .select("path").collect().map(r => resolvePath(root, r.getString(0)))
+      base.filterNot(tailRemoves) ++ tailAdds.map(_.path)
+    }
+
+    /** Checkpoint rows → entries, through the SAME decode as
+      * [[resolveCkpt]].
+      */
+    def toEntry(r: CkptFileRow): FileEntry =
+      FileEntry(resolvePath(root, r.path), r.bytes, r.rows, r.part,
+        r.stats.map { case (c, s) =>
+          c -> ColStats(s.minNum, s.maxNum, s.minStr, s.maxStr, s.nulls) })
+  }
+
+  private[graft] lazy val ckptRowSchema: StructType =
+    org.apache.spark.sql.Encoders.product[CkptFileRow].schema
+
+  /** Snapshot file-count threshold at or above which reads serve their
+    * listing through the pushed checkpoint path (session conf
+    * `graft.table.pushedPruneThreshold`; ≤0 disables). Below it the
+    * driver loop over the materialized (and cached) listing is cheaper
+    * than a Spark job per query — the pushed path is the 100k-file+
+    * design point, not the 100-file one.
+    */
+  private[graft] def pushedPruneThreshold(spark: SparkSession): Long =
+    spark.conf.get("graft.table.pushedPruneThreshold", "100000").toLong
+
+  private val pushedCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), PushedListing](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), PushedListing]): Boolean = size > 32
+    })
+
+  /** Version `v` (default: latest) as an unmaterialized checkpoint +
+    * tail, when its reconstruction chain bottoms out at a PARQUET
+    * checkpoint: walk the raw commits down from `v` (text-scalar reads
+    * only — the O(#files) dataset is never touched), fold the tail's
+    * adds/removes/DV updates and scalar changes in order. None when the
+    * chain reaches a full commit or an inline-text checkpoint first
+    * (small-table shape: the materialized path is the right one), or
+    * when the checkpoint dataset is incomplete. Cached per target
+    * commit-file identity.
+    */
+  private[graft] def pushedListing(spark: SparkSession, root: String,
+      version: Option[Long] = None): Option[PushedListing] = {
+    val f = fs(spark, root)
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(return None)
+    if (!f.exists(commitPath(root, v))) return None // probe contract
+    val key = cacheKey(f, commitPath(root, v))
+    val hit = key.flatMap(k => Option(pushedCache.get(k)))
+    if (hit.isDefined) return hit
+    var chain = List.empty[DeltaCommit] // oldest-first after the walk
+    var cur = v
+    while (true) {
+      readRaw(f, checkpointPath(root, cur)) match {
+        case Some(fc: FullCommit) if fc.filesPq.isDefined =>
+          val (name, count) = fc.filesPq.get
+          val dir = new Path(versionsDir(root), name)
+          if (!f.exists(new Path(dir, "_SUCCESS"))) return None
+          var scalar = fc.st.copy(files = Seq.empty, dvs = Map.empty)
+          var adds = Vector.empty[FileEntry]
+          var removes = Set.empty[String]
+          var dvSets = Map.empty[String, (String, Long)]
+          chain.foreach { d =>
+            adds = adds.filterNot(fe => d.removes(fe.path)) ++ d.adds
+            removes ++= d.removes
+            dvSets = (dvSets -- d.removes) ++ d.dvSets
+            scalar = d.applyTo(scalar).copy(files = Seq.empty, dvs = Map.empty)
+          }
+          val pl = PushedListing(root, dir.toString, count, adds, removes,
+            dvSets, scalar)
+          key.foreach(pushedCache.put(_, pl))
+          return Some(pl)
+        case Some(_: FullCommit) => return None // inline-text checkpoint:
+          // the SAME stopping point readCommitState uses — the listing
+          // there was below the parquet threshold, so materialize
+        case _ =>
+      }
+      readRaw(f, commitPath(root, cur)) match {
+        case Some(d: DeltaCommit) if d.base < cur =>
+          chain = d :: chain
+          cur = d.base
+        case _ => return None // full commit / torn / malformed: materialized path decides
+      }
+    }
+    None // unreachable
+  }
+
+  /** Read a pushed-listing snapshot: the format FileIndex carries the
+    * listing handle so pushed-down filters prune INSIDE the checkpoint
+    * read; DVs anti-join from the listing's lazily-computed map; the
+    * physical→logical projection applies as in [[readState]].
+    */
+  private[graft] def readPushed(spark: SparkSession, root: String,
+      l: PushedListing): DataFrame = {
+    val base = graft.sources.GraftTableSource.readFor(spark, root, l.scalar, Some(l))
+    val withDvs = applyDvs(spark, root, base,
+      l.dvMap(spark).values.map(_._1).toSeq.distinct)
+    l.scalar.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
+  }
+
   /** Read the table at `version` (default: latest) under that version's
     * COMMITTED schema: files written before an additive evolution
     * null-fill the later columns directly from the declared schema — no
@@ -784,6 +959,14 @@ object TableVersions {
     */
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
+    val pushedT = pushedPruneThreshold(spark)
+    if (pushedT > 0) {
+      pushedListing(spark, root, version) match {
+        case Some(l) if l.totalFiles >= pushedT && l.scalar.schema.isDefined =>
+          return readPushed(spark, root, l)
+        case _ =>
+      }
+    }
     val st = commitState(spark, root, version)
     if (st.files.isEmpty) {
       // a table created empty (CREATE TABLE) or emptied by a delete
@@ -1107,10 +1290,19 @@ object TableVersions {
   /** Resolve the claim implementation for `f`'s scheme: the session
     * conf `graft.table.logstore.<scheme>` (`rename` |
     * `conditional-create`) wins; otherwise rename-atomic schemes map
-    * to [[RenameLogStore]], known object stores to
-    * [[ConditionalCreateLogStore]], and an UNKNOWN scheme throws —
-    * assuming rename atomicity where the store does copy+delete would
-    * silently lose the claim contract exactly where commits race.
+    * to [[RenameLogStore]], GCS to [[ConditionalCreateLogStore]]
+    * (its connector publishes `create(overwrite = false)` with
+    * if-generation-match=0 — visible only on complete commit), and
+    * EVERYTHING ELSE throws. S3 schemes are deliberately NOT
+    * defaulted: on the Hadoop S3A line shipped with Spark 4.x,
+    * `create(false)` is HEAD-check-then-PUT-on-close — two racing
+    * claimants can both return true and the later close silently
+    * clobbers the earlier commit, a lost commit in exactly the race
+    * this seam exists to prevent. Conditional PUT (If-None-Match)
+    * needs Hadoop >= 3.4.2 WITH `fs.s3a.create.conditional` enabled;
+    * opt in via `graft.table.logstore.s3a = conditional-create` only
+    * once that holds. ABFS/WASB likewise make the target visible
+    * EMPTY at create() (torn-visible window), so they refuse too.
     */
   private[graft] def logStoreFor(spark: SparkSession, f: FileSystem): LogStore = {
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
@@ -1119,8 +1311,20 @@ object TableVersions {
       case "conditional-create" => ConditionalCreateLogStore
       case "" => scheme match {
         case "file" | "hdfs" | "viewfs" => RenameLogStore
-        case "gs" | "s3" | "s3a" | "s3n" | "abfs" | "abfss" | "wasb" | "wasbs" | "oss" =>
-          ConditionalCreateLogStore
+        case "gs" => ConditionalCreateLogStore
+        case s @ ("s3" | "s3a" | "s3n") => throw new IllegalStateException(
+          s"commit LogStore for '$s' requires atomic conditional PUT, which the stock " +
+            "Hadoop S3A client does NOT provide (create(overwrite=false) is " +
+            "check-then-put: racing committers can silently clobber each other). " +
+            "Confirm Hadoop >= 3.4.2 with fs.s3a.create.conditional=true, then set " +
+            s"graft.table.logstore.$s = conditional-create; or front S3 with an " +
+            s"atomic-rename layer and set graft.table.logstore.$s = rename")
+        case s @ ("abfs" | "abfss" | "wasb" | "wasbs") => throw new IllegalStateException(
+          s"commit LogStore for '$s' cannot default safely: the Azure connectors make " +
+            "the target visible EMPTY at create(), breaking the never-torn-visible " +
+            s"claim contract. Set graft.table.logstore.$s explicitly ('conditional-create' " +
+            "only if the connector is confirmed to publish atomically; 'rename' only on " +
+            "a namespace-enabled ABFS account where rename is atomic)")
         case other => throw new IllegalStateException(
           s"no commit LogStore known for filesystem scheme '$other' — rename atomicity " +
             s"cannot be assumed there; set graft.table.logstore.$other to 'rename' " +
@@ -1463,6 +1667,22 @@ object TableVersions {
     }
     val have = current.fieldNames.toSet
     val added = incoming.fields.filterNot(f => have(f.name))
+    // under Spark's default case-INsensitive resolution, a new column
+    // differing only in case from an existing one (`ID` vs `id`) would
+    // commit a schema where every later reference is ambiguous — reject
+    // it at evolution time (honoring spark.sql.caseSensitive, like Delta)
+    if (!org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis) {
+      val haveLower = current.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      added.foreach { f =>
+        if (haveLower(f.name.toLowerCase(java.util.Locale.ROOT)))
+          throw new IllegalArgumentException(
+            s"schema evolution rejected: new column '${f.name}' differs only in CASE " +
+              "from an existing table column — under spark.sql.caseSensitive=false " +
+              "every later reference would be ambiguous; match the existing column's " +
+              "case exactly (it is the same column) or pick a different name")
+      }
+    }
     // a NEW column's physical name is its logical name — it must not
     // collide with a physical name already stored in the table's files:
     // another field's physical (post-rename) or a dropped column's
@@ -2290,10 +2510,19 @@ object TableVersions {
     // force-nullable physical schema); the new schema commits
     // ATOMICALLY with the merge itself, conflict-checked against the
     // schema it evolved from.
+    // "new" is resolved the way the SESSION resolves names: under the
+    // default case-insensitive analysis a source 'ID' against a table
+    // 'id' is the SAME column, not a new one (treating it as new would
+    // commit a duplicate-modulo-case schema that poisons every later
+    // query) — Delta matches per spark.sql.caseSensitive, so do we
+    val evoCaseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def knownCol(n: String): Boolean =
+      if (evoCaseSensitive) tblSchema0.fieldNames.contains(n)
+      else tblSchema0.fieldNames.exists(_.equalsIgnoreCase(n))
     val newFields: Seq[org.apache.spark.sql.types.StructField] =
       if (!autoMerge) Seq.empty
       else source.schema.fields.toIndexedSeq
-        .filterNot(f => tblSchema0.fieldNames.contains(f.name))
+        .filterNot(f => knownCol(f.name))
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
     if (newFields.nonEmpty) require(st.schema.isDefined,
       s"merge autoMerge: $root has legacy commits without a recorded schema")
@@ -2312,7 +2541,14 @@ object TableVersions {
     val tblCols = tblSchema.fieldNames.toSeq
     on.foreach(k => require(tblCols.contains(k) && source.columns.contains(k),
       s"merge: on-key '$k' must exist in both the table and the source"))
-    val srcHas = source.columns.toSet
+    // SET * / INSERT * pull a source value for every table column the
+    // source CARRIES — resolved the same way newFields was (a source
+    // 'AMT' feeds table column 'amt' under case-insensitive analysis;
+    // col("s.<name>") resolution below is case-insensitive to match)
+    val srcExact = source.columns.toSet
+    def srcHas(c: String): Boolean =
+      if (evoCaseSensitive) srcExact(c)
+      else srcExact(c) || source.columns.exists(_.equalsIgnoreCase(c))
     (matched ++ notMatchedBySource).foreach {
       case MergeUpdate(set, _) => set.keys.foreach(c => require(tblCols.contains(c),
         s"merge: SET target '$c' is not a table column"))
@@ -2740,14 +2976,31 @@ object TableVersions {
     // explicitly and checkpoint the ones that cross.
     if (versions.exists(_ < keepFrom)) {
       versions.filter(_ >= keepFrom).foreach { v =>
-        val needsCkpt = !f.exists(checkpointPath(root, v)) &&
-          (readRaw(f, commitPath(root, v)) match {
-            case Some(d: DeltaCommit) => d.base < keepFrom
-            case _ => false // full commit or torn legacy: self-contained either way
-          })
-        if (needsCkpt)
+        val crossesHorizon = readRaw(f, commitPath(root, v)) match {
+          case Some(d: DeltaCommit) => d.base < keepFrom
+          case _ => false // full commit or torn legacy: self-contained either way
+        }
+        // a checkpoint must actually RESOLVE (not merely exist) before
+        // the chain below may drop: a format-major-4 checkpoint whose
+        // ckptpq dataset is missing/corrupt exists but reconstructs
+        // nothing — trusting f.exists here would delete the only path
+        // to this version and break reconstruction forever
+        def ckptResolves(): Boolean =
+          readRaw(f, checkpointPath(root, v))
+            .collect { case fc: FullCommit => fc }
+            .flatMap(fc => resolveCkpt(spark, root, fc)).isDefined
+        if (crossesHorizon && !ckptResolves()) {
+          // rewrite in place: drop the unresolvable sidecar first
+          // (readers treat an unresolvable checkpoint as absent and
+          // walk the chain, which still exists at this point)
+          f.delete(checkpointPath(root, v), false)
+          f.delete(new Path(vd, s"v$v.ckptpq"), true)
           readCommitState(spark, root, v)
             .foreach(st => writeCheckpoint(spark, root, v, st))
+          require(ckptResolves(),
+            s"vacuum: cannot secure a resolvable checkpoint for v$v at $root; " +
+              "refusing to drop the commit chain below it")
+        }
       }
     }
     // files referenced by ANY still-present commit (including the

@@ -129,12 +129,22 @@ private[sources] object CdfSourceProvider {
         parameters.contains("startingTimestamp")),
         "specify at most one of startingVersion and startingTimestamp")
       // startingTimestamp resolves ONCE to the first version committed
-      // strictly AFTER the instant (Delta's option of the same name:
-      // "changes at or after"), then pins like any other start
+      // AT OR AFTER the instant (Delta's option of the same name:
+      // "changes at or after"), then pins like any other start. The
+      // string is interpreted the way SQL literals are: date-only
+      // ('2026-08-15') and timestamp forms both accepted, resolved in
+      // spark.sql.session.timeZone — NOT the driver JVM's default zone
       val effectiveStart = parameters.get("startingTimestamp") match {
         case Some(ts) =>
-          val ms = java.sql.Timestamp.valueOf(
-            java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))).getTime
+          val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(ts.trim), zone)
+            .getOrElse(throw new IllegalArgumentException(
+              s"startingTimestamp '$ts' is not a valid date or timestamp " +
+                "(expected e.g. '2026-08-15' or '2026-08-15 12:34:56')"))
+          val ms = Math.floorDiv(micros, 1000L)
           // first version committed AT OR AFTER the instant = one past
           // the last version committed strictly before it
           val before = TableVersions.versionAsOf(spark, path, ms - 1)

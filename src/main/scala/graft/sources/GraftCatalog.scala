@@ -388,6 +388,60 @@ private[sources] object StatsAggregate {
     Some(st.copy(files = kept).pruneDvs)
   }
 
+  /** [[pruneByPartition]] over a PUSHED listing: the partition-only
+    * filter depends solely on the file's partition tuple, and a 1M-file
+    * table has FEW distinct tuples — so (1) one distributed job
+    * collects the distinct tuples from the checkpoint, (2) the driver
+    * evaluates the filters EXACTLY per tuple (same [[evalPart]] —
+    * including the refuse-on-unevaluable contract, applied to every
+    * tuple whether it matches or not), (3) a broadcast semi-join
+    * materializes only the matching files. Driver cost: O(#tuples +
+    * survivors), never O(#files). None = some tuple is not exactly
+    * evaluable — the pushdown refuses, exactly like the driver path.
+    */
+  def pruneByPartitionPushed(spark: SparkSession, l: TableVersions.PushedListing,
+      logical: StructType, filters: Seq[Filter]): Option[TableVersions.CommitState] = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, first, lit}
+    val scalar = l.scalar
+    if (filters.isEmpty) return Some(scalar) // caller gates on nonEmpty
+    val partCols = scalar.partCols
+    if (partCols.isEmpty) return None
+    // the tuple key encoding — MUST stay in lockstep with the driver
+    // encoding below ('\\u0002' marks an absent key; partition values
+    // are directory-encoded strings, so the separators cannot occur)
+    val keyCol = concat_ws("\u0001", partCols.map(c =>
+      coalesce(col("part").getItem(c), lit("\u0002"))): _*)
+    def keyOf(part: Map[String, String]): String =
+      partCols.map(c => part.getOrElse(c, "\u0002")).mkString("\u0001")
+    val ckpt = spark.read.schema(TableVersions.ckptRowSchema).parquet(l.ckptDir)
+    val tuples: Seq[Map[String, String]] = ckpt
+      .groupBy(keyCol.as("__k")).agg(first(col("part")).as("part"))
+      .select("part").collect().toSeq
+      .map(_.getAs[scala.collection.Map[String, String]](0).toMap)
+    def votesFor(part: Map[String, String]): Option[Boolean] = {
+      val probe = TableVersions.FileEntry("", 0L, 0L, part, Map.empty)
+      val vs = filters.map(f => evalPart(scalar, logical, probe, f))
+      if (vs.exists(_.isEmpty)) None else Some(vs.flatten.forall(identity))
+    }
+    val voted = tuples.map(t => t -> votesFor(t))
+    if (voted.exists(_._2.isEmpty)) return None // unevaluable tuple: refuse
+    val matched = voted.collect { case (t, Some(true)) => keyOf(t) }
+    val tailVoted = l.tailAdds.map(fe => fe -> votesFor(fe.part))
+    if (tailVoted.exists(_._2.isEmpty)) return None
+    val baseKept: Seq[TableVersions.FileEntry] =
+      if (matched.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val keysDf = matched.toDF("__mk")
+        ckpt.join(broadcast(keysDf), keyCol === col("__mk"), "left_semi")
+          .as[TableVersions.CkptFileRow].collect().toSeq
+          .map(l.toEntry)
+          .filterNot(fe => l.tailRemoves(fe.path))
+      }
+    val kept = baseKept ++ tailVoted.collect { case (fe, Some(true)) => fe }
+    Some(scalar.copy(files = kept, dvs = l.dvMap(spark)).pruneDvs)
+  }
+
   def answer(st: TableVersions.CommitState, logical: StructType,
       agg: Aggregation): Option[(StructType, Seq[Row])] = {
     if (st.dvs.nonEmpty) return None
@@ -541,7 +595,23 @@ private[sources] class GraftTable(root: String, version: Option[Long])
     with SupportsMetadataColumns with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
-  private val snapshot = TableVersions.commitState(spark, root, version)
+
+  /** Big checkpoint-backed snapshots keep their listing UNMATERIALIZED
+    * (filtered reconstruction): catalog metadata (schema, partitioning,
+    * properties) comes from the scalar state, scans prune inside the
+    * checkpoint's distributed read, and only write/row-level paths —
+    * which need the full listing anyway — materialize `snapshot`.
+    */
+  private val pushedSnap: Option[TableVersions.PushedListing] = {
+    val t = TableVersions.pushedPruneThreshold(spark)
+    if (t > 0)
+      TableVersions.pushedListing(spark, root, version)
+        .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
+    else None
+  }
+  private lazy val snapshot = TableVersions.commitState(spark, root, version)
+  private def scalarState: TableVersions.CommitState =
+    pushedSnap.map(_.scalar).getOrElse(snapshot)
 
   override def name(): String = s"graft.`$root`" + version.map(v => s"@v$v").getOrElse("")
 
@@ -549,15 +619,15 @@ private[sources] class GraftTable(root: String, version: Option[Long])
   // the declared schema must agree; physical-name metadata is an
   // implementation detail the SQL surface must not leak
   override def schema(): StructType = StructType(
-    snapshot.schema.getOrElse(spark.read.parquet(snapshot.files.head.path).schema)
+    scalarState.schema.getOrElse(spark.read.parquet(snapshot.files.head.path).schema)
       .fields.map(f => f.copy(nullable = true,
         metadata = org.apache.spark.sql.types.Metadata.empty)))
 
   override def partitioning(): Array[Transform] =
-    snapshot.partCols.map(Expressions.identity).toArray
+    scalarState.partCols.map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] =
-    (snapshot.props ++ Map(
+    (scalarState.props ++ Map(
       TableCatalog.PROP_PROVIDER -> "graft-table",
       TableCatalog.PROP_LOCATION -> root)).asJava
 
@@ -626,7 +696,7 @@ private[sources] class GraftTable(root: String, version: Option[Long])
         pushed = filters.filter(f => GraftCatalog.translate(f).isDefined)
         val (handled, kept) = filters.partition(f =>
           GraftCatalog.translate(f).isDefined &&
-            StatsAggregate.partitionOnly(snapshot, schema(), f))
+            StatsAggregate.partitionOnly(scalarState, schema(), f))
         handledPart = handled
         kept
       }
@@ -641,8 +711,15 @@ private[sources] class GraftTable(root: String, version: Option[Long])
       // exactly the partition-only subset, so an aggregation arrives
       // either filter-free or under partition predicates — the latter
       // prune the per-file stat rows before answering.
-      private def prunedForAgg: Option[TableVersions.CommitState] =
-        StatsAggregate.pruneByPartition(snapshot, schema(), handledPart.toSeq)
+      // memoized: supportCompletePushDown + pushAggregation both ask,
+      // and the pushed variant runs (small) jobs
+      private lazy val prunedForAgg: Option[TableVersions.CommitState] =
+        pushedSnap match {
+          case Some(l) if handledPart.nonEmpty =>
+            StatsAggregate.pruneByPartitionPushed(spark, l, schema(), handledPart.toSeq)
+          case _ =>
+            StatsAggregate.pruneByPartition(snapshot, schema(), handledPart.toSeq)
+        }
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         pushed.length == handledPart.length &&
@@ -669,7 +746,8 @@ private[sources] class GraftTable(root: String, version: Option[Long])
             // inheriting defaultSizeInBytes (= never broadcast)
             override def sizeInBytes: Long =
               if (answered.isDefined) 64L // one metadata-built row
-              else snapshot.files.map(_.bytes).sum
+              else pushedSnap.map(_.sizeEstimate(ctx.sparkSession))
+                .getOrElse(snapshot.files.map(_.bytes).sum)
             override def buildScan(): RDD[Row] = answered match {
               case Some((sch, rows)) => // metadata-only: no file is opened
                 ctx.sparkSession.createDataFrame(rows.asJava, sch).rdd
@@ -702,7 +780,7 @@ private[sources] class GraftTable(root: String, version: Option[Long])
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
               val s = data.sparkSession
               if (overwrite || overwriteFlag)
-                TableVersions.overwrite(s, root, data, snapshot.partCols)
+                TableVersions.overwrite(s, root, data, scalarState.partCols)
               else TableVersions.append(s, root, data)
               ()
             }

@@ -196,6 +196,19 @@ object GraftTableSource {
     * physical→logical projection).
     */
   def relation(spark: SparkSession, root: String, version: Option[Long]): BaseRelation = {
+    // big snapshots serve their listing straight from the parquet
+    // checkpoint (filtered reconstruction) — same dispatch as
+    // TableVersions.read
+    val pushedT = TableVersions.pushedPruneThreshold(spark)
+    if (pushedT > 0) {
+      TableVersions.pushedListing(spark, root, version) match {
+        case Some(l) if l.totalFiles >= pushedT && l.scalar.schema.isDefined =>
+          return if (l.dvMap(spark).isEmpty && !TableVersions.mappingActive(l.scalar))
+            relationFor(spark, root, l.scalar, Some(l))
+          else new PushedDvTableRelation(spark, root, l)
+        case _ =>
+      }
+    }
     val st = TableVersions.commitState(spark, root, version)
     if (st.dvs.isEmpty && !TableVersions.mappingActive(st)) relationFor(spark, root, st)
     else new DvTableRelation(spark, root, st)
@@ -230,7 +243,7 @@ object GraftTableSource {
     override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
       filters // every filter re-applied above: translation is best-effort pruning
 
-    private def toColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = f match {
+    private[sources] def toColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = f match {
       case sources.EqualTo(a, v) => Some(col(a) === lit(v))
       case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
       case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
@@ -257,12 +270,43 @@ object GraftTableSource {
     }
   }
 
+  /** [[DvTableRelation]]'s twin for PUSHED listings: the inner plan is
+    * [[TableVersions.readPushed]], so file pruning happens inside the
+    * checkpoint's distributed read; everything else (filter
+    * translation, re-application above the scan) is identical.
+    */
+  private[sources] class PushedDvTableRelation(spark: SparkSession, root: String,
+      l: TableVersions.PushedListing) extends BaseRelation
+      with org.apache.spark.sql.sources.PrunedFilteredScan {
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.functions.col
+
+    private val inner = new DvTableRelation(spark, root, l.scalar)
+
+    override def sqlContext: SQLContext = spark.sqlContext
+
+    override val schema: StructType = inner.schema
+
+    override def sizeInBytes: Long = l.sizeEstimate(spark)
+
+    override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
+      filters
+
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+      val base = TableVersions.readPushed(spark, root, l)
+      val filtered = filters.flatMap(inner.toColumn).foldLeft(base)(_.filter(_))
+      filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    }
+  }
+
   /** [[relation]] over an ALREADY-PARSED commit state — the
     * [[TableVersions.read]] integration point ([[TableVersions]] layers
     * the deletion-vector anti-join on top itself, so no DV guard here).
     */
   def relationFor(spark: SparkSession, root: String,
-      st: TableVersions.CommitState): HadoopFsRelation = {
+      st: TableVersions.CommitState,
+      pushed: Option[TableVersions.PushedListing] = None): HadoopFsRelation = {
     // PHYSICAL schema — what the files store (identical to logical
     // unless columns were renamed; [[TableVersions.readState]] projects
     // back to logical on top). Force-nullable, exactly like
@@ -275,7 +319,7 @@ object GraftTableSource {
       .getOrElse(throw new IllegalArgumentException(
         s"graft-table: $root has legacy commits without a recorded schema; " +
           "read it via TableVersions.read(mergeSchema = true)"))
-    val index = new GraftFileIndex(spark, root, st, schema)
+    val index = new GraftFileIndex(spark, root, st, schema, pushed)
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
@@ -299,9 +343,10 @@ object GraftTableSource {
 
   /** [[relationFor]] as a DataFrame. */
   def readFor(spark: SparkSession, root: String,
-      st: TableVersions.CommitState): DataFrame =
+      st: TableVersions.CommitState,
+      pushed: Option[TableVersions.PushedListing] = None): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relationFor(spark, root, st))
+      .baseRelationToDataFrame(relationFor(spark, root, st, pushed))
 
   /** [[relation]] as a DataFrame. */
   def read(spark: SparkSession, root: String, version: Option[Long]): DataFrame =

@@ -148,9 +148,10 @@ class CdfSourceSpec extends SparkSpec {
     val ckpt = newDir("cdftsckpt")
     TableVersions.append(spark, root, (1L to 100L).toDF("k").coalesce(1)) // v0
     Thread.sleep(1100)
-    // default-zone wall clock: the option parses via Timestamp.valueOf
-    // (JVM default zone) and compares against commit file mtimes
-    val cut = java.time.LocalDateTime.now()
+    // session-zone wall clock (UTC in tests): the option resolves the
+    // string in spark.sql.session.timeZone and compares against commit
+    // file mtimes
+    val cut = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
     Thread.sleep(1100)
     TableVersions.append(spark, root, (101L to 130L).toDF("k").coalesce(1)) // v1
@@ -172,6 +173,52 @@ class CdfSourceSpec extends SparkSpec {
         .writeStream.format("noop").option("checkpointLocation", newDir("cdftsbad"))
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
+  }
+
+  test("cdf stream: startingTimestamp takes date-only strings, resolves in the session zone") {
+    val root = newDir("cdftz") + "/tbl"
+    TableVersions.append(spark, root, (1L to 50L).toDF("k").coalesce(1)) // v0
+    Thread.sleep(1100)
+    val cutInstant = java.time.Instant.now()
+    Thread.sleep(1100)
+    TableVersions.append(spark, root, (51L to 80L).toDF("k").coalesce(1)) // v1
+
+    def streamedKeys(ts: String): Set[Long] = {
+      val logDir = newDir("cdftzlog")
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", root).option("startingTimestamp", ts).load()
+        .writeStream.format("parquet")
+        .option("path", logDir).option("checkpointLocation", newDir("cdftzckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val p = new org.apache.hadoop.fs.Path(logDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+        spark.read.parquet(logDir).select("k").as[Long].collect().toSet
+      else Set.empty
+    }
+
+    // date-only, Delta-accepted form: midnight of that day in the
+    // session zone — a past date streams the full history
+    assert(streamedKeys("2020-01-01") === (1L to 80L).toSet)
+    // a zone-less timestamp resolves in spark.sql.session.timeZone, NOT
+    // the driver JVM default: format the cut instant in a +05:30 zone
+    // and resolve under that same session zone — only v1 streams. The
+    // old LocalDateTime-in-default-zone parse read this as UTC, 5.5 h
+    // in the future, and streamed nothing.
+    val kolkata = java.time.ZoneId.of("Asia/Kolkata")
+    val cutInKolkata = java.time.LocalDateTime.ofInstant(cutInstant, kolkata)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try assert(streamedKeys(cutInKolkata) === (51L to 80L).toSet)
+    finally spark.conf.set("spark.sql.session.timeZone", old)
+    // garbage refuses with the actionable message
+    val e = intercept[Exception] { streamedKeys("not-a-time") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("startingTimestamp")), msgs(e).mkString(" | "))
   }
 
   test("graft-table stream: startingVersion=snapshot bootstraps current rows, then tails") {

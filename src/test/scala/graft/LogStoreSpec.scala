@@ -35,6 +35,16 @@ class TornRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   }
 }
 
+/** Scheme stand-ins for the default-LogStore dispatch tests: only the
+  * URI scheme matters (logStoreFor never touches the store).
+  */
+class SchemeOnlyS3aFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+}
+class SchemeOnlyAbfssFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("abfss:///")
+}
+
 /** OBJECT-STORE COMMIT SEAM: the claim primitive is pluggable per
   * filesystem scheme (the Delta LogStore architecture). On a store
   * whose rename is copy+delete+clobber, the format must either REFUSE
@@ -93,6 +103,30 @@ class LogStoreSpec extends SparkSpec {
       val in = f.open(tgt)
       val got = try new String(in.readAllBytes()) finally in.close()
       assert(got === "one", "the losing claim must not clobber the winner")
+    }
+  }
+
+  test("s3/azure schemes refuse by default: stock S3A create(false) is check-then-put") {
+    // scheme-only stand-ins: logStoreFor dispatches on f.getUri.getScheme
+    // (plain set: core-default already maps fs.s3a.impl to the real —
+    // absent-from-classpath — S3AFileSystem)
+    hconf.set("fs.s3a.impl", classOf[SchemeOnlyS3aFileSystem].getName)
+    hconf.set("fs.abfss.impl", classOf[SchemeOnlyAbfssFileSystem].getName)
+    val s3 = new Path("s3a://bkt/x").getFileSystem(hconf)
+    val az = new Path("abfss://c@a/x").getFileSystem(hconf)
+    val e1 = intercept[IllegalStateException] { TableVersions.logStoreFor(spark, s3) }
+    assert(e1.getMessage.contains("fs.s3a.create.conditional") &&
+      e1.getMessage.contains("graft.table.logstore.s3a"),
+      s"the refusal must document the Hadoop conditional-write requirement and the " +
+        s"opt-in conf: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] { TableVersions.logStoreFor(spark, az) }
+    assert(e2.getMessage.contains("graft.table.logstore.abfss"), e2.getMessage)
+    // the escape hatch stays: confirmed conditional-create opts in
+    withConf("graft.table.logstore.s3a" -> "conditional-create") {
+      assert(TableVersions.logStoreFor(spark, s3) === TableVersions.ConditionalCreateLogStore)
+    }
+    withConf("graft.table.logstore.abfss" -> "rename") {
+      assert(TableVersions.logStoreFor(spark, az) === TableVersions.RenameLogStore)
     }
   }
 

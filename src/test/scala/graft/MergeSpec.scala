@@ -284,6 +284,23 @@ class MergeSpec extends SparkSpec {
     assert(o3.filter($"k" === 7L).head().getLong(3) === 1L)
     assert(o3.filter($"k" === 8L).head().isNullAt(3))
 
+    // names resolve per the session's (default case-INsensitive)
+    // analysis: a source column differing only in case from a table
+    // column is the SAME column, not a new one — before the fix 'AMT'
+    // committed as a second column and every later reference to amt
+    // was ambiguous
+    val root4 = newRoot()
+    seed(root4)
+    val Some(_) = TableVersions.merge(spark, root4,
+      Seq((5L, "U5c", 55.5), (901L, "Nc", 9.1)).toDF("k", "name", "AMT"), Seq("k"),
+      matched = Seq(MergeUpdate(Map("amt" -> "s.AMT"))),
+      notMatched = Seq(MergeInsert(Map.empty)), autoMerge = true): @unchecked
+    val out4 = TableVersions.read(spark, root4)
+    assert(out4.columns.toSeq === Seq("k", "name", "amt"),
+      "a case-only variant must not evolve a duplicate-modulo-case column")
+    assert(out4.filter($"k" === 5L).head().getDouble(2) === 55.5)
+    assert(out4.filter($"k" === 901L).head().getDouble(2) === 9.1)
+
     // resurrection guard: a dropped column's name cannot auto-evolve back
     TableVersions.dropColumn(spark, root2, "note")
     val e = intercept[IllegalArgumentException] {
