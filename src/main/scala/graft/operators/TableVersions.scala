@@ -2947,9 +2947,108 @@ object TableVersions {
     * commits above it keep reconstructing after their chain below is
     * gone.
     */
+  // ------------------------------------------------------------------
+  // ADMINISTRATIVE-WRITER CLAIM: vacuum and moveTable are destructive
+  // table-wide maintenance — two running concurrently are NOT mutually
+  // safe (one's liveness walk races the other's deletes). The role is
+  // claimed through the same LogStore primitive commits use:
+  // create-if-absent of `_versions/_admin.lock` carrying
+  // (token, operation, expiry). A live lock makes the loser REFUSE
+  // loudly; a crashed admin's lock expires after the TTL (session conf
+  // `graft.table.adminLockTtlMs`, default 30 min — size it above any
+  // real maintenance run) and is broken with a double-read guard.
+  // Ordinary writers/readers never touch the lock — the orphan grace
+  // already protects them from a running vacuum.
+  // ------------------------------------------------------------------
+
+  private def adminLockPath(root: String) = new Path(versionsDir(root), "_admin.lock")
+
+  /** The claim's release handle: deletes the lock at `atRoot` (the
+    * table may have MOVED while held) iff it still carries our token.
+    */
+  private[graft] final class AdminClaim(token: String) {
+    def release(spark: SparkSession, atRoot: String): Unit = {
+      val f = fs(spark, atRoot)
+      readAdminLock(f, adminLockPath(atRoot)) match {
+        case Some((tok, _, _)) if tok == token => f.delete(adminLockPath(atRoot), false); ()
+        case _ => () // expired-and-broken or already gone: not ours to delete
+      }
+    }
+  }
+
+  private def readAdminLock(f: FileSystem,
+      lock: Path): Option[(String, String, Long)] =
+    try {
+      val in = f.open(lock)
+      val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim finally in.close()
+      txt.split(" ", 3) match {
+        case Array(tok, what, exp) => Some((tok, what, exp.trim.toLong))
+        case _ => Some((txt, "unknown", Long.MaxValue)) // malformed: treat as held
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.io.IOException => Some(("?", "unknown", Long.MaxValue))
+    }
+
+  /** Claim the single administrative-writer role for `root` (or throw,
+    * loudly and actionably, when a live admin holds it). Atomic via the
+    * scheme's [[LogStore]] — exactly one concurrent claimant wins, in
+    * one process or across processes/machines.
+    */
+  private[graft] def claimAdmin(spark: SparkSession, root: String,
+      what: String): AdminClaim = {
+    val f = fs(spark, root)
+    f.mkdirs(versionsDir(root))
+    val ttlMs = spark.conf.get("graft.table.adminLockTtlMs",
+      (30L * 60 * 1000).toString).toLong
+    val lock = adminLockPath(root)
+    val store = logStoreFor(spark, f)
+    val token = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (attempt < 5) {
+      val payload = s"$token $what ${System.currentTimeMillis() + ttlMs}"
+      if (store.putIfAbsent(f, versionsDir(root), lock,
+          payload.getBytes(StandardCharsets.UTF_8))) {
+        // ownership re-verify: guards the one theoretical overlap where
+        // a concurrent breaker deleted a fresh lock out from under us
+        readAdminLock(f, lock) match {
+          case Some((tok, _, _)) if tok == token => return new AdminClaim(token)
+          case _ => throw new IllegalStateException(
+            s"$what: lost the administrative claim on $root to a concurrent admin")
+        }
+      }
+      readAdminLock(f, lock) match {
+        case None => () // vanished between claim and read: retry the claim
+        case Some((tok, heldWhat, exp)) if exp < System.currentTimeMillis() =>
+          // stale (crashed admin): break only if a second read still
+          // shows the SAME token — never delete a freshly-claimed lock
+          readAdminLock(f, lock) match {
+            case Some((tok2, _, _)) if tok2 == tok => f.delete(lock, false); ()
+            case _ => ()
+          }
+        case Some((_, heldWhat, exp)) => throw new IllegalStateException(
+          s"cannot $what $root: the administrative lock is held by a live '$heldWhat' " +
+            s"(expires ${java.time.Instant.ofEpochMilli(exp)}). Two concurrent " +
+            "maintenance runs are not mutually safe; wait for it to finish. If its " +
+            "process crashed, the lock self-expires (graft.table.adminLockTtlMs), or " +
+            s"delete ${adminLockPath(root)} after confirming nothing is running")
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$what: lost $attempt administrative-claim races at $root")
+  }
+
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
       graceMs: Long = 10 * 60 * 1000L): Unit = {
     require(keepVersions >= 1)
+    val admin = claimAdmin(spark, root, "vacuum")
+    try vacuumLocked(spark, root, keepVersions, graceMs)
+    finally admin.release(spark, root)
+  }
+
+  private def vacuumLocked(spark: SparkSession, root: String, keepVersions: Int,
+      graceMs: Long): Unit = {
     val f = fs(spark, root)
     val latest = currentVersion(spark, root).getOrElse(return)
     val keepFrom = math.max(0L, latest - keepVersions + 1)
@@ -3185,11 +3284,19 @@ object TableVersions {
     val f = fs(spark, from)
     require(f.exists(versionsDir(from)), s"no graft table at $from")
     require(!f.exists(new Path(to)), s"destination $to already exists")
-    val toPath = new Path(to)
-    Option(toPath.getParent).foreach(f.mkdirs(_))
-    if (!f.rename(new Path(from), toPath))
-      throw new IllegalStateException(s"rename $from -> $to failed")
-    rebaseMetadata(spark, to, from)
+    // same administrative role as vacuum (the two are not mutually
+    // safe either); the lock travels WITH the directory, so release at
+    // whichever root it ended up under
+    val admin = claimAdmin(spark, from, "moveTable")
+    var rootNow = from
+    try {
+      val toPath = new Path(to)
+      Option(toPath.getParent).foreach(f.mkdirs(_))
+      if (!f.rename(new Path(from), toPath))
+        throw new IllegalStateException(s"rename $from -> $to failed")
+      rootNow = to
+      rebaseMetadata(spark, to, from)
+    } finally admin.release(spark, rootNow)
   }
 
   /** Rewrite absolute self-references under `oldRoot` to ROOT-RELATIVE

@@ -126,4 +126,99 @@ class CrossProcessRaceSpec extends SparkSpec {
     assert(rows.count(_._2 == "seed") === 50 && rows.count(_._2 == "ext") === 120)
     assert(rows.map(_._1).distinct.length === rows.length)
   }
+
+  test("cross-process: the administrative-writer claim makes concurrent vacuums mutually safe") {
+    val root = Files.createTempDirectory("xvac").toString + "/tbl"
+    (0 until 6).foreach(i => TableVersions.append(spark, root,
+      (0 until 20).map(j => (s"b$i-$j", "host")).toDF("id", "writer").coalesce(1)))
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def forkVacuum(keep: Int, graceMs: Long): (Boolean, String) = {
+      val logFile = Files.createTempFile("xvac", ".log").toFile
+      val proc = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+        "graft.RaceWriterMain", root, "vacuum", keep.toString, graceMs.toString)): _*)
+        .redirectErrorStream(true).redirectOutput(logFile).start()
+      val ok = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+        proc.exitValue() === 0
+      val src = scala.io.Source.fromFile(logFile)
+      val log = try src.mkString finally src.close()
+      (ok, log)
+    }
+
+    // 1) while THIS process holds the admin role, a second JVM's vacuum
+    //    must refuse loudly and delete NOTHING
+    val before = TableVersions.currentVersion(spark, root).get
+    val admin = TableVersions.claimAdmin(spark, root, "vacuum")
+    try {
+      val (ok, log) = forkVacuum(keep = 2, graceMs = 0L)
+      assert(ok, s"forked vacuum JVM crashed:\n${log.takeRight(2000)}")
+      assert(log.contains("VACUUM_REFUSED"),
+        s"a concurrent vacuum must refuse while the role is held:\n${log.takeRight(2000)}")
+      // nothing deleted: every version still reconstructs
+      (0L to before).foreach(v =>
+        assert(TableVersions.commitState(spark, root, Some(v)).files.nonEmpty))
+    } finally admin.release(spark, root)
+
+    // 2) role released: the forked vacuum proceeds while the host keeps
+    //    APPENDING — the orphan grace plus the claim keep every
+    //    retained and in-flight file alive
+    val appender = new Thread(() => (0 until 4).foreach { i =>
+      TableVersions.append(spark, root,
+        (0 until 20).map(j => (s"live$i-$j", "live")).toDF("id", "writer").coalesce(1))
+    })
+    appender.start()
+    val (ok2, log2) = forkVacuum(keep = 2, graceMs = 10 * 60 * 1000L)
+    appender.join()
+    assert(ok2, s"forked vacuum JVM crashed:\n${log2.takeRight(2000)}")
+    assert(log2.contains("VACUUM_DONE"), log2.takeRight(2000))
+    assert(!hfsExists(root, "_versions/_admin.lock"),
+      "the winner must release the lock when done")
+    TableVersions.clearStateCache()
+    val rows = TableVersions.read(spark, root).as[(String, String)].collect()
+    assert(rows.count(_._2 == "host") === 120 && rows.count(_._2 == "live") === 80,
+      s"no committed row may be lost to a concurrent vacuum (got ${rows.length})")
+
+    // 3) in-process: two simultaneous claims — exactly one wins
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ts = (0 until 2).map(_ => new Thread(() =>
+      try {
+        val c = TableVersions.claimAdmin(spark, root, "vacuum")
+        results.add("won")
+        Thread.sleep(300)
+        c.release(spark, root)
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("administrative lock") =>
+          results.add("refused")
+      }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val rs = scala.jdk.CollectionConverters.IteratorHasAsScala(results.iterator).asScala.toSeq
+    assert(rs.sorted === Seq("refused", "won"),
+      s"exactly one of two simultaneous claims may win, got $rs")
+
+    // 4) a crashed admin's STALE lock self-expires and is broken
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(root, "_versions/_admin.lock")
+    val out = f.create(lock, false)
+    try out.write(s"dead-token vacuum ${System.currentTimeMillis() - 1000}".getBytes)
+    finally out.close()
+    TableVersions.vacuum(spark, root, keepVersions = 2, graceMs = 0L) // must not refuse
+    assert(!f.exists(lock), "the new admin releases its own claim")
+
+    // 5) moveTable shares the role: a held lock refuses the move too
+    val admin2 = TableVersions.claimAdmin(spark, root, "vacuum")
+    try {
+      val e = intercept[IllegalStateException] {
+        TableVersions.moveTable(spark, root, root + "-moved")
+      }
+      assert(e.getMessage.contains("administrative lock"), e.getMessage)
+    } finally admin2.release(spark, root)
+  }
+
+  private def hfsExists(root: String, rel: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, rel)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }

@@ -17,6 +17,18 @@ object RaceWriterMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    if (tag == "vacuum") { // administrative-writer mode: nBatches = keepVersions
+      try {
+        graft.operators.TableVersions.vacuum(spark, root,
+          keepVersions = nBatchesS.toInt, graceMs = rowsPerS.toLong)
+        println("VACUUM_DONE")
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("administrative lock") =>
+          println("VACUUM_REFUSED")
+      }
+      spark.stop()
+      return
+    }
     val n = nBatchesS.toInt
     val rows = rowsPerS.toInt
     (0 until n).foreach { i =>
