@@ -56,6 +56,13 @@ object Bench {
     def storageMemBytes(): Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
 
+    // Per-query table-format op attribution (the q134 "where do the
+    // seconds live" ask): the write-path phases (stage / stats /
+    // commit / per-table appends) drain after each run; multi-commit
+    // queries' totals land in a BENCH_OPS detail line.
+    graft.operators.TableVersions.opTimingEnable(true)
+    val opsByQuery = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       val g0 = gcMillis()
@@ -76,6 +83,11 @@ object Bench {
         CacheScope.drainCheckpoints()
         gcByQuery(name) += gcMillis() - g0
         spillByQuery(name) += spilledBytes.get() - s0
+        val ops = graft.operators.TableVersions.opTimingDrain()
+        if (ops.values.sum >= 0.5)
+          opsByQuery(name) = opsByQuery.getOrElse(name, Map.empty) ++
+            ops.map { case (k, v) => k -> (opsByQuery.getOrElse(name, Map.empty)
+              .getOrElse(k, 0.0) + v) }
       }
     }
 
@@ -178,6 +190,13 @@ object Bench {
     // (full-name line for humans; the compact line carries the total).
     val gcDetail = names.map(n => "\"" + n + "\":" + gcByQuery(n)).mkString("{", ",", "}")
     println(s"""BENCH_GC_MS $gcDetail""")
+    // Table-format op attribution for multi-commit queries, summed over
+    // all passes (human detail line; not the parsed final line).
+    val opsDetail = opsByQuery.toSeq.sortBy(_._1).map { case (n, ops) =>
+      "\"" + n + "\":" + ops.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""BENCH_OPS $opsDetail""")
     // Per-query executor spill MB summed over both measured passes —
     // full-name line for humans/logs; the compact line carries pass
     // totals plus the top offenders.

@@ -26,13 +26,19 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.TableVersions.opTimingEnable(true)
     for (n <- names) {
       val times = (0 until reps).map { _ =>
+        graft.operators.TableVersions.opTimingDrain()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         CacheScope.drain()
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ops = graft.operators.TableVersions.opTimingDrain()
+        if (ops.nonEmpty) println("QTIME_OPS " + n + " " + ops.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(","))
+        secs
       }
       println(f"QTIME $n reps=${times.map(t => f"$t%.3f").mkString(",")} best=${times.min}%.3f")
     }

@@ -28,8 +28,15 @@ object Etl {
     *  - range anomalies → `*_anomaly` flags (lines 84-100).
     */
   def parse(cfg: Config = Config.default)(raw: DataFrame): DataFrame = {
+    // `explode(array(...))` is a one-row generator BARRIER around the
+    // parse: downstream references see a plain attribute, not the
+    // JsonToStructs expression — without it, Catalyst's JSON schema
+    // pruning rewrites EVERY `msg.<field>` reference into its own
+    // single-field from_json (29 copies of the parse per row in this
+    // pipeline's physical plan, 4× the whole chain's cost; pruning
+    // only wins when a plan touches a FEW fields, not ~all of them).
     val parsed = raw
-      .withColumn("msg", from_json(col("value"), Schemas.messageEnvelope))
+      .withColumn("msg", explode(array(from_json(col("value"), Schemas.messageEnvelope))))
       .withColumn("processed_at", lit(cfg.asOf))
       .withColumn("pipeline_version", lit("1.0.0"))
 
@@ -69,14 +76,18 @@ object Etl {
         col("heart_rate_anomaly"), col("temperature_anomaly"), col("amount_anomaly"))
   }
 
-  /** DataQualityFilter (P3; `healthcare_etl_pipeline.py:109-121`): drop
-    * records carrying an error or any truthy anomaly flag.
+  /** DataQualityFilter's predicate (P3;
+    * `healthcare_etl_pipeline.py:109-121`): records carrying an error
+    * or any truthy anomaly flag drop.
     */
-  def qualityFilter(df: DataFrame): DataFrame =
-    df.filter(col("error").isNull &&
+  private def qualityCondition: Column =
+    col("error").isNull &&
       !coalesce(col("heart_rate_anomaly"), lit(false)) &&
       !coalesce(col("temperature_anomaly"), lit(false)) &&
-      !coalesce(col("amount_anomaly"), lit(false)))
+      !coalesce(col("amount_anomaly"), lit(false))
+
+  def qualityFilter(df: DataFrame): DataFrame = df.filter(qualityCondition)
+
 
   /** Data-quality score (A11; `healthcare_etl_pipeline.py:143-159`) as a
     * single folded column expression: start at 1.0, −0.2 per missing

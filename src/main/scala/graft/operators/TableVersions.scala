@@ -604,6 +604,41 @@ object TableVersions {
     stateCache.clear(); versionFloor.clear(); pushedCache.clear()
   }
 
+  // ------------------------------------------------------------------
+  // OP TIMING (diagnostic seam): when enabled, the write-path phases
+  // (stage / stats / commit loop) record wall seconds so a bench or a
+  // profile can attribute a multi-commit query's cost to the commit
+  // machinery vs the data motion — the q134 "where do 24 s go"
+  // observable. Zero overhead when off (one volatile read per op).
+  // ------------------------------------------------------------------
+
+  @volatile private var opTimingOn = false
+  private val opTimes =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  private[graft] def opTimingEnable(on: Boolean): Unit = {
+    opTimingOn = on; opTimes.clear()
+  }
+
+  /** Drain recorded (phase, seconds) pairs, aggregated per phase. */
+  private[graft] def opTimingDrain(): Map[String, Double] = {
+    val out = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    var e = opTimes.poll()
+    while (e != null) { out(e._1) += e._2; e = opTimes.poll() }
+    out.toMap
+  }
+
+  /** [[timed]] for engine-adjacent callers (runners) that want their
+    * phases in the same drain. */
+  private[graft] def timedOp[A](what: String)(body: => A): A = timed(what)(body)
+
+  private def timed[A](what: String)(body: => A): A =
+    if (!opTimingOn) body
+    else {
+      val t0 = System.nanoTime()
+      try body finally opTimes.add((what, (System.nanoTime() - t0) / 1e9))
+    }
+
   private def cacheKey(f: FileSystem, p: Path): Option[(String, Long, Long)] =
     try {
       val s = f.getFileStatus(p)
@@ -1343,7 +1378,7 @@ object TableVersions {
     */
   private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState,
       base: Option[(Long, CommitState)] = None, op: String = "",
-      cdf: Seq[String] = Nil): Boolean = {
+      cdf: Seq[String] = Nil): Boolean = timed("commit") {
     val f = fs(spark, root)
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
@@ -1459,7 +1494,8 @@ object TableVersions {
     * failure naming the first violated constraint and its row count.
     * NULL-evaluating checks pass (SQL CHECK semantics).
     */
-  private def validateChecks(df: DataFrame, checks: Map[String, String], what: String): Unit = {
+  private def validateChecks(df: DataFrame, checks: Map[String, String],
+      what: String): Unit = timed("validate") {
     import org.apache.spark.sql.functions.{expr, lit, sum, when}
     if (checks.isEmpty) return
     val ordered = checks.toSeq.sortBy(_._1)
@@ -1493,15 +1529,20 @@ object TableVersions {
     * footers are ever read for stats — every later prune reads the
     * commit).
     */
-  /** Below this count, footers are read INLINE on the driver — a
-    * streaming micro-batch committing 1-4 files must not pay a whole
-    * Spark job (scheduling + task launch) for a few metadata-sized
-    * footer reads; larger batches keep the distributed pass.
+  /** Below this count, footers are read INLINE on the driver (on a
+    * small thread pool — footer reads are metadata-sized IO that
+    * parallelize trivially): a streaming micro-batch committing a few
+    * files, or a partitioned refresh committing a few dozen, must not
+    * pay a whole Spark job (scheduling + task launch + conf shipping)
+    * per commit. Larger batches keep the distributed pass.
     */
-  private val driverStatsMax = 8
+  private val driverStatsMax = 64
+
+  private val statsPool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "graft-stats"); t.setDaemon(true); t })
 
   private def entriesFor(spark: SparkSession, files: Seq[(String, Long)],
-      schema: StructType, partOf: String => Map[String, String]): Seq[FileEntry] = {
+      schema: StructType, partOf: String => Map[String, String]): Seq[FileEntry] = timed("stats") {
     val cols = statColsOf(schema)
     if (files.isEmpty) return Seq.empty
     if (cols.isEmpty)
@@ -1511,7 +1552,14 @@ object TableVersions {
         Option[String], Option[String], Long)] =
       if (files.size <= driverStatsMax) {
         val c = spark.sparkContext.hadoopConfiguration
-        files.flatMap { case (p, b) => FileManifest.statsOfFile(c, p, b, cols) }
+        val futures = files.map { case (p, b) =>
+          statsPool.submit(new java.util.concurrent.Callable[
+              Seq[(String, Long, Long, String, Option[Double], Option[Double],
+                Option[String], Option[String], Long)]] {
+            def call() = FileManifest.statsOfFile(c, p, b, cols)
+          })
+        }
+        futures.flatMap(_.get())
       } else FileManifest.collectFiles(spark, files, cols).collect().toSeq.map { r =>
         (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
           if (r.isNullAt(4)) None else Some(r.getDouble(4)),
@@ -1579,7 +1627,7 @@ object TableVersions {
   private def stageFiles(spark: SparkSession, root: String, df0: DataFrame,
       partCols: Seq[String], tag: String,
       splitTargetRows: Long = 0L,
-      mapSchema: Option[StructType] = None): (Path, Seq[FileEntry]) = {
+      mapSchema: Option[StructType] = None): (Path, Seq[FileEntry]) = timed("stage") {
     val f = fs(spark, root)
     val df = mapSchema.map(toPhysical(df0, _)).getOrElse(df0)
     val batchDir = new Path(root, s"data/$tag-${java.util.UUID.randomUUID()}")
@@ -1770,7 +1818,8 @@ object TableVersions {
   }
 
   private def appendInternal(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String], txn: Option[(String, Long)]): Long = {
+      partitionBy: Seq[String],
+      txn: Option[(String, Long)]): Long = timed(s"append:${new Path(root).getName}") {
     val base0 = currentVersion(spark, root)
     val st0 = base0.map(v => commitState(spark, root, Some(v)))
     val effPart = st0.map(_.partCols) match {
@@ -2854,7 +2903,8 @@ object TableVersions {
     */
   private def replaceInternal(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], txn: Option[(String, Long)], replaceAll: Boolean,
-      drop: Seq[Map[String, String]] = Seq.empty, splitTargetRows: Long = 0L): Long = {
+      drop: Seq[Map[String, String]] = Seq.empty,
+      splitTargetRows: Long = 0L): Long = timed("replace") {
     // an accidentally-empty drop tuple would forall-match EVERY file and
     // silently empty the table's kept partitions — fail loudly instead
     require(drop.forall(_.nonEmpty),

@@ -56,12 +56,39 @@ final class VersionedLakehouse(spark: SparkSession, root: String, cfg: Config = 
     */
   def runEtl(raw: DataFrame, batchId: Long): Unit = {
     val enriched = raw.transform(Etl.pipeline(cfg)).cache()
-    try {
-      TableVersions.appendTxn(spark, vitalsRoot, Etl.routeVitals(enriched), "etl_vitals", batchId)
-      TableVersions.appendTxn(spark, claimsRoot, Etl.routeClaims(enriched), "etl_claims", batchId)
-      TableVersions.appendTxn(spark, ehrRoot, Etl.routeEhr(enriched), "etl_ehr", batchId)
-      ()
-    } finally { enriched.unpersist(); () }
+    try { appendRoutes(enriched, batchId) }
+    finally { enriched.unpersist(); () }
+  }
+
+  /** The three processed-table appends of one ETL batch. The tables are
+    * independent, so the three commits run CONCURRENTLY — the batch's
+    * wall time is the ETL materialization plus the SLOWEST route write,
+    * not their sum (on a real cluster these are three separate jobs the
+    * scheduler interleaves anyway). The cache is materialized once
+    * up-front so the racing routes read columnar cache instead of
+    * racing to compute the same blocks.
+    */
+  private def appendRoutes(enriched: DataFrame, batchId: Long): Unit = {
+    // replay fast path: when every table already recorded this batch,
+    // skip the materialization and the route scans entirely — a crash
+    // REPLAY pays metadata reads, not a second ETL pass
+    val apps = Seq(vitalsRoot -> "etl_vitals", claimsRoot -> "etl_claims",
+      ehrRoot -> "etl_ehr")
+    if (apps.forall { case (r, a) =>
+        TableVersions.lastTxn(spark, r, a).exists(_ >= batchId) }) return
+    TableVersions.timedOp("etl.materialize") { enriched.count() }
+    val routes: Seq[() => Unit] = Seq(
+      () => { TableVersions.appendTxn(spark, vitalsRoot,
+        Etl.routeVitals(enriched), "etl_vitals", batchId); () },
+      () => { TableVersions.appendTxn(spark, claimsRoot,
+        Etl.routeClaims(enriched), "etl_claims", batchId); () },
+      () => { TableVersions.appendTxn(spark, ehrRoot,
+        Etl.routeEhr(enriched), "etl_ehr", batchId); () })
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = routes.map(r => new Thread(() =>
+      try r() catch { case t: Throwable => errs.add(t); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   def processedVitals: DataFrame = TableVersions.read(spark, vitalsRoot)
@@ -93,11 +120,21 @@ final class VersionedLakehouse(spark: SparkSession, root: String, cfg: Config = 
     * (band context complete), only the swap is incremental.
     */
   def refreshFactIncremental(raw: DataFrame, batchId: Long): Seq[java.sql.Date] = {
+    // FULL-REPLAY fast path: when all four tables already recorded the
+    // batch, the swap is done — serve the affected dates from the
+    // marker written at swap time instead of re-running the batch's
+    // ETL parse. (A crash between the swap and the marker write is the
+    // only window where a full replay still pays the recompute below.)
+    if (TableVersions.lastTxn(spark, factRoot, "fact_refresh").exists(_ >= batchId) &&
+        Seq("etl_vitals" -> vitalsRoot, "etl_claims" -> claimsRoot, "etl_ehr" -> ehrRoot)
+          .forall { case (a, r) => TableVersions.lastTxn(spark, r, a).exists(_ >= batchId) })
+      readAffectedMarker(batchId) match {
+        case Some(dates) => return dates
+        case None => // marker lost to the crash window: recompute below
+      }
     val enriched = raw.transform(Etl.pipeline(cfg)).cache()
     try {
-      TableVersions.appendTxn(spark, vitalsRoot, Etl.routeVitals(enriched), "etl_vitals", batchId)
-      TableVersions.appendTxn(spark, claimsRoot, Etl.routeClaims(enriched), "etl_claims", batchId)
-      TableVersions.appendTxn(spark, ehrRoot, Etl.routeEhr(enriched), "etl_ehr", batchId)
+      appendRoutes(enriched, batchId)
 
       val band = cfg.proximityDays
       val vDates = Etl.routeVitals(enriched).select(to_date(col("timestamp")).as("d"))
@@ -108,7 +145,7 @@ final class VersionedLakehouse(spark: SparkSession, root: String, cfg: Config = 
         .select(explode(sequence(date_sub(col("visit_date"), band),
           date_add(col("visit_date"), band))).as("d"))
       val affected = vDates.unionByName(cDates).unionByName(eDates)
-        .distinct().collect().map(_.getDate(0)).toSeq
+        .distinct().collect().map(_.getDate(0)).sortBy(_.getTime).toSeq
 
       val stgV = stgVitals.filter(to_date(col("measurement_timestamp"))
         .isin(affected.map(d => lit(d)): _*))
@@ -118,8 +155,31 @@ final class VersionedLakehouse(spark: SparkSession, root: String, cfg: Config = 
       else
         TableVersions.replacePartitions(spark, factRoot, factFrame(stgV),
           txn = Some("fact_refresh" -> batchId))
+      writeAffectedMarker(batchId, affected)
       affected
     } finally { enriched.unpersist(); () }
+  }
+
+  private def affectedMarkerPath(batchId: Long) =
+    new org.apache.hadoop.fs.Path(factRoot, s"_refresh/b$batchId.dates")
+
+  private def writeAffectedMarker(batchId: Long, dates: Seq[java.sql.Date]): Unit = {
+    val p = affectedMarkerPath(batchId)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(dates.map(_.toString).sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readAffectedMarker(batchId: Long): Option[Seq[java.sql.Date]] = {
+    val p = affectedMarkerPath(batchId)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(txt.split("\n").filter(_.nonEmpty).map(java.sql.Date.valueOf).toSeq)
+    }
   }
 
   /** Health gates over the versioned snapshots. */

@@ -35,6 +35,12 @@ import graft.operators.TableVersions
   *   spark.sql("ALTER TABLE graft.db.t RENAME COLUMN v TO w")
   * }}}
   *
+  * SQL `INSERT INTO` cannot auto-evolve schemas: Spark validates the
+  * insert's columns during ANALYSIS, before this catalog sees the
+  * plan. Additive evolution goes through `ALTER TABLE … ADD COLUMNS`
+  * (then re-run the insert), `MERGE WITH SCHEMA EVOLUTION INTO`, or
+  * the writer API — pinned by GraftCatalogSpec and the README.
+  *
   * Identifiers map to `warehouse/<namespace…>/<name>`; a single-part
   * identifier containing `/` addresses a table by PATH (the
   * ``graft.`/abs/path` `` form Delta uses). Every DML statement lands

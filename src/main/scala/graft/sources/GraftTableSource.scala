@@ -56,6 +56,15 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     * table schema, commit versions as offsets, append-only by contract
     * (non-append commits throw, or are skipped whole with
     * `skipChangeCommits=true`); see [[GraftTableStreamSource]].
+    *
+    * DIVERGENCE FROM DELTA, deliberate and pinned (README "Table-format
+    * divergences"): with NO start option the stream tails the FULL
+    * retained history, not an initial snapshot. Delta-style snapshot
+    * bootstrap is the explicit `.option("startingVersion", "snapshot")`
+    * (current rows as one batch, then appends). The historical default
+    * is kept because streams checkpointed under it pin their start
+    * marker — an existing marker always wins, so no restart changes
+    * meaning.
     */
   override def sourceSchema(ctx: SQLContext, schema: Option[org.apache.spark.sql.types.StructType],
       providerName: String, parameters: Map[String, String])

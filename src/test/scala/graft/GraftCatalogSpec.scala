@@ -38,6 +38,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(st.files.forall(_.part.contains("p")))
   }
 
+  test("INSERT INTO with extra columns refuses in analysis; ADD COLUMNS + retry is the story") {
+    newWarehouse()
+    spark.sql("CREATE TABLE graft.db.ti (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.ti VALUES (1, 'a')")
+    // Spark validates insert columns against the table schema during
+    // ANALYSIS, before any connector sees the plan — INSERT INTO can
+    // never auto-evolve (the documented divergence; README pins the
+    // three evolution paths). The refusal is Spark's own, loud and
+    // pre-write: nothing commits.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("INSERT INTO graft.db.ti VALUES (2, 'b', 0.5)")
+    }
+    assert(e.getMessage.toLowerCase.contains("column"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.db.ti").head().getLong(0) === 1L,
+      "the refused insert must not have committed anything")
+    // the actionable workaround: additive ALTER, then the same insert
+    spark.sql("ALTER TABLE graft.db.ti ADD COLUMNS (w DOUBLE)")
+    spark.sql("INSERT INTO graft.db.ti VALUES (2, 'b', 0.5)")
+    val rows = spark.sql("SELECT k, w FROM graft.db.ti ORDER BY k").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(1), "pre-evolution rows null-fill the added column")
+    assert(rows(1).getDouble(1) === 0.5)
+  }
+
   test("INSERT OVERWRITE is an audited replace; the old state time-travels") {
     newWarehouse()
     spark.sql("CREATE TABLE graft.db.t2 (k BIGINT, v STRING)")
