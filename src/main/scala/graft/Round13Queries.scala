@@ -44,7 +44,13 @@ object Round13Queries {
     val base = java.nio.file.Files.createTempDirectory("graft_ip141").toString
     val roots = IndexPipeline.Roots(s"$base/idx")
     val cents = IvfIndex.frozenCentroids(8, 64).map { case (c, a) => (c.toLong, a) }
+    // even ids only: the convergence claim needs a REPRESENTATIVE
+    // corpus, not the whole table — the full-corpus build runs in every
+    // bench pass and its heap churn taxed every other query (~4× driver
+    // GC); the index operators' full-scale costs are q15-q21/q74-q75's
+    // oracles
     val corpus = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
       .join(t(spark, dir, "embeddings")
         .select(col("vec_id").as("doc_id"),
           col("embedding").cast("array<double>").as("embedding")), "doc_id")
@@ -59,23 +65,24 @@ object Round13Queries {
       }
     // the corpus table is maintained by SOMEONE ELSE (appends + a
     // takedown); the indexes follow its change feed
+    // one append + one takedown: inserts AND deletes flow through the
+    // feed (the multi-append cross-batch pair shape is IndexPipelineSpec's
+    // pin — q141's convergence compares the three SERVING stores, which
+    // the pair logs are not part of, so a second append would only add
+    // ~15 jobs of bench cost without widening what the hash certifies)
     phaseT("appends") {
-      TableVersions.append(spark, roots.corpus, corpus.filter(col("doc_id") % 5 =!= 4))
+      TableVersions.append(spark, roots.corpus, corpus)
     }
     phaseT("follow1") {
       require(IndexPipeline.followCorpus(roots, spark, cents) == Seq(0L),
         "follow must consume the first corpus version")
     }
-    phaseT("appends2") {
-      // a ~20% second batch: the incremental path still pairs NEW docs
-      // against the pre-batch corpus (the cross-batch shape) without
-      // the delta rebuild costing as much as the initial build
-      TableVersions.append(spark, roots.corpus, corpus.filter(col("doc_id") % 5 === 4))
-      TableVersions.deleteWhere(spark, roots.corpus, col("doc_id") % 10 === 7)
+    phaseT("takedown") {
+      TableVersions.deleteWhere(spark, roots.corpus, col("doc_id") % 10 === 6)
     }
     phaseT("follow2") {
-      require(IndexPipeline.followCorpus(roots, spark, cents).size == 2,
-        "catch-up must consume the append and the takedown")
+      require(IndexPipeline.followCorpus(roots, spark, cents).size == 1,
+        "catch-up must consume the takedown")
     }
 
     // CONVERGENCE: one-shot rebuild of the same final corpus version
@@ -89,8 +96,19 @@ object Round13Queries {
       }
     val oneRoots = IndexPipeline.Roots(s"$base/one")
     phase("oneshot") {
-      IndexPipeline.processBatch(oneRoots, TableVersions.read(spark, roots.corpus),
-        0L, cents)
+      // store-level rebuild: the convergence compares the SERVING
+      // stores (signatures / assignments / postings); the pair logs
+      // are per-batch artifacts a one-shot build has no twin for
+      val fin = TableVersions.read(spark, roots.corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.operators.LshIndex.updateSignatureTable(oneRoots.lshSignatures,
+          fin.select(col("doc_id"), col("text")), "doc_id", "text", portable = true)
+        graft.operators.SemIndex.updateAssignmentTable(oneRoots.semAssignments,
+          fin.select(col("doc_id"), col("embedding")), "doc_id", "embedding", cents)
+        TermIndex.updateBatch(oneRoots.term,
+          fin.select(col("doc_id"), col("text")), 0L, "doc_id", "text")
+      } finally { fin.unpersist(); () }
     }
     // store equality as ORDER-INSENSITIVE multiset row hashes (sum of
     // per-row xxhash64 + count): two scans per store, no shuffle join —
@@ -145,7 +163,7 @@ object Round13Queries {
   val q141Sql: String =
     """WITH toks AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS tk
       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-      |  WHERE d.doc_id % 10 <> 7),
+      |  WHERE d.doc_id % 2 = 0 AND d.doc_id % 10 <> 6),
       |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(CAST(len(tk) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl FROM toks),
