@@ -1541,6 +1541,38 @@ object TableVersions {
   private val statsPool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "graft-stats"); t.setDaemon(true); t })
 
+  /** Stored string stats truncate at this many chars (the
+    * Iceberg/Delta stats-truncation architecture): a free-text column's
+    * min/max would otherwise embed WHOLE DOCUMENTS into every commit
+    * line and checkpoint row — at 1M files that is metadata bloat that
+    * scales with payload size instead of file count. Truncation stays
+    * SOUND for pruning: the stored min is a PREFIX of the true min
+    * (≤ it — a valid lower bound); the stored max is the truncated
+    * prefix with its last non-maximal char INCREMENTED (> every string
+    * sharing the prefix — a valid upper bound), or absent when no char
+    * can go up (pruning then skips the column for that file).
+    */
+  private val statsStrMax = 64
+
+  private def truncMinStr(s: String): String =
+    if (s.length <= statsStrMax) s else s.substring(0, statsStrMax)
+
+  private def truncMaxStr(s: String): Option[String] =
+    if (s.length <= statsStrMax) Some(s)
+    else {
+      val p = s.substring(0, statsStrMax).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+    }
+
+  private def truncStats(cs: ColStats): ColStats =
+    if (cs.minStr.forall(_.length <= statsStrMax) &&
+        cs.maxStr.forall(_.length <= statsStrMax)) cs
+    else cs.copy(minStr = cs.minStr.map(truncMinStr),
+      maxStr = cs.maxStr.flatMap(truncMaxStr))
+
   private def entriesFor(spark: SparkSession, files: Seq[(String, Long)],
       schema: StructType, partOf: String => Map[String, String]): Seq[FileEntry] = timed("stats") {
     val cols = statColsOf(schema)
@@ -1571,7 +1603,7 @@ object TableVersions {
       val rs = byFile.getOrElse(p, Seq.empty)
       val nRows = rs.headOption.map(_._3).getOrElse(-1L)
       val stats = rs.flatMap { r =>
-        val cs = ColStats(r._5, r._6, r._7, r._8, r._9)
+        val cs = truncStats(ColStats(r._5, r._6, r._7, r._8, r._9))
         if (cs.minNum.isEmpty && cs.minStr.isEmpty) None else Some(r._4 -> cs)
       }.toMap
       FileEntry(p, b, nRows, partOf(p), stats)

@@ -48,6 +48,36 @@ class Round13TableSpec extends SparkSpec {
       "the rejected append must not have committed anything")
   }
 
+  test("string stats truncate at commit write, stay sound bounds, and still prune") {
+    val root = newRoot()
+    // 600-char documents: untruncated, each file's min/max would embed
+    // two whole documents into its commit line
+    val doc = "lorem ipsum dolor sit amet " * 23
+    val rows = (1 to 200).map(i => (i.toLong, f"$doc${i}%05d"))
+    TableVersions.append(spark, root,
+      rows.toDF("k", "text").repartition(4))
+    val st = TableVersions.commitState(spark, root)
+    val realMin = rows.map(_._2).min
+    val realMax = rows.map(_._2).max
+    st.files.flatMap(_.stats.get("text")).foreach { cs =>
+      assert(cs.minStr.exists(_.length <= 64) && cs.maxStr.exists(_.length <= 65),
+        s"stored string stats must be truncated: $cs")
+      assert(cs.minStr.exists(_ <= realMin), "stored min must stay a lower bound")
+      assert(cs.maxStr.exists(_ > realMax), "stored max must stay an upper bound")
+    }
+    // the commit file itself stays metadata-sized
+    val commit = new java.io.File(root, "_versions/v0.commit")
+    assert(commit.length() < 16 * 1024,
+      s"commit bloated to ${commit.length()} bytes — stats not truncated?")
+    // pruning stays conservative: an exact-match filter on a LONG value
+    // must still find its row (truncation may keep extra files, never
+    // drop the right one)
+    val want = rows(137)._2
+    assert(TableVersions.read(spark, root).filter(col("text") === want).count() === 1L)
+    assert(TableVersions.read(spark, root)
+      .filter(col("text") > doc + "00150").count() === 50L)
+  }
+
   test("vacuum re-secures an EXISTING but unresolvable checkpoint before dropping the chain") {
     withConf("graft.table.checkpointInterval" -> "3",
         "graft.table.parquetCheckpointThreshold" -> "1") {
