@@ -460,13 +460,25 @@ object TableVersions {
     * case — commit bytes scale with the batch, not the table).
     */
   private sealed trait RawCommit { def op: String; def cdf: Seq[String] }
+  /** Reference to a checkpoint's `#FILESPQ` parquet dataset: name
+    * relative to `_versions/`, expected row count, and — from round 13
+    * — the listing's SCALAR TOTALS (total bytes, deletion-vector'd
+    * file count), so a cold pushed snapshot answers `sizeInBytes` and
+    * the no-DV common case without a single job. Older checkpoints
+    * carry only (name, count); the totals are then None and the
+    * pushed listing falls back to one small columnar job each —
+    * additive, no major bump.
+    */
+  private[graft] final case class PqRef(name: String, count: Long,
+      bytes: Option[Long] = None, nDv: Option[Long] = None)
+
   /** `filesPq`: set on format-major-4 CHECKPOINTS whose O(#files)
-    * listing lives in a `#FILESPQ` parquet dataset beside the text
-    * (name relative to `_versions/`, expected row count); `st.files`
-    * and `st.dvs` are then EMPTY until [[resolveCkpt]] loads them.
+    * listing lives in a `#FILESPQ` parquet dataset beside the text;
+    * `st.files` and `st.dvs` are then EMPTY until [[resolveCkpt]]
+    * loads them.
     */
   private final case class FullCommit(st: CommitState, op: String = "",
-      cdf: Seq[String] = Nil, filesPq: Option[(String, Long)] = None) extends RawCommit
+      cdf: Seq[String] = Nil, filesPq: Option[PqRef] = None) extends RawCommit
 
   /** One file entry as a row of a PARQUET checkpoint: the columnar,
     * distributed-decodable listing for large tables (the Delta
@@ -556,8 +568,12 @@ object TableVersions {
     // parquet-backed listing (checkpoints only, format major 4): the
     // file entries + DV references live in a sibling parquet dataset
     val filesPq = lines.find(_.startsWith("#FILESPQ ")).map { l =>
-      val Array(_, d, n) = l.split(" ", 3)
-      (dec(d), n.trim.toLong)
+      // `name count [bytes nDv]` — the scalar totals are a round-13
+      // addition; older checkpoints carry two fields
+      val parts = l.split(" ")
+      PqRef(dec(parts(1)), parts(2).trim.toLong,
+        if (parts.length > 3) Some(parts(3).trim.toLong) else None,
+        if (parts.length > 4) Some(parts(4).trim.toLong) else None)
     }
     lines.find(_.startsWith("#BASE ")) match {
       case Some(b) =>
@@ -656,11 +672,19 @@ object TableVersions {
     * row-count-inconsistent: a parquet checkpoint is never a
     * correctness dependency.
     */
+  /** Full checkpoint-dataset materializations — the observable the
+    * O(delta) write path exists to avoid: a pushed append/rewrite must
+    * not grow this (tests pin it; the every-Nth-commit checkpoint is
+    * the one amortized exception).
+    */
+  private[graft] val ckptResolves = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def resolveCkpt(spark: SparkSession, root: String,
       fc: FullCommit): Option[CommitState] = fc.filesPq match {
     case None => Some(fc.st)
-    case Some((name, count)) =>
+    case Some(PqRef(name, count, _, _)) =>
       try {
+        ckptResolves.incrementAndGet()
         val f = fs(spark, root)
         val dir = new Path(versionsDir(root), name)
         if (!f.exists(new Path(dir, "_SUCCESS"))) return None
@@ -783,10 +807,16 @@ object TableVersions {
     latestClaimed.foreach(v => versionFloor.merge(key, v, math.max(_, _)))
     // walk DOWN from the newest claim to the newest READABLE one (a
     // torn claim is legacy-only; under the promote protocol the first
-    // probe answers)
+    // probe answers). Readability here is the RAW text parse (the same
+    // torn-claim check readCommitState applies to its target) — NOT a
+    // full state reconstruction: probing current via readCommitState
+    // materialized a 1M-file snapshot just to find its version number,
+    // the one hidden O(#files) cost every fresh-process operation paid
+    // even on the pushed path. A broken delta CHAIN below a readable
+    // commit still throws loudly at the actual read, as before.
     var cur = latestClaimed.getOrElse(return None)
     while (cur >= 0) {
-      if (readCommitState(spark, root, cur).isDefined) return Some(cur)
+      if (readRaw(f, commitPath(root, cur)).isDefined) return Some(cur)
       cur -= 1
     }
     None
@@ -827,7 +857,9 @@ object TableVersions {
     */
   private[graft] final case class PushedListing(root: String, ckptDir: String,
       ckptCount: Long, tailAdds: Seq[FileEntry], tailRemoves: Set[String],
-      tailDvSets: Map[String, (String, Long)], scalar: CommitState) {
+      tailDvSets: Map[String, (String, Long)], scalar: CommitState,
+      ckptBytes: Option[Long] = None, ckptNDv: Option[Long] = None,
+      version: Long = -1L) {
 
     /** Upper bound on the snapshot's file count (tail removes not
       * subtracted — threshold gating only).
@@ -845,13 +877,17 @@ object TableVersions {
     def dvMap(spark: SparkSession): Map[String, (String, Long)] = {
       if (dvCache == null) {
         import org.apache.spark.sql.functions.col
-        val fromCkpt = spark.read.schema(ckptRowSchema).parquet(ckptDir)
-          .where(col("dvFile").isNotNull)
-          .select("path", "dvFile", "dvRows")
-          .collect()
-          .map(r => resolvePath(root, r.getString(0)) ->
-            (resolvePath(root, r.getString(1)), r.getLong(2)))
-          .toMap
+        val fromCkpt =
+          // the checkpoint's scalar totals record zero DV'd files (the
+          // common case): no job needed
+          if (ckptNDv.contains(0L)) Map.empty[String, (String, Long)]
+          else spark.read.schema(ckptRowSchema).parquet(ckptDir)
+            .where(col("dvFile").isNotNull)
+            .select("path", "dvFile", "dvRows")
+            .collect()
+            .map(r => resolvePath(root, r.getString(0)) ->
+              (resolvePath(root, r.getString(1)), r.getLong(2)))
+            .toMap
         dvCache = (fromCkpt -- tailRemoves) ++ tailDvSets
       }
       dvCache
@@ -864,10 +900,13 @@ object TableVersions {
     def sizeEstimate(spark: SparkSession): Long = {
       if (sizeCache == null) {
         import org.apache.spark.sql.functions.sum
-        val base = spark.read.schema(ckptRowSchema).parquet(ckptDir)
-          .agg(sum("bytes")).head()
-        sizeCache = (if (base.isNullAt(0)) 0L else base.getLong(0)) +
-          tailAdds.map(_.bytes).sum
+        val base = ckptBytes.getOrElse { // scalar total absent (pre-r13
+          // checkpoint): one small columnar job, memoized
+          val r = spark.read.schema(ckptRowSchema).parquet(ckptDir)
+            .agg(sum("bytes")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        sizeCache = base + tailAdds.map(_.bytes).sum
       }
       sizeCache
     }
@@ -932,7 +971,7 @@ object TableVersions {
     while (true) {
       readRaw(f, checkpointPath(root, cur)) match {
         case Some(fc: FullCommit) if fc.filesPq.isDefined =>
-          val (name, count) = fc.filesPq.get
+          val PqRef(name, count, ckBytes, ckNDv) = fc.filesPq.get
           val dir = new Path(versionsDir(root), name)
           if (!f.exists(new Path(dir, "_SUCCESS"))) return None
           var scalar = fc.st.copy(files = Seq.empty, dvs = Map.empty)
@@ -946,7 +985,7 @@ object TableVersions {
             scalar = d.applyTo(scalar).copy(files = Seq.empty, dvs = Map.empty)
           }
           val pl = PushedListing(root, dir.toString, count, adds, removes,
-            dvSets, scalar)
+            dvSets, scalar, ckBytes, ckNDv, v)
           key.foreach(pushedCache.put(_, pl))
           return Some(pl)
         case Some(_: FullCommit) => return None // inline-text checkpoint:
@@ -1171,11 +1210,18 @@ object TableVersions {
     * a pre-parquet reader would parse this as an EMPTY table, so the
     * major makes it refuse loudly instead ([[FormatMajor]]).
     */
-  private def renderFullRef(root: String, st: CommitState, pqName: String,
-      count: Long): Array[Byte] = {
+  private def renderFullRef(root: String, st: CommitState,
+      ref: PqRef): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("#FORMAT 4\n")
-    sb.append("#FILESPQ ").append(enc(pqName)).append(' ').append(count).append('\n')
+    sb.append("#FILESPQ ").append(enc(ref.name)).append(' ').append(ref.count)
+    // scalar totals (bytes, DV'd-file count): cold pushed snapshots
+    // answer sizeInBytes / the no-DV case with zero jobs
+    ref.bytes.foreach { b =>
+      sb.append(' ').append(b)
+      ref.nDv.foreach(n => sb.append(' ').append(n))
+    }
+    sb.append('\n')
     st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
     if (st.partCols.nonEmpty)
       sb.append("#PART ").append(st.partCols.map(enc).mkString(",")).append('\n')
@@ -1217,9 +1263,22 @@ object TableVersions {
     if (baseSt.txns ++ txnDelta != st.txns) return None
     val dvDelta = st.dvs.filter { case (p, r) => !baseSt.dvs.get(p).contains(r) }
     if ((baseSt.dvs -- removes) ++ dvDelta != st.dvs) return None
+    Some(renderDeltaParts(root, baseV, adds, removes, dvDelta,
+      if (st.schemaJson != baseSt.schemaJson) st.schemaJson else None,
+      txnDelta, op, cdf))
+  }
+
+  /** Render an incremental commit from its PARTS — shared by
+    * [[tryRenderDelta]] (parts diffed from two full states) and
+    * [[tryCommitDelta]] (parts supplied directly by the writer, no
+    * state ever materialized). Major 2; major 3 when any stored path
+    * is relative (see renderFull).
+    */
+  private def renderDeltaParts(root: String, baseV: Long, adds: Seq[FileEntry],
+      removes: Set[String], dvDelta: Map[String, (String, Long)],
+      schemaJson: Option[String], txnDelta: Map[String, Long],
+      op: String, cdf: Seq[String]): Array[Byte] = {
     val sb = new StringBuilder
-    // incremental commits were introduced at major 2; major 3 marks
-    // relative stored paths (see renderFull) — the common case here
     val deltaHasRel = adds.exists(fe => relNorm(root, fe.path) != canonAbs(fe.path)) ||
       removes.exists(p => relNorm(root, p) != canonAbs(p)) ||
       dvDelta.exists { case (p, (dv, _)) =>
@@ -1228,8 +1287,7 @@ object TableVersions {
     if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
     cdf.foreach(d => sb.append("#CDF ").append(enc(d)).append('\n'))
     sb.append("#BASE ").append(baseV).append('\n')
-    if (st.schemaJson != baseSt.schemaJson)
-      st.schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
+    schemaJson.foreach(j => sb.append("#SCHEMA ").append(j).append('\n'))
     txnDelta.toSeq.sortBy(_._1).foreach { case (a, b) =>
       sb.append("#TXN ").append(a).append(' ').append(b).append('\n') }
     dvDelta.toSeq.sortBy(_._1).foreach { case (p, (dv, n)) =>
@@ -1239,7 +1297,62 @@ object TableVersions {
       sb.append("#RM ").append(enc(relNorm(root, p))).append('\n'))
     adds.foreach(fe => sb.append(renderFileLine(root)(fe)).append('\n'))
     sb.append(s"#END ${adds.size}\n")
-    Some(sb.toString.getBytes(StandardCharsets.UTF_8))
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** O(delta) DIRECT COMMIT — the write-path completion of filtered
+    * checkpoint reconstruction: claim version `v` rendered straight
+    * from the writer's own (adds, removes, DV delta, txn delta)
+    * against `#BASE baseV`, never materializing the base listing. The
+    * reconstruction contract is [[DeltaCommit.applyTo]]'s, identical
+    * to what [[tryRenderDelta]] would have produced from full states:
+    * files = base.filterNot(removes) ++ adds, a removed file's DV dies
+    * with it, absent scalar sections inherit. Every Nth version still
+    * drops a checkpoint — the ONE amortized O(#files) materialization
+    * a big table's write path keeps.
+    */
+  private def tryCommitDelta(spark: SparkSession, root: String, v: Long,
+      baseV: Long, adds: Seq[FileEntry], removes: Set[String] = Set.empty,
+      dvDelta: Map[String, (String, Long)] = Map.empty,
+      schemaJson: Option[String] = None,
+      txnDelta: Map[String, Long] = Map.empty,
+      op: String = "", cdf: Seq[String] = Nil): Boolean = timed("commit") {
+    val f = fs(spark, root)
+    f.mkdirs(versionsDir(root))
+    val target = commitPath(root, v)
+    if (f.exists(target)) return false // cheap pre-check; the claim is the gate
+    val ok = logStoreFor(spark, f).putIfAbsent(f, versionsDir(root), target,
+      renderDeltaParts(root, baseV, adds, removes, dvDelta, schemaJson,
+        txnDelta, op, cdf))
+    if (ok) {
+      val k = checkpointInterval(spark)
+      if (k > 0 && v > 0 && v % k == 0)
+        readCommitState(spark, root, v).foreach(writeCheckpoint(spark, root, v, _))
+    }
+    ok
+  }
+
+  /** The raw DELTA commits covering (planV, baseV], oldest-first — the
+    * pushed writer's conflict-check window: O(interleaved commits),
+    * never O(#files). None when any link is missing, torn, a full
+    * commit, or the chain does not land exactly on `planV` — the
+    * caller then falls back to the materialized check.
+    */
+  private def walkDeltas(spark: SparkSession, root: String, planV: Long,
+      baseV: Long): Option[Seq[DeltaCommit]] = {
+    if (baseV == planV) return Some(Nil)
+    if (baseV < planV) return None
+    val f = fs(spark, root)
+    var out = List.empty[DeltaCommit]
+    var cur = baseV
+    while (cur > planV) {
+      readRaw(f, commitPath(root, cur)) match {
+        case Some(d: DeltaCommit) if d.base >= planV && d.base < cur =>
+          out = d :: out; cur = d.base
+        case _ => return None
+      }
+    }
+    Some(out)
   }
 
   private def renderCommit(root: String, st: CommitState,
@@ -1417,20 +1530,21 @@ object TableVersions {
   /** Stage the parquet listing for a checkpoint of `st` at version `v`:
     * one row per file entry (order-preserving `idx`, partition values,
     * stats, inlined DV reference), written to a temp dir and renamed
-    * to `v<N>.ckptpq`. Returns (name, row count) on success, None on
-    * ANY failure (the caller then writes the self-contained text form
-    * — parquet checkpoints are an optimization, never a correctness
-    * dependency).
+    * to `v<N>.ckptpq`. Returns the [[PqRef]] (name, row count, scalar
+    * totals) on success, None on ANY failure (the caller then writes
+    * the self-contained text form — parquet checkpoints are an
+    * optimization, never a correctness dependency).
     */
   private def writeCheckpointParquet(spark: SparkSession, root: String, v: Long,
-      st: CommitState): Option[(String, Long)] =
+      st: CommitState): Option[PqRef] =
     try {
       import spark.implicits._
       val f = fs(spark, root)
       val name = s"v$v.ckptpq"
       val target = new Path(versionsDir(root), name)
-      val n = st.files.size.toLong
-      if (f.exists(target)) return Some((name, n))
+      val ref = PqRef(name, st.files.size.toLong,
+        Some(st.files.map(_.bytes).sum), Some(st.dvs.size.toLong))
+      if (f.exists(target)) return Some(ref)
       val rows = st.files.zipWithIndex.map { case (fe, i) =>
         CkptFileRow(i.toLong, relNorm(root, fe.path), fe.bytes, fe.rows, fe.part,
           fe.stats.map { case (c, s) =>
@@ -1444,10 +1558,10 @@ object TableVersions {
       val slices = math.max(1, math.min(32, rows.size / 100000))
       spark.createDataset(spark.sparkContext.parallelize(rows, slices))
         .write.parquet(tmp.toString)
-      if (f.rename(tmp, target)) Some((name, n))
+      if (f.rename(tmp, target)) Some(ref)
       else {
         f.delete(tmp, true)
-        if (f.exists(target)) Some((name, n)) else None // raced twin wrote it
+        if (f.exists(target)) Some(ref) else None // raced twin wrote it
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1471,7 +1585,7 @@ object TableVersions {
         if (pqT > 0 && st.files.size >= pqT) writeCheckpointParquet(spark, root, v, st)
         else None
       val body = pq match {
-        case Some((name, n)) => renderFullRef(root, st, name, n)
+        case Some(ref) => renderFullRef(root, st, ref)
         case None => renderFull(root, st)
       }
       val tmp = new Path(versionsDir(root), s".tmp-ckpt-${java.util.UUID.randomUUID()}")
@@ -1852,8 +1966,23 @@ object TableVersions {
   private def appendInternal(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String],
       txn: Option[(String, Long)]): Long = timed(s"append:${new Path(root).getName}") {
+    // SCALAR-FIRST SNAPSHOT: everything an append needs before its
+    // commit — partition declaration, checks, schema evolution, txn
+    // watermarks — is scalar state, so a pushed snapshot (at or above
+    // the pushed threshold) appends WITHOUT ever materializing its
+    // O(#files) listing: validation runs on the scalar state and the
+    // commit renders O(delta) directly ([[tryCommitDelta]]). Below the
+    // threshold the cached materialized state stays cheaper.
+    def snapFor(v: Long): (CommitState, Boolean) = {
+      val t = pushedPruneThreshold(spark)
+      val pl = if (t <= 0) None
+        else pushedListing(spark, root, Some(v))
+          .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
+      pl.map(l => (l.scalar, true))
+        .getOrElse((commitState(spark, root, Some(v)), false))
+    }
     val base0 = currentVersion(spark, root)
-    val st0 = base0.map(v => commitState(spark, root, Some(v)))
+    val st0 = base0.map(v => snapFor(v)._1)
     val effPart = st0.map(_.partCols) match {
       case Some(existing) =>
         require(partitionBy.isEmpty || partitionBy == existing,
@@ -1881,7 +2010,8 @@ object TableVersions {
         }
       }
       val base = currentVersion(spark, root)
-      val prev = base.map(v => commitState(spark, root, Some(v)))
+      val snap = base.map(snapFor)
+      val prev = snap.map(_._1)
       // Re-resolve against the CURRENT winner on every retry, not the
       // pre-staging snapshot: a racing FIRST append may have fixed the
       // table's partition declaration (our files are already staged in
@@ -1903,15 +2033,26 @@ object TableVersions {
         .getOrElse(df.schema)
       val v = nextVersion(spark, root, base)
       val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
-      if (tryCommit(spark, root, v, CommitState(
+      val op = txn.map { case (a, b) => s"APPEND txn=$a/$b" }.getOrElse("APPEND")
+      val committed = snap match {
+        case Some((sc, true)) =>
+          // O(delta) direct: adds (+ txn watermark, + schema only when
+          // evolved) against #BASE — appends never conflict, the retry
+          // loop just re-claims at the next version
+          tryCommitDelta(spark, root, v, base.get, added,
+            schemaJson = if (prevSchema.contains(newSchema)) None else Some(newSchema.json),
+            txnDelta = txn.filter { case (a, b) => !sc.txns.get(a).contains(b) }.toMap,
+            op = op)
+        case _ => tryCommit(spark, root, v, CommitState(
           prev.map(_.files).getOrElse(Seq.empty) ++ added,
           Some(newSchema.json), effPart, txns,
           prev.map(_.checks).getOrElse(Map.empty),
           prev.map(_.dvs).getOrElse(Map.empty),
           prev.map(_.dropped).getOrElse(Set.empty),
           prev.map(_.props).getOrElse(Map.empty)),
-          base.zip(prev),
-          op = txn.map { case (a, b) => s"APPEND txn=$a/$b" }.getOrElse("APPEND"))) return v
+          base.zip(prev), op)
+      }
+      if (committed) return v
       attempt += 1
     }
     throw new IllegalStateException(s"append: lost $attempt commit races at $root")
@@ -1941,7 +2082,8 @@ object TableVersions {
       added: Seq[FileEntry], outDir: Path,
       dvSnapshot: Map[String, Option[(String, Long)]], op: String = "REWRITE",
       cdf: Seq[String] = Nil, extraCleanup: Seq[Path] = Nil,
-      schemaEvolved: Option[(String, Option[String])] = None): Option[Long] = {
+      schemaEvolved: Option[(String, Option[String])] = None,
+      planV: Option[Long] = None): Option[Long] = {
     val f = fs(spark, root)
     def abort(): Unit = {
       f.delete(outDir, true)
@@ -1951,31 +2093,56 @@ object TableVersions {
     while (attempt < 100) {
       val baseV = currentVersion(spark, root)
         .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
-      val cur = commitState(spark, root, Some(baseV))
-      if (!removed.subsetOf(cur.files.map(_.path).toSet)) {
-        abort()
-        return None // true conflict: a competing rewrite removed our inputs
+      // O(DELTA) COMMIT: when the rewrite was PLANNED against a pushed
+      // snapshot (`planV`), the conflict rule evaluates over the raw
+      // delta commits interleaved since — a removed input is no longer
+      // live iff some interleaved commit removed it, its DV reference
+      // moved iff one set it — and the new version renders directly
+      // from (removed, added), so the base listing never materializes.
+      // Any full/torn interleaved commit falls back to the
+      // materialized check below, same attempt.
+      planV.flatMap(pv => walkDeltas(spark, root, pv, baseV)) match {
+        case Some(tail) =>
+          if (removed.exists(p => tail.exists(_.removes(p)))) {
+            abort(); return None // competing rewrite took our inputs
+          }
+          if (removed.exists(p => tail.exists(_.dvSets.contains(p)))) {
+            abort(); return None // concurrent DV update tombstoned them
+          }
+          if (schemaEvolved.isDefined && tail.exists(_.schemaJson.isDefined)) {
+            abort(); return None // concurrent schema change wins
+          }
+          val v = nextVersion(spark, root, Some(baseV))
+          if (tryCommitDelta(spark, root, v, baseV, added, removed,
+              schemaJson = schemaEvolved.map(_._1), op = op, cdf = cdf))
+            return Some(v)
+        case None =>
+          val cur = commitState(spark, root, Some(baseV))
+          if (!removed.subsetOf(cur.files.map(_.path).toSet)) {
+            abort()
+            return None // true conflict: a competing rewrite removed our inputs
+          }
+          if (removed.exists(p => cur.dvs.get(p) != dvSnapshot.getOrElse(p, None))) {
+            abort()
+            return None // true conflict: a concurrent DV update tombstoned our inputs
+          }
+          // a schema-evolving commit must still be evolving the schema
+          // it computed from — a concurrent rename/drop/add wins and we
+          // abort rather than clobber it
+          if (schemaEvolved.exists { case (_, base) => cur.schemaJson != base }) {
+            abort()
+            return None
+          }
+          val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
+          val v = nextVersion(spark, root, Some(baseV))
+          // a removed file's deletion vector dies with it (the rewrite
+          // re-materialized its live rows)
+          if (tryCommit(spark, root, v,
+              cur.copy(files = files,
+                schemaJson = schemaEvolved.map(_._1).orElse(cur.schemaJson)).pruneDvs,
+              Some(baseV -> cur), op, cdf))
+            return Some(v)
       }
-      if (removed.exists(p => cur.dvs.get(p) != dvSnapshot.getOrElse(p, None))) {
-        abort()
-        return None // true conflict: a concurrent DV update tombstoned our inputs
-      }
-      // a schema-evolving commit must still be evolving the schema it
-      // computed from — a concurrent rename/drop/add wins and we abort
-      // rather than clobber it
-      if (schemaEvolved.exists { case (_, base) => cur.schemaJson != base }) {
-        abort()
-        return None
-      }
-      val files = cur.files.filterNot(fe => removed(fe.path)) ++ added
-      val v = nextVersion(spark, root, Some(baseV))
-      // a removed file's deletion vector dies with it (the rewrite
-      // re-materialized its live rows)
-      if (tryCommit(spark, root, v,
-          cur.copy(files = files,
-            schemaJson = schemaEvolved.map(_._1).orElse(cur.schemaJson)).pruneDvs,
-          Some(baseV -> cur), op, cdf))
-        return Some(v)
       attempt += 1
     }
     throw new IllegalStateException(s"rewrite: lost $attempt commit races at $root")
@@ -2065,7 +2232,16 @@ object TableVersions {
   // Stats-pruned planning FROM THE COMMIT (zero footer reads)
   // ------------------------------------------------------------------
 
-  private def intersects(fe: FileEntry, bounds: Map[String, (Double, Double)]): Boolean =
+  /** Driver-side candidate-entry evaluations — the write-path twin of
+    * [[graft.sources.GraftFileIndex.driverEvals]]: pushed planning
+    * ([[pushedPlanState]]) must grow this O(candidates + tail), never
+    * O(#files); the materialized [[candidatePaths]] loop counts every
+    * file. Tests pin the bound.
+    */
+  private[graft] val candidateEvals = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def intersects(fe: FileEntry, bounds: Map[String, (Double, Double)]): Boolean = {
+    candidateEvals.incrementAndGet()
     bounds.forall { case (c, (lo, hi)) =>
       fe.stats.get(c) match {
         case Some(cs) if cs.minNum.isDefined && cs.maxNum.isDefined =>
@@ -2073,6 +2249,33 @@ object TableVersions {
         case _ => true // no stats recorded: conservative — always a candidate
       }
     }
+  }
+
+  private def allAsciiStr(s: String): Boolean = s.forall(_ < 0x80)
+
+  /** String-box twin of [[intersects]] — the CDC shape where the merge
+    * key is a string/UUID. Sound only when BOTH the stored bounds and
+    * the probe values are ASCII (Java string order and Spark's
+    * UTF8String byte order agree only below U+0080 — the same guard as
+    * [[graft.sources.GraftFileIndex.mayMatch]]); anything else keeps
+    * the file. Stored bounds may be TRUNCATED (sound: min rounded
+    * down, max rounded up — Iceberg-style), so the interval check
+    * stays conservative.
+    */
+  private def intersectsStr(fe: FileEntry,
+      bounds: Map[String, (String, String)]): Boolean = {
+    candidateEvals.incrementAndGet()
+    bounds.forall { case (c, (lo, hi)) =>
+      fe.stats.get(c) match {
+        case Some(cs) => (cs.minStr, cs.maxStr) match {
+          case (Some(mn), Some(mx)) if allAsciiStr(mn) && allAsciiStr(mx) &&
+              allAsciiStr(lo) && allAsciiStr(hi) => !(mx < lo || mn > hi)
+          case _ => true
+        }
+        case _ => true // no stats recorded: conservative — always a candidate
+      }
+    }
+  }
 
   /** Candidate files for a numeric box, planned from commit stats
     * alone. Legacy commits without stats fall back to a one-off footer
@@ -2091,6 +2294,97 @@ object TableVersions {
       bounds)
   }
 
+  /** [[candidatePaths]] plus a STRING box: the numeric prune first,
+    * then [[intersectsStr]] over the survivors' entries. Used by the
+    * string/UUID-keyed merge and upsert shapes.
+    */
+  private def candidatePathsB(spark: SparkSession, st: CommitState,
+      num: Map[String, (Double, Double)],
+      str: Map[String, (String, String)]): Seq[String] = {
+    val numPruned = candidatePaths(spark, st, num)
+    if (str.isEmpty) numPruned
+    else {
+      val strP = str.map { case (k, v) => physicalName(st.schema, k) -> v }
+      val keep = numPruned.toSet
+      st.files.filter(fe => keep(fe.path) && intersectsStr(fe, strP)).map(_.path)
+    }
+  }
+
+  /** WRITER-SIDE PUSHED PLANNING — the write-path half of filtered
+    * checkpoint reconstruction: candidate selection for a rewrite
+    * (merge phase 1, DELETE/UPSERT stats pruning, [[prunedRead]])
+    * served through the snapshot's parquet checkpoint instead of a
+    * driver loop over the materialized listing. The coarse bounds
+    * predicate evaluates INSIDE a distributed columnar read of the
+    * `ckptpq` dataset (conservative: stats-less entries always
+    * survive — it may keep more than [[intersects]], never less), and
+    * only the survivors plus the bounded delta tail refine with the
+    * exact driver-side check. Returns the version's scalar state with
+    * `files` restricted to exactly the candidates and `dvs` to theirs
+    * — a planning state every downstream consumer (candidate rows, DV
+    * snapshots, partitioned restage) uses unchanged. Driver cost:
+    * O(candidates), not O(#files × #bounds).
+    */
+  private def pushedCandState(spark: SparkSession, l: PushedListing,
+      bounds0: Map[String, (Double, Double)],
+      strBounds0: Map[String, (String, String)] = Map.empty): CommitState = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // stats are keyed by PHYSICAL names; callers pass logical bounds
+    val bounds = bounds0.map { case (k, v) => physicalName(l.scalar.schema, k) -> v }
+    val strBounds = strBounds0.map { case (k, v) => physicalName(l.scalar.schema, k) -> v }
+    val asciiRe = "^[\\x00-\\x7F]*$"
+    val numTerms = bounds.map { case (c, (lo, hi)) =>
+      val s = col("stats").getItem(c)
+      // CONTRACT (same as GraftFileIndex.ckptKeep): TRUE whenever the
+      // driver's intersects() would keep the entry — absent stats and
+      // unbounded sides keep; only a provably-disjoint range drops
+      s.isNull || s.getField("minNum").isNull || s.getField("maxNum").isNull ||
+        (s.getField("maxNum") >= lit(lo) && s.getField("minNum") <= lit(hi))
+    }
+    val strTerms = strBounds.map { case (c, (lo, hi)) =>
+      if (!allAsciiStr(lo) || !allAsciiStr(hi)) lit(true)
+      else {
+        val s = col("stats").getItem(c)
+        val mn = s.getField("minStr")
+        val mx = s.getField("maxStr")
+        // keep when stats/bounds absent or stored bounds non-ASCII —
+        // the coarse twin of intersectsStr's soundness guard
+        s.isNull || mn.isNull || mx.isNull ||
+          !(mn.rlike(asciiRe) && mx.rlike(asciiRe)) ||
+          (mx >= lit(lo) && mn <= lit(hi))
+      }
+    }
+    val coarse = (numTerms ++ strTerms).reduceOption(_ && _).getOrElse(lit(true))
+    import spark.implicits._
+    val survivors = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+      .where(coarse).as[CkptFileRow].collect()
+    val kept = (survivors.iterator.map(l.toEntry)
+      .filterNot(fe => l.tailRemoves(fe.path)) ++ l.tailAdds.iterator)
+      .filter(fe => intersects(fe, bounds) && intersectsStr(fe, strBounds)).toVector
+    val dv = l.dvMap(spark)
+    l.scalar.copy(files = kept,
+      dvs = kept.iterator.flatMap(fe => dv.get(fe.path).map(fe.path -> _)).toMap)
+  }
+
+  /** [[pushedCandState]] for the CURRENT version of `root`, when the
+    * pushed path serves it: at or above the pushed threshold, with a
+    * recorded schema, and with non-empty `bounds` to prune on. None ⇒
+    * the caller materializes as before. PLANNING ONLY: the commit's
+    * conflict check re-reads the live state, so a snapshot raced by a
+    * concurrent writer is caught there exactly as on the materialized
+    * path.
+    */
+  private def pushedPlanState(spark: SparkSession, root: String,
+      bounds: Map[String, (Double, Double)],
+      version: Option[Long] = None,
+      strBounds: Map[String, (String, String)] = Map.empty): Option[(CommitState, Long)] = {
+    val t = pushedPruneThreshold(spark)
+    if (t <= 0 || (bounds.isEmpty && strBounds.isEmpty)) return None
+    pushedListing(spark, root, version)
+      .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
+      .map(l => (pushedCandState(spark, l, bounds, strBounds), l.version))
+  }
+
   /** Stats-pruned read of `version` (default latest): candidate files
     * decided from the COMMIT (no data-file footer is opened to plan the
     * scan), then the exact predicate applied. `statCols` is accepted
@@ -2100,8 +2394,10 @@ object TableVersions {
   def prunedRead(spark: SparkSession, root: String, statCols: Seq[String],
       bounds: Map[String, (Double, Double)], version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val st = commitState(spark, root, version)
-    val files = candidatePaths(spark, st, bounds)
+    val pst = pushedPlanState(spark, root, bounds, version).map(_._1)
+    val st = pst.getOrElse(commitState(spark, root, version))
+    // pushed planning already restricted st.files to the candidates
+    val files = pst.map(_.files.map(_.path)).getOrElse(candidatePaths(spark, st, bounds))
     val df =
       if (files.isEmpty) emptyLike(spark, st)
       else readWithDvs(spark, root, st, files)
@@ -2163,11 +2459,16 @@ object TableVersions {
       bounds: Map[String, (Double, Double)] = Map.empty,
       maxDvFraction: Double = 0.0): Option[Long] = {
     import org.apache.spark.sql.functions.lit
-    val st = commitState(spark, root, None)
-    val candidates = candidatePaths(spark, st, bounds)
+    // candidate planning through the pushed checkpoint read when it
+    // serves this snapshot (st.files = exactly the candidates there)
+    val pst = pushedPlanState(spark, root, bounds)
+    val st = pst.map(_._1).getOrElse(commitState(spark, root, None))
+    val planV = pst.map(_._2)
+    val candidates = pst.map(_._1.files.map(_.path))
+      .getOrElse(candidatePaths(spark, st, bounds))
     if (candidates.isEmpty) return None
     if (maxDvFraction > 0.0)
-      deleteViaDv(spark, root, st, candidates, predicate, maxDvFraction) match {
+      deleteViaDv(spark, root, st, candidates, predicate, maxDvFraction, planV) match {
         case Some(result) => return result // committed (or true conflict)
         case None => // fraction exceeded / legacy stats — fall through to rewrite
       }
@@ -2181,7 +2482,7 @@ object TableVersions {
     val (outDir, added) = stageFiles(spark, root, survivors, st.partCols, "delete",
       mapSchema = st.schema)
     commitRewrite(spark, root, candidates.toSet, added, outDir,
-      dvSnapshotOf(st, candidates.toSet), op = "DELETE")
+      dvSnapshotOf(st, candidates.toSet), op = "DELETE", planV = planV)
   }
 
   /** MERGE-ON-READ delete (deletion vectors): when the matched rows are
@@ -2274,7 +2575,7 @@ object TableVersions {
 
   private def deleteViaDv(spark: SparkSession, root: String, st: CommitState,
       candidates: Seq[String], predicate: Column,
-      maxFraction: Double): Option[Option[Long]] = {
+      maxFraction: Double, planV: Option[Long] = None): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.{col, lit}
     val candSet = candidates.toSet
     val candEntries = st.files.filter(fe => candSet(fe.path))
@@ -2295,7 +2596,8 @@ object TableVersions {
       perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
     }.toMap
     val snapshot = updates.keySet.map(p => p -> st.dvs.get(p)).toMap
-    Some(commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir), op = "DELETE dv"))
+    Some(commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir), op = "DELETE dv",
+      planV = planV))
   }
 
   /** Commit a DV-reference update (optionally together with `added`
@@ -2311,22 +2613,37 @@ object TableVersions {
       snapshot: Map[String, Option[(String, Long)]], cleanup: Seq[Path],
       added: Seq[FileEntry] = Seq.empty, op: String = "DV UPDATE",
       cdf: Seq[String] = Nil,
-      schemaEvolved: Option[(String, Option[String])] = None): Option[Long] = {
+      schemaEvolved: Option[(String, Option[String])] = None,
+      planV: Option[Long] = None): Option[Long] = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt < 100) {
       val baseV = currentVersion(spark, root)
         .getOrElse(throw new IllegalArgumentException(s"nothing committed at $root"))
-      val cur = commitState(spark, root, Some(baseV))
-      val livePaths = cur.files.map(_.path).toSet
-      val conflict = updates.keys.exists(p => !livePaths(p) || cur.dvs.get(p) != snapshot(p)) ||
-        schemaEvolved.exists { case (_, base) => cur.schemaJson != base }
-      if (conflict) { cleanup.foreach(d => f.delete(d, true)); return None }
-      val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v,
-          cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates,
-            schemaJson = schemaEvolved.map(_._1).orElse(cur.schemaJson)),
-          Some(baseV -> cur), op, cdf)) return Some(v)
+      // O(delta) path (see commitRewrite): conflict over the
+      // interleaved delta tail, commit rendered directly
+      planV.flatMap(pv => walkDeltas(spark, root, pv, baseV)) match {
+        case Some(tail) =>
+          val conflict = updates.keys.exists(p =>
+            tail.exists(d => d.removes(p) || d.dvSets.contains(p))) ||
+            (schemaEvolved.isDefined && tail.exists(_.schemaJson.isDefined))
+          if (conflict) { cleanup.foreach(d => f.delete(d, true)); return None }
+          val v = nextVersion(spark, root, Some(baseV))
+          if (tryCommitDelta(spark, root, v, baseV, added, Set.empty, updates,
+              schemaJson = schemaEvolved.map(_._1), op = op, cdf = cdf))
+            return Some(v)
+        case None =>
+          val cur = commitState(spark, root, Some(baseV))
+          val livePaths = cur.files.map(_.path).toSet
+          val conflict = updates.keys.exists(p => !livePaths(p) || cur.dvs.get(p) != snapshot(p)) ||
+            schemaEvolved.exists { case (_, base) => cur.schemaJson != base }
+          if (conflict) { cleanup.foreach(d => f.delete(d, true)); return None }
+          val v = nextVersion(spark, root, Some(baseV))
+          if (tryCommit(spark, root, v,
+              cur.copy(files = cur.files ++ added, dvs = cur.dvs ++ updates,
+                schemaJson = schemaEvolved.map(_._1).orElse(cur.schemaJson)),
+              Some(baseV -> cur), op, cdf)) return Some(v)
+      }
       attempt += 1
     }
     throw new IllegalStateException(s"dv update: lost $attempt commit races at $root")
@@ -2353,22 +2670,46 @@ object TableVersions {
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, maxDvFraction: Double = 0.0): Option[Long] = {
     import org.apache.spark.sql.functions.{col, max, min}
-    val st = commitState(spark, root, None)
-    if (updates.isEmpty) return currentVersion(spark, root) // empty CDC batch: no-op
-    validateChecks(updates, st.checks, "upsert") // new rows must satisfy the checks
-    val numericKey = updates.schema(keyCol).dataType match {
+    if (updates.isEmpty) { // empty CDC batch: no-op (but the table must exist)
+      val v = currentVersion(spark, root)
+      require(v.isDefined, s"no committed version at $root")
+      return v
+    }
+    val keyType = updates.schema(keyCol).dataType
+    val numericKey = keyType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
       case _ => false
     }
-    val candidates =
-      if (!numericKey) st.files.map(_.path) // no comparable stats: every file is a candidate
+    val stringKey = keyType == org.apache.spark.sql.types.StringType
+    // the batch's key range first (needs only `updates`), so candidate
+    // planning can go through the pushed checkpoint read without ever
+    // materializing the listing. Numeric/temporal keys prune on the
+    // numeric stats; STRING keys (the UUID-CDC shape) prune on the
+    // string stats under the ASCII soundness guard; anything else
+    // keeps every file a candidate.
+    val bounds: Map[String, (Double, Double)] =
+      if (!numericKey) Map.empty
       else {
         val range = updates.agg(
           min(col(keyCol).cast("double")), max(col(keyCol).cast("double"))).head()
-        if (range.isNullAt(0)) st.files.map(_.path) // all-NULL keys: cannot prune
-        else candidatePaths(spark, st, Map(keyCol -> (range.getDouble(0), range.getDouble(1))))
+        if (range.isNullAt(0)) Map.empty // all-NULL keys: cannot prune
+        else Map(keyCol -> (range.getDouble(0), range.getDouble(1)))
       }
+    val strBounds: Map[String, (String, String)] =
+      if (!stringKey) Map.empty
+      else {
+        val range = updates.agg(min(col(keyCol)), max(col(keyCol))).head()
+        if (range.isNullAt(0)) Map.empty
+        else Map(keyCol -> (range.getString(0), range.getString(1)))
+      }
+    val pst = pushedPlanState(spark, root, bounds, strBounds = strBounds)
+    val st = pst.map(_._1).getOrElse(commitState(spark, root, None))
+    val planV = pst.map(_._2)
+    validateChecks(updates, st.checks, "upsert") // new rows must satisfy the checks
+    val candidates =
+      if ((bounds.isEmpty && strBounds.isEmpty) || pst.isDefined) st.files.map(_.path)
+      else candidatePathsB(spark, st, bounds, strBounds)
     // EXACT change-data capture (table property `enableChangeFeed`):
     // matched keys' old/new rows become update_preimage/update_postimage
     // and unmatched batch rows insert — written as a `_cdf/` sidecar the
@@ -2397,7 +2738,7 @@ object TableVersions {
     val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     if (maxDvFraction > 0.0 && candidates.nonEmpty)
       upsertViaDv(spark, root, st, candidates, updates, keyCol, maxDvFraction,
-          cdfName) match {
+          cdfName, planV) match {
         case Some(result) => return result // committed (or true conflict)
         case None => // fraction exceeded / legacy stats — fall back to rewrite
       }
@@ -2413,7 +2754,7 @@ object TableVersions {
       mapSchema = st.schema)
     commitRewrite(spark, root, candidates.toSet, added, outDir,
       dvSnapshotOf(st, candidates.toSet), op = "UPSERT",
-      cdf = cdfName.toSeq, extraCleanup = cdfDirs)
+      cdf = cdfName.toSeq, extraCleanup = cdfDirs, planV = planV)
   }
 
   /** MERGE-ON-READ upsert (the Delta DV MERGE shape): instead of
@@ -2431,7 +2772,8 @@ object TableVersions {
     */
   private def upsertViaDv(spark: SparkSession, root: String, st: CommitState,
       candidates: Seq[String], updates: DataFrame, keyCol: String,
-      maxFraction: Double, cdfName: Option[String] = None): Option[Option[Long]] = {
+      maxFraction: Double, cdfName: Option[String] = None,
+      planV: Option[Long] = None): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.col
     val candSet = candidates.toSet
     val candEntries = st.files.filter(fe => candSet(fe.path))
@@ -2454,14 +2796,14 @@ object TableVersions {
     staged match {
       case None => // pure insert against the candidates: files only
         Some(commitDvUpdate(spark, root, Map.empty, Map.empty, cdfDirs :+ outDir, added,
-          op = "UPSERT dv", cdf = cdfName.toSeq))
+          op = "UPSERT dv", cdf = cdfName.toSeq, planV = planV))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
           perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
         Some(commitDvUpdate(spark, root, dvUpdates, snapshot, cdfDirs ++ Seq(dvDir, outDir),
-          added, op = "UPSERT dv", cdf = cdfName.toSeq))
+          added, op = "UPSERT dv", cdf = cdfName.toSeq, planV = planV))
     }
   }
 
@@ -2580,9 +2922,20 @@ object TableVersions {
     reserved.foreach(r => require(!source.columns.contains(r),
       s"merge: source column name '$r' is reserved"))
 
-    val st = commitState(spark, root, None)
-    val tblSchema0 = st.schema.getOrElse(
-      spark.read.parquet(st.files.head.path).schema)
+    // the version's SCALAR state first: schema and evolution decisions
+    // need no listing, so a pushed snapshot never materializes its
+    // O(#files) entries just to resolve column names. The SAME
+    // PushedListing then serves phase 1's candidate selection — one
+    // consistent planning version.
+    val pushedL: Option[PushedListing] = {
+      val t = pushedPruneThreshold(spark)
+      if (t <= 0) None
+      else pushedListing(spark, root, None)
+        .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
+    }
+    val st0 = pushedL.map(_.scalar).getOrElse(commitState(spark, root, None))
+    val tblSchema0 = st0.schema.getOrElse(
+      spark.read.parquet(st0.files.head.path).schema)
     // SCHEMA EVOLUTION (opt-in `autoMerge`, Delta's autoMerge shape):
     // extra source columns append to the table schema as NULLABLE
     // fields — checkEvolution's resurrection guards still reject a new
@@ -2605,14 +2958,14 @@ object TableVersions {
       else source.schema.fields.toIndexedSeq
         .filterNot(f => knownCol(f.name))
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
-    if (newFields.nonEmpty) require(st.schema.isDefined,
+    if (newFields.nonEmpty) require(st0.schema.isDefined,
       s"merge autoMerge: $root has legacy commits without a recorded schema")
     val tblSchema =
       if (newFields.isEmpty) tblSchema0
       else checkEvolution(tblSchema0,
-        StructType(tblSchema0.fields ++ newFields), st.dropped)
+        StructType(tblSchema0.fields ++ newFields), st0.dropped)
     val schemaEvolved: Option[(String, Option[String])] =
-      if (newFields.isEmpty) None else Some((tblSchema.json, st.schemaJson))
+      if (newFields.isEmpty) None else Some((tblSchema.json, st0.schemaJson))
     val tHasCol = tblSchema0.fieldNames.toSet
     // the t side of the join has only the PRE-evolution columns; an
     // evolved column's target-row base value is NULL
@@ -2650,19 +3003,48 @@ object TableVersions {
              org.apache.spark.sql.types.TimestampType => true
         case _ => false
       })
-      val candidates: Seq[String] =
-        if (notMatchedBySource.nonEmpty || numericKeys.isEmpty) st.files.map(_.path)
+      val stringKeys = on.filter(k =>
+        source.schema(k).dataType == org.apache.spark.sql.types.StringType)
+      // the source's key box (empty = cannot prune: NOT MATCHED BY
+      // SOURCE must see every target row). Numeric/temporal keys prune
+      // on the numeric stats; STRING keys (the UUID-CDC shape) on the
+      // string stats under the ASCII soundness guard.
+      val (bounds, strBounds): (Map[String, (Double, Double)], Map[String, (String, String)]) =
+        if (notMatchedBySource.nonEmpty || (numericKeys.isEmpty && stringKeys.isEmpty))
+          (Map.empty, Map.empty)
         else {
           val aggs = numericKeys.flatMap(k =>
-            Seq(min(col(k).cast("double")), max(col(k).cast("double"))))
+            Seq(min(col(k).cast("double")), max(col(k).cast("double")))) ++
+            stringKeys.flatMap(k => Seq(min(col(k)), max(col(k))))
           val row = src.agg(aggs.head, aggs.tail: _*).head()
-          val bounds = numericKeys.zipWithIndex.flatMap { case (k, i) =>
+          val nb = numericKeys.zipWithIndex.flatMap { case (k, i) =>
             if (row.isNullAt(2 * i)) None // all-NULL key: cannot prune on it
             else Some(k -> (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
           }.toMap
-          if (bounds.isEmpty) st.files.map(_.path)
-          else candidatePaths(spark, st, bounds)
+          val off = 2 * numericKeys.size
+          val sb = stringKeys.zipWithIndex.flatMap { case (k, i) =>
+            if (row.isNullAt(off + 2 * i)) None
+            else Some(k -> (row.getString(off + 2 * i), row.getString(off + 2 * i + 1)))
+          }.toMap
+          (nb, sb)
         }
+      // phase-1 planning state: candidate selection through the pushed
+      // checkpoint read when it serves this snapshot and the bounds
+      // can prune (st.files = exactly the candidates there); the
+      // materialized listing otherwise
+      val canPrune = bounds.nonEmpty || strBounds.nonEmpty
+      val st: CommitState = pushedL match {
+        case Some(l) if canPrune => pushedCandState(spark, l, bounds, strBounds)
+        case Some(_) => commitState(spark, root, None)
+        case None => st0
+      }
+      // the version the pushed plan read — commits then conflict-check
+      // and render O(delta) against it
+      val planV: Option[Long] =
+        if (pushedL.isDefined && canPrune) pushedL.map(_.version) else None
+      val candidates: Seq[String] =
+        if (!canPrune || pushedL.isDefined) st.files.map(_.path)
+        else candidatePathsB(spark, st, bounds, strBounds)
       def joinCond: Column = {
         val keys = on.map(k => col("t." + k) === col("s." + k)).reduce(_ && _)
         extraOn.map(e => keys && expr(e)).getOrElse(keys)
@@ -2787,7 +3169,9 @@ object TableVersions {
         if (maxDvFraction > 0.0 && rewriteSet.nonEmpty) {
           mergeViaDv(spark, root, st, rewriteSet, acted, outCols,
             updateTags.map(_._1) ++ deleteTags, changedTags, maxDvFraction,
-            cdfName, schemaEvolved, if (schemaEvolved.isDefined) Some(tblSchema) else st.schema) match {
+            cdfName, schemaEvolved,
+            if (schemaEvolved.isDefined) Some(tblSchema) else st.schema,
+            planV) match {
             case Some(result) => return result
             case None => // fraction exceeded / legacy stats: rewrite below
           }
@@ -2824,7 +3208,8 @@ object TableVersions {
           currentVersion(spark, root)
         } else commitRewrite(spark, root, rewriteSet.toSet, added, outDir,
           dvSnapshotOf(st, rewriteSet.toSet), op = "MERGE",
-          cdf = cdfName.toSeq, extraCleanup = cdfDirs, schemaEvolved = schemaEvolved)
+          cdf = cdfName.toSeq, extraCleanup = cdfDirs, schemaEvolved = schemaEvolved,
+          planV = planV)
       } finally { acted.unpersist(); () }
     } finally { src.unpersist(); () }
   }
@@ -2840,7 +3225,8 @@ object TableVersions {
       victimTags: Seq[String], changedTags: Seq[String],
       maxFraction: Double, cdfName: Option[String] = None,
       schemaEvolved: Option[(String, Option[String])] = None,
-      stageSchema: Option[StructType] = None): Option[Option[Long]] = {
+      stageSchema: Option[StructType] = None,
+      planV: Option[Long] = None): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.col
     val candSet = rewriteSet.toSet
     val candEntries = st.files.filter(fe => candSet(fe.path))
@@ -2868,14 +3254,16 @@ object TableVersions {
     staged match {
       case None => // no victim rows materialized: pure insert images
         Some(commitDvUpdate(spark, root, Map.empty, Map.empty, cdfDirs :+ outDir, added,
-          op = "MERGE dv", cdf = cdfName.toSeq, schemaEvolved = schemaEvolved))
+          op = "MERGE dv", cdf = cdfName.toSeq, schemaEvolved = schemaEvolved,
+          planV = planV))
       case Some((dvDir, sidecar, perFile, _)) =>
         val dvUpdates = candEntries.flatMap { fe =>
           perFile.get(relNorm(root, fe.path)).map(n => fe.path -> (sidecar, n))
         }.toMap
         val snapshot = dvUpdates.keySet.map(p => p -> st.dvs.get(p)).toMap
         Some(commitDvUpdate(spark, root, dvUpdates, snapshot, cdfDirs ++ Seq(dvDir, outDir),
-          added, op = "MERGE dv", cdf = cdfName.toSeq, schemaEvolved = schemaEvolved))
+          added, op = "MERGE dv", cdf = cdfName.toSeq, schemaEvolved = schemaEvolved,
+          planV = planV))
     }
   }
 
@@ -3037,19 +3425,69 @@ object TableVersions {
   // create-if-absent of `_versions/_admin.lock` carrying
   // (token, operation, expiry). A live lock makes the loser REFUSE
   // loudly; a crashed admin's lock expires after the TTL (session conf
-  // `graft.table.adminLockTtlMs`, default 30 min — size it above any
-  // real maintenance run) and is broken with a double-read guard.
-  // Ordinary writers/readers never touch the lock — the orphan grace
-  // already protects them from a running vacuum.
+  // `graft.table.adminLockTtlMs`, default 30 min) and is broken with a
+  // double-read guard. A LIVE admin's heartbeat renews the expiry at
+  // ttl/3 cadence, so a maintenance run longer than the TTL keeps its
+  // role — the TTL only ever breaks crashed admins. Ordinary
+  // writers/readers never touch the lock — the orphan grace already
+  // protects them from a running vacuum.
   // ------------------------------------------------------------------
 
   private def adminLockPath(root: String) = new Path(versionsDir(root), "_admin.lock")
 
-  /** The claim's release handle: deletes the lock at `atRoot` (the
-    * table may have MOVED while held) iff it still carries our token.
+  private lazy val adminHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-admin-heartbeat"); t.setDaemon(true); t
+      })
+
+  /** The claim's release handle, with a HEARTBEAT: a maintenance run
+    * legitimately longer than the TTL keeps its role — a daemon thread
+    * renews the lock's expiry every ttl/3 while the claim is held, so
+    * the TTL only ever breaks locks of CRASHED admins (before the
+    * heartbeat, a long vacuum could be broken mid-run). Renewal
+    * rewrites the lock only while it still carries OUR token (it never
+    * resurrects a broken or deleted lock) via write-temp +
+    * atomic-overwrite-rename; a torn read on a non-atomic fallback
+    * parses as "held", never as "free", so the safety direction is
+    * preserved. [[relocated]] keeps the heartbeat pointed at the lock
+    * when [[moveTable]] carries it to a new root. `release` deletes
+    * the lock at `atRoot` iff it still carries our token.
     */
-  private[graft] final class AdminClaim(token: String) {
+  private[graft] final class AdminClaim(token: String, what: String,
+      ttlMs: Long, spark: SparkSession, root0: String) {
+    @volatile private var rootNow = root0
+    @volatile private var stopped = false
+    private val periodMs = math.max(1000L, ttlMs / 3)
+    private val hb = adminHeartbeats.scheduleAtFixedRate(
+      new Runnable { def run(): Unit = if (!stopped) renew() },
+      periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+    private def renew(): Unit = try {
+      val r = rootNow
+      val f = fs(spark, r)
+      val lock = adminLockPath(r)
+      readAdminLock(f, lock) match {
+        case Some((tok, _, _)) if tok == token =>
+          val payload = s"$token $what ${System.currentTimeMillis() + ttlMs}"
+          val tmp = new Path(versionsDir(r), s".tmp-admhb-${java.util.UUID.randomUUID()}")
+          val out = f.create(tmp, true)
+          try out.write(payload.getBytes(StandardCharsets.UTF_8)) finally out.close()
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              tmp.toUri, spark.sparkContext.hadoopConfiguration)
+            fc.rename(tmp, lock, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch { case scala.util.control.NonFatal(_) => f.delete(tmp, false); () }
+        case _ => () // broken, deleted, or mid-move: nothing to renew
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // next tick retries
+
+    /** The lock traveled with a moved table: renew at the new root. */
+    def relocated(newRoot: String): Unit = { rootNow = newRoot }
+
     def release(spark: SparkSession, atRoot: String): Unit = {
+      stopped = true
+      hb.cancel(false)
       val f = fs(spark, atRoot)
       readAdminLock(f, adminLockPath(atRoot)) match {
         case Some((tok, _, _)) if tok == token => f.delete(adminLockPath(atRoot), false); ()
@@ -3094,7 +3532,8 @@ object TableVersions {
         // ownership re-verify: guards the one theoretical overlap where
         // a concurrent breaker deleted a fresh lock out from under us
         readAdminLock(f, lock) match {
-          case Some((tok, _, _)) if tok == token => return new AdminClaim(token)
+          case Some((tok, _, _)) if tok == token =>
+            return new AdminClaim(token, what, ttlMs, spark, root)
           case _ => throw new IllegalStateException(
             s"$what: lost the administrative claim on $root to a concurrent admin")
         }
@@ -3103,9 +3542,12 @@ object TableVersions {
         case None => () // vanished between claim and read: retry the claim
         case Some((tok, heldWhat, exp)) if exp < System.currentTimeMillis() =>
           // stale (crashed admin): break only if a second read still
-          // shows the SAME token — never delete a freshly-claimed lock
+          // shows the SAME token AND the SAME expiry — never delete a
+          // freshly-claimed lock, and never one its owner's heartbeat
+          // just renewed (a renewal moves the expiry)
           readAdminLock(f, lock) match {
-            case Some((tok2, _, _)) if tok2 == tok => f.delete(lock, false); ()
+            case Some((tok2, _, exp2)) if tok2 == tok && exp2 == exp =>
+              f.delete(lock, false); ()
             case _ => ()
           }
         case Some((_, heldWhat, exp)) => throw new IllegalStateException(
@@ -3377,6 +3819,7 @@ object TableVersions {
       if (!f.rename(new Path(from), toPath))
         throw new IllegalStateException(s"rename $from -> $to failed")
       rootNow = to
+      admin.relocated(to) // the heartbeat follows the lock
       rebaseMetadata(spark, to, from)
     } finally admin.release(spark, rootNow)
   }

@@ -1,0 +1,302 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.operators.TableVersions
+import graft.operators.TableVersions.{ColStats, CommitState, FileEntry,
+  MergeDelete, MergeInsert, MergeUpdate}
+
+/** WRITER-SIDE PUSHED PLANNING: candidate selection for merge /
+  * DELETE / UPSERT / prunedRead must run INSIDE the checkpoint's
+  * distributed parquet read at big file counts, with the driver
+  * evaluating only the candidates — never O(#files) entry checks per
+  * operation (the write-path half of filtered checkpoint
+  * reconstruction; the read path is pinned by PushedPruneSpec).
+  *
+  * Pinned here:
+  *   - at 200k entries, each writer's planning grows
+  *     [[TableVersions.candidateEvals]] by O(candidates + tail), and
+  *     the operation is CORRECT: only the intersecting real files
+  *     rewrite, every fake metadata entry carries by reference.
+  *   - END-TO-END at small scale with the thresholds forced low:
+  *     delete/upsert/merge (rewrite AND DV paths) through the pushed
+  *     planner are byte-identical to a twin table on the materialized
+  *     planner.
+  */
+class PushedWritePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("pwp").toString + "/tbl"
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val N = 200000
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType),
+    StructField("p", IntegerType)))
+
+  /** 200k synthetic entries whose k ranges [i*10, i*10+9] (and s
+    * ranges aXXXXXX..bXXXXXX) lie far below the real rows' keys — a
+    * pushed planner must never touch them on the driver, and a commit
+    * must carry them all by reference.
+    */
+  private def syntheticEntries(root: String): Seq[FileEntry] =
+    (0 until N).map { i =>
+      FileEntry(s"$root/data/f$i.parquet", 4096L, 100L,
+        Map("p" -> (i % 50).toString),
+        Map(
+          "k" -> ColStats(Some(i * 10.0), Some(i * 10.0 + 9), None, None, 0L),
+          "s" -> ColStats(None, None, Some(f"a$i%06d"), Some(f"b$i%06d"), 0L),
+          "p" -> ColStats(Some((i % 50).toDouble), Some((i % 50).toDouble), None, None, 0L)))
+    }
+
+  /** The real rows live at k = 5_000_000..5_000_009 in partition p=99;
+    * every fake entry's k-range ends at ~2M, so bounds around 5M make
+    * the real file(s) the only candidates.
+    */
+  private def buildBigTable(): String = {
+    val root = newRoot()
+    TableVersions.createEmpty(spark, root, schema, Seq("p"))
+    val big = CommitState(syntheticEntries(root), Some(schema.json), Seq("p"), Map.empty)
+    TableVersions.writeCheckpoint(spark, root, 0L, big)
+    TableVersions.clearStateCache() // v0 was cached empty at create
+    // the append itself must stay scalar: schema checks on the pushed
+    // scalar state, O(delta) direct commit, no checkpoint resolve
+    val r0 = TableVersions.ckptResolves.get()
+    TableVersions.append(spark, root,
+      (0 until 10).map(i => (5000000L + i, s"r$i", 99)).toDF("k", "s", "p"), Seq("p"))
+    assert(TableVersions.ckptResolves.get() === r0,
+      "a pushed append must never materialize the checkpoint dataset")
+    root
+  }
+
+  private def realRows(root: String): Seq[(Long, String)] =
+    TableVersions.readPartitions(spark, root, Map("p" -> "99"))
+      .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+
+  test("pushed write planning: 200k entries, O(candidates) driver evals, correct rewrites") {
+    withConf("graft.table.parquetCheckpointThreshold" -> "1000") {
+      val root = buildBigTable()
+      assert(TableVersions.pushedListing(spark, root, None).exists(_.ckptCount === N.toLong),
+        "precondition: the snapshot must serve a pushed listing")
+
+      // ---- DELETE: bounds select only the real tail file
+      var resolvesBefore = TableVersions.ckptResolves.get()
+      var before = TableVersions.candidateEvals.get()
+      val v2 = TableVersions.deleteWhere(spark, root, col("k") === 5000002L,
+        bounds = Map("k" -> (5000002.0, 5000002.0)))
+      val deleteEvals = TableVersions.candidateEvals.get() - before
+      assert(TableVersions.ckptResolves.get() === resolvesBefore,
+        "a pushed delete must never materialize the checkpoint dataset")
+      assert(v2.isDefined, "delete must commit")
+      assert(deleteEvals <= 64L,
+        s"delete planning did $deleteEvals entry evals — must be O(candidates), not O(#files)")
+      assert(realRows(root).map(_._1) === (0 until 10).filter(_ != 2).map(5000000L + _))
+
+      // ---- UPSERT: numeric key box prunes to the real file
+      resolvesBefore = TableVersions.ckptResolves.get()
+      before = TableVersions.candidateEvals.get()
+      val v3 = TableVersions.upsert(spark, root,
+        Seq((5000003L, "UPD", 99), (6000000L, "ins", 99)).toDF("k", "s", "p"), "k")
+      val upsertEvals = TableVersions.candidateEvals.get() - before
+      assert(TableVersions.ckptResolves.get() === resolvesBefore,
+        "a pushed upsert must never materialize the checkpoint dataset")
+      assert(v3.isDefined, "upsert must commit")
+      assert(upsertEvals <= 64L,
+        s"upsert planning did $upsertEvals entry evals — must be O(candidates)")
+      val afterUpsert = realRows(root)
+      assert(afterUpsert.contains((5000003L, "UPD")) && afterUpsert.contains((6000000L, "ins")))
+
+      // ---- MERGE: source key box prunes to the real files
+      resolvesBefore = TableVersions.ckptResolves.get()
+      before = TableVersions.candidateEvals.get()
+      val v4 = TableVersions.merge(spark, root,
+        Seq((5000004L, "MRG"), (7000000L, "new")).toDF("k", "s2"), Seq("k"),
+        matched = Seq(MergeUpdate(Map("s" -> "s.s2"))),
+        notMatched = Seq(MergeInsert(Map("k" -> "s.k", "s" -> "s.s2", "p" -> "99"))))
+      val mergeEvals = TableVersions.candidateEvals.get() - before
+      assert(TableVersions.ckptResolves.get() === resolvesBefore,
+        "a pushed merge must never materialize the checkpoint dataset")
+      assert(v4.isDefined, "merge must commit")
+      assert(mergeEvals <= 64L,
+        s"merge planning did $mergeEvals entry evals — must be O(candidates)")
+      val afterMerge = realRows(root)
+      assert(afterMerge.contains((5000004L, "MRG")) && afterMerge.contains((7000000L, "new")))
+
+      // ---- prunedRead through the pushed planner
+      before = TableVersions.candidateEvals.get()
+      val pr = TableVersions.prunedRead(spark, root, Seq("k"),
+        Map("k" -> (5000000.0, 5000001.0))).select("k").as[Long].collect().sorted
+      val readEvals = TableVersions.candidateEvals.get() - before
+      assert(pr === Array(5000000L, 5000001L))
+      assert(readEvals <= 64L, s"prunedRead planning did $readEvals entry evals")
+
+      // ...and each committed version is an actual #BASE delta
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      (2L to 4L).foreach { v =>
+        val in = f.open(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit"))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        assert(txt.contains("#BASE "), s"v$v must be an incremental commit")
+      }
+
+      // every fake entry carried by reference through three commits
+      val st = TableVersions.commitState(spark, root, None)
+      assert(st.files.count(_.path.contains("/f")) === N,
+        "all synthetic entries must survive the rewrites untouched")
+    }
+  }
+
+  test("string-keyed CDC prunes on string stats: pushed at 200k, and on the materialized path") {
+    withConf("graft.table.parquetCheckpointThreshold" -> "1000") {
+      // PUSHED: a string-keyed upsert/merge against 200k entries plans
+      // O(candidates) — every fake entry's [aXXXXXX, bXXXXXX] range is
+      // provably disjoint from the real rows' "r*" keys
+      val root = buildBigTable()
+      var before = TableVersions.candidateEvals.get()
+      val v = TableVersions.upsert(spark, root,
+        Seq(("r3", 5000103L, 99)).toDF("s", "k", "p"), "s")
+      val upsertEvals = TableVersions.candidateEvals.get() - before
+      assert(v.isDefined)
+      assert(upsertEvals <= 64L,
+        s"string-keyed upsert did $upsertEvals entry evals — must be O(candidates)")
+      assert(realRows(root).map(_._2).count(_ == "r3") === 1)
+      assert(TableVersions.readPartitions(spark, root, Map("p" -> "99"))
+        .where(col("s") === "r3").select("k").as[Long].head() === 5000103L)
+
+      before = TableVersions.candidateEvals.get()
+      val v2 = TableVersions.merge(spark, root,
+        Seq(("r5", "MRG")).toDF("s", "tag"), Seq("s"),
+        matched = Seq(MergeUpdate(Map("k" -> "9999999"))))
+      assert(v2.isDefined)
+      assert(TableVersions.candidateEvals.get() - before <= 64L,
+        "string-keyed merge must plan O(candidates)")
+      assert(TableVersions.readPartitions(spark, root, Map("p" -> "99"))
+        .where(col("s") === "r5").select("k").as[Long].head() === 9999999L)
+      assert(TableVersions.commitState(spark, root, None)
+        .files.count(_.path.contains("/f")) === N)
+    }
+
+    // MATERIALIZED: two real files with disjoint string key ranges —
+    // an upsert touching only the second file's range carries the
+    // first file by reference (same-path identity across the commit)
+    val root2 = newRoot()
+    TableVersions.append(spark, root2,
+      (0 until 20).map(i => (f"a$i%03d", i.toLong)).toDF("id", "v").coalesce(1))
+    TableVersions.append(spark, root2,
+      (0 until 20).map(i => (f"m$i%03d", 100L + i)).toDF("id", "v").coalesce(1))
+    val filesBefore = TableVersions.commitState(spark, root2, None).files.map(_.path)
+    TableVersions.upsert(spark, root2,
+      Seq(("m003", -1L), ("z999", -2L)).toDF("id", "v"), "id")
+    val filesAfter = TableVersions.commitState(spark, root2, None).files.map(_.path).toSet
+    val aFile = filesBefore.head
+    assert(filesAfter.contains(aFile),
+      "the a* file is provably disjoint from [m003, z999] and must carry by reference")
+    assert(!filesAfter.contains(filesBefore(1)), "the m* file must have rewritten")
+    val out = TableVersions.read(spark, root2).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === 41)
+    assert(out.contains(("m003", -1L)) && out.contains(("z999", -2L)))
+    assert(out.contains(("a003", 3L)), "untouched rows intact")
+  }
+
+  test("checkpoint scalar totals: sizeEstimate/dvMap job-free; legacy 2-field refs still parse") {
+    withConf("graft.table.parquetCheckpointThreshold" -> "1000") {
+      val root = buildBigTable()
+      val pl = TableVersions.pushedListing(spark, root, None)
+        .getOrElse(fail("snapshot must serve a pushed listing"))
+      // a round-13 checkpoint carries the totals inline — the cold
+      // snapshot answers both without a job
+      assert(pl.ckptBytes === Some(4096L * N))
+      assert(pl.ckptNDv === Some(0L))
+      assert(pl.sizeEstimate(spark) >= 4096L * N)
+      assert(pl.dvMap(spark).isEmpty)
+
+      // LEGACY REF: strip the totals back to the two-field r12 form —
+      // parsing must tolerate it and the listing must fall back to the
+      // (memoized) columnar jobs with the same answers
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val ckpt = new org.apache.hadoop.fs.Path(root, "_versions/v0.checkpoint")
+      val txt = {
+        val in = f.open(ckpt)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      val legacy = txt.linesIterator.map { l =>
+        if (l.startsWith("#FILESPQ ")) l.split(" ").take(3).mkString(" ") else l
+      }.mkString("\n") + "\n"
+      val out = f.create(ckpt, true)
+      try out.write(legacy.getBytes("UTF-8")) finally out.close()
+      TableVersions.clearStateCache()
+      val pl2 = TableVersions.pushedListing(spark, root, None)
+        .getOrElse(fail("legacy two-field ref must still serve the pushed listing"))
+      assert(pl2.ckptBytes.isEmpty && pl2.ckptNDv.isEmpty)
+      assert(pl2.sizeEstimate(spark) === pl.sizeEstimate(spark))
+      assert(pl2.dvMap(spark) === pl.dvMap(spark))
+    }
+  }
+
+  test("pushed write planning: end-to-end parity with the materialized planner") {
+    def build(root: String, pushed: Boolean): Unit = withConf(
+      "graft.table.parquetCheckpointThreshold" -> "1",
+      "graft.table.checkpointInterval" -> "1",
+      "graft.table.pushedPruneThreshold" -> (if (pushed) "1" else "0")) {
+      TableVersions.append(spark, root,
+        (0 until 40).map(i => (i.toLong, s"a$i", i % 4)).toDF("k", "s", "p"), Seq("p"))
+      TableVersions.append(spark, root,
+        (40 until 80).map(i => (i.toLong, s"b$i", i % 4)).toDF("k", "s", "p"), Seq("p"))
+      // rewrite-mode delete with bounds
+      TableVersions.deleteWhere(spark, root, col("k") % 7 === 0,
+        bounds = Map("k" -> (0.0, 50.0)))
+      // DV-mode delete (merge-on-read planning over the pushed state)
+      TableVersions.deleteWhere(spark, root, col("k") === 61L,
+        bounds = Map("k" -> (61.0, 61.0)), maxDvFraction = 0.5)
+      // change feed ON from here: the delta-direct commits must carry
+      // their #CDF sidecars exactly like the materialized ones
+      TableVersions.setTableProperty(spark, root, TableVersions.ChangeFeedProp, "true")
+      // upsert (rewrite) + merge incl. a DV-path merge
+      TableVersions.upsert(spark, root,
+        Seq((10L, "UP", 2), (100L, "NEW", 0)).toDF("k", "s", "p"), "k")
+      TableVersions.merge(spark, root,
+        Seq((12L, "M1"), (101L, "M2")).toDF("k", "v"), Seq("k"),
+        matched = Seq(MergeUpdate(Map("s" -> "s.v"))),
+        notMatched = Seq(MergeInsert(Map("k" -> "s.k", "s" -> "s.v", "p" -> "1"))))
+      TableVersions.merge(spark, root,
+        Seq((13L, "D")).toDF("k", "v"), Seq("k"),
+        matched = Seq(MergeDelete()), maxDvFraction = 0.9)
+      ()
+    }
+    val pushedRoot = newRoot()
+    val matRoot = newRoot()
+    build(pushedRoot, pushed = true)
+    build(matRoot, pushed = false)
+    val a = TableVersions.read(spark, pushedRoot).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    val b = TableVersions.read(spark, matRoot).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    assert(a === b, "pushed write planning must be invisible in the results")
+    assert(a.nonEmpty && !a.map(_.head.asInstanceOf[Long]).exists(k => k % 7 == 0 && k <= 50))
+    // the exact change feed is identical too (delta-direct commits
+    // reference the same sidecar images the materialized ones do)
+    def feed(root: String) = {
+      val top = TableVersions.currentVersion(spark, root).get
+      TableVersions.readChanges(spark, root, 4L, top, updateImages = true)
+        .orderBy("k", "_change_type", "_commit_version")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(feed(pushedRoot) === feed(matRoot),
+      "change feeds must match across the two planners")
+  }
+}

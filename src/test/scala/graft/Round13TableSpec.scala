@@ -108,4 +108,35 @@ class Round13TableSpec extends SparkSpec {
       assert(TableVersions.read(spark, root).count() === 60)
     }
   }
+
+  test("admin-lock heartbeat: a run longer than the TTL keeps its role") {
+    withConf("graft.table.adminLockTtlMs" -> "2000") {
+      val root = newRoot()
+      TableVersions.append(spark, root, Seq((1L, "a")).toDF("k", "s"))
+      val lock = new Path(root, "_versions/_admin.lock")
+      val f = hfs(root)
+      def lockExpiry(): Long = {
+        val in = f.open(lock)
+        val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        txt.split(" ")(2).toLong
+      }
+      val admin = TableVersions.claimAdmin(spark, root, "vacuum")
+      try {
+        val exp0 = lockExpiry()
+        // sleep past the TTL: the heartbeat (ttl/3 cadence) must have
+        // renewed the expiry, so the lock never looks stale and a
+        // second claimant refuses instead of breaking it
+        Thread.sleep(3000)
+        assert(lockExpiry() > exp0, "heartbeat must advance the expiry")
+        assert(lockExpiry() > System.currentTimeMillis(), "lock must still be live")
+        val e = intercept[IllegalStateException] {
+          TableVersions.claimAdmin(spark, root, "vacuum")
+        }
+        assert(e.getMessage.contains("administrative lock"), e.getMessage)
+      } finally admin.release(spark, root)
+      assert(!f.exists(lock), "release deletes the renewed lock")
+      // the role is claimable again once released
+      TableVersions.claimAdmin(spark, root, "vacuum").release(spark, root)
+    }
+  }
 }
