@@ -3571,6 +3571,145 @@ object TableVersions {
     finally admin.release(spark, root)
   }
 
+
+  /** Root-relative reference keys of the files (and DV sidecars) held
+    * by version `v`, as a DATAFRAME — the distributed-vacuum building
+    * block: the checkpoint dataset is read columnar (its raw rows are
+    * a superset of v's listing: the reconstruction tail's removes
+    * anti-join away, its adds and DV references union in), so the
+    * driver never materializes the listing. None when `v` does not
+    * reconstruct as checkpoint + tail (the caller falls back to a
+    * driver-side union of the materialized state — correct at any
+    * size, just not distributed).
+    */
+  private def refFrameOf(spark: SparkSession, root: String, v: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val l = pushedListing(spark, root, Some(v)).getOrElse(return None)
+    val ckptRefs = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(col("path"),
+          org.apache.spark.sql.functions.coalesce(col("dvFile"), col("path")))).as("ref"))
+      .select(relCanonCol(root, col("ref")).as("ref")).distinct()
+    val removed = l.tailRemoves.toSeq.map(p => relNorm(root, p))
+    val removedDf = removed.toDF("ref")
+    val kept =
+      if (removed.isEmpty) ckptRefs
+      else ckptRefs.join(removedDf, Seq("ref"), "left_anti")
+    val tailRefs = (l.tailAdds.map(fe => relNorm(root, fe.path)) ++
+      l.dvMap(spark).values.map(d => relNorm(root, d._1))).distinct
+    if (tailRefs.isEmpty) Some(kept)
+    else Some(kept.union(tailRefs.toDF("ref")).distinct())
+  }
+
+  /** Root-relative reference keys ADDED by the commits in `(from, to]`
+    * — driver-side and O(sum of delta sizes): a delta contributes its
+    * adds and DV sidecars; a rare full text commit contributes its
+    * whole (already-parsed) listing; torn/absent versions are skipped
+    * (they are being dropped anyway).
+    */
+  private def addedRefsBetween(spark: SparkSession, root: String,
+      from: Long, to: Long): Seq[String] = {
+    val f = fs(spark, root)
+    ((from + 1) to to).flatMap { v =>
+      readRaw(f, commitPath(root, v)) match {
+        case Some(d: DeltaCommit) =>
+          d.adds.map(fe => relNorm(root, fe.path)) ++
+            d.dvSets.values.map(x => relNorm(root, x._1))
+        case Some(fc: FullCommit) =>
+          fc.st.files.map(fe => relNorm(root, fe.path)) ++
+            fc.st.dvs.values.map(x => relNorm(root, x._1))
+        case None => Seq.empty
+      }
+    }.distinct
+  }
+
+  /** DISTRIBUTED DATA SWEEP — vacuum's liveness decision as a Spark
+    * job (the Delta-vacuum architecture): at 1M files the driver-side
+    * sweep pays O(retained versions × #files) set building plus a
+    * sequential recursive listing; here the reference sets stay in the
+    * checkpoint datasets (read columnar), the data-directory listing
+    * fans out one task per batch directory (there are O(#commits) of
+    * those, driver-enumerable), the live/referenced classification is
+    * an anti-join, and the deletes run in the tasks that found them.
+    * The deletion RULE is byte-identical to the driver sweep: a listed
+    * data file dies iff it is not referenced by any retained version
+    * AND (it is referenced by a dropped version — known-dead history —
+    * OR it is older than the orphan grace).
+    */
+  private def sweepDataDistributed(spark: SparkSession, root: String,
+      keepFrom: Long, latest: Long, oldest: Long, graceMs: Long): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val f = fs(spark, root)
+    val dataDir = new Path(root, "data")
+    if (!f.exists(dataDir)) return true
+    val liveDf = refFrameOf(spark, root, keepFrom) match {
+      case Some(base) =>
+        val added = addedRefsBetween(spark, root, keepFrom, latest)
+        if (added.isEmpty) base else base.union(added.toDF("ref")).distinct()
+      case None => return false // anchor not pushed-reconstructible: driver sweep
+    }
+    // dropped-history references (known-dead, deletable immediately):
+    // the oldest present version's own listing plus everything added
+    // below the horizon. The oldest anchor goes through the checkpoint
+    // dataset when it can; a small full/checkpointed commit (the
+    // common v0 shape) materializes on the driver like the driver
+    // sweep does.
+    val refAllDf =
+      if (oldest >= keepFrom) liveDf
+      else {
+        val added = addedRefsBetween(spark, root, oldest, keepFrom)
+        val withAnchor = refFrameOf(spark, root, oldest) match {
+          case Some(df) => liveDf.union(df)
+          case None =>
+            val anchor = readCommitState(spark, root, oldest).toSeq.flatMap(st =>
+              st.files.map(fe => relNorm(root, fe.path)) ++
+                st.dvs.values.map(x => relNorm(root, x._1)))
+            if (anchor.isEmpty) liveDf else liveDf.union(anchor.toDF("ref"))
+        }
+        if (added.isEmpty) withAnchor.distinct()
+        else withAnchor.union(added.toDF("ref")).distinct()
+      }
+    // one task per top-level batch directory (plus loose files); the
+    // recursive per-directory listing runs ON the executors
+    val top = f.listStatus(dataDir).toSeq
+    val looseFiles = top.filter(_.isFile).map(st => (st.getPath.toString, st.getModificationTime))
+    val dirs = top.filter(_.isDirectory).map(_.getPath.toString)
+    val listedDirs: org.apache.spark.sql.Dataset[(String, Long)] =
+      spark.createDataset(dirs).repartition(math.max(1, math.min(64, dirs.size)))
+        .flatMap { d =>
+          val p = new Path(d)
+          val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val it = fsx.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile) buf += ((st.getPath.toString, st.getModificationTime))
+          }
+          buf.toSeq
+        }
+    val listed = listedDirs.toDF("path", "mtime")
+      .union(looseFiles.toDF("path", "mtime"))
+      .where(col("path").endsWith(".parquet"))
+      .withColumn("ref", relCanonCol(root, col("path")))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = listed
+      .join(liveDf.withColumn("__g_live", lit(1)), Seq("ref"), "left_outer")
+      .where(col("__g_live").isNull)
+      .join(refAllDf.withColumn("__g_ref", lit(1)), Seq("ref"), "left_outer")
+      .where(col("__g_ref").isNotNull || col("mtime") < lit(cutoff))
+      .select("path")
+    dead.foreachPartition { (it: Iterator[Row]) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.foreach { r =>
+        val p = new Path(r.getString(0))
+        p.getFileSystem(conf).delete(p, false); ()
+      }
+    }
+    true
+  }
+
   private def vacuumLocked(spark: SparkSession, root: String, keepVersions: Int,
       graceMs: Long): Unit = {
     val f = fs(spark, root)
@@ -3587,8 +3726,9 @@ object TableVersions {
     val ckptPqs = all.collect { case n if n.startsWith("v") && n.endsWith(".ckptpq") =>
       n.stripPrefix("v").stripSuffix(".ckptpq").toLong }
     // liveness is form-insensitive: parsed states carry canonical
-    // plain paths while listings return file:-qualified ones
-    val live = versions.filter(_ >= keepFrom)
+    // plain paths while listings return file:-qualified ones. LAZY:
+    // the distributed sweep never materializes these states
+    lazy val live = versions.filter(_ >= keepFrom)
       .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
         st.files.map(_.path) ++ st.dvs.values.map(_._1))).map(normPath).toSet
     // reconstructability across the horizon: no retained delta may need
@@ -3631,23 +3771,34 @@ object TableVersions {
     // file referenced by NOTHING is either crash debris (deletable
     // after the grace) or an IN-FLIGHT writer's staged batch — writers
     // stage data BEFORE entering the commit retry loop, so sweeping a
-    // fresh orphan would tear the commit that is about to reference it
-    val refAll = live ++ versions.filter(_ < keepFrom)
-      .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
-        st.files.map(_.path) ++ st.dvs.values.map(_._1))).map(normPath)
-    val nowMs = System.currentTimeMillis()
-    val dataDir = new Path(root, "data")
-    if (f.exists(dataDir)) {
-      val it = f.listFiles(dataDir, true)
-      val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !live(normPath(st.getPath.toString)) &&
-          (refAll(normPath(st.getPath.toString)) ||
-            nowMs - st.getModificationTime > graceMs)) dead += st.getPath
+    // fresh orphan would tear the commit that is about to reference it.
+    // At or above the pushed threshold the whole sweep runs as a Spark
+    // job ([[sweepDataDistributed]] — same rule, reference sets read
+    // columnar from the checkpoint datasets, listing fanned out,
+    // deletes in the tasks); the driver loop below stays the
+    // small-table shape.
+    val distributed = pushedPruneThreshold(spark) > 0 && versions.nonEmpty &&
+      pushedListing(spark, root, Some(latest))
+        .exists(_.totalFiles >= pushedPruneThreshold(spark)) &&
+      sweepDataDistributed(spark, root, keepFrom, latest, versions.min, graceMs)
+    if (!distributed) {
+      val refAll = live ++ versions.filter(_ < keepFrom)
+        .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
+          st.files.map(_.path) ++ st.dvs.values.map(_._1))).map(normPath)
+      val nowMs = System.currentTimeMillis()
+      val dataDir = new Path(root, "data")
+      if (f.exists(dataDir)) {
+        val it = f.listFiles(dataDir, true)
+        val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !live(normPath(st.getPath.toString)) &&
+            (refAll(normPath(st.getPath.toString)) ||
+              nowMs - st.getModificationTime > graceMs)) dead += st.getPath
+        }
+        dead.foreach(p => f.delete(p, false))
       }
-      dead.foreach(p => f.delete(p, false))
     }
     // change-data sidecars: keep the ones retained commits reference,
     // sweep the rest (dirs of dropped commits and orphans of conflicted

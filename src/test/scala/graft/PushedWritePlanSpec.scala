@@ -299,4 +299,68 @@ class PushedWritePlanSpec extends SparkSpec {
     assert(feed(pushedRoot) === feed(matRoot),
       "change feeds must match across the two planners")
   }
+
+  test("distributed vacuum sweep: same survivors as the driver sweep, retained reads intact") {
+    // build two identical tables with history worth vacuuming: appends,
+    // a compaction (drops old files), a DV delete (sidecar), plus a
+    // planted orphan file old enough to sweep and a fresh one the
+    // grace must spare
+    def build(pushed: Boolean): String = withConf(
+      "graft.table.parquetCheckpointThreshold" -> "1",
+      "graft.table.checkpointInterval" -> "1",
+      "graft.table.pushedPruneThreshold" -> (if (pushed) "1" else "0")) {
+      val root = newRoot()
+      (0 until 4).foreach { b =>
+        TableVersions.append(spark, root,
+          (0 until 25).map(i => ((b * 25 + i).toLong, s"v$b-$i", b % 2)).toDF("k", "s", "p"),
+          Seq("p"))
+      }
+      TableVersions.compact(spark, root, targetBytes = 1L << 26)
+      TableVersions.deleteWhere(spark, root, col("k") === 7L,
+        bounds = Map("k" -> (7.0, 7.0)), maxDvFraction = 0.5)
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val stale = new org.apache.hadoop.fs.Path(root, "data/orphan-stale.parquet")
+      val out = f.create(stale, true); out.write(Array[Byte](1, 2, 3)); out.close()
+      f.setTimes(stale, System.currentTimeMillis() - 3600 * 1000L, -1)
+      val fresh = new org.apache.hadoop.fs.Path(root, "data/orphan-fresh.parquet")
+      val out2 = f.create(fresh, true); out2.write(Array[Byte](4, 5)); out2.close()
+      TableVersions.vacuum(spark, root, keepVersions = 2, graceMs = 10 * 60 * 1000L)
+      root
+    }
+    val dRoot = build(pushed = true)
+    val mRoot = build(pushed = false)
+    def survivors(root: String): Set[String] = {
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      val b = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString.stripPrefix("file:").replaceFirst("^" +
+            java.util.regex.Pattern.quote(root), "")
+      }
+      b.toSet
+    }
+    // the planted stale orphan swept, the fresh one spared, on BOTH paths
+    val dS = survivors(dRoot)
+    val mS = survivors(mRoot)
+    assert(!dS.exists(_.contains("orphan-stale")) && !mS.exists(_.contains("orphan-stale")))
+    assert(dS.exists(_.contains("orphan-fresh")) && mS.exists(_.contains("orphan-fresh")))
+    // identical survivor SHAPE: same counts per directory kind (file
+    // names are uuid-unique per table, so compare structure not names)
+    def shape(s: Set[String]): Map[String, Int] =
+      s.groupBy(_.split("/")(2).split("-")(0)).view.mapValues(_.size).toMap
+    assert(shape(dS) === shape(mS),
+      s"distributed and driver sweeps must keep the same files: $dS vs $mS")
+    // retained versions still read whole on the distributed table
+    val top = TableVersions.currentVersion(spark, dRoot).get
+    assert(TableVersions.read(spark, dRoot, Some(top)).count() ===
+      TableVersions.read(spark, mRoot, Some(top)).count())
+    assert(TableVersions.read(spark, dRoot, Some(top - 1)).count() ===
+      TableVersions.read(spark, mRoot, Some(top - 1)).count())
+    assert(TableVersions.read(spark, dRoot).where(col("k") === 7L).count() === 0L,
+      "the DV delete must hold after the distributed vacuum")
+  }
 }
