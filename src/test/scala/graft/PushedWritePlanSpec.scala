@@ -363,4 +363,70 @@ class PushedWritePlanSpec extends SparkSpec {
     assert(TableVersions.read(spark, dRoot).where(col("k") === 7L).count() === 0L,
       "the DV delete must hold after the distributed vacuum")
   }
+
+  test("delta-direct commits race: disjoint rewrites rebase, overlapping inputs refuse") {
+    withConf(
+      "graft.table.parquetCheckpointThreshold" -> "1",
+      "graft.table.checkpointInterval" -> "1",
+      "graft.table.pushedPruneThreshold" -> "1") {
+      val root = newRoot()
+      // two single-file partitions with disjoint key ranges
+      TableVersions.append(spark, root,
+        (0 until 10).map(i => (i.toLong, s"a$i", 0)).toDF("k", "s", "p").coalesce(1), Seq("p"))
+      TableVersions.append(spark, root,
+        (10 until 20).map(i => (i.toLong, s"b$i", 1)).toDF("k", "s", "p").coalesce(1), Seq("p"))
+      assert(TableVersions.pushedListing(spark, root, None).isDefined,
+        "precondition: pushed planning engaged")
+
+      // DISJOINT rewrites racing from one gate: both must land (the
+      // loser of the claim race rebases over the winner's delta)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      def race(k: Long): java.util.concurrent.Future[Option[Long]] =
+        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          def call(): Option[Long] = {
+            gate.await()
+            TableVersions.deleteWhere(spark, root, col("k") === k,
+              bounds = Map("k" -> (k.toDouble, k.toDouble)))
+          }
+        })
+      val fa = race(1L)
+      val fb = race(11L)
+      gate.countDown()
+      val (ra, rb) = (fa.get(), fb.get())
+      assert(ra.isDefined && rb.isDefined,
+        s"disjoint rewrites must both commit, got $ra / $rb")
+      val rows = TableVersions.read(spark, root).orderBy("k")
+        .select("k").as[Long].collect().toSeq
+      assert(rows === (0L until 20L).filterNot(k => k == 1L || k == 11L),
+        "both deletes applied exactly once")
+
+      // OVERLAPPING inputs racing: at most one of each colliding pair
+      // commits; the final table reflects exactly the committed ops
+      val gate2 = new java.util.concurrent.CountDownLatch(1)
+      def race2(k: Long): java.util.concurrent.Future[Option[Long]] =
+        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          def call(): Option[Long] = {
+            gate2.await()
+            // both target partition p=0's file: same candidate set
+            TableVersions.deleteWhere(spark, root, col("k") === k,
+              bounds = Map("k" -> (0.0, 9.0)))
+          }
+        })
+      val f1 = race2(2L)
+      val f2 = race2(3L)
+      gate2.countDown()
+      val (r1, r2) = (f1.get(), f2.get())
+      val after = TableVersions.read(spark, root).select("k").as[Long].collect().toSet
+      assert(r1.isDefined || r2.isDefined, "at least one racer must commit")
+      assert(after.contains(2L) === r1.isEmpty, "k=2 gone iff its delete committed")
+      assert(after.contains(3L) === r2.isEmpty, "k=3 gone iff its delete committed")
+      // nothing else was touched, nothing resurrected
+      assert((after + 2L + 3L) === (0L until 20L).filterNot(k => k == 1L || k == 11L).toSet)
+      // every claimed version is whole and readable
+      val top = TableVersions.currentVersion(spark, root).get
+      (0L to top).foreach(v => TableVersions.read(spark, root, Some(v)).count())
+      pool.shutdown()
+    }
+  }
 }
