@@ -3295,6 +3295,39 @@ object TableVersions {
     * ceil(rows/target) parallel tasks (salted clustering) instead of
     * serializing on one — see [[stageFiles]].
     */
+
+  /** The files of pushed snapshot `l` whose partition tuple EQUALS one
+    * of `tuples` or subset-matches one of `drop` — replace-partitions
+    * planning through the checkpoint dataset. Partition values are
+    * exact per entry (not stats), so the distributed filter IS the
+    * decision; only the bounded tail folds on the driver. Callers cap
+    * the tuple counts (the OR-of-ANDs predicate is linear in them).
+    */
+  private def pushedPartMatches(spark: SparkSession, l: PushedListing,
+      tuples: Set[Map[String, String]],
+      drop: Seq[Map[String, String]]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def tupleCol(m: Map[String, String]): Column =
+      if (m.isEmpty) lit(true) // unpartitioned: the one tuple matches all
+      else m.map { case (k, v) => col("part").getItem(k) === lit(v) }.reduce(_ && _)
+    val exact = tuples.toSeq.map { m =>
+      // tuple EQUALITY: every partition column agrees AND the entry has
+      // no extra keys (writers stamp exactly the partition columns, and
+      // size equality pins it)
+      tupleCol(m) && org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.map_keys(col("part"))) === lit(m.size)
+    }
+    val subset = drop.map(tupleCol)
+    val pred = (exact ++ subset).reduceOption(_ || _).getOrElse(lit(false))
+    val fromCkpt = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+      .where(pred).select("path").collect()
+      .map(r => resolvePath(l.root, r.getString(0)))
+    def matches(m: Map[String, String]): Boolean =
+      tuples.contains(m) || drop.exists(d => d.forall { case (k, v) => m.get(k).contains(v) })
+    (fromCkpt.iterator.filterNot(l.tailRemoves) ++
+      l.tailAdds.iterator.filter(fe => matches(fe.part)).map(_.path)).toSeq.distinct
+  }
+
   def replacePartitions(spark: SparkSession, root: String, df: DataFrame,
       txn: Option[(String, Long)] = None,
       drop: Seq[Map[String, String]] = Seq.empty,
@@ -3336,7 +3369,16 @@ object TableVersions {
     }
     val base0 = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"nothing committed at $root (first write goes through append)"))
-    val st0 = commitState(spark, root, Some(base0))
+    // scalar-first, like appendInternal: a pushed snapshot validates and
+    // commits a partition replace without materializing its listing
+    def snapFor(v: Long): (CommitState, Option[PushedListing]) = {
+      val t = pushedPruneThreshold(spark)
+      val pl = if (t <= 0) None
+        else pushedListing(spark, root, Some(v))
+          .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
+      pl.map(l => (l.scalar, pl)).getOrElse((commitState(spark, root, Some(v)), None))
+    }
+    val st0 = snapFor(base0)._1
     require(partitionBy.isEmpty || partitionBy == st0.partCols,
       s"partition columns are fixed at table creation: table has ${st0.partCols}, replace passed $partitionBy")
     val effPart = st0.partCols
@@ -3357,21 +3399,48 @@ object TableVersions {
         }
       }
       val baseV = currentVersion(spark, root).get
-      val cur = commitState(spark, root, Some(baseV))
-      val unseen = cur.checks -- validated.keys
-      if (unseen.nonEmpty) { validateChecks(df, unseen, "replace"); validated ++= unseen }
-      val kept =
-        if (replaceAll) Seq.empty
-        else cur.files.filterNot(fe => stagedTuples(fe.part) ||
-          drop.exists(d => d.forall { case (k, vv) => fe.part.get(k).contains(vv) }))
-      val newSchema = cur.schema.map(checkEvolution(_, df.schema, cur.dropped))
-        .getOrElse(df.schema)
-      val v = nextVersion(spark, root, Some(baseV))
-      if (tryCommit(spark, root, v, cur.copy(files = kept ++ added,
-          schemaJson = Some(newSchema.json), txns = cur.txns ++ txn).pruneDvs,
-          Some(baseV -> cur),
-          op = (if (replaceAll) "OVERWRITE" else "REPLACE PARTITIONS") +
-            txn.map { case (a, b) => s" txn=$a/$b" }.getOrElse(""))) return v
+      // pushed O(delta) path: re-planned per attempt at the CURRENT
+      // version (metadata-only, cheap), so no walk-adjust is needed —
+      // the matching set is exact at the claimed base. Overwrites and
+      // wide tuple sets (the OR-of-ANDs ckpt predicate is linear in
+      // them) stay on the materialized path.
+      val plNow =
+        if (replaceAll || stagedTuples.size > 64 || drop.size > 16) None
+        else snapFor(baseV)._2.filter(_.version == baseV)
+      val committed = plNow match {
+        case Some(l) =>
+          val sc = l.scalar
+          val unseen = sc.checks -- validated.keys
+          if (unseen.nonEmpty) { validateChecks(df, unseen, "replace"); validated ++= unseen }
+          val removed = pushedPartMatches(spark, l, stagedTuples, drop).toSet
+          val newSchema = sc.schema.map(checkEvolution(_, df.schema, sc.dropped))
+            .getOrElse(df.schema)
+          val v = nextVersion(spark, root, Some(baseV))
+          val ok = tryCommitDelta(spark, root, v, baseV, added, removed,
+            schemaJson = if (sc.schema.contains(newSchema)) None else Some(newSchema.json),
+            txnDelta = txn.filter { case (a, b) => !sc.txns.get(a).contains(b) }.toMap,
+            op = "REPLACE PARTITIONS" + txn.map { case (a, b) => s" txn=$a/$b" }.getOrElse(""))
+          if (ok) return v
+          false
+        case None =>
+          val cur = commitState(spark, root, Some(baseV))
+          val unseen = cur.checks -- validated.keys
+          if (unseen.nonEmpty) { validateChecks(df, unseen, "replace"); validated ++= unseen }
+          val kept =
+            if (replaceAll) Seq.empty
+            else cur.files.filterNot(fe => stagedTuples(fe.part) ||
+              drop.exists(d => d.forall { case (k, vv) => fe.part.get(k).contains(vv) }))
+          val newSchema = cur.schema.map(checkEvolution(_, df.schema, cur.dropped))
+            .getOrElse(df.schema)
+          val v = nextVersion(spark, root, Some(baseV))
+          if (tryCommit(spark, root, v, cur.copy(files = kept ++ added,
+              schemaJson = Some(newSchema.json), txns = cur.txns ++ txn).pruneDvs,
+              Some(baseV -> cur),
+              op = (if (replaceAll) "OVERWRITE" else "REPLACE PARTITIONS") +
+                txn.map { case (a, b) => s" txn=$a/$b" }.getOrElse(""))) return v
+          false
+      }
+      val _ = committed
       attempt += 1
     }
     throw new IllegalStateException(s"replace: lost $attempt commit races at $root")

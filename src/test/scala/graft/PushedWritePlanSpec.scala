@@ -143,10 +143,21 @@ class PushedWritePlanSpec extends SparkSpec {
       assert(pr === Array(5000000L, 5000001L))
       assert(readEvals <= 64L, s"prunedRead planning did $readEvals entry evals")
 
+      // ---- REPLACE PARTITIONS: plans its removed set through the
+      // exact partition tuples in the checkpoint read
+      resolvesBefore = TableVersions.ckptResolves.get()
+      val v5 = TableVersions.replacePartitions(spark, root,
+        (0 until 5).map(i => (8000000L + i, s"rp$i", 99)).toDF("k", "s", "p"))
+      assert(TableVersions.ckptResolves.get() === resolvesBefore,
+        "a pushed replacePartitions must never materialize the checkpoint dataset")
+      assert(realRows(root).map(_._1) === (0 until 5).map(8000000L + _),
+        "partition p=99 replaced wholesale, fakes untouched")
+      val _ = v5
+
       // ...and each committed version is an actual #BASE delta
       val f = org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)
-      (2L to 4L).foreach { v =>
+      (2L to 5L).foreach { v =>
         val in = f.open(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit"))
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         assert(txt.contains("#BASE "), s"v$v must be an incremental commit")
@@ -257,6 +268,10 @@ class PushedWritePlanSpec extends SparkSpec {
         (0 until 40).map(i => (i.toLong, s"a$i", i % 4)).toDF("k", "s", "p"), Seq("p"))
       TableVersions.append(spark, root,
         (40 until 80).map(i => (i.toLong, s"b$i", i % 4)).toDF("k", "s", "p"), Seq("p"))
+      // partition replace with an extra dropped partition
+      TableVersions.replacePartitions(spark, root,
+        (200 until 210).map(i => (i.toLong, s"rp$i", 2)).toDF("k", "s", "p"),
+        drop = Seq(Map("p" -> "3")))
       // rewrite-mode delete with bounds
       TableVersions.deleteWhere(spark, root, col("k") % 7 === 0,
         bounds = Map("k" -> (0.0, 50.0)))
