@@ -3908,6 +3908,47 @@ object TableVersions {
     * (file path + row index, existing deletion vectors applied) — the
     * scan behind SQL row-level operations and metadata-column reads.
     */
+  /** [[readStateWithRowId]] through the PUSHED path: the row-level
+    * scan of a big snapshot serves its listing from the checkpoint
+    * dataset (query filters prune inside the distributed read via the
+    * pushed file index), with the row identity columns stamped from
+    * `_metadata` exactly like the materialized twin.
+    */
+  private[graft] def readPushedWithRowId(spark: SparkSession, root: String,
+      l: PushedListing): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.GraftTableSource.readFor(spark, root, l.scalar, Some(l))
+      .withColumn(RowIdFileCol, col("_metadata.file_path"))
+      .withColumn(RowIdPosCol, col("_metadata.row_index"))
+    val withDvs = applyDvs(spark, root, base,
+      l.dvMap(spark).values.map(_._1).toSeq.distinct)
+    l.scalar.schema.map(toLogical(withDvs, _)).getOrElse(withDvs)
+  }
+
+  /** Planning state for an explicit TOUCHED-FILE set (the SQL DML
+    * shape: the victims' row identities name their files), selected
+    * inside the checkpoint's distributed read — the by-path twin of
+    * [[pushedCandState]]. `touched` carries root-relative canonical
+    * keys (foreign files stay absolute), exactly the ckpt row `path`
+    * encoding.
+    */
+  private def pushedCandStateByPath(spark: SparkSession, l: PushedListing,
+      touched: Set[String]): CommitState = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val survivors =
+      if (touched.isEmpty) Array.empty[CkptFileRow]
+      else spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+        .where(col("path").isInCollection(touched.toSeq))
+        .as[CkptFileRow].collect()
+    val kept = (survivors.iterator.map(l.toEntry)
+      .filterNot(fe => l.tailRemoves(fe.path)) ++
+      l.tailAdds.iterator.filter(fe => touched(relNorm(l.root, fe.path)))).toVector
+    val dv = l.dvMap(spark)
+    l.scalar.copy(files = kept,
+      dvs = kept.iterator.flatMap(fe => dv.get(fe.path).map(fe.path -> _)).toMap)
+  }
+
   private[graft] def readStateWithRowId(spark: SparkSession, root: String,
       st: CommitState): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -3937,25 +3978,27 @@ object TableVersions {
     * Spark's delta protocol splits updates into delete+insert before
     * the connector ever sees them.
     */
-  private[graft] def applySqlDelta(spark: SparkSession, root: String, st: CommitState,
+  private[graft] def applySqlDelta(spark: SparkSession, root: String, st0: CommitState,
       victims: DataFrame, inserts: DataFrame, op: String,
-      maxDvFraction: Double = 0.2): Long = {
+      maxDvFraction: Double = 0.2,
+      pushed: Option[PushedListing] = None): Long = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     // a pure DELETE arrives with an EMPTY insert schema (no data
     // columns in the write) — nothing to validate or stage
     val noInserts = inserts.schema.isEmpty
-    if (!noInserts) validateChecks(inserts, st.checks, op)
+    if (!noInserts) validateChecks(inserts, st0.checks, op)
     def conflict(): Nothing = throw new IllegalStateException(
       s"$op at $root lost to a concurrent writer that touched the same files — " +
         "re-run the statement against the new snapshot")
     def stageInserts(): (Option[Path], Seq[FileEntry]) =
       if (noInserts) (None, Seq.empty)
       else {
-        val (d, a) = stageFiles(spark, root, inserts, st.partCols, "sqlwrite",
-          mapSchema = st.schema)
+        val (d, a) = stageFiles(spark, root, inserts, st0.partCols, "sqlwrite",
+          mapSchema = st0.schema)
         (Some(d), a)
       }
+    val planV: Option[Long] = pushed.map(_.version)
     val victimRel = victims
       .select(relCanonCol(root, col("file")).as("file"), col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3963,22 +4006,33 @@ object TableVersions {
       // touched files from the tombstones' identities: O(touched) rows
       val touched = victimRel.select("file").distinct()
         .collect().map(_.getString(0)).toSet
+      // the PLANNING state: restricted to the touched files through the
+      // checkpoint's distributed read on a pushed snapshot (the
+      // statement then commits O(delta) against planV); the operation's
+      // materialized state otherwise
+      val st: CommitState = pushed match {
+        case Some(l) => pushedCandStateByPath(spark, l, touched)
+        case None => st0
+      }
       val candSet = st.files.map(_.path).filter(p => touched(relNorm(root, p))).toSet
       val candidates = candSet.toSeq
       val candEntries = st.files.filter(fe => candSet(fe.path))
-      if (candidates.isEmpty) { // pure INSERT (merge with no matches)
+      if (candidates.isEmpty && touched.isEmpty) { // pure INSERT (merge with no matches)
         val (outDir, added) = stageInserts()
         if (added.isEmpty) { outDir.foreach(f.delete(_, true)); return currentVersion(spark, root).get }
-        return commitDvUpdate(spark, root, Map.empty, Map.empty, outDir.toSeq, added, op)
+        return commitDvUpdate(spark, root, Map.empty, Map.empty, outDir.toSeq, added, op,
+            planV = planV)
           .getOrElse(conflict())
       }
+      if (candidates.isEmpty) conflict() // victims name files no longer live
       val totalRows = candEntries.map(_.rows).sum
       if (maxDvFraction > 0.0 && candEntries.forall(_.rows >= 0)) {
         stageDvSidecar(spark, root, st, candidates, victimRel) match {
           case None => // no tombstones materialized: insert-only after all
             val (outDir, added) = stageInserts()
             if (added.isEmpty) { outDir.foreach(f.delete(_, true)); return currentVersion(spark, root).get }
-            return commitDvUpdate(spark, root, Map.empty, Map.empty, outDir.toSeq, added, op)
+            return commitDvUpdate(spark, root, Map.empty, Map.empty, outDir.toSeq, added, op,
+                planV = planV)
               .getOrElse(conflict())
           case Some((dvDir, sidecar, perFile, newMatches))
               if totalRows > 0 && newMatches.toDouble / totalRows <= maxDvFraction =>
@@ -3988,7 +4042,7 @@ object TableVersions {
             }.toMap
             val snapshot = updates.keySet.map(p => p -> st.dvs.get(p)).toMap
             return commitDvUpdate(spark, root, updates, snapshot, Seq(dvDir) ++ outDir.toSeq,
-              added, op).getOrElse(conflict())
+              added, op, planV = planV).getOrElse(conflict())
           case Some((dvDir, _, _, _)) => // fraction exceeded: rewrite amortizes better
             f.delete(dvDir, true)
         }
@@ -4005,7 +4059,8 @@ object TableVersions {
       val restaged = if (noInserts) survivors else survivors.unionByName(inserts)
       val (outDir, added) = stageFiles(spark, root, restaged,
         st.partCols, "sqlwrite", mapSchema = st.schema)
-      commitRewrite(spark, root, candSet, added, outDir, dvSnapshotOf(st, candSet), op)
+      commitRewrite(spark, root, candSet, added, outDir, dvSnapshotOf(st, candSet), op,
+          planV = planV)
         .getOrElse(conflict())
     } finally {
       victimRel.unpersist(blocking = false)

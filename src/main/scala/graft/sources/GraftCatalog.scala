@@ -674,7 +674,12 @@ private[sources] class GraftTable(root: String, version: Option[Long])
     require(version.isEmpty, s"cannot modify the time-travel snapshot ${name()}")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new GraftRowLevelOperation(root, snapshot, schema(), info.command)
+        // pushed snapshots hand the operation their scalar state + the
+        // listing handle: the row-level scan and the statement's commit
+        // both stay O(touched), never materializing the listing
+        new GraftRowLevelOperation(root,
+          pushedSnap.map(_.scalar).getOrElse(snapshot), schema(), info.command,
+          pushedSnap)
     }
   }
 

@@ -84,7 +84,12 @@ private[sources] object GraftRowLevel {
 
 private[sources] class GraftRowLevelOperation(root: String,
     st: TableVersions.CommitState, logical: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+    cmd: RowLevelOperation.Command,
+    pushed: Option[TableVersions.PushedListing] = None)
+    extends RowLevelOperation with SupportsDelta {
+
+  // the scan builder below has its own `pushed: Array[Filter]`
+  private val pushedL = pushed
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -126,9 +131,18 @@ private[sources] class GraftRowLevelOperation(root: String,
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = out
-            override def sizeInBytes: Long = st.files.map(_.bytes).sum
+            override def sizeInBytes: Long = pushedL match {
+              case Some(l) => l.sizeEstimate(ctx.sparkSession)
+              case None => st.files.map(_.bytes).sum
+            }
             override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
-              var df = TableVersions.readStateWithRowId(ctx.sparkSession, root, st)
+              // pushed snapshots serve the row-level read through the
+              // checkpoint dataset (file pruning inside the distributed
+              // read); the listing never materializes on the driver
+              var df = pushedL match {
+                case Some(l) => TableVersions.readPushedWithRowId(ctx.sparkSession, root, l)
+                case None => TableVersions.readStateWithRowId(ctx.sparkSession, root, st)
+              }
               filters.flatMap(GraftCatalog.translate).foreach(c => df = df.filter(c))
               df.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd
             }
@@ -139,7 +153,8 @@ private[sources] class GraftRowLevelOperation(root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftDeltaWrite(root, st, logical, cmd, info)
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(root, st, logical, cmd, info, pushedL)
     }
 }
 
@@ -148,7 +163,8 @@ private[sources] class GraftRowLevelOperation(root: String,
   */
 private[sources] class GraftDeltaWrite(root: String, st: TableVersions.CommitState,
     logical: StructType, cmd: RowLevelOperation.Command,
-    info: LogicalWriteInfo) extends DeltaWrite {
+    info: LogicalWriteInfo,
+    pushed: Option[TableVersions.PushedListing] = None) extends DeltaWrite {
 
   private val staging = s"$root/_sqltmp/${java.util.UUID.randomUUID()}"
 
@@ -178,7 +194,8 @@ private[sources] class GraftDeltaWrite(root: String, st: TableVersions.CommitSta
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], info.schema())
           else spark.read.schema(info.schema()).parquet(insFiles: _*)
         if (delFiles.nonEmpty || insFiles.nonEmpty) {
-          TableVersions.applySqlDelta(spark, root, st, victims, inserts, s"SQL $cmd")
+          TableVersions.applySqlDelta(spark, root, st, victims, inserts, s"SQL $cmd",
+            pushed = pushed)
           ()
         }
       } finally cleanup(spark)

@@ -171,4 +171,56 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(r.getString(0).contains("/data/"))
     assert(r.getLong(1) >= 0L)
   }
+
+  test("pushed row-level SQL: UPDATE/DELETE/MERGE plan and commit without materializing") {
+    val w = warehouse
+    val olds = Seq("graft.table.pushedPruneThreshold" -> "1",
+      "graft.table.parquetCheckpointThreshold" -> "1",
+      "graft.table.checkpointInterval" -> "1")
+      .map { case (k, v) => val o = spark.conf.getOption(k); spark.conf.set(k, v); k -> o }
+    try {
+      spark.sql("CREATE TABLE graft.db.pu (k BIGINT, v BIGINT)")
+      spark.sql("INSERT INTO graft.db.pu SELECT id, id * 10 FROM range(0, 1000)")
+      val root = s"$w/db/pu"
+      assert(TableVersions.pushedListing(spark, root, None).isDefined,
+        "precondition: the snapshot serves a pushed listing")
+      val files0 = TableVersions.listing(spark, root).map(_._1).toSet
+
+      val r0 = TableVersions.ckptResolves.get()
+      spark.sql("UPDATE graft.db.pu SET v = v + 1 WHERE k % 97 = 0")
+      assert(TableVersions.ckptResolves.get() === r0,
+        "a pushed UPDATE must never materialize the checkpoint dataset")
+      assert(spark.sql("SELECT sum(v) FROM graft.db.pu").head().getLong(0) ===
+        (0L until 1000L).map(k => k * 10 + (if (k % 97 == 0) 1 else 0)).sum)
+      val st = TableVersions.commitState(spark, root)
+      assert(files0.subsetOf(st.files.map(_.path).toSet),
+        "merge-on-read held through the pushed path")
+      assert(st.dvs.nonEmpty)
+
+      spark.sql("DELETE FROM graft.db.pu WHERE k % 10 = 3")
+      assert(spark.sql("SELECT count(*) FROM graft.db.pu").head().getLong(0) === 900L)
+
+      spark.sql("CREATE TABLE graft.db.pu_src (k BIGINT, v BIGINT)")
+      spark.sql("INSERT INTO graft.db.pu_src VALUES (1, -1), (5000, -2)")
+      spark.sql("""MERGE INTO graft.db.pu t USING graft.db.pu_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql("SELECT v FROM graft.db.pu WHERE k = 1").head().getLong(0) === -1L)
+      assert(spark.sql("SELECT v FROM graft.db.pu WHERE k = 5000").head().getLong(0) === -2L)
+      assert(spark.sql("SELECT count(*) FROM graft.db.pu").head().getLong(0) === 901L)
+
+      // each statement committed as an incremental record
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val top = TableVersions.currentVersion(spark, root).get
+      ((top - 2) to top).foreach { v =>
+        val in = f.open(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit"))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        assert(txt.contains("#BASE "), s"v$v must be an incremental commit")
+      }
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
