@@ -2151,6 +2151,40 @@ object TableVersions {
   private def entriesMatching(st: CommitState, partition: Map[String, String]): Seq[FileEntry] =
     st.files.filter(fe => partition.forall { case (k, v) => fe.part.get(k).contains(v) })
 
+
+  /** Partition-scoped planning state through the pushed checkpoint
+    * read — the per-partition MAINTENANCE shape (compact / OPTIMIZE
+    * ZORDER of one partition of a 1M-file table): entries whose
+    * partition values subset-match `partition` are selected inside the
+    * distributed read (partition values are exact per entry), the
+    * bounded tail folds on the driver, and the scalar state restricts
+    * to exactly those files and their DVs. None below the threshold or
+    * for an unscoped pass (the whole-table listing is the work there).
+    */
+  private def pushedPartPlan(spark: SparkSession, root: String,
+      partition: Map[String, String]): Option[(CommitState, Long)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val t = pushedPruneThreshold(spark)
+    if (t <= 0 || partition.isEmpty) return None
+    val l = pushedListing(spark, root, None)
+      .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
+      .getOrElse(return None)
+    val pred = partition.map { case (k, v) => col("part").getItem(k) === lit(v) }
+      .reduce(_ && _)
+    val survivors = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+      .where(pred).as[CkptFileRow].collect()
+    def matches(m: Map[String, String]): Boolean =
+      partition.forall { case (k, v) => m.get(k).contains(v) }
+    val kept = (survivors.iterator.map(l.toEntry)
+      .filterNot(fe => l.tailRemoves(fe.path)) ++
+      l.tailAdds.iterator.filter(fe => matches(fe.part))).toVector
+    val dv = l.dvMap(spark)
+    Some((l.scalar.copy(files = kept,
+      dvs = kept.iterator.flatMap(fe => dv.get(fe.path).map(fe.path -> _)).toMap),
+      l.version))
+  }
+
   /** Rewrite undersized files into ~`targetBytes` bins
     * ([[Compaction.plan]] over the live listing — metadata, so the plan
     * is a driver-sized job) and commit the new layout as the next
@@ -2165,8 +2199,12 @@ object TableVersions {
   def compact(spark: SparkSession, root: String, targetBytes: Long,
       partition: Map[String, String] = Map.empty): Option[Long] = {
     val f = fs(spark, root)
-    val st = commitState(spark, root, None)
-    val scope = entriesMatching(st, partition)
+    // per-partition maintenance of a pushed snapshot plans inside the
+    // checkpoint read and commits O(delta); unscoped passes (and small
+    // tables) keep the materialized listing — it IS their work list
+    val pst = pushedPartPlan(spark, root, partition)
+    val st = pst.map(_._1).getOrElse(commitState(spark, root, None))
+    val scope = pst.map(_._1.files).getOrElse(entriesMatching(st, partition))
     import spark.implicits._
     // bins are planned WITHIN each partition tuple (the tuple rendered
     // as a stable string key): a whole-table compact of a partitioned
@@ -2225,7 +2263,7 @@ object TableVersions {
     val newEntries = entriesFor(spark, listParquet(f, outDir), dataSchema, binOfPath)
     val merged = toMerge.values.flatten.map(_._1).toSet
     commitRewrite(spark, root, merged, newEntries, outDir, dvSnapshotOf(st, merged),
-      op = "COMPACT")
+      op = "COMPACT", planV = pst.map(_._2))
   }
 
   // ------------------------------------------------------------------
@@ -3458,8 +3496,9 @@ object TableVersions {
   def optimizeZOrder(spark: SparkSession, root: String, keys: Seq[String],
       numFiles: Int, partition: Map[String, String] = Map.empty): Option[Long] = {
     val f = fs(spark, root)
-    val st = commitState(spark, root, None)
-    val scope = entriesMatching(st, partition)
+    val pst = pushedPartPlan(spark, root, partition) // scoped pass: pushed planning
+    val st = pst.map(_._1).getOrElse(commitState(spark, root, None))
+    val scope = pst.map(_._1.files).getOrElse(entriesMatching(st, partition))
     if (scope.isEmpty) return None
     val tuples = scope.map(_.part).distinct
     require(st.partCols.isEmpty || tuples.size == 1,
@@ -3474,7 +3513,8 @@ object TableVersions {
     val added = entriesFor(spark, listParquet(f, outDir),
       st.schema.map(physicalSchema).getOrElse(src.schema), _ => binPart)
     commitRewrite(spark, root, scope.map(_.path).toSet, added, outDir,
-      dvSnapshotOf(st, scope.map(_.path).toSet), op = s"ZORDER ${keys.mkString(",")}")
+      dvSnapshotOf(st, scope.map(_.path).toSet), op = s"ZORDER ${keys.mkString(",")}",
+      planV = pst.map(_._2))
   }
 
   /** Delete data files unreachable from the newest `keepVersions`

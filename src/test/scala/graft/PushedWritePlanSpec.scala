@@ -444,4 +444,33 @@ class PushedWritePlanSpec extends SparkSpec {
       pool.shutdown()
     }
   }
+
+  test("pushed partition-scoped maintenance: compact and zorder plan inside the ckpt read") {
+    withConf("graft.table.parquetCheckpointThreshold" -> "1000") {
+      val root = buildBigTable()
+      // several small real files in p=99 so a scoped compact has work
+      (0 until 3).foreach { b =>
+        TableVersions.append(spark, root,
+          (0 until 5).map(i => (5100000L + b * 10 + i, s"c$b-$i", 99)).toDF("k", "s", "p")
+            .coalesce(1), Seq("p"))
+      }
+      val r0 = TableVersions.ckptResolves.get()
+      val vC = TableVersions.compact(spark, root, targetBytes = 1L << 26,
+        partition = Map("p" -> "99"))
+      assert(vC.isDefined, "scoped compact must find mergeable files")
+      assert(TableVersions.ckptResolves.get() === r0,
+        "a pushed scoped compact must never materialize the checkpoint dataset")
+      assert(realRows(root).size === 25, "rows intact after compact")
+
+      val r1 = TableVersions.ckptResolves.get()
+      val vZ = TableVersions.optimizeZOrder(spark, root, Seq("k"), numFiles = 2,
+        partition = Map("p" -> "99"))
+      assert(vZ.isDefined)
+      assert(TableVersions.ckptResolves.get() === r1,
+        "a pushed scoped zorder must never materialize the checkpoint dataset")
+      assert(realRows(root).size === 25, "rows intact after zorder")
+      assert(TableVersions.commitState(spark, root, None)
+        .files.count(_.path.contains("/f")) === N, "fakes untouched throughout")
+    }
+  }
 }
