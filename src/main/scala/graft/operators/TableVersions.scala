@@ -1900,8 +1900,31 @@ object TableVersions {
   // Append (with rebase) and rewrite (with file-disjointness rebase)
   // ------------------------------------------------------------------
 
-  private def nextVersion(spark: SparkSession, root: String, base: Option[Long]): Long =
-    (claimedVersions(spark, root) ++ base).foldLeft(-1L)(math.max) + 1
+  /** The version this writer may BID, given the base it planned
+    * against. THE CHAIN INVARIANT: every READABLE claim must lie on
+    * the `#BASE` chain — a writer that skipped a readable claim would
+    * shadow it forever (reconstruction follows `#BASE`, so the skipped
+    * commit's rows silently vanish from every later version; the
+    * directory-LIST ancestor of this function had exactly that hole —
+    * a claim landing between the caller's base-read and the LIST made
+    * max+1 bid PAST it). So: walk forward from `base`; an existing but
+    * TORN name (legacy crash debris — modern claims are atomic) is
+    * skipped, exactly as reconstruction skips it; the first READABLE
+    * claim above base means the caller's base is STALE — return its
+    * version so the bid fails on the existing name and the retry loop
+    * re-resolves. O(gap) exists() probes per attempt, no directory
+    * LIST.
+    */
+  private[graft] def nextVersion(spark: SparkSession, root: String, base: Option[Long]): Long = {
+    val f = fs(spark, root)
+    var v = base.getOrElse(-1L)
+    while (f.exists(commitPath(root, v + 1))) {
+      if (readRaw(f, commitPath(root, v + 1)).isDefined)
+        return v + 1 // readable claim above our base: bid it, lose, re-resolve
+      v += 1 // torn claim: skip — the #BASE chain skips it too
+    }
+    v + 1
+  }
 
   /** Stage `df` as new data files and commit them as an APPEND. Returns
     * the committed version. Safe under concurrent appends: on commit

@@ -473,4 +473,35 @@ class PushedWritePlanSpec extends SparkSpec {
         .files.count(_.path.contains("/f")) === N, "fakes untouched throughout")
     }
   }
+
+  test("chain invariant: a bid never skips a READABLE claim, only torn ones") {
+    val root = newRoot()
+    TableVersions.append(spark, root, Seq((1L, "a")).toDF("k", "s")) // v0
+    val v1 = TableVersions.append(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    assert(v1 === 1L)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def plant(v: Long, bytes: Array[Byte]): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit"), false)
+      try out.write(bytes) finally out.close()
+    }
+    // a TORN claim at v2 (no #END sentinel): bids skip it, like
+    // reconstruction does
+    plant(2L, "#FORMAT 2\n#BASE 1\ngarbage".getBytes("UTF-8"))
+    assert(TableVersions.nextVersion(spark, root, Some(1L)) === 3L,
+      "a torn claim is skipped")
+    // a READABLE claim at v3 (what a concurrent writer just landed):
+    // a bidder whose base is still v1 must BID v3 — the claim fails on
+    // the existing name and the retry re-resolves — never v4, which
+    // would shadow v3's rows forever (the lost-commit hole the
+    // directory-LIST bid had)
+    plant(3L, "#FORMAT 2\n#BASE 1\n#END 0\n".getBytes("UTF-8"))
+    assert(TableVersions.nextVersion(spark, root, Some(1L)) === 3L,
+      "a readable claim above a stale base must be bid (and lost), not skipped")
+    // and an append through the public surface lands ABOVE it, with
+    // every row of every readable version intact
+    val v4 = TableVersions.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    assert(v4 === 4L)
+    assert(TableVersions.read(spark, root).count() === 3L)
+  }
 }
