@@ -1120,11 +1120,23 @@ object TableVersions {
     */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
     val f = fs(spark, root)
-    claimedVersions(spark, root).sorted(Ordering[Long].reverse)
-      .find { v =>
-        f.getFileStatus(commitPath(root, v)).getModificationTime <= tsMillis &&
-          readCommitState(spark, root, v).isDefined
-      }
+    val vs = claimedVersions(spark, root).sorted
+    // mtimes are monotone in version under the promote protocol (the
+    // skew caveat above), so BINARY-SEARCH the newest claim at or
+    // before the instant — O(log #versions) getFileStatus instead of a
+    // linear walk — then step back over torn legacy claims with the
+    // raw-parse readability check (never a full state materialization)
+    var lo = 0
+    var hi = vs.size - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (f.getFileStatus(commitPath(root, vs(mid))).getModificationTime <= tsMillis) {
+        ans = mid; lo = mid + 1
+      } else hi = mid - 1
+    }
+    (ans to 0 by -1).iterator.map(vs)
+      .find(v => readRaw(f, commitPath(root, v)).isDefined)
   }
 
   /** [[read]] at the version current as of `tsMillis` ("AS OF TIMESTAMP"). */
