@@ -178,6 +178,31 @@ object Bench {
     }
     val p1Total = pass1.res.values.filter(_ >= 0).sum
     val p2Total = pass2.res.values.filter(_ >= 0).sum
+
+    // FIXED-WORK CPU CALIBRATION: the same deterministic xorshift loop,
+    // once on 1 thread (cal1) and once on all bench threads (cal2),
+    // measured after the passes. Three straight rounds needed manual
+    // A/B runs to separate box drift from code; these two box constants
+    // make the next ratio dispute resolvable from the artifact alone —
+    // if cal1/cal2 moved round-over-round, the box moved.
+    val calSink = new java.util.concurrent.atomic.AtomicLong()
+    def calWork(seed: Long, n: Long): Long = {
+      var x = seed | 1L
+      var i = 0L
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    def cal(threads: Int): Double = {
+      calSink.addAndGet(calWork(7L, 20000000L)) // JIT warm
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map(k =>
+        new Thread(() => { calSink.addAndGet(calWork(k + 42L, 1000000000L)); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cal1 = cal(1)
+    val cal2 = cal(cpus.toInt)
+    if (calSink.get() == 0L) println("calibration sink") // defeat dead-code elim
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final line as JSON (rounds 1-3 all came back parsed:null because
     // the full-name queries dict overflowed that window). Emit a full-name
@@ -251,14 +276,23 @@ object Bench {
     val topSpill = spillByQuery.toSeq.filter(_._2 > 0).sortBy(-_._2).take(3)
       .map { case (n, b) => "\"" + shortKey(n) + "\":" + b / 1000000L }
       .mkString("{", ",", "}")
-    val env = s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)},""" +
+    // table-format machinery seconds (stage/stats/commit phases summed,
+    // all passes) for the top-5 table queries — "how much of this entry
+    // is honest commit cost" readable from the artifact alone
+    val opsTop = opsByQuery.toSeq
+      .map { case (n, m) => n -> m.values.sum }
+      .sortBy(-_._2).take(5)
+      .map { case (n, s) => "\"" + shortKey(n) + "\":" + r1(s) }
+      .mkString("{", ",", "}")
+    val env = s""""cal1":${r2(cal1)},"cal2":${r2(cal2)},""" +
+      s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)},""" +
       s""""cs1":${r1(pass1.commonSec)},"cs2":${r1(pass2.commonSec)},""" +
       s""""io1":[${pass1.ioReadMb},${pass1.ioWriteMb}],"io2":[${pass2.ioReadMb},${pass2.ioWriteMb}],""" +
       s""""la1":${r1(pass1.la)},"la2":${r1(pass2.la)},""" +
       s""""sp":[${pass1.spillMb},${pass2.spillMb}],"pk":[${pass1.peakStorageMb},${pass2.peakStorageMb}],""" +
       s""""sq":$topSpill"""
-    def lineWith(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    def lineWith(qs: String, ops: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec",$env,$ops"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     // graceful degradation instead of a cliff: if 2-decimal per-query
     // values overflow the driver's tail window, fall back to 1-decimal
     // (100 ms resolution — still far below the box's noise floor;
@@ -268,11 +302,21 @@ object Bench {
       if (v < 0) "-1"
       else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-    val line = {
-      val l2 = lineWith(qsLine(r2))
-      if (l2.length <= 1800) l2 else lineWith(qsLine(r1q))
-    }
-    require(line.length <= 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char tail window")
+    // preference cascade under the tail-window budget: 2-decimal WITH
+    // the top-5 table-format ops field, then 2-decimal without it, then
+    // 1-decimal — the compact BENCH_OPS_TOP line below always carries
+    // the top-5 either way (it prints right before the final line, so
+    // it survives inside the driver's ~2000-char captured tail too)
+    val opsField = s""""ops":$opsTop,"""
+    val line = Seq(
+      lineWith(qsLine(r2), opsField),
+      lineWith(qsLine(r2), ""),
+      lineWith(qsLine(r1q), ""))
+      .find(_.length <= 1800)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bench JSON line ${lineWith(qsLine(r1q), "").length} chars even at 1-decimal — " +
+          "would overflow the driver's 2000-char tail window"))
+    println(s"BENCH_OPS_TOP $opsTop")
     println(line)
     spark.stop()
   }

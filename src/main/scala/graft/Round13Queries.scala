@@ -23,7 +23,7 @@ object Round13Queries {
 
   /** CDF-FED INDEX MAINTENANCE CONVERGENCE (q141). A versioned corpus
     * table advances through three commits — even ids, odd ids, then a
-    * takedown of `doc_id % 10 = 7` — and [[IndexPipeline.followCorpus]]
+    * takedown of `doc_id % 10 = 6` — and [[IndexPipeline.followCorpus]]
     * drives the LSH + semantic + BM25 stores through its change feed
     * (commit version = batch id). The query then REQUIRES each live
     * store to equal a ONE-SHOT rebuild at the same corpus version
@@ -86,14 +86,7 @@ object Round13Queries {
     }
 
     // CONVERGENCE: one-shot rebuild of the same final corpus version
-    val phases = sys.env.contains("SPARK_GRAFT_PHASES")
-    def phase[A](tag: String)(body: => A): A =
-      if (!phases) body
-      else {
-        val t0 = System.nanoTime()
-        try body
-        finally println(f"QTIME_PHASE q141/$tag ${(System.nanoTime() - t0) / 1e9}%.2f")
-      }
+    def phase[A](tag: String)(body: => A): A = phaseT(tag)(body)
     val oneRoots = IndexPipeline.Roots(s"$base/one")
     phase("oneshot") {
       // store-level rebuild: the convergence compares the SERVING

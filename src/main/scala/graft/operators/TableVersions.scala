@@ -108,6 +108,27 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object TableVersions {
 
+  /** Java-serializable carrier for the session's Hadoop configuration,
+    * so executor-side FS work (distributed vacuum listing/deletes)
+    * sees `spark.hadoop.*` settings — credentials, endpoints, custom
+    * FS impls — instead of a default `new Configuration()`. Same shape
+    * as Spark's own (private) `SerializableConfiguration`.
+    */
+  private final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Per-column min/max/null stats for one file (numeric OR string
     * bounds, whichever the parquet footer carried — both absent when
     * the footer had none: the file is then never pruned).
@@ -536,6 +557,20 @@ object TableVersions {
       val major = l.stripPrefix("#FORMAT ").trim.split("\\.")(0).toInt
       if (major > FormatMajor) throw new IllegalStateException(
         s"commit $where was written by format major $major; this reader understands ≤ $FormatMajor — " +
+          "refusing to misread it (upgrade the reader)")
+    }
+    // TABLE-FEATURES granularity (the Delta table-features protocol,
+    // public): a commit NAMES the semantics-bearing features it uses,
+    // and a reader refuses ONLY the features it lacks — naming exactly
+    // them — instead of a monolithic major refusing everything above
+    // its level. Majors stay as the legacy envelope (≤4); every future
+    // semantics change gates on a named feature, not a major bump.
+    lines.find(_.startsWith("#FEATURES ")).foreach { l =>
+      val feats = l.stripPrefix("#FEATURES ").trim.split(",").map(_.trim).filter(_.nonEmpty)
+      val missing = feats.filterNot(SupportedFeatures)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"commit $where requires table feature(s) [${missing.mkString(", ")}] this reader " +
+          s"does not implement (supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) — " +
           "refusing to misread it (upgrade the reader)")
     }
     val files = lines.init.filterNot(_.startsWith("#")).map(parseFileLine(root)).toSeq
@@ -1111,29 +1146,121 @@ object TableVersions {
     }
   }
 
-  /** TIME TRAVEL BY TIMESTAMP: the latest version whose commit landed
-    * at or before `tsMillis` (the commit file's modification time —
-    * stamped by the atomic promote, so it IS the commit instant).
-    * Version numbers and commit times are monotone under the single
-    * `_versions` directory; cross-writer clock skew makes this
-    * best-effort to the skew bound, the same caveat Delta documents.
+  // ------------------------------------------------------------------
+  // IN-COMMIT TIMESTAMPS (the Delta ICT architecture, public): every
+  // commit this writer promotes carries a `#TS <millis>` line stamped
+  // at promote time and CLAMPED monotone against its parent
+  // (max(wallclock, parentInstant + 1)), so timestamp time travel on
+  // the audit/compliance path no longer depends on filesystem clocks —
+  // a copied/restored table directory, a cross-writer clock skew, or
+  // an object store rewriting mtimes cannot reorder history. Legacy
+  // commits without the line fall back to the commit file's mtime,
+  // resolved by a monotonized linear scan (running max), never a
+  // silently-wrong binary search over unordered values.
+  // ------------------------------------------------------------------
+
+  /** The in-commit instant of the commit file at `p` (its `#TS` line),
+    * None for legacy commits. HEAD-ONLY read: `#TS` is stamped
+    * immediately after `#FORMAT`, so one bounded read — never the
+    * O(#files) body — answers it.
+    */
+  private def commitInstant(f: FileSystem, p: Path): Option[Long] =
+    try {
+      val in = f.open(p)
+      val head =
+        try {
+          val buf = new Array[Byte](256)
+          var off = 0
+          var n = in.read(buf, 0, buf.length)
+          while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+          new String(buf, 0, math.max(0, off + math.max(0, n)), StandardCharsets.UTF_8)
+        } finally in.close()
+      head.split("\n").iterator.take(4).find(_.startsWith("#TS "))
+        .flatMap(l => l.stripPrefix("#TS ").trim.toLongOption)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Insert the `#TS` stamp right after the leading `#FORMAT` line
+    * (readers of every major skip unknown `#` lines, so no major
+    * bump; [[commitInstant]] relies on the position).
+    */
+  private def stampTs(payload: Array[Byte], tsMillis: Long): Array[Byte] = {
+    val text = new String(payload, StandardCharsets.UTF_8)
+    val cut = text.indexOf('\n')
+    val stamped =
+      if (cut >= 0 && text.startsWith("#FORMAT "))
+        text.substring(0, cut + 1) + s"#TS $tsMillis\n" + text.substring(cut + 1)
+      else s"#TS $tsMillis\n" + text
+    stamped.getBytes(StandardCharsets.UTF_8)
+  }
+
+  // root -> (version, instant) of the last commit THIS process promoted
+  // or clamped against — a hint only; a miss re-reads the parent's head
+  private val lastInstant =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** The effective commit instant of version `v`: its `#TS`, else the
+    * commit file's mtime (legacy).
+    */
+  private def commitInstantOrMtime(f: FileSystem, root: String, v: Long): Long = {
+    val p = commitPath(root, v)
+    commitInstant(f, p).getOrElse(f.getFileStatus(p).getModificationTime)
+  }
+
+  /** The instant to stamp into version `v`: wall clock, clamped to
+    * strictly after the parent commit's effective instant (ICT
+    * monotonicity — fast sequential commits tick +1 ms apart rather
+    * than sharing a millisecond).
+    */
+  private def nextCommitInstant(f: FileSystem, root: String, v: Long): Long = {
+    val now = System.currentTimeMillis()
+    if (v <= 0) return now
+    val parent = Option(lastInstant.get(root)).filter(_._1 == v - 1).map(_._2)
+      .orElse(try Some(commitInstantOrMtime(f, root, v - 1))
+        catch { case scala.util.control.NonFatal(_) => None })
+    math.max(now, parent.map(_ + 1L).getOrElse(now))
+  }
+
+  /** TIME TRAVEL BY TIMESTAMP: the latest version whose commit instant
+    * is at or before `tsMillis`. The instant is the commit's own `#TS`
+    * line (monotone BY CONSTRUCTION — the writer clamp above), so the
+    * resolution BINARY-SEARCHES O(log #versions) head-reads. The
+    * moment any probed commit lacks the stamp (legacy era), ordering
+    * is no longer guaranteed — cross-writer clock skew, copied table
+    * directories — and the resolution degrades to a LINEAR scan over
+    * RUNNING-MAX-monotonized instants: graceful, never silently wrong.
     */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
     val f = fs(spark, root)
     val vs = claimedVersions(spark, root).sorted
-    // mtimes are monotone in version under the promote protocol (the
-    // skew caveat above), so BINARY-SEARCH the newest claim at or
-    // before the instant — O(log #versions) getFileStatus instead of a
-    // linear walk — then step back over torn legacy claims with the
-    // raw-parse readability check (never a full state materialization)
+    if (vs.isEmpty) return None
+    var allStamped = true
+    def tsOf(i: Int): Long = {
+      val p = commitPath(root, vs(i))
+      commitInstant(f, p) match {
+        case Some(t) => t
+        case None => allStamped = false; f.getFileStatus(p).getModificationTime
+      }
+    }
     var lo = 0
     var hi = vs.size - 1
     var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (f.getFileStatus(commitPath(root, vs(mid))).getModificationTime <= tsMillis) {
-        ans = mid; lo = mid + 1
-      } else hi = mid - 1
+      if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (!allStamped) {
+      // legacy-mtime era touched: monotonize with a running max, oldest
+      // first, stopping at the first instant past the target (the
+      // running max never decreases)
+      ans = -1
+      var run = Long.MinValue
+      var i = 0
+      var break = false
+      while (i < vs.size && !break) {
+        run = math.max(run, tsOf(i))
+        if (run <= tsMillis) ans = i else break = true
+        i += 1
+      }
     }
     (ans to 0 by -1).iterator.map(vs)
       .find(v => readRaw(f, commitPath(root, v)).isDefined)
@@ -1170,6 +1297,28 @@ object TableVersions {
     */
   private val FormatMajor = 4
 
+  /** Every named table feature THIS reader/writer implements. Writers
+    * stamp the subset a commit actually uses as a `#FEATURES` line;
+    * readers refuse only missing features, by name
+    * ([[parseCommitText]]).
+    */
+  private[graft] val SupportedFeatures: Set[String] = Set(
+    "dv", // deletion-vector tombstones (#DV)
+    "columnMapping", // physical-name column mapping in #SCHEMA
+    "relativePaths", // root-relative stored paths
+    "dropped", // dropped-column registry (#DROPPED)
+    "props", // table properties (#PROP)
+    "delta", // incremental #BASE/#RM commits
+    "filesPq", // parquet-backed checkpoint listing (#FILESPQ)
+    "ict") // in-commit timestamps (#TS)
+
+  /** The `#FEATURES` line for a commit that uses `used` (sorted for
+    * byte-stable rendering); empty when the commit needs none beyond
+    * the major-1 baseline.
+    */
+  private def featuresLine(used: Set[String]): String =
+    if (used.isEmpty) "" else s"#FEATURES ${used.toSeq.sorted.mkString(",")}\n"
+
   private def renderFull(root: String, st: CommitState, op: String = "",
       cdf: Seq[String] = Nil): Array[Byte] = {
     val sb = new StringBuilder
@@ -1190,6 +1339,12 @@ object TableVersions {
       else if (st.dvs.nonEmpty || st.dropped.nonEmpty || st.props.nonEmpty ||
         st.schema.exists(mappingActive)) 2 else 1
     sb.append("#FORMAT ").append(major).append('\n')
+    sb.append(featuresLine(
+      Set("dv").filter(_ => st.dvs.nonEmpty) ++
+      Set("dropped").filter(_ => st.dropped.nonEmpty) ++
+      Set("props").filter(_ => st.props.nonEmpty) ++
+      Set("columnMapping").filter(_ => st.schema.exists(mappingActive)) ++
+      Set("relativePaths").filter(_ => hasRelative)))
     // informational audit line (DESCRIBE HISTORY parity): readers of any
     // major skip unknown # lines, so no version bump
     if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
@@ -1226,6 +1381,12 @@ object TableVersions {
       ref: PqRef): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("#FORMAT 4\n")
+    sb.append(featuresLine(
+      Set("filesPq", "relativePaths") ++
+      Set("dv").filter(_ => ref.nDv.exists(_ > 0)) ++
+      Set("dropped").filter(_ => st.dropped.nonEmpty) ++
+      Set("props").filter(_ => st.props.nonEmpty) ++
+      Set("columnMapping").filter(_ => st.schema.exists(mappingActive))))
     sb.append("#FILESPQ ").append(enc(ref.name)).append(' ').append(ref.count)
     // scalar totals (bytes, DV'd-file count): cold pushed snapshots
     // answer sizeInBytes / the no-DV case with zero jobs
@@ -1296,6 +1457,10 @@ object TableVersions {
       dvDelta.exists { case (p, (dv, _)) =>
         relNorm(root, p) != canonAbs(p) || relNorm(root, dv) != canonAbs(dv) }
     sb.append(if (deltaHasRel) "#FORMAT 3\n" else "#FORMAT 2\n")
+    sb.append(featuresLine(
+      Set("delta") ++
+      Set("dv").filter(_ => dvDelta.nonEmpty) ++
+      Set("relativePaths").filter(_ => deltaHasRel)))
     if (op.nonEmpty) sb.append("#OP ").append(enc(op)).append('\n')
     cdf.foreach(d => sb.append("#CDF ").append(enc(d)).append('\n'))
     sb.append("#BASE ").append(baseV).append('\n')
@@ -1333,16 +1498,38 @@ object TableVersions {
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
     if (f.exists(target)) return false // cheap pre-check; the claim is the gate
+    val ict = nextCommitInstant(f, root, v)
     val ok = logStoreFor(spark, f).putIfAbsent(f, versionsDir(root), target,
-      renderDeltaParts(root, baseV, adds, removes, dvDelta, schemaJson,
-        txnDelta, op, cdf))
+      stampTs(renderDeltaParts(root, baseV, adds, removes, dvDelta, schemaJson,
+        txnDelta, op, cdf), ict))
     if (ok) {
+      lastInstant.put(root, (v, ict))
       val k = checkpointInterval(spark)
-      if (k > 0 && v > 0 && v % k == 0)
-        readCommitState(spark, root, v).foreach(writeCheckpoint(spark, root, v, _))
+      if (k > 0 && v > 0 && (v % k == 0 || ckptPending.contains(root))) {
+        // big tables: author the checkpoint INCREMENTALLY as a
+        // distributed job over the previous checkpoint + this tail —
+        // never materializing the O(#files) listing on the driver
+        if (writeCheckpointIncremental(spark, root, v)) { ckptPending.remove(root); () }
+        else readCommitState(spark, root, v) match {
+          // a failed/skipped checkpoint is OBSERVABLE and RETRIED at the
+          // very next commit, not silently deferred to the next v%k==0 —
+          // repeated silent skips would let the delta tail grow unboundedly
+          case Some(st) => writeCheckpoint(spark, root, v, st); ckptPending.remove(root); ()
+          case None => ckptSkips.incrementAndGet(); ckptPending.add(root); ()
+        }
+      }
     }
     ok
   }
+
+  /** Checkpoint attempts skipped because the just-committed state could
+    * not be reconstructed at that instant (transient FS hiccup) —
+    * observability for an otherwise best-effort step; pairs with the
+    * next-commit retry above.
+    */
+  private[graft] val ckptSkips = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val ckptPending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The raw DELTA commits covering (planV, baseV], oldest-first — the
     * pushed writer's conflict-check window: O(interleaved commits),
@@ -1508,9 +1695,13 @@ object TableVersions {
     f.mkdirs(versionsDir(root))
     val target = commitPath(root, v)
     if (f.exists(target)) return false // cheap pre-check; the claim is the real gate
+    val ict = nextCommitInstant(f, root, v)
     val ok = logStoreFor(spark, f).putIfAbsent(f, versionsDir(root), target,
-      renderCommit(root, st, base, op, cdf))
-    if (ok) maybeCheckpoint(spark, root, v, st)
+      stampTs(renderCommit(root, st, base, op, cdf), ict))
+    if (ok) {
+      lastInstant.put(root, (v, ict))
+      maybeCheckpoint(spark, root, v, st)
+    }
     ok
   }
 
@@ -1577,6 +1768,92 @@ object TableVersions {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Checkpoints authored by the incremental DISTRIBUTED path (vs the
+    * driver render) — the observable [[writeCheckpointIncremental]]'s
+    * spec pins.
+    */
+  private[graft] val ckptIncrementals = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** INCREMENTAL DISTRIBUTED CHECKPOINT AUTHORING (the Delta
+    * incremental-checkpoint architecture, public): derive `v<N>.ckptpq`
+    * from the PREVIOUS parquet checkpoint dataset + the ≤N delta tail
+    * as a distributed job — the base listing is read columnar on
+    * executors, tail removes anti-join away, tail deletion-vector
+    * updates patch in, and the tail's adds append AFTER the base order
+    * (exactly [[DeltaCommit.applyTo]]'s `kept ++ adds` contract, so
+    * [[resolveCkpt]] reconstructs the same state bit-for-bit). This
+    * removes the last O(#files) driver materialization on the write
+    * path: the periodic checkpoint now costs O(delta) driver work +
+    * one metadata-sized distributed job. Returns false — caller falls
+    * back to the materialize-then-render path — when the chain does
+    * not bottom out at a parquet checkpoint or the table is below the
+    * parquet threshold (the driver render IS the right small-table
+    * path).
+    */
+  private def writeCheckpointIncremental(spark: SparkSession, root: String,
+      v: Long): Boolean = try {
+    val f = fs(spark, root)
+    if (f.exists(checkpointPath(root, v))) return true
+    val pqT = parquetCheckpointThreshold(spark)
+    if (pqT <= 0) return false
+    val l = pushedListing(spark, root, Some(v)).getOrElse(return false)
+    if (l.totalFiles < pqT) return false
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, sum, when}
+    val name = s"v$v.ckptpq"
+    val target = new Path(versionsDir(root), name)
+    if (!f.exists(target)) {
+      val base = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+      // both sides of every path comparison in the canonical STORED
+      // form ([[relNorm]]): checkpoint rows store it already, the tail
+      // parsed to absolute
+      val removesRel = l.tailRemoves.toSeq.map(p => relNorm(root, p))
+      val dvRel = l.tailDvSets.toSeq.map { case (p, (d, n)) =>
+        (relNorm(root, p), relNorm(root, d), n) }
+      val kept0 =
+        if (removesRel.isEmpty) base
+        else base.join(removesRel.toDF("path"), Seq("path"), "left_anti")
+      val kept =
+        if (dvRel.isEmpty) kept0
+        else kept0.join(dvRel.toDF("path", "__g_dvF", "__g_dvN"), Seq("path"), "left_outer")
+          .withColumn("dvRows",
+            when(col("__g_dvF").isNotNull, col("__g_dvN")).otherwise(col("dvRows")))
+          .withColumn("dvFile", coalesce(col("__g_dvF"), col("dvFile")))
+          .drop("__g_dvF", "__g_dvN")
+      // adds keep commit order AFTER every base row: idx from the base's
+      // max (one single-column columnar job)
+      val maxIdx =
+        if (l.tailAdds.isEmpty) 0L
+        else Option(base.agg(max("idx")).head().get(0)).fold(-1L)(_.asInstanceOf[Long])
+      val addRows = l.tailAdds.zipWithIndex.map { case (fe, i) =>
+        CkptFileRow(maxIdx + 1 + i, relNorm(root, fe.path), fe.bytes, fe.rows, fe.part,
+          fe.stats.map { case (c, s) =>
+            c -> CkptStatsRow(s.minNum, s.maxNum, s.minStr, s.maxStr, s.nulls) },
+          l.tailDvSets.get(fe.path).map(d => relNorm(root, d._1)),
+          l.tailDvSets.get(fe.path).map(_._2))
+      }
+      val cols = ckptRowSchema.fieldNames.map(col).toSeq
+      val outDs = kept.select(cols: _*)
+        .unionByName(spark.createDataset(addRows).select(cols: _*))
+      val tmp = new Path(versionsDir(root), s".tmp-ckptpq-${java.util.UUID.randomUUID()}")
+      outDs.write.parquet(tmp.toString)
+      if (!f.rename(tmp, target)) {
+        f.delete(tmp, true)
+        if (!f.exists(target)) return false // raced twin? absent: give up
+      }
+    }
+    // exact scalar totals from the WRITTEN dataset (distributed,
+    // columnar): the #FILESPQ line must carry the true row count —
+    // resolveCkpt treats a mismatch as an incomplete checkpoint
+    val agg = spark.read.schema(ckptRowSchema).parquet(target.toString)
+      .agg(count(lit(1)), sum("bytes"), count("dvFile")).head()
+    val ref = PqRef(name, agg.getLong(0),
+      Some(if (agg.isNullAt(1)) 0L else agg.getLong(1)), Some(agg.getLong(2)))
+    publishCheckpointText(spark, root, v, renderFullRef(root, l.scalar, ref))
+    ckptIncrementals.incrementAndGet()
+    true
+  } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Write `v<N>.checkpoint` — the FULL state of version N in the
     * commit-file rendering — plus the `_last_checkpoint` hint, both via
     * write-temp-then-rename. Above [[parquetCheckpointThreshold]] the
@@ -1600,18 +1877,31 @@ object TableVersions {
         case Some(ref) => renderFullRef(root, st, ref)
         case None => renderFull(root, st)
       }
+      publishCheckpointText(spark, root, v, body)
+    } catch { case _: java.io.IOException => () }
+
+  /** Publish the checkpoint TEXT + `_last_checkpoint` hint, both via
+    * write-temp-then-rename (shared by the driver-rendered and the
+    * incremental-distributed authors).
+    */
+  private def publishCheckpointText(spark: SparkSession, root: String, v: Long,
+      body: Array[Byte]): Unit = {
+    val f = fs(spark, root)
+    val target = checkpointPath(root, v)
+    if (!f.exists(target)) {
       val tmp = new Path(versionsDir(root), s".tmp-ckpt-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, true)
       try out.write(body) finally out.close()
       if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
-      val ptrTmp = new Path(versionsDir(root), s".tmp-ptr-${java.util.UUID.randomUUID()}")
-      val pout = f.create(ptrTmp, true)
-      try pout.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally pout.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        ptrTmp.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(ptrTmp, new Path(versionsDir(root), "_last_checkpoint"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch { case _: java.io.IOException => () }
+    }
+    val ptrTmp = new Path(versionsDir(root), s".tmp-ptr-${java.util.UUID.randomUUID()}")
+    val pout = f.create(ptrTmp, true)
+    try pout.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally pout.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptrTmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(ptrTmp, new Path(versionsDir(root), "_last_checkpoint"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   /** Reject rows that violate any committed CHECK constraint: ONE
     * aggregate pass over the batch regardless of how many constraints
@@ -3607,7 +3897,12 @@ object TableVersions {
       new Runnable { def run(): Unit = if (!stopped) renew() },
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
-    private def renew(): Unit = try {
+    // renew/release are mutually exclusive (synchronized on the claim):
+    // hb.cancel(false) does not wait for an in-flight renew(), so an
+    // unsynchronized renewal that read the lock before release's delete
+    // could rename the renewed lock back afterward, leaving an orphan
+    // that blocks the next admin claim for up to the TTL.
+    private def renew(): Unit = synchronized { if (!stopped) try {
       val r = rootNow
       val f = fs(spark, r)
       val lock = adminLockPath(r)
@@ -3624,7 +3919,7 @@ object TableVersions {
           } catch { case scala.util.control.NonFatal(_) => f.delete(tmp, false); () }
         case _ => () // broken, deleted, or mid-move: nothing to renew
       }
-    } catch { case scala.util.control.NonFatal(_) => () } // next tick retries
+    } catch { case scala.util.control.NonFatal(_) => () } } // next tick retries
 
     /** The lock traveled with a moved table: renew at the new root. */
     def relocated(newRoot: String): Unit = { rootNow = newRoot }
@@ -3632,10 +3927,12 @@ object TableVersions {
     def release(spark: SparkSession, atRoot: String): Unit = {
       stopped = true
       hb.cancel(false)
-      val f = fs(spark, atRoot)
-      readAdminLock(f, adminLockPath(atRoot)) match {
-        case Some((tok, _, _)) if tok == token => f.delete(adminLockPath(atRoot), false); ()
-        case _ => () // expired-and-broken or already gone: not ours to delete
+      synchronized { // wait out any in-flight renew; none can start after
+        val f = fs(spark, atRoot)
+        readAdminLock(f, adminLockPath(atRoot)) match {
+          case Some((tok, _, _)) if tok == token => f.delete(adminLockPath(atRoot), false); ()
+          case _ => () // expired-and-broken or already gone: not ours to delete
+        }
       }
     }
   }
@@ -3707,11 +4004,22 @@ object TableVersions {
       s"$what: lost $attempt administrative-claim races at $root")
   }
 
+  /** `retainHours` composes WALL-CLOCK retention with the version
+    * count: every version whose commit instant falls within the last
+    * `retainHours` is retained (plus the boundary version current at
+    * the cutoff), whatever the commit rate — version-count retention
+    * alone makes the CDF horizon unpredictable under bursty commits (a
+    * lagging consumer's safety margin is wall-clock, not versions).
+    * Resolution rides the in-commit `#TS` instants ([[versionAsOf]]),
+    * so a skewed filesystem clock cannot shrink the window. ≤0 (the
+    * default) disables the time bound; the effective retention is the
+    * LOOSER of the two (never fewer than `keepVersions`).
+    */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
-      graceMs: Long = 10 * 60 * 1000L): Unit = {
+      graceMs: Long = 10 * 60 * 1000L, retainHours: Double = -1.0): Unit = {
     require(keepVersions >= 1)
     val admin = claimAdmin(spark, root, "vacuum")
-    try vacuumLocked(spark, root, keepVersions, graceMs)
+    try vacuumLocked(spark, root, keepVersions, graceMs, retainHours)
     finally admin.release(spark, root)
   }
 
@@ -3816,7 +4124,12 @@ object TableVersions {
         else withAnchor.union(added.toDF("ref")).distinct()
       }
     // one task per top-level batch directory (plus loose files); the
-    // recursive per-directory listing runs ON the executors
+    // recursive per-directory listing runs ON the executors. The tasks
+    // carry the SESSION's Hadoop configuration (spark.hadoop.* —
+    // object-store credentials, endpoints, custom FS impls), not a
+    // default-constructed one: a bare `new Configuration()` works on
+    // local FS but drops exactly the settings a production store needs.
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val top = f.listStatus(dataDir).toSeq
     val looseFiles = top.filter(_.isFile).map(st => (st.getPath.toString, st.getModificationTime))
     val dirs = top.filter(_.isDirectory).map(_.getPath.toString)
@@ -3824,7 +4137,7 @@ object TableVersions {
       spark.createDataset(dirs).repartition(math.max(1, math.min(64, dirs.size)))
         .flatMap { d =>
           val p = new Path(d)
-          val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fsx = p.getFileSystem(hconf.value)
           val it = fsx.listFiles(p, true)
           val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
           while (it.hasNext) {
@@ -3845,7 +4158,7 @@ object TableVersions {
       .where(col("__g_ref").isNotNull || col("mtime") < lit(cutoff))
       .select("path")
     dead.foreachPartition { (it: Iterator[Row]) =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = hconf.value
       it.foreach { r =>
         val p = new Path(r.getString(0))
         p.getFileSystem(conf).delete(p, false); ()
@@ -3855,10 +4168,20 @@ object TableVersions {
   }
 
   private def vacuumLocked(spark: SparkSession, root: String, keepVersions: Int,
-      graceMs: Long): Unit = {
+      graceMs: Long, retainHours: Double = -1.0): Unit = {
     val f = fs(spark, root)
     val latest = currentVersion(spark, root).getOrElse(return)
-    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val keepFromByCount = math.max(0L, latest - keepVersions + 1)
+    // wall-clock bound: keep from the version current at (now -
+    // retainHours) — a consumer lagging less than retainHours always
+    // finds every step it still needs, whatever the commit burst size
+    val keepFrom =
+      if (retainHours <= 0) keepFromByCount
+      else {
+        val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+        val byTime = versionAsOf(spark, root, cutoff).getOrElse(0L)
+        math.min(keepFromByCount, byTime)
+      }
     val vd = versionsDir(root)
     val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
     all.collect { case n if n.startsWith(".tmp-") => n }
@@ -4007,15 +4330,36 @@ object TableVersions {
     * keys (foreign files stay absolute), exactly the ckpt row `path`
     * encoding.
     */
-  private def pushedCandStateByPath(spark: SparkSession, l: PushedListing,
+  /** Touched-file counts above this plan through a BROADCAST SEMI-JOIN
+    * against the checkpoint dataset instead of an In predicate — a 50k+
+    * file statement (wide UPDATE/DELETE) must not build a 50k-literal
+    * expression tree (predicate-size limits, codegen explosion); below
+    * it the In form pushes into the parquet scan and is cheaper.
+    * Session conf `graft.table.dmlInPredicateMax`.
+    */
+  private def dmlInPredicateMax(spark: SparkSession): Int =
+    spark.conf.get("graft.table.dmlInPredicateMax", "10000").toInt
+
+  /** Times the wide-DML semi-join planning form was chosen (spec pin). */
+  private[graft] val candSemiJoins = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def pushedCandStateByPath(spark: SparkSession, l: PushedListing,
       touched: Set[String]): CommitState = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     val survivors =
       if (touched.isEmpty) Array.empty[CkptFileRow]
-      else spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
-        .where(col("path").isInCollection(touched.toSeq))
-        .as[CkptFileRow].collect()
+      else {
+        val base = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+        val filtered =
+          if (touched.size <= dmlInPredicateMax(spark))
+            base.where(col("path").isInCollection(touched.toSeq))
+          else {
+            candSemiJoins.incrementAndGet()
+            base.join(broadcast(touched.toSeq.toDF("path")), Seq("path"), "left_semi")
+          }
+        filtered.as[CkptFileRow].collect()
+      }
     val kept = (survivors.iterator.map(l.toEntry)
       .filterNot(fe => l.tailRemoves(fe.path)) ++
       l.tailAdds.iterator.filter(fe => touched(relNorm(l.root, fe.path)))).toVector
@@ -4443,10 +4787,14 @@ object TableVersions {
           val op = readRaw(f, commitPath(root, v)).map(_.op).getOrElse("")
           (v, st.files.size.toLong, st.files.map(_.bytes).sum,
             st.dvs.size.toLong, st.dvs.values.map(_._2).sum, op,
-            st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"#TXN $a $b" }.mkString(";"))
+            st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"#TXN $a $b" }.mkString(";"),
+            // the commit's own `#TS` instant (mtime for legacy commits) —
+            // DESCRIBE HISTORY's timestamp column, clock-skew-proof
+            new java.sql.Timestamp(commitInstantOrMtime(f, root, v)))
         }
       }
-      .toDF("version", "n_files", "n_bytes", "n_dv_files", "n_dv_rows", "operation", "txns")
+      .toDF("version", "n_files", "n_bytes", "n_dv_files", "n_dv_rows", "operation", "txns",
+        "commit_ts")
   }
 
   /** METADATA-only diff between two versions: which files were added

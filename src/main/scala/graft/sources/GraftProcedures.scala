@@ -108,10 +108,15 @@ private[sources] object GraftProcedures {
           ProcedureParameter.in("keep_versions", IntegerType).defaultValue("2").build(),
           // orphan grace minutes: freshly staged files/sidecars of
           // in-flight writers are spared this long (0 = sweep all)
-          ProcedureParameter.in("grace_minutes", IntegerType).defaultValue("10").build()),
+          ProcedureParameter.in("grace_minutes", IntegerType).defaultValue("10").build(),
+          // wall-clock retention: every version committed within the
+          // last retain_hours survives, whatever the commit rate
+          // (≤0 disables; composes as the LOOSER bound)
+          ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-1.0").build()),
           StructType(Seq(StructField("done", BooleanType)))) { in =>
           TableVersions.vacuum(spark, root(in), in.getInt(1),
-            graceMs = in.getInt(2) * 60L * 1000L)
+            graceMs = in.getInt(2) * 60L * 1000L,
+            retainHours = in.getDouble(3))
           Seq(InternalRow(true))
         }
       case "restore" =>
@@ -125,12 +130,14 @@ private[sources] object GraftProcedures {
           StructField("version", LongType), StructField("n_files", LongType),
           StructField("n_bytes", LongType), StructField("n_dv_files", LongType),
           StructField("n_dv_rows", LongType), StructField("operation", StringType),
-          StructField("txns", StringType)))
+          StructField("txns", StringType),
+          StructField("commit_ts", org.apache.spark.sql.types.TimestampType)))
         proc("history", Seq(TBL), schema) { in =>
           TableVersions.history(spark, root(in)).collect().toSeq.map { r =>
             InternalRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
               r.getLong(4), UTF8String.fromString(r.getString(5)),
-              UTF8String.fromString(r.getString(6)))
+              UTF8String.fromString(r.getString(6)),
+              r.getTimestamp(7).getTime * 1000L)
           }
         }
       case "clone_table" =>

@@ -305,4 +305,45 @@ class CommitLogSpec extends SparkSpec {
       .select("k").collect().map(_.getLong(0)).toSet === Set(9L))
     assert(TableVersions.read(spark, root).count() === 7)
   }
+
+  test("table-features matrix: commits name their features; a reader missing ONE feature " +
+      "refuses naming exactly it; legacy feature-less commits read unchanged") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 20L).toDF("k"))
+    TableVersions.appendTxn(spark, root, Seq(21L).toDF("k"), "s", 0L) // delta
+    TableVersions.deleteWhere(spark, root, col("k") === 3L) // DV or rewrite
+
+    // writers STAMP the features each commit actually uses
+    val t0 = commitText(root, "v0.commit")
+    assert(t0.contains("#FEATURES ") && t0.contains("relativePaths"),
+      s"full commit with relative paths must name the feature:\n${t0.take(200)}")
+    val t1 = commitText(root, "v1.commit")
+    assert(t1.split("\n").exists(l => l.startsWith("#FEATURES ") && l.contains("delta")),
+      "an incremental commit must name the delta feature")
+
+    // LEGACY: a commit with no #FEATURES line (pre-features era) reads
+    // unchanged under its major
+    val f = hfs(root)
+    val legacy = t0.split("\n").filterNot(_.startsWith("#FEATURES"))
+      .mkString("", "\n", "\n")
+    val p0 = new org.apache.hadoop.fs.Path(root, "_versions/v0.commit")
+    val out0 = f.create(p0, true)
+    try out0.write(legacy.getBytes(StandardCharsets.UTF_8)) finally out0.close()
+    TableVersions.clearStateCache()
+    assert(TableVersions.read(spark, root, Some(0L)).count() === 20L,
+      "feature-less legacy commits must read exactly as before")
+
+    // a reader MISSING one feature refuses, naming exactly that feature
+    // (not the supported ones riding along)
+    val withUnknown = legacy.replaceFirst("\n",
+      "\n#FEATURES relativePaths,frobnication,delta\n")
+    val out1 = f.create(p0, true)
+    try out1.write(withUnknown.getBytes(StandardCharsets.UTF_8)) finally out1.close()
+    TableVersions.clearStateCache()
+    val e = intercept[IllegalStateException] {
+      TableVersions.read(spark, root, Some(0L)).count()
+    }
+    assert(e.getMessage.contains("[frobnication]"),
+      s"refusal must name EXACTLY the missing feature: ${e.getMessage}")
+  }
 }

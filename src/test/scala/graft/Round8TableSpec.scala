@@ -351,11 +351,24 @@ class Round8TableSpec extends SparkSpec {
     val root = newRoot()
     val v0 = TableVersions.append(spark, root, (1L to 10L).toDF("k"))
     val v1 = TableVersions.append(spark, root, (11L to 20L).toDF("k"))
-    // pin deterministic commit instants through the FileSystem
+    // pin deterministic commit instants through the commit's own `#TS`
+    // line — since round 14 the IN-COMMIT timestamp is the resolution
+    // authority (file mtimes only serve legacy stamp-less commits)
     val fs = hfs(root)
-    def stamp(v: Long, t: Long): Unit =
-      fs.setTimes(new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit"), t, -1)
+    def stamp(v: Long, t: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root, s"_versions/v$v.commit")
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val out = fs.create(p, true)
+      try out.write(txt.split("\n").map(l =>
+        if (l.startsWith("#TS ")) s"#TS $t" else l).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.setTimes(p, t, -1)
+    }
     stamp(v0, 1000000L); stamp(v1, 2000000L)
+    TableVersions.clearStateCache()
     assert(TableVersions.versionAsOf(spark, root, 999999L).isEmpty)
     assert(TableVersions.versionAsOf(spark, root, 1500000L) === Some(v0))
     assert(TableVersions.readAsOf(spark, root, 1500000L).count() === 10)
