@@ -2895,7 +2895,7 @@ object TableVersions {
     * None when there is nothing to record (the dir is cleaned up).
     */
   private def stageDvSidecar(spark: SparkSession, root: String, st: CommitState,
-      candidates: Seq[String], victims: DataFrame): Option[(Path, String, Map[String, Long], Long)] = {
+      candidates: Seq[String], victims: DataFrame): Option[(Path, String, Map[String, Long], Long)] = timed("dvstage") {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val f = fs(spark, root)
     // carried rows: the candidates' previous tombstones move into the
@@ -3030,14 +3030,24 @@ object TableVersions {
     * upstream; duplicate keys here would land as duplicate rows (the
     * union semantics say so rather than silently electing a winner).
     */
-  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+  def upsert(spark: SparkSession, root: String, updates0: DataFrame,
       keyCol: String, maxDvFraction: Double = 0.0): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    if (updates.isEmpty) { // empty CDC batch: no-op (but the table must exist)
+    if (updates0.isEmpty) { // empty CDC batch: no-op (but the table must exist)
       val v = currentVersion(spark, root)
       require(v.isDefined, s"no committed version at $root")
       return v
     }
+    // the CDC batch is bounded by definition and evaluated many times
+    // below (key-range agg, checks, CDF legs, DV victims, the staged
+    // write) — persist it ONCE for the operation
+    val updates = updates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try upsertImpl(spark, root, updates, keyCol, maxDvFraction)
+    finally { updates.unpersist(); () }
+  }
+
+  private def upsertImpl(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, maxDvFraction: Double): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, max, min}
     val keyType = updates.schema(keyCol).dataType
     val numericKey = keyType match {
       case _: org.apache.spark.sql.types.NumericType => true
@@ -3087,16 +3097,23 @@ object TableVersions {
         val existing =
           if (candidates.isEmpty) emptyLike(spark, st)
           else readWithDvs(spark, root, st, candidates)
-        val matchedKeys = existing.select(col(keyCol))
-          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi").distinct()
+        // the PRE-IMAGES are bounded by the CDC batch (matched old rows)
+        // — PERSIST them so the one candidate scan under the semi-join
+        // runs ONCE: matchedKeys and the post/ins legs all derive from
+        // the cached frame (was: 3 scans of every candidate file inside
+        // the sidecar write)
         val pre = existing
           .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
-        val post = updates.join(matchedKeys, Seq(keyCol), "left_semi")
-          .withColumn("_change_type", lit("update_postimage"))
-        val ins = updates.join(matchedKeys, Seq(keyCol), "left_anti")
-          .withColumn("_change_type", lit("insert"))
-        stageChangeData(spark, root, st, pre.unionByName(post).unionByName(ins))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val matchedKeys = pre.select(col(keyCol)).distinct()
+          val post = updates.join(matchedKeys, Seq(keyCol), "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = updates.join(matchedKeys, Seq(keyCol), "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          stageChangeData(spark, root, st, pre.unionByName(post).unionByName(ins))
+        } finally { pre.unpersist(); () }
       }
     val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     if (maxDvFraction > 0.0 && candidates.nonEmpty)
@@ -4764,7 +4781,7 @@ object TableVersions {
     * renames; [[readChanges]] projects back to logical.
     */
   private def stageChangeData(spark: SparkSession, root: String, st: CommitState,
-      changes: DataFrame): Option[String] = {
+      changes: DataFrame): Option[String] = timed("cdf") {
     val name = s"cdf-${java.util.UUID.randomUUID()}"
     val dir = new Path(cdfRootDir(root), name)
     val mapped = st.schema.map(s => toPhysical(changes, s)).getOrElse(changes)
