@@ -4644,6 +4644,16 @@ object TableVersions {
     None
   }
 
+  /** [[restore]] to the version current as of `tsMillis` — the
+    * compliance rollback surface ("put the table back to how it was at
+    * 2 am"), resolved through the IN-COMMIT instants ([[versionAsOf]]),
+    * so a skewed filesystem clock cannot roll back to the wrong state.
+    */
+  def restoreAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] =
+    restore(spark, root, versionAsOf(spark, root, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version committed at or before $tsMillis at $root")))
+
   /** SHALLOW CLONE — a new table at `destRoot` whose first commit
     * references the SOURCE's current data files (zero data copied; the
     * clone is one metadata file regardless of table size). The clone
@@ -4929,6 +4939,7 @@ object TableVersions {
       emptyLike(spark, st)
         .withColumn("_change_type", lit(0L).cast("string"))
         .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
         .limit(0)
     }
     if (steps.isEmpty) return emptyCdf
@@ -5081,7 +5092,23 @@ object TableVersions {
     }
     val frames = cdfFrame.toSeq ++ flatGroup(insFlat, _.added, "insert").toSeq ++
       flatGroup(delFlat, _.removed, "delete").toSeq ++ perStep
-    if (frames.isEmpty) emptyCdf else frames.reduceLeft(_.unionByName(_))
+    if (frames.isEmpty) emptyCdf
+    else {
+      // `_commit_timestamp` (Delta CDF parity): each step's IN-COMMIT
+      // instant ([[commitInstant]]; mtime for legacy commits) joined in
+      // from an O(#steps) broadcast map — clock-skew-proof like every
+      // other timestamp surface since round 14
+      import spark.implicits._
+      val out = frames.reduceLeft(_.unionByName(_))
+      val f = fs(spark, root)
+      val tsMap = steps.map(v =>
+        (v, new java.sql.Timestamp(commitInstantOrMtime(f, root, v))))
+        .toDF("_commit_version", "_commit_timestamp")
+      val cols = out.columns.toSeq
+      out.join(org.apache.spark.sql.functions.broadcast(tsMap),
+          Seq("_commit_version"), "left_outer")
+        .select((cols :+ "_commit_timestamp").map(org.apache.spark.sql.functions.col): _*)
+    }
   }
 
   // ------------------------------------------------------------------

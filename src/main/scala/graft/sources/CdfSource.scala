@@ -61,6 +61,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val base = TableVersions.commitState(spark, path).schema.getOrElse(
       TableVersions.read(spark, path).schema)
     base.add("_change_type", StringType).add("_commit_version", LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],

@@ -125,6 +125,20 @@ private[sources] object GraftProcedures {
           versionOut) { in =>
           versionRow(TableVersions.restore(spark, root(in), in.getLong(1)))
         }
+      case "restore_as_of" =>
+        // timestamp string parsed under the SESSION zone (date-only
+        // accepted), resolved against the commits' in-commit instants
+        proc("restore_as_of", Seq(TBL,
+          ProcedureParameter.in("timestamp", StringType).build()),
+          versionOut) { in =>
+          val ts = str(in, 1)
+          val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+            UTF8String.fromString(ts), zone).getOrElse(throw new IllegalArgumentException(
+              s"restore_as_of: '$ts' is not a valid date or timestamp"))
+          versionRow(TableVersions.restoreAsOf(spark, root(in),
+            java.lang.Math.floorDiv(micros, 1000L)))
+        }
       case "history" =>
         val schema = StructType(Seq(
           StructField("version", LongType), StructField("n_files", LongType),
@@ -179,6 +193,7 @@ private[sources] object GraftProcedures {
     }
   }
 
-  val names: Seq[String] = Seq("optimize", "zorder", "vacuum", "restore", "history",
-    "clone_table", "move_table", "maintain_bloom", "add_constraint", "drop_constraint")
+  val names: Seq[String] = Seq("optimize", "zorder", "vacuum", "restore", "restore_as_of",
+    "history", "clone_table", "move_table", "maintain_bloom", "add_constraint",
+    "drop_constraint")
 }

@@ -326,7 +326,7 @@ class CdfSourceSpec extends SparkSpec {
     def replicate(): Unit = {
       val q = spark.readStream.format("graft-cdf").option("path", src).load()
         .filter(col("_change_type") === "insert")
-        .drop("_change_type", "_commit_version")
+        .drop("_change_type", "_commit_version", "_commit_timestamp")
         .writeStream.format("graft-table")
         .option("path", dst)
         .option("checkpointLocation", ckpt)

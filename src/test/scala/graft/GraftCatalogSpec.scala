@@ -307,6 +307,16 @@ class GraftCatalogSpec extends SparkSpec {
     // restore rolls back to the compacted snapshot as a NEW audited version
     spark.sql(s"CALL graft.system.restore('db.m1', $v)")
     assert(TableVersions.commitState(spark, root).files.size === 1)
+    // restore_as_of resolves through the commits' in-commit instants —
+    // the zorder step's commit_ts pins "how the table was" at that instant
+    val zTs = spark.sql("CALL graft.system.history('db.m1')")
+      .where($"operation".startsWith("ZORDER"))
+      .select(date_format($"commit_ts", "yyyy-MM-dd HH:mm:ss.SSS").cast("string"))
+      .head().getString(0)
+    spark.sql(s"CALL graft.system.restore_as_of('db.m1', '$zTs')")
+    assert(TableVersions.commitState(spark, root).files.size === 4,
+      "restore_as_of must land on the zordered (4-file) snapshot")
+    spark.sql(s"CALL graft.system.restore('db.m1', $v)") // back for the rest
     // clone + move compose with the catalog's table addressing
     spark.sql("CALL graft.system.clone_table('db.m1', 'db.m1_clone')")
     assert(spark.sql("SELECT count(*) FROM graft.db.m1_clone").head().getLong(0) === 500L)

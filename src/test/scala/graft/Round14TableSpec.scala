@@ -330,6 +330,36 @@ class Round14TableSpec extends SparkSpec {
     } finally spark.conf.unset("graft.table.adminLockTtlMs")
   }
 
+  test("change feed carries _commit_timestamp from the in-commit instants") {
+    val root = newRoot()
+    TableVersions.append(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    TableVersions.append(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    TableVersions.deleteWhere(spark, root, col("k") === 1L)
+    val ch = TableVersions.readChanges(spark, root, fromExclusive = 0L, to = 2L)
+    assert(ch.columns.toSeq.takeRight(2) === Seq("_commit_version", "_commit_timestamp"),
+      "CDF columns stay in order with the timestamp appended")
+    val byV = ch.select("_commit_version", "_commit_timestamp").distinct()
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(byV.keySet === Set(1L, 2L))
+    assert(byV(1L) === ictOf(root, 1L) && byV(2L) === ictOf(root, 2L),
+      "_commit_timestamp must equal each step's #TS instant")
+  }
+
+  test("restoreAsOf rolls back to the version current at the instant (SQL surface too)") {
+    val root = newRoot()
+    TableVersions.append(spark, root, (1L to 10L).toDF("k"))
+    TableVersions.append(spark, root, (11L to 20L).toDF("k"))
+    TableVersions.deleteWhere(spark, root, col("k") <= 15L)
+    val t1 = ictOf(root, 1L)
+    val v = TableVersions.restoreAsOf(spark, root, t1)
+    assert(v === Some(3L), "restore commits forward")
+    assert(TableVersions.read(spark, root).count() === 20L,
+      "the table is back to the state current at v1's instant")
+    intercept[IllegalArgumentException] {
+      TableVersions.restoreAsOf(spark, root, ictOf(root, 0L) - 1)
+    }
+  }
+
   test("history() exposes the commit instant as commit_ts") {
     val root = newRoot()
     TableVersions.append(spark, root, (1L to 3L).toDF("k"))
