@@ -4041,6 +4041,87 @@ object TableVersions {
   }
 
 
+  /** DRY RUN of [[vacuum]] (Delta's `VACUUM ... DRY RUN` surface):
+    * report what the SAME classification rules would delete — commit/
+    * checkpoint files below the retention horizon, data files that are
+    * dropped-history references or grace-expired orphans, stale
+    * change-data sidecar dirs, crashed writers' temp debris — WITHOUT
+    * mutating anything (no admin claim taken, no horizon checkpoints
+    * written; a racing real vacuum can make the preview stale, never
+    * wrong-direction). Returns (kind, path) rows, kind ∈ commit |
+    * checkpoint | ckptpq | data | cdf | tmp. The data classification
+    * reuses the vacuum's own deciders: the distributed frame at pushed
+    * scale, the driver loop below it.
+    */
+  def vacuumDryRun(spark: SparkSession, root: String, keepVersions: Int = 2,
+      graceMs: Long = 10 * 60 * 1000L, retainHours: Double = -1.0): DataFrame = {
+    import spark.implicits._
+    require(keepVersions >= 1)
+    val f = fs(spark, root)
+    val latest = currentVersion(spark, root).getOrElse(
+      return spark.createDataset(Seq.empty[(String, String)]).toDF("kind", "path"))
+    val keepFrom = keepFromFor(spark, root, latest, keepVersions, retainHours)
+    val vd = versionsDir(root)
+    val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
+    val tmps = all.filter(_.startsWith(".tmp-")).map(n => ("tmp", new Path(vd, n).toString))
+    val versions = all.collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
+      n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
+    def below(suffix: String, kind: String): Seq[(String, String)] =
+      all.collect { case n if n.startsWith("v") && n.endsWith(suffix) &&
+        n.stripPrefix("v").stripSuffix(suffix).toLong < keepFrom =>
+        (kind, new Path(vd, n).toString) }
+    val deadMeta = below(".commit", "commit") ++ below(".checkpoint", "checkpoint") ++
+      below(".ckptpq", "ckptpq")
+    // data files, by the vacuum's own deciders
+    val deadData: Seq[(String, String)] = {
+      val distributed =
+        if (pushedPruneThreshold(spark) > 0 && versions.nonEmpty &&
+          pushedListing(spark, root, Some(latest))
+            .exists(_.totalFiles >= pushedPruneThreshold(spark)))
+          distributedDeadFrame(spark, root, keepFrom, latest, versions.min, graceMs)
+        else None
+      distributed match {
+        case Some(dead) => dead.collect().map(r => ("data", r.getString(0))).toSeq
+        case None =>
+          val refs: Long => Seq[String] = v =>
+            readCommitState(spark, root, v).toSeq.flatMap(st =>
+              st.files.map(_.path) ++ st.dvs.values.map(_._1))
+          val live = versions.filter(_ >= keepFrom).flatMap(refs).map(normPath).toSet
+          val refAll = live ++ versions.filter(_ < keepFrom).flatMap(refs).map(normPath)
+          val nowMs = System.currentTimeMillis()
+          val dataDir = new Path(root, "data")
+          if (!f.exists(dataDir)) Seq.empty
+          else {
+            val it = f.listFiles(dataDir, true)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                !live(normPath(st.getPath.toString)) &&
+                (refAll(normPath(st.getPath.toString)) ||
+                  nowMs - st.getModificationTime > graceMs))
+                out += (("data", st.getPath.toString))
+            }
+            out.toSeq
+          }
+      }
+    }
+    val deadCdf: Seq[(String, String)] = {
+      val cdfDir = cdfRootDir(root)
+      if (!f.exists(cdfDir)) Seq.empty
+      else {
+        val liveCdf = versions.filter(_ >= keepFrom)
+          .flatMap(v => readRaw(f, commitPath(root, v)).map(_.cdf).getOrElse(Nil)).toSet
+        val now = System.currentTimeMillis()
+        f.listStatus(cdfDir).toSeq.collect {
+          case s if !liveCdf(s.getPath.getName) && now - s.getModificationTime > graceMs =>
+            ("cdf", s.getPath.toString)
+        }
+      }
+    }
+    (tmps ++ deadMeta ++ deadData ++ deadCdf).toDF("kind", "path")
+  }
+
   /** Root-relative reference keys of the files (and DV sidecars) held
     * by version `v`, as a DATAFRAME — the distributed-vacuum building
     * block: the checkpoint dataset is read columnar (its raw rows are
@@ -4107,17 +4188,42 @@ object TableVersions {
     * OR it is older than the orphan grace).
     */
   private def sweepDataDistributed(spark: SparkSession, root: String,
-      keepFrom: Long, latest: Long, oldest: Long, graceMs: Long): Boolean = {
+      keepFrom: Long, latest: Long, oldest: Long, graceMs: Long): Boolean =
+    distributedDeadFrame(spark, root, keepFrom, latest, oldest, graceMs) match {
+      case None => false // not pushed-reconstructible: driver sweep decides
+      case Some(dead) =>
+        val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+        dead.foreachPartition { (it: Iterator[Row]) =>
+          val conf = hconf.value
+          it.foreach { r =>
+            val p = new Path(r.getString(0))
+            p.getFileSystem(conf).delete(p, false); ()
+          }
+        }
+        true
+    }
+
+  /** The DISTRIBUTED liveness classification behind
+    * [[sweepDataDistributed]] and [[vacuumDryRun]]: the single-column
+    * (`path`) frame of data files vacuum's rule would delete — listed
+    * not-retained files that are dropped-history references or older
+    * than the orphan grace. None when the anchors don't reconstruct
+    * through checkpoint datasets (the driver loop is then the decider —
+    * same fallback both callers take).
+    */
+  private def distributedDeadFrame(spark: SparkSession, root: String,
+      keepFrom: Long, latest: Long, oldest: Long, graceMs: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
     val f = fs(spark, root)
     val dataDir = new Path(root, "data")
-    if (!f.exists(dataDir)) return true
+    if (!f.exists(dataDir))
+      return Some(spark.createDataset(Seq.empty[String]).toDF("path"))
     val liveDf = refFrameOf(spark, root, keepFrom) match {
       case Some(base) =>
         val added = addedRefsBetween(spark, root, keepFrom, latest)
         if (added.isEmpty) base else base.union(added.toDF("ref")).distinct()
-      case None => return false // anchor not pushed-reconstructible: driver sweep
+      case None => return None // anchor not pushed-reconstructible: driver sweep
     }
     // dropped-history references (known-dead, deletable immediately):
     // the oldest present version's own listing plus everything added
@@ -4174,31 +4280,30 @@ object TableVersions {
       .join(refAllDf.withColumn("__g_ref", lit(1)), Seq("ref"), "left_outer")
       .where(col("__g_ref").isNotNull || col("mtime") < lit(cutoff))
       .select("path")
-    dead.foreachPartition { (it: Iterator[Row]) =>
-      val conf = hconf.value
-      it.foreach { r =>
-        val p = new Path(r.getString(0))
-        p.getFileSystem(conf).delete(p, false); ()
-      }
+    Some(dead)
+  }
+
+  /** The retention horizon: the oldest version [[vacuum]] keeps —
+    * version-count bound, loosened by the wall-clock bound when
+    * `retainHours` > 0 (keep from the version current at the cutoff —
+    * a consumer lagging less than retainHours always finds every step
+    * it still needs, whatever the commit burst size).
+    */
+  private def keepFromFor(spark: SparkSession, root: String, latest: Long,
+      keepVersions: Int, retainHours: Double): Long = {
+    val byCount = math.max(0L, latest - keepVersions + 1)
+    if (retainHours <= 0) byCount
+    else {
+      val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+      math.min(byCount, versionAsOf(spark, root, cutoff).getOrElse(0L))
     }
-    true
   }
 
   private def vacuumLocked(spark: SparkSession, root: String, keepVersions: Int,
       graceMs: Long, retainHours: Double = -1.0): Unit = {
     val f = fs(spark, root)
     val latest = currentVersion(spark, root).getOrElse(return)
-    val keepFromByCount = math.max(0L, latest - keepVersions + 1)
-    // wall-clock bound: keep from the version current at (now -
-    // retainHours) — a consumer lagging less than retainHours always
-    // finds every step it still needs, whatever the commit burst size
-    val keepFrom =
-      if (retainHours <= 0) keepFromByCount
-      else {
-        val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-        val byTime = versionAsOf(spark, root, cutoff).getOrElse(0L)
-        math.min(keepFromByCount, byTime)
-      }
+    val keepFrom = keepFromFor(spark, root, latest, keepVersions, retainHours)
     val vd = versionsDir(root)
     val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
     all.collect { case n if n.startsWith(".tmp-") => n }

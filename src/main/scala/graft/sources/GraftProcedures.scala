@@ -119,6 +119,20 @@ private[sources] object GraftProcedures {
             retainHours = in.getDouble(3))
           Seq(InternalRow(true))
         }
+      case "vacuum_dry_run" =>
+        // read-only preview: (kind, path) rows vacuum WOULD delete
+        proc("vacuum_dry_run", Seq(TBL,
+          ProcedureParameter.in("keep_versions", IntegerType).defaultValue("2").build(),
+          ProcedureParameter.in("grace_minutes", IntegerType).defaultValue("10").build(),
+          ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-1.0").build()),
+          StructType(Seq(StructField("kind", StringType), StructField("path", StringType)))) { in =>
+          TableVersions.vacuumDryRun(spark, root(in), in.getInt(1),
+            graceMs = in.getInt(2) * 60L * 1000L, retainHours = in.getDouble(3))
+            .collect().toSeq.map { r =>
+              InternalRow(UTF8String.fromString(r.getString(0)),
+                UTF8String.fromString(r.getString(1)))
+            }
+        }
       case "restore" =>
         proc("restore", Seq(TBL,
           ProcedureParameter.in("version", LongType).build()),
@@ -193,7 +207,7 @@ private[sources] object GraftProcedures {
     }
   }
 
-  val names: Seq[String] = Seq("optimize", "zorder", "vacuum", "restore", "restore_as_of",
-    "history", "clone_table", "move_table", "maintain_bloom", "add_constraint",
-    "drop_constraint")
+  val names: Seq[String] = Seq("optimize", "zorder", "vacuum", "vacuum_dry_run", "restore",
+    "restore_as_of", "history", "clone_table", "move_table", "maintain_bloom",
+    "add_constraint", "drop_constraint")
 }

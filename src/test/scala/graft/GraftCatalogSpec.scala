@@ -327,6 +327,11 @@ class GraftCatalogSpec extends SparkSpec {
     // bloom maintenance indexes the live files; vacuum sweeps history
     assert(spark.sql("CALL graft.system.maintain_bloom('db.m1', 'k')")
       .head().getLong(0) === 1L)
+    // dry run first: names dead history without touching it
+    val preview = spark.sql("CALL graft.system.vacuum_dry_run('db.m1', 1, 0)")
+      .select("kind").as[String].collect().toSet
+    assert(preview.contains("commit"), s"dry run must classify dropped commits, got $preview")
+    assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 500L)
     spark.sql("CALL graft.system.vacuum('db.m1', 1, 0)") // grace 0: sweep everything
     intercept[Exception] { TableVersions.read(spark, root, Some(0L)).count() }
     assert(spark.sql("SELECT count(*) FROM graft.db.m1").head().getLong(0) === 500L)

@@ -308,6 +308,7 @@ class PushedWritePlanSpec extends SparkSpec {
     def feed(root: String) = {
       val top = TableVersions.currentVersion(spark, root).get
       TableVersions.readChanges(spark, root, 4L, top, updateImages = true)
+        .drop("_commit_timestamp") // wall-clock: legitimately differs across twins
         .orderBy("k", "_change_type", "_commit_version")
         .collect().map(_.toSeq).toSeq
     }

@@ -360,6 +360,46 @@ class Round14TableSpec extends SparkSpec {
     }
   }
 
+  test("vacuumDryRun predicts exactly what vacuum deletes, and mutates nothing") {
+    val root = newRoot()
+    (0 to 4).foreach { i =>
+      TableVersions.append(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("k", "s").coalesce(1))
+    }
+    // one rewrite so dropped history has file-level dead weight
+    TableVersions.deleteWhere(spark, root, col("k") <= 1L) // v5
+
+    val f = hfs(root)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    def snapshot(): Set[String] = {
+      def walk(p: Path): Seq[String] = {
+        val it = f.listStatus(p).toSeq
+        it.flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(norm(s.getPath.toString)))
+      }
+      walk(new Path(root)).toSet
+    }
+    val before = snapshot()
+    val report = TableVersions.vacuumDryRun(spark, root, keepVersions = 2, graceMs = 0L)
+      .collect().map(r => r.getString(0) -> norm(r.getString(1)))
+    assert(snapshot() === before, "a dry run must not touch the table")
+    assert(report.nonEmpty, "5 dropped versions must classify something dead")
+    val predicted = report.map(_._2).toSet
+
+    TableVersions.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
+    val after = snapshot()
+    val actuallyDeleted = before -- after
+    // exact-prediction contract, modulo artifacts vacuum WRITES while
+    // running (horizon checkpoints, _last_checkpoint): everything the
+    // dry run named is gone, and nothing else was deleted
+    val crcless = (s: Set[String]) => s.filterNot(_.contains("/.")) // local-FS .crc shadows
+    assert(crcless(predicted -- actuallyDeleted).isEmpty,
+      s"dry run over-predicted: ${crcless(predicted -- actuallyDeleted)}")
+    assert(crcless(actuallyDeleted -- predicted).isEmpty,
+      s"dry run under-predicted: ${crcless(actuallyDeleted -- predicted)}")
+    // the surviving table still reads whole
+    assert(TableVersions.read(spark, root).count() === 3L)
+  }
+
   test("history() exposes the commit instant as commit_ts") {
     val root = newRoot()
     TableVersions.append(spark, root, (1L to 3L).toDF("k"))

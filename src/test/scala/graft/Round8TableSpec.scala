@@ -157,7 +157,8 @@ class Round8TableSpec extends SparkSpec {
     val Some(v3) = TableVersions.compact(spark, root, 8L << 20): @unchecked
 
     val cdf = TableVersions.readChanges(spark, root, fromExclusive = -1L, to = v3)
-    assert(cdf.columns.toSeq === Seq("k", "v", "_change_type", "_commit_version"))
+    assert(cdf.columns.toSeq ===
+      Seq("k", "v", "_change_type", "_commit_version", "_commit_timestamp"))
     val byStep = cdf.groupBy("_commit_version", "_change_type").count()
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(byStep((v0, "insert")) === 100)
