@@ -497,4 +497,38 @@ object TextAnalysis {
       .select(col(idCol), col("n_words"), col("dup_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))
   }
+
+  /** FIRST-OCCURRENCE N-GRAM NOVELTY — the curation metric behind
+    * novelty-aware sampling ("how much of this document's content is
+    * new to the corpus"): each distinct word k-shingle is OWNED by the
+    * lowest-id document carrying it; a document's novelty is the
+    * fraction of its shingles it owns. Complements the pairwise
+    * containment sweep ([[Dedup.containment]]) — novelty is a GLOBAL
+    * first-writer attribution, not a pair relation, so boilerplate
+    * shared by hundreds of docs is charged to exactly one of them.
+    *
+    * Scale shape: shingles explode once into (gram, doc); the owner
+    * table is a map-side-combining min per gram; the re-join shuffles
+    * on gram (vocabulary-sized build side, never corpus²); the per-doc
+    * fold shuffles on the id. No driver-side state, no windows over
+    * the whole corpus.
+    *
+    * Ref semantics: dataset-curation novelty scoring (the D4 /
+    * dedup-aware-sampling family, public); same shingle definition as
+    * [[Dedup.shingles]] (short texts collapse to one whole-text gram).
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    val owners = grams.groupBy(col("gram")).agg(min(col(idCol)).as("first_doc"))
+    grams.join(owners, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .cast("long").as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams"), 4))
+  }
 }

@@ -400,6 +400,22 @@ class Round14TableSpec extends SparkSpec {
     assert(TableVersions.read(spark, root).count() === 3L)
   }
 
+  test("noveltyScore: global first-writer attribution with the whole-text short-doc fallback") {
+    val docs = Seq(
+      (1L, "a b c d"), // "a b c","b c d" — first writer of both
+      (2L, "a b c x"), // "a b c" owned by 1, "b c x" novel → 1/2
+      (3L, "zz yy"), // <3 tokens: whole-text gram, novel → 1/1
+      (4L, "a b c d") // every gram owned by doc 1 → 0/2
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.noveltyScore(docs, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0), (4L, 2L, 0L, 0.0)))
+    // corpus invariant: every distinct gram is owned exactly once
+    assert(r.map(_._3).sum === 4L, "ownership partitions the vocabulary")
+  }
+
   test("history() exposes the commit instant as commit_ts") {
     val root = newRoot()
     TableVersions.append(spark, root, (1L to 3L).toDF("k"))
