@@ -200,8 +200,13 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // cal2 runs on min(bench threads, physical cores): oversubscribing a
+    // smaller box would conflate env-var/core mismatch with box drift
+    // (and add a fixed multi-ten-second wall cost); calt in the artifact
+    // records the thread count actually measured
     val cal1 = cal(1)
-    val cal2 = cal(cpus.toInt)
+    val calThreads = math.min(cpus.toInt, Runtime.getRuntime.availableProcessors)
+    val cal2 = cal(calThreads)
     if (calSink.get() == 0L) println("calibration sink") // defeat dead-code elim
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final line as JSON (rounds 1-3 all came back parsed:null because
@@ -284,15 +289,22 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (n, s) => "\"" + shortKey(n) + "\":" + r1(s) }
       .mkString("{", ",", "}")
-    val env = s""""cal1":${r2(cal1)},"cal2":${r2(cal2)},""" +
+    val env = s""""cal1":${r2(cal1)},"cal2":${r2(cal2)},"calt":$calThreads,""" +
       s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)},""" +
       s""""cs1":${r1(pass1.commonSec)},"cs2":${r1(pass2.commonSec)},""" +
       s""""io1":[${pass1.ioReadMb},${pass1.ioWriteMb}],"io2":[${pass2.ioReadMb},${pass2.ioWriteMb}],""" +
       s""""la1":${r1(pass1.la)},"la2":${r1(pass2.la)},""" +
       s""""sp":[${pass1.spillMb},${pass2.spillMb}],"pk":[${pass1.peakStorageMb},${pass2.peakStorageMb}],""" +
       s""""sq":$topSpill"""
-    def lineWith(qs: String, ops: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec",$env,$ops"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // minimal attribution env for the tight cascade levels: the box
+    // constants + totals that every round-over-round comparison needs;
+    // the FULL env always survives on the BENCH_ENV line just below
+    // (inside the driver's captured tail, like BENCH_OPS_TOP)
+    val envMin = s""""cal1":${r2(cal1)},"cal2":${r2(cal2)},"calt":$calThreads,""" +
+      s""""gc":${r1(gcByQuery.values.sum / 1000.0)},"p1":${r1(p1Total)},"p2":${r1(p2Total)},""" +
+      s""""sp":[${pass1.spillMb},${pass2.spillMb}]"""
+    def lineWith(qs: String, ops: String, e: String = env) =
+      s"""{"metric":"total","value":$total,"unit":"sec",$e,$ops"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     // graceful degradation instead of a cliff: if 2-decimal per-query
     // values overflow the driver's tail window, fall back to 1-decimal
     // (100 ms resolution — still far below the box's noise floor;
@@ -304,19 +316,26 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
     // preference cascade under the tail-window budget: 2-decimal WITH
     // the top-5 table-format ops field, then 2-decimal without it, then
-    // 1-decimal — the compact BENCH_OPS_TOP line below always carries
-    // the top-5 either way (it prints right before the final line, so
-    // it survives inside the driver's ~2000-char captured tail too)
+    // the same two with the MINIMAL env, then 1-decimal — the compact
+    // BENCH_OPS_TOP and BENCH_ENV lines below always carry the dropped
+    // fields either way (they print right before the final line, so
+    // they survive inside the driver's ~2000-char captured tail too).
+    // Round 15: at 153 queries the full-env 1-decimal form measured
+    // 1794/1800 — run-to-run digit jitter crossed the guard — so the
+    // env degrades BEFORE precision does.
     val opsField = s""""ops":$opsTop,"""
     val line = Seq(
       lineWith(qsLine(r2), opsField),
       lineWith(qsLine(r2), ""),
-      lineWith(qsLine(r1q), ""))
+      lineWith(qsLine(r2), "", envMin),
+      lineWith(qsLine(r1q), ""),
+      lineWith(qsLine(r1q), "", envMin))
       .find(_.length <= 1800)
       .getOrElse(throw new IllegalArgumentException(
-        s"bench JSON line ${lineWith(qsLine(r1q), "").length} chars even at 1-decimal — " +
-          "would overflow the driver's 2000-char tail window"))
+        s"bench JSON line ${lineWith(qsLine(r1q), "", envMin).length} chars even at " +
+          "1-decimal with the minimal env — would overflow the driver's 2000-char tail window"))
     println(s"BENCH_OPS_TOP $opsTop")
+    println(s"""BENCH_ENV {$env}""")
     println(line)
     spark.stop()
   }

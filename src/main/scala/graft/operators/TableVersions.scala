@@ -359,7 +359,7 @@ object TableVersions {
   }
 
   /** Render-side: `p` relativized against `root` when under it. */
-  private def relNorm(root: String, p: String): String = {
+  private[graft] def relNorm(root: String, p: String): String = {
     val c = canonAbs(p)
     val r = canonAbs(root).stripSuffix("/") + "/"
     if (c.startsWith(r)) c.substring(r.length) else c
@@ -449,7 +449,7 @@ object TableVersions {
       .mkString("\t")
   }
 
-  private def parseFileLine(root: String)(l: String): FileEntry = {
+  private[graft] def parseFileLine(root: String)(l: String): FileEntry = {
     val fields = l.split("\t", -1)
     if (fields.length < 5) {
       // legacy two-field line (path may contain tabs): no stats — the
@@ -653,6 +653,7 @@ object TableVersions {
     */
   private[graft] def clearStateCache(): Unit = {
     stateCache.clear(); versionFloor.clear(); pushedCache.clear()
+    scalarScanCache.clear()
   }
 
   // ------------------------------------------------------------------
@@ -1165,19 +1166,26 @@ object TableVersions {
     * O(#files) body — answers it.
     */
   private def commitInstant(f: FileSystem, p: Path): Option[Long] =
-    try {
-      val in = f.open(p)
-      val head =
-        try {
-          val buf = new Array[Byte](256)
-          var off = 0
-          var n = in.read(buf, 0, buf.length)
-          while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
-          new String(buf, 0, math.max(0, off + math.max(0, n)), StandardCharsets.UTF_8)
-        } finally in.close()
-      head.split("\n").iterator.take(4).find(_.startsWith("#TS "))
-        .flatMap(l => l.stripPrefix("#TS ").trim.toLongOption)
-    } catch { case scala.util.control.NonFatal(_) => None }
+    try commitInstantStrict(f, p)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[commitInstant]] with read failures PROPAGATED (None means only
+    * "legacy commit, no `#TS` line") — the writer's clamp path must
+    * distinguish "parent is legacy" from "parent unreadable right now".
+    */
+  private def commitInstantStrict(f: FileSystem, p: Path): Option[Long] = {
+    val in = f.open(p)
+    val head =
+      try {
+        val buf = new Array[Byte](256)
+        var off = 0
+        var n = in.read(buf, 0, buf.length)
+        while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+        new String(buf, 0, math.max(0, off + math.max(0, n)), StandardCharsets.UTF_8)
+      } finally in.close()
+    head.split("\n").iterator.take(4).find(_.startsWith("#TS "))
+      .flatMap(l => l.stripPrefix("#TS ").trim.toLongOption)
+  }
 
   /** Insert the `#TS` stamp right after the leading `#FORMAT` line
     * (readers of every major skip unknown `#` lines, so no major
@@ -1203,63 +1211,126 @@ object TableVersions {
     */
   private def commitInstantOrMtime(f: FileSystem, root: String, v: Long): Long = {
     val p = commitPath(root, v)
-    commitInstant(f, p).getOrElse(f.getFileStatus(p).getModificationTime)
+    commitInstantStrict(f, p).getOrElse(f.getFileStatus(p).getModificationTime)
   }
 
   /** The instant to stamp into version `v`: wall clock, clamped to
     * strictly after the parent commit's effective instant (ICT
     * monotonicity — fast sequential commits tick +1 ms apart rather
     * than sharing a millisecond).
+    *
+    * A parent head-read failure must NOT degrade to an unclamped
+    * stamp: [[versionAsOf]] trusts stamped instants to be monotone by
+    * construction, so a silently-unclamped `#TS` under transient FS
+    * trouble could reorder stamped history (and, through
+    * `keepFromFor`, shrink a vacuum retention window). The read is
+    * retried once, then the COMMIT FAILS loudly — with the one vacuous
+    * exception of a parent commit file that provably does not exist
+    * (nothing to be monotone against).
     */
   private def nextCommitInstant(f: FileSystem, root: String, v: Long): Long = {
     val now = System.currentTimeMillis()
     if (v <= 0) return now
     val parent = Option(lastInstant.get(root)).filter(_._1 == v - 1).map(_._2)
-      .orElse(try Some(commitInstantOrMtime(f, root, v - 1))
-        catch { case scala.util.control.NonFatal(_) => None })
-    math.max(now, parent.map(_ + 1L).getOrElse(now))
+      .getOrElse {
+        try commitInstantOrMtime(f, root, v - 1)
+        catch {
+          case _: java.io.FileNotFoundException => now - 1L
+          case scala.util.control.NonFatal(_) =>
+            try commitInstantOrMtime(f, root, v - 1)
+            catch { case _: java.io.FileNotFoundException => now - 1L }
+        }
+      }
+    math.max(now, parent + 1L)
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the latest version whose commit instant
-    * is at or before `tsMillis`. The instant is the commit's own `#TS`
-    * line (monotone BY CONSTRUCTION — the writer clamp above), so the
-    * resolution BINARY-SEARCHES O(log #versions) head-reads. The
-    * moment any probed commit lacks the stamp (legacy era), ordering
-    * is no longer guaranteed — cross-writer clock skew, copied table
-    * directories — and the resolution degrades to a LINEAR scan over
-    * RUNNING-MAX-monotonized instants: graceful, never silently wrong.
+    * is at or before `tsMillis`. Stamped (`#TS`) instants are monotone
+    * BY CONSTRUCTION (the writer clamp above), so the stamped era
+    * BINARY-SEARCHES in O(log #versions) head-reads. Legacy commits
+    * without the stamp carry no ordering guarantee — cross-writer
+    * clock skew, copied table directories — so their era resolves by a
+    * LINEAR scan over RUNNING-MAX-monotonized mtimes.
+    *
+    * The era boundary is decided ONCE from the log, never inferred
+    * from whichever commits the answer search happens to probe: the
+    * ICT floor (lowest version of the contiguous stamped suffix) is
+    * itself found by binary search — stampedness is append-monotone
+    * for every writer of this format, the stamp being unconditional —
+    * and the two eras are then reconciled: if the legacy prefix's
+    * running max already exceeds the target, the suffix inherits it
+    * and the prefix answer IS the answer (a legacy commit with a
+    * future-skewed mtime can never be silently out-answered by a
+    * stamped suffix the search probes first). A foreign interleaving
+    * that breaks suffix contiguity is caught by the unstamped-probe
+    * guard and degrades to the full monotonized scan.
     */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
     val f = fs(spark, root)
     val vs = claimedVersions(spark, root).sorted
     if (vs.isEmpty) return None
-    var allStamped = true
-    def tsOf(i: Int): Long = {
-      val p = commitPath(root, vs(i))
-      commitInstant(f, p) match {
-        case Some(t) => t
-        case None => allStamped = false; f.getFileStatus(p).getModificationTime
+    val heads = new java.util.HashMap[Int, Option[Long]]()
+    def instOf(i: Int): Option[Long] = {
+      val cached = heads.get(i)
+      if (cached != null) cached
+      else {
+        val v = commitInstant(f, commitPath(root, vs(i)))
+        heads.put(i, v)
+        v
       }
     }
-    var lo = 0
-    var hi = vs.size - 1
-    var ans = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
-    }
-    if (!allStamped) {
-      // legacy-mtime era touched: monotonize with a running max, oldest
-      // first, stopping at the first instant past the target (the
-      // running max never decreases)
-      ans = -1
-      var run = Long.MinValue
-      var i = 0
-      var break = false
+    def rawOf(i: Int): Long = instOf(i).getOrElse(
+      f.getFileStatus(commitPath(root, vs(i))).getModificationTime)
+    // ICT floor: lowest index of the contiguous stamped suffix
+    // (vs.size when the newest commit itself is unstamped — no ICT era)
+    val floor =
+      if (instOf(vs.size - 1).isEmpty) vs.size
+      else {
+        var lo = 0; var hi = vs.size - 1; var fl = vs.size - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (instOf(mid).isDefined) { fl = mid; hi = mid - 1 } else lo = mid + 1
+        }
+        fl
+      }
+    def linearMonotonized(): Int = {
+      var ans = -1; var run = Long.MinValue; var i = 0; var break = false
       while (i < vs.size && !break) {
-        run = math.max(run, tsOf(i))
+        run = math.max(run, rawOf(i))
         if (run <= tsMillis) ans = i else break = true
         i += 1
+      }
+      ans
+    }
+    var ans = -1
+    if (floor >= vs.size) ans = linearMonotonized()
+    else {
+      // legacy prefix [0, floor): monotonized linear; its running max
+      // is a floor under every later effective instant
+      var preMax = Long.MinValue
+      var preAns = -1
+      var i = 0
+      while (i < floor) {
+        preMax = math.max(preMax, rawOf(i))
+        if (preMax <= tsMillis) preAns = i
+        i += 1
+      }
+      if (preMax > tsMillis) ans = preAns
+      else {
+        // stamped suffix [floor, n): monotone by the writer clamp;
+        // effective instant = max(preMax ≤ target, stamp), so the plain
+        // binary search over stamps is exact here
+        var broken = false
+        var lo = floor; var hi = vs.size - 1
+        ans = preAns
+        while (lo <= hi && !broken) {
+          val mid = (lo + hi) >>> 1
+          instOf(mid) match {
+            case Some(t) => if (t <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            case None => broken = true
+          }
+        }
+        if (broken) ans = linearMonotonized()
       }
     }
     (ans to 0 by -1).iterator.map(vs)
@@ -1508,8 +1579,11 @@ object TableVersions {
       if (k > 0 && v > 0 && (v % k == 0 || ckptPending.contains(root))) {
         // big tables: author the checkpoint INCREMENTALLY as a
         // distributed job over the previous checkpoint + this tail —
-        // never materializing the O(#files) listing on the driver
-        if (writeCheckpointIncremental(spark, root, v)) { ckptPending.remove(root); () }
+        // never materializing the O(#files) listing on the driver; a
+        // table crossing the threshold before its FIRST checkpoint
+        // authors from the delta chain's own commit text instead
+        if (writeCheckpointIncremental(spark, root, v) ||
+          writeCheckpointFirstDistributed(spark, root, v)) { ckptPending.remove(root); () }
         else readCommitState(spark, root, v) match {
           // a failed/skipped checkpoint is OBSERVABLE and RETRIED at the
           // very next commit, not silently deferred to the next v%k==0 —
@@ -1688,7 +1762,7 @@ object TableVersions {
     * [[writeCheckpoint]]) so readers reconstruct any version from one
     * checkpoint + a bounded delta tail.
     */
-  private def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState,
+  private[graft] def tryCommit(spark: SparkSession, root: String, v: Long, st: CommitState,
       base: Option[(Long, CommitState)] = None, op: String = "",
       cdf: Seq[String] = Nil): Boolean = timed("commit") {
     val f = fs(spark, root)
@@ -1851,6 +1925,212 @@ object TableVersions {
       Some(if (agg.isNullAt(1)) 0L else agg.getLong(1)), Some(agg.getLong(2)))
     publishCheckpointText(spark, root, v, renderFullRef(root, l.scalar, ref))
     ckptIncrementals.incrementAndGet()
+    true
+  } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Times the DISTRIBUTED FIRST-CHECKPOINT author ran (spec pin). */
+  private[graft] val ckptFirstDistributed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Stream ONE commit file keeping only its `#` metadata lines: the
+    * scalar sections parse through [[parseCommitText]] against an
+    * `#END 0` tail, the O(#files) add lines are COUNTED and discarded —
+    * the first-checkpoint walk's driver memory is O(metadata), never
+    * O(#files). None when absent or torn (missing/mismatched `#END`,
+    * content after it).
+    */
+  private def scanCommitScalarOnly(f: FileSystem, p: Path): Option[(RawCommit, Long)] =
+    try {
+      if (!f.exists(p)) return None
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+      val metas = Vector.newBuilder[String]
+      var nFiles = 0L
+      var endN = -1L
+      var torn = false
+      try {
+        var l = br.readLine()
+        while (l != null) {
+          if (l.nonEmpty) {
+            if (endN >= 0) torn = true // content after #END
+            else if (l.startsWith("#END ")) endN = l.stripPrefix("#END ").trim.toLong
+            else if (l.startsWith("#")) metas += l
+            else nFiles += 1
+          }
+          l = br.readLine()
+        }
+      } finally br.close()
+      if (torn || endN != nFiles) return None
+      val text = (metas.result() :+ "#END 0").mkString("\n")
+      parseCommitText(text, p).map(rc => (rc, nFiles))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // (path, mtime, len) → (scalar-only RawCommit, add-line count): the
+  // scalar walk re-reads the same immutable commit files every append
+  // until the first checkpoint lands — a bulk-load commit's text is
+  // tens of MB, so the stream is paid once per file, not per append
+  private val scalarScanCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), (RawCommit, Long)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), (RawCommit, Long)]): Boolean = size > 64
+    })
+
+  private def scanCommitScalarOnlyCached(f: FileSystem, p: Path): Option[(RawCommit, Long)] = {
+    val key = cacheKey(f, p).getOrElse(return None)
+    val hit = Option(scalarScanCache.get(key))
+    if (hit.isDefined) return hit
+    val v = scanCommitScalarOnly(f, p)
+    v.foreach(scalarScanCache.put(key, _))
+    v
+  }
+
+  /** Version `v`'s SCALAR state (schema, partition columns, checks,
+    * txns, props, dropped — `files`/`dvs` EMPTY by construction),
+    * reconstructed without ever parsing an add line: walk the chain
+    * down to the nearest full commit or checkpoint through
+    * [[scanCommitScalarOnly]] (streamed, `#` lines only) and fold the
+    * scalar sections forward. This is what lets a BULK-LOADED table's
+    * appends commit O(delta) BEFORE its first parquet checkpoint
+    * exists — the append path needs exactly this scalar state, and
+    * materializing 200k file entries to read a schema was the last
+    * bootstrap-path O(#files) driver cost. None when any link is
+    * missing/torn, the walk exceeds a sanity bound (checkpoint cadence
+    * bounds real chains), or a filesPq checkpoint text is unreadable.
+    */
+  private def scalarStateAt(spark: SparkSession, root: String,
+      v: Long): Option[CommitState] = {
+    val f = fs(spark, root)
+    var links = List.empty[RawCommit] // oldest-first when done
+    var cur = v
+    var bottom: CommitState = null
+    var steps = 0
+    while (bottom == null) {
+      steps += 1
+      if (steps > 512) return None // unbounded chain: materialized path decides
+      val fromCkpt =
+        if (cur == v) None // the target's own checkpoint may not exist yet
+        else scanCommitScalarOnlyCached(f, checkpointPath(root, cur)).collect {
+          case (fc: FullCommit, _) => fc.st.copy(files = Seq.empty, dvs = Map.empty)
+        }
+      fromCkpt match {
+        case Some(st) => bottom = st
+        case None =>
+          scanCommitScalarOnlyCached(f, commitPath(root, cur)) match {
+            case Some((fc: FullCommit, _)) =>
+              bottom = fc.st.copy(files = Seq.empty, dvs = Map.empty)
+            case Some((d: DeltaCommit, _)) =>
+              if (d.base >= cur) return None
+              links ::= d
+              cur = d.base
+            case _ => return None
+          }
+      }
+    }
+    var scalar = bottom
+    links.foreach { case d: DeltaCommit =>
+      scalar = d.applyTo(scalar).copy(files = Seq.empty, dvs = Map.empty)
+    case _ => () }
+    Some(scalar)
+  }
+
+  /** DISTRIBUTED FIRST CHECKPOINT: a bulk-loaded table that crosses the
+    * parquet threshold BEFORE its first checkpoint has no prior ckptpq
+    * for [[writeCheckpointIncremental]] to extend — but its delta chain
+    * down to the bottom full commit already holds every add as commit
+    * text, which IS the distributed input a first-checkpoint job needs.
+    * The driver walks the chain SCALAR-ONLY (`#` lines streamed out,
+    * add lines counted and discarded — O(metadata) memory), folds the
+    * scalar state / removes / DV map exactly as [[DeltaCommit.applyTo]]
+    * does, and one Spark job parses each commit's add lines on
+    * executors ([[FirstCkptScan]]), applies the survivor rule
+    * relationally (an add survives iff no LATER commit removes its
+    * path — `applyTo`'s `filterNot(removes) ++ adds` fold, expressed
+    * per-row), restores the fold's exact order by (commit, position),
+    * and writes the ckptpq dataset. Zero O(#files) driver
+    * materializations, bit-identical reconstruction.
+    *
+    * Returns false — caller falls back to the materialize-then-render
+    * path — when any chain link is missing/torn, a prior checkpoint
+    * sidecar exists below `v` (the incremental/driver paths own that
+    * shape), or the table is below the parquet threshold.
+    */
+  private def writeCheckpointFirstDistributed(spark: SparkSession, root: String,
+      v: Long): Boolean = try {
+    val f = fs(spark, root)
+    if (f.exists(checkpointPath(root, v))) return true
+    val pqT = parquetCheckpointThreshold(spark)
+    if (pqT <= 0) return false
+    // scalar-only chain walk v → bottom FULL commit
+    var links = List.empty[(Long, RawCommit, Long)] // oldest-first when done
+    var cur = v
+    var bottom = false
+    while (!bottom) {
+      if (cur < v && f.exists(checkpointPath(root, cur)))
+        return false // not the FIRST checkpoint: other authors own this
+      val (rc, n) = scanCommitScalarOnly(f, commitPath(root, cur)).getOrElse(return false)
+      links ::= ((cur, rc, n))
+      rc match {
+        case d: DeltaCommit =>
+          if (d.base >= cur) return false
+          cur = d.base
+        case _: FullCommit => bottom = true
+      }
+    }
+    if (links.iterator.map(_._3).sum < pqT) return false // small: driver render is right
+    // exact scalar / remove / DV folds, all O(metadata)
+    var scalar: CommitState = null
+    var dvs = Map.empty[String, (String, Long)]
+    var rmMax = Map.empty[String, Long]
+    links.foreach {
+      case (_, fc: FullCommit, _) =>
+        scalar = fc.st.copy(files = Seq.empty, dvs = Map.empty)
+        dvs = fc.st.dvs
+      case (ver, d: DeltaCommit, _) =>
+        scalar = d.applyTo(scalar).copy(files = Seq.empty, dvs = Map.empty)
+        dvs = (dvs -- d.removes) ++ d.dvSets
+        d.removes.foreach(p => rmMax += p -> math.max(ver, rmMax.getOrElse(p, Long.MinValue)))
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val name = s"v$v.ckptpq"
+    val target = new Path(versionsDir(root), name)
+    if (!f.exists(target)) {
+      val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val specs = links.map { case (ver, _, _) => (ver, commitPath(root, ver).toString) }
+      val parsed = spark.createDataset(specs)
+        .repartition(math.max(1, math.min(64, specs.size)))
+        .flatMap { case (ver, p) => FirstCkptScan.addRows(hconf.value, ver, p) }
+      val surv =
+        if (rmMax.isEmpty) parsed.toDF()
+        else parsed.toDF()
+          .join(rmMax.toSeq.toDF("path", "__g_rmV"), Seq("path"), "left_outer")
+          .where(col("__g_rmV").isNull || col("__g_rmV") <= col("ver"))
+          .drop("__g_rmV")
+      val withDv =
+        if (dvs.isEmpty) surv
+        else surv.drop("dvFile", "dvRows")
+          .join(dvs.toSeq.map { case (p, (d, n)) => (p, d, n) }
+            .toDF("path", "dvFile", "dvRows"), Seq("path"), "left_outer")
+      val rootLocal = root
+      val sorted = withDv
+        .select("ver", "pos", "path", "bytes", "rows", "part", "stats", "dvFile", "dvRows")
+        .sort(col("ver"), col("pos")).as[FirstAddRow]
+      val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        CkptFileRow(i, FirstCkptScan.rel(rootLocal, r.path), r.bytes, r.rows, r.part,
+          r.stats, r.dvFile.map(FirstCkptScan.rel(rootLocal, _)), r.dvRows)
+      }
+      val tmp = new Path(versionsDir(root), s".tmp-ckptpq-${java.util.UUID.randomUUID()}")
+      spark.createDataset(rows).write.parquet(tmp.toString)
+      if (!f.rename(tmp, target)) {
+        f.delete(tmp, true)
+        if (!f.exists(target)) return false // raced twin? absent: give up
+      }
+    }
+    val agg = spark.read.schema(ckptRowSchema).parquet(target.toString)
+      .agg(count(lit(1)), sum("bytes"), count("dvFile")).head()
+    val ref = PqRef(name, agg.getLong(0),
+      Some(if (agg.isNullAt(1)) 0L else agg.getLong(1)), Some(agg.getLong(2)))
+    publishCheckpointText(spark, root, v, renderFullRef(root, scalar, ref))
+    ckptFirstDistributed.incrementAndGet()
     true
   } catch { case scala.util.control.NonFatal(_) => false }
 
@@ -2304,6 +2584,13 @@ object TableVersions {
         else pushedListing(spark, root, Some(v))
           .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
       pl.map(l => (l.scalar, true))
+        // no parquet checkpoint below yet (the bulk-load bootstrap):
+        // appends still commit O(delta) from a SCALAR-ONLY chain walk —
+        // the append needs schema/checks/partCols/txns, never the
+        // listing; the due checkpoint then authors from the chain
+        // ([[writeCheckpointFirstDistributed]])
+        .orElse(scalarStateAt(spark, root, v)
+          .filter(_.schema.isDefined).map(sc => (sc, true)))
         .getOrElse((commitState(spark, root, Some(v)), false))
     }
     val base0 = currentVersion(spark, root)
@@ -2510,19 +2797,66 @@ object TableVersions {
       l.version))
   }
 
+  /** Times the PARTITION-BATCHED unscoped-maintenance driver ran
+    * (spec pin: unscoped compact/zorder of a pushed partitioned table
+    * iterates pushed per-partition plans, zero full materializations).
+    */
+  private[graft] val maintBatchedSweeps = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The distinct partition tuples of the CURRENT snapshot, read
+    * columnar from the checkpoint dataset (+ tail adds) — the
+    * partition-batched maintenance driver's work list: O(#partitions)
+    * on the driver, never O(#files). None below the pushed threshold
+    * or for an unpartitioned table (the materialized listing is the
+    * right work list there).
+    */
+  private def partitionTuplesPushed(spark: SparkSession,
+      root: String): Option[Seq[Map[String, String]]] = {
+    import org.apache.spark.sql.functions.col
+    val t = pushedPruneThreshold(spark)
+    if (t <= 0) return None
+    val l = pushedListing(spark, root, None)
+      .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined)
+      .getOrElse(return None)
+    val pcs = l.scalar.partCols
+    if (pcs.isEmpty) return None
+    val fromCkpt = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+      .select(pcs.map(c => col("part").getItem(c)): _*).distinct().collect()
+      .map(r => pcs.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.getString(i)).map(c -> _) }.toMap)
+    val fromTail = l.tailAdds.map(_.part)
+    Some((fromCkpt ++ fromTail).distinct.toSeq
+      .sortBy(_.toSeq.sorted.mkString(",")))
+  }
+
   /** Rewrite undersized files into ~`targetBytes` bins
     * ([[Compaction.plan]] over the live listing — metadata, so the plan
     * is a driver-sized job) and commit the new layout as the next
     * version. `partition` scopes the pass to one partition's files —
     * per-partition compaction of a 100 TB table is N independent,
     * concurrently-committable jobs (the rebase rule: disjoint file
-    * sets never conflict). Old versions keep reading their original
-    * files — compaction is invisible to time travel until [[vacuum]].
-    * Returns the new version, or None when there is nothing to merge
+    * sets never conflict). An UNSCOPED pass over a pushed partitioned
+    * snapshot iterates exactly those per-partition plans, committing
+    * per group — a 1M-file unscoped compact never materializes the
+    * full listing (an unpartitioned table at pushed scale is the one
+    * remaining whole-listing pass: the listing IS its work list).
+    * Old versions keep reading their original files — compaction is
+    * invisible to time travel until [[vacuum]]. Returns the newest
+    * version committed, or None when there is nothing to merge
     * or a competing rewrite touched the same files.
     */
   def compact(spark: SparkSession, root: String, targetBytes: Long,
       partition: Map[String, String] = Map.empty): Option[Long] = {
+    if (partition.isEmpty) {
+      partitionTuplesPushed(spark, root) match {
+        case Some(tuples) if tuples.nonEmpty =>
+          maintBatchedSweeps.incrementAndGet()
+          var last: Option[Long] = None
+          tuples.foreach(p => compact(spark, root, targetBytes, p).foreach(v => last = Some(v)))
+          return last
+        case _ => // small or unpartitioned: the materialized listing is the work list
+      }
+    }
     val f = fs(spark, root)
     // per-partition maintenance of a pushed snapshot plans inside the
     // checkpoint read and commits O(delta); unscoped passes (and small
@@ -3832,11 +4166,25 @@ object TableVersions {
     * stats. On a partitioned table the pass must be scoped to ONE
     * partition tuple (`partition`) — Z-ordering is a range layout that
     * cannot span partition files; each partition optimizes as its own
-    * concurrently-committable job (the rebase rule). Concurrent appends
-    * rebase through; a competing rewrite of the same files returns None.
+    * concurrently-committable job (the rebase rule). An UNSCOPED call
+    * on a pushed partitioned snapshot runs the partition-batched
+    * driver: each tuple Z-orders as its own pushed plan + commit, the
+    * full listing never materializes. Concurrent appends rebase
+    * through; a competing rewrite of the same files returns None.
     */
   def optimizeZOrder(spark: SparkSession, root: String, keys: Seq[String],
       numFiles: Int, partition: Map[String, String] = Map.empty): Option[Long] = {
+    if (partition.isEmpty) {
+      partitionTuplesPushed(spark, root) match {
+        case Some(tuples) if tuples.nonEmpty =>
+          maintBatchedSweeps.incrementAndGet()
+          var last: Option[Long] = None
+          tuples.foreach(p =>
+            optimizeZOrder(spark, root, keys, numFiles, p).foreach(v => last = Some(v)))
+          return last
+        case _ => // small or unpartitioned: single materialized pass below
+      }
+    }
     val f = fs(spark, root)
     val pst = pushedPartPlan(spark, root, partition) // scoped pass: pushed planning
     val st = pst.map(_._1).getOrElse(commitState(spark, root, None))
@@ -4049,61 +4397,46 @@ object TableVersions {
     * mutating anything (no admin claim taken, no horizon checkpoints
     * written; a racing real vacuum can make the preview stale, never
     * wrong-direction). Returns (kind, path) rows, kind ∈ commit |
-    * checkpoint | ckptpq | data | cdf | tmp. The data classification
-    * reuses the vacuum's own deciders: the distributed frame at pushed
-    * scale, the driver loop below it.
+    * checkpoint | ckptpq | data | cdf | tmp | checkpoint-rewrite. The
+    * metadata classification is [[classifyMeta]] — the ONE decider
+    * [[vacuumLocked]] acts on — and the data classification reuses the
+    * vacuum's own deciders: the distributed frame at pushed scale (the
+    * data kind stays DISTRIBUTED end to end; a million-dead-file
+    * preview never materializes on the driver), the driver loop below
+    * it. `checkpoint-rewrite` rows preview the horizon-securing step —
+    * sidecars vacuum deletes AND REWRITES in place at retained
+    * versions — so they are churn, not permanent deletions, and sit
+    * outside the deletion-exactness contract.
+    *
+    * CAVEAT (boundary semantics): grace and `retainHours` cutoffs are
+    * evaluated against the clock AT CALL TIME, so a file near the
+    * grace boundary can be swept by a later real vacuum without having
+    * appeared in a slightly older preview — previews age.
     */
   def vacuumDryRun(spark: SparkSession, root: String, keepVersions: Int = 2,
       graceMs: Long = 10 * 60 * 1000L, retainHours: Double = -1.0): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
     require(keepVersions >= 1)
     val f = fs(spark, root)
     val latest = currentVersion(spark, root).getOrElse(
       return spark.createDataset(Seq.empty[(String, String)]).toDF("kind", "path"))
     val keepFrom = keepFromFor(spark, root, latest, keepVersions, retainHours)
+    val meta = classifyMeta(f, root, keepFrom)
     val vd = versionsDir(root)
-    val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
-    val tmps = all.filter(_.startsWith(".tmp-")).map(n => ("tmp", new Path(vd, n).toString))
-    val versions = all.collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
-      n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
-    def below(suffix: String, kind: String): Seq[(String, String)] =
-      all.collect { case n if n.startsWith("v") && n.endsWith(suffix) &&
-        n.stripPrefix("v").stripSuffix(suffix).toLong < keepFrom =>
-        (kind, new Path(vd, n).toString) }
-    val deadMeta = below(".commit", "commit") ++ below(".checkpoint", "checkpoint") ++
-      below(".ckptpq", "ckptpq")
-    // data files, by the vacuum's own deciders
-    val deadData: Seq[(String, String)] = {
-      val distributed =
-        if (pushedPruneThreshold(spark) > 0 && versions.nonEmpty &&
-          pushedListing(spark, root, Some(latest))
-            .exists(_.totalFiles >= pushedPruneThreshold(spark)))
-          distributedDeadFrame(spark, root, keepFrom, latest, versions.min, graceMs)
-        else None
-      distributed match {
-        case Some(dead) => dead.collect().map(r => ("data", r.getString(0))).toSeq
-        case None =>
-          val refs: Long => Seq[String] = v =>
-            readCommitState(spark, root, v).toSeq.flatMap(st =>
-              st.files.map(_.path) ++ st.dvs.values.map(_._1))
-          val live = versions.filter(_ >= keepFrom).flatMap(refs).map(normPath).toSet
-          val refAll = live ++ versions.filter(_ < keepFrom).flatMap(refs).map(normPath)
-          val nowMs = System.currentTimeMillis()
-          val dataDir = new Path(root, "data")
-          if (!f.exists(dataDir)) Seq.empty
-          else {
-            val it = f.listFiles(dataDir, true)
-            val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-            while (it.hasNext) {
-              val st = it.next()
-              if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-                !live(normPath(st.getPath.toString)) &&
-                (refAll(normPath(st.getPath.toString)) ||
-                  nowMs - st.getModificationTime > graceMs))
-                out += (("data", st.getPath.toString))
-            }
-            out.toSeq
-          }
+    val tmps = meta.tmps.map(n => ("tmp", new Path(vd, n).toString))
+    val versions = meta.versions
+    val deadMeta =
+      meta.deadCommits.map(v => ("commit", commitPath(root, v).toString)) ++
+        meta.deadCheckpoints.map(v => ("checkpoint", checkpointPath(root, v).toString)) ++
+        meta.deadCkptPqs.map(v => ("ckptpq", new Path(vd, s"v$v.ckptpq").toString))
+    // horizon-securing preview: existing sidecars vacuumLocked would
+    // DELETE AND REWRITE in place at retained versions (unresolvable
+    // checkpoint on a horizon-crossing delta) — named here so the
+    // preview never under-reports their churn
+    val rewrites = horizonRewriteVersions(spark, root, keepFrom, versions).flatMap { v =>
+      Seq(checkpointPath(root, v), new Path(vd, s"v$v.ckptpq")).collect {
+        case p if f.exists(p) => ("checkpoint-rewrite", p.toString)
       }
     }
     val deadCdf: Seq[(String, String)] = {
@@ -4119,7 +4452,43 @@ object TableVersions {
         }
       }
     }
-    (tmps ++ deadMeta ++ deadData ++ deadCdf).toDF("kind", "path")
+    val localDf = (tmps ++ deadMeta ++ rewrites ++ deadCdf).toDF("kind", "path")
+    // data files, by the vacuum's own deciders — on the pushed path the
+    // data kind stays a DISTRIBUTED FRAME end to end (a million-dead-file
+    // preview never lands on the driver; collect() is the caller's call)
+    val dataDf: DataFrame = {
+      val distributed =
+        if (pushedPruneThreshold(spark) > 0 && versions.nonEmpty &&
+          pushedListing(spark, root, Some(latest))
+            .exists(_.totalFiles >= pushedPruneThreshold(spark)))
+          distributedDeadFrame(spark, root, keepFrom, latest, versions.min, graceMs)
+        else None
+      distributed match {
+        case Some(dead) => dead.select(lit("data").as("kind"), col("path"))
+        case None =>
+          val refs: Long => Seq[String] = v =>
+            readCommitState(spark, root, v).toSeq.flatMap(st =>
+              st.files.map(_.path) ++ st.dvs.values.map(_._1))
+          val live = versions.filter(_ >= keepFrom).flatMap(refs).map(normPath).toSet
+          val refAll = live ++ versions.filter(_ < keepFrom).flatMap(refs).map(normPath)
+          val nowMs = System.currentTimeMillis()
+          val dataDir = new Path(root, "data")
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          if (f.exists(dataDir)) {
+            val it = f.listFiles(dataDir, true)
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                !live(normPath(st.getPath.toString)) &&
+                (refAll(normPath(st.getPath.toString)) ||
+                  nowMs - st.getModificationTime > graceMs))
+                out += (("data", st.getPath.toString))
+            }
+          }
+          out.toSeq.toDF("kind", "path")
+      }
+    }
+    localDf.union(dataDf)
   }
 
   /** Root-relative reference keys of the files (and DV sidecars) held
@@ -4299,21 +4668,66 @@ object TableVersions {
     }
   }
 
+  /** Below-horizon `_versions` metadata classification — the ONE
+    * decider for which commit / checkpoint / ckptpq / tmp artifacts a
+    * vacuum at `keepFrom` removes, shared by [[vacuumLocked]] (which
+    * acts on it) and [[vacuumDryRun]] (which previews it), so the
+    * preview can never drift from the sweep.
+    */
+  private final case class MetaSweep(tmps: Seq[String], versions: Seq[Long],
+      deadCommits: Seq[Long], deadCheckpoints: Seq[Long], deadCkptPqs: Seq[Long])
+
+  private def classifyMeta(f: FileSystem, root: String, keepFrom: Long): MetaSweep = {
+    val all = f.listStatus(versionsDir(root)).toSeq.map(_.getPath.getName)
+    def nums(suffix: String): Seq[Long] = all.collect {
+      case n if n.startsWith("v") && n.endsWith(suffix) =>
+        n.stripPrefix("v").stripSuffix(suffix).toLong
+    }
+    MetaSweep(
+      all.filter(_.startsWith(".tmp-")),
+      nums(".commit").sorted,
+      nums(".commit").filter(_ < keepFrom),
+      nums(".checkpoint").filter(_ < keepFrom),
+      nums(".ckptpq").filter(_ < keepFrom))
+  }
+
+  /** Retained versions whose delta chain crosses the retention horizon
+    * WITHOUT a resolvable checkpoint: [[vacuumLocked]] must secure
+    * (delete and rewrite) their `v<N>.checkpoint`/`v<N>.ckptpq`
+    * sidecars before the chain below may drop, and [[vacuumDryRun]]
+    * previews exactly those rewrites. A checkpoint must actually
+    * RESOLVE (not merely exist): a format-major-4 checkpoint whose
+    * ckptpq dataset is missing/corrupt exists but reconstructs
+    * nothing — trusting `f.exists` would drop the only reconstruction
+    * path. Normally only the OLDEST retained version can chain below
+    * `keepFrom`, but a torn legacy claim at the horizon makes a later
+    * delta's base skip past it — so every retained delta's base is
+    * checked explicitly.
+    */
+  private def horizonRewriteVersions(spark: SparkSession, root: String,
+      keepFrom: Long, versions: Seq[Long]): Seq[Long] = {
+    val f = fs(spark, root)
+    if (!versions.exists(_ < keepFrom)) return Seq.empty
+    versions.filter(_ >= keepFrom).filter { v =>
+      val crossesHorizon = readRaw(f, commitPath(root, v)) match {
+        case Some(d: DeltaCommit) => d.base < keepFrom
+        case _ => false // full commit or torn legacy: self-contained either way
+      }
+      crossesHorizon && readRaw(f, checkpointPath(root, v))
+        .collect { case fc: FullCommit => fc }
+        .flatMap(fc => resolveCkpt(spark, root, fc)).isEmpty
+    }
+  }
+
   private def vacuumLocked(spark: SparkSession, root: String, keepVersions: Int,
       graceMs: Long, retainHours: Double = -1.0): Unit = {
     val f = fs(spark, root)
     val latest = currentVersion(spark, root).getOrElse(return)
     val keepFrom = keepFromFor(spark, root, latest, keepVersions, retainHours)
     val vd = versionsDir(root)
-    val all = f.listStatus(vd).toSeq.map(_.getPath.getName)
-    all.collect { case n if n.startsWith(".tmp-") => n }
-      .foreach { n => f.delete(new Path(vd, n), true); () } // recursive: ckptpq temps are dirs
-    val versions = all.collect { case n if n.startsWith("v") && n.endsWith(".commit") =>
-      n.stripPrefix("v").stripSuffix(".commit").toLong }.sorted
-    val checkpoints = all.collect { case n if n.startsWith("v") && n.endsWith(".checkpoint") =>
-      n.stripPrefix("v").stripSuffix(".checkpoint").toLong }
-    val ckptPqs = all.collect { case n if n.startsWith("v") && n.endsWith(".ckptpq") =>
-      n.stripPrefix("v").stripSuffix(".ckptpq").toLong }
+    val meta = classifyMeta(f, root, keepFrom)
+    meta.tmps.foreach { n => f.delete(new Path(vd, n), true); () } // recursive: ckptpq temps are dirs
+    val versions = meta.versions
     // liveness is form-insensitive: parsed states carry canonical
     // plain paths while listings return file:-qualified ones. LAZY:
     // the distributed sweep never materializes these states
@@ -4321,39 +4735,21 @@ object TableVersions {
       .flatMap(v => readCommitState(spark, root, v).toSeq.flatMap(st =>
         st.files.map(_.path) ++ st.dvs.values.map(_._1))).map(normPath).toSet
     // reconstructability across the horizon: no retained delta may need
-    // the about-to-drop chain. Normally only the OLDEST retained version
-    // can chain below keepFrom (bases are the immediate valid
-    // predecessor), but a torn legacy claim at the horizon makes a later
-    // delta's base skip past it — so check every retained delta's base
-    // explicitly and checkpoint the ones that cross.
-    if (versions.exists(_ < keepFrom)) {
-      versions.filter(_ >= keepFrom).foreach { v =>
-        val crossesHorizon = readRaw(f, commitPath(root, v)) match {
-          case Some(d: DeltaCommit) => d.base < keepFrom
-          case _ => false // full commit or torn legacy: self-contained either way
-        }
-        // a checkpoint must actually RESOLVE (not merely exist) before
-        // the chain below may drop: a format-major-4 checkpoint whose
-        // ckptpq dataset is missing/corrupt exists but reconstructs
-        // nothing — trusting f.exists here would delete the only path
-        // to this version and break reconstruction forever
-        def ckptResolves(): Boolean =
-          readRaw(f, checkpointPath(root, v))
-            .collect { case fc: FullCommit => fc }
-            .flatMap(fc => resolveCkpt(spark, root, fc)).isDefined
-        if (crossesHorizon && !ckptResolves()) {
-          // rewrite in place: drop the unresolvable sidecar first
-          // (readers treat an unresolvable checkpoint as absent and
-          // walk the chain, which still exists at this point)
-          f.delete(checkpointPath(root, v), false)
-          f.delete(new Path(vd, s"v$v.ckptpq"), true)
-          readCommitState(spark, root, v)
-            .foreach(st => writeCheckpoint(spark, root, v, st))
-          require(ckptResolves(),
-            s"vacuum: cannot secure a resolvable checkpoint for v$v at $root; " +
-              "refusing to drop the commit chain below it")
-        }
-      }
+    // the about-to-drop chain — [[horizonRewriteVersions]] is the
+    // decider (shared with the dry run's preview); the rewrite in place
+    // drops the unresolvable sidecar first (readers treat an
+    // unresolvable checkpoint as absent and walk the chain, which
+    // still exists at this point)
+    horizonRewriteVersions(spark, root, keepFrom, versions).foreach { v =>
+      f.delete(checkpointPath(root, v), false)
+      f.delete(new Path(vd, s"v$v.ckptpq"), true)
+      readCommitState(spark, root, v)
+        .foreach(st => writeCheckpoint(spark, root, v, st))
+      require(readRaw(f, checkpointPath(root, v))
+        .collect { case fc: FullCommit => fc }
+        .flatMap(fc => resolveCkpt(spark, root, fc)).isDefined,
+        s"vacuum: cannot secure a resolvable checkpoint for v$v at $root; " +
+          "refusing to drop the commit chain below it")
     }
     // files referenced by ANY still-present commit (including the
     // versions about to drop): known-dead history, deletable now. A
@@ -4407,9 +4803,9 @@ object TableVersions {
         }
       }
     }
-    versions.filter(_ < keepFrom).foreach { v => f.delete(commitPath(root, v), false); () }
-    checkpoints.filter(_ < keepFrom).foreach { v => f.delete(checkpointPath(root, v), false); () }
-    ckptPqs.filter(_ < keepFrom).foreach { v =>
+    meta.deadCommits.foreach { v => f.delete(commitPath(root, v), false); () }
+    meta.deadCheckpoints.foreach { v => f.delete(checkpointPath(root, v), false); () }
+    meta.deadCkptPqs.foreach { v =>
       f.delete(new Path(vd, s"v$v.ckptpq"), true); () }
   }
 
@@ -5356,4 +5752,58 @@ object TableVersions {
         }
       }
       .start()
+}
+
+/** One parsed add line of the first-checkpoint distributed scan —
+  * its owning commit version, position within that commit's adds
+  * (the pair restores [[TableVersions.DeltaCommit.applyTo]]'s exact
+  * `kept ++ adds` order), and the entry fields in checkpoint-row form.
+  */
+private[graft] final case class FirstAddRow(ver: Long, pos: Long, path: String,
+    bytes: Long, rows: Long, part: Map[String, String],
+    stats: Map[String, TableVersions.CkptStatsRow],
+    dvFile: Option[String] = None, dvRows: Option[Long] = None)
+
+/** Executor-side scanner for the DISTRIBUTED FIRST CHECKPOINT: each
+  * task reads ONE commit file of the delta chain and parses its add
+  * lines — the O(#files) listing never lands on the driver. A
+  * top-level serializable object so task closures referencing it
+  * capture no [[TableVersions]] module state.
+  */
+private[graft] object FirstCkptScan extends Serializable {
+
+  /** Parse commit `p`'s add (non-`#`) lines into ordered rows. Stored
+    * relative paths resolve against the commit file's own location —
+    * the same derivation [[TableVersions.parseCommitText]] uses, so a
+    * moved/copied table directory scans in place.
+    */
+  def addRows(conf: org.apache.hadoop.conf.Configuration, ver: Long,
+      p: String): Iterator[FirstAddRow] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val root = path.getParent.getParent.toString
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+      path.getFileSystem(conf).open(path), java.nio.charset.StandardCharsets.UTF_8))
+    val out = Vector.newBuilder[FirstAddRow]
+    try {
+      var pos = 0L
+      var l = br.readLine()
+      while (l != null) {
+        if (l.nonEmpty && !l.startsWith("#")) {
+          val fe = TableVersions.parseFileLine(root)(l)
+          out += FirstAddRow(ver, pos, fe.path, fe.bytes, fe.rows, fe.part,
+            fe.stats.map { case (c, s) =>
+              c -> TableVersions.CkptStatsRow(s.minNum, s.maxNum, s.minStr, s.maxStr, s.nulls)
+            })
+          pos += 1L
+        }
+        l = br.readLine()
+      }
+    } finally br.close()
+    out.result().iterator
+  }
+
+  /** Canonical stored (root-relative) form — checkpoint rows' `path`
+    * encoding.
+    */
+  def rel(root: String, p: String): String = TableVersions.relNorm(root, p)
 }

@@ -507,11 +507,18 @@ object TextAnalysis {
     * first-writer attribution, not a pair relation, so boilerplate
     * shared by hundreds of docs is charged to exactly one of them.
     *
-    * Scale shape: shingles explode once into (gram, doc); the owner
-    * table is a map-side-combining min per gram; the re-join shuffles
-    * on gram (vocabulary-sized build side, never corpus²); the per-doc
-    * fold shuffles on the id. No driver-side state, no windows over
-    * the whole corpus.
+    * Scale shape — NO gram-keyed join anywhere. Because
+    * [[Dedup.shingles]] is distinct per doc and the owner is unique per
+    * gram, `novel_grams(doc) = |{grams owned by doc}|` falls out of the
+    * owner table alone: one map-side-combining `min` per gram (the only
+    * gram-keyed exchange, and it sits under a partial aggregate — a
+    * mega-hot boilerplate gram contributes at most one row per map
+    * partition to its reducer), then a doc-keyed count of owned grams.
+    * `n_grams(doc) = size(shingles)` is a per-row expression with zero
+    * shuffle. The two per-doc frames (one row per doc each) meet in a
+    * single doc-keyed left join with `coalesce(novel, 0)`. The corpus
+    * is never re-shuffled on the Zipf-skewed gram key, and the
+    * explode+scan subtree is evaluated once.
     *
     * Ref semantics: dataset-curation novelty scoring (the D4 /
     * dedup-aware-sampling family, public); same shingle definition as
@@ -519,15 +526,16 @@ object TextAnalysis {
     */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(Dedup.shingles(col(textCol), k)).as("gram"))
-    val owners = grams.groupBy(col("gram")).agg(min(col(idCol)).as("first_doc"))
-    grams.join(owners, Seq("gram"))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).cast("long").as("n_grams"),
-        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
-          .cast("long").as("novel_grams"))
+    val perDoc = df.select(col(idCol),
+      size(Dedup.shingles(col(textCol), k)).cast("long").as("n_grams"))
+    val owned = df
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .groupBy(col("gram")).agg(min(col(idCol)).as("first_doc"))
+      .groupBy(col("first_doc"))
+      .agg(count(lit(1)).cast("long").as("novel_grams"))
+    perDoc.join(owned, perDoc(idCol) === owned("first_doc"), "left")
+      .select(perDoc(idCol), col("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
       .withColumn("novelty",
         round(col("novel_grams").cast("double") / col("n_grams"), 4))
   }

@@ -42,9 +42,14 @@ import graft.operators.TableVersions
   *    dir with an atomic rename BEFORE the batch commits, so a capped
   *    offer can never move offsets backward across restarts.
   *  - The SCHEMA is fixed at stream start (table schema +
-  *    `_change_type`, `_commit_version`); later additive evolution is
-  *    surfaced on restart (each batch projects to the declared columns
-  *    — Delta's restart-on-schema-change stance, minus the hard fail).
+  *    `_change_type`, `_commit_version`, `_commit_timestamp`) and
+  *    PINNED in the source metadata dir ([[CdfSourceProvider
+  *    .pinnedSchema]]): within a run each batch projects to the
+  *    declared columns, and a RESTART whose freshly-resolved schema
+  *    differs (table evolution, reader upgrade adding a meta column)
+  *    refuses loudly with the remedy named — Delta's
+  *    restart-on-schema-change stance; a consumer's shape never
+  *    changes silently across restarts.
   *  - Reads past the vacuum horizon THROW (the [[TableVersions
   *    .readChanges]] guard): a consumer that lagged beyond retention
   *    must re-bootstrap, never silently double-apply.
@@ -76,7 +81,8 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = parameters("path")
-    val declared = schema.getOrElse(cdfSchema(spark, path))
+    val declared = CdfSourceProvider.pinnedSchema(spark, metadataPath,
+      schema.getOrElse(cdfSchema(spark, path)))
     val starting = CdfSourceProvider.resolveStart(spark, metadataPath, parameters, path)
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
@@ -92,6 +98,50 @@ private[sources] object CdfSourceProvider {
     * DV-aware snapshot the first batch serves before tailing appends.
     */
   final case class Start(exclusive: Long, snapshot: Option[Long])
+
+  /** Pin the stream's RESOLVED schema in the source metadata dir (the
+    * same first-writer-wins pattern as the start marker): a v1
+    * provider's schema is re-resolved on every stream (re)start, so
+    * without the pin an existing checkpointed stream SILENTLY changes
+    * shape whenever the table evolves or a reader upgrade appends a
+    * meta column — downstream sinks and stateful operators keyed to
+    * the exact schema then break at a distance. With the pin, a
+    * restart whose freshly-resolved schema differs from the pinned one
+    * REFUSES LOUDLY (Delta's restart-on-schema-change stance) and
+    * names the remedy. Checkpoints created before the pin existed
+    * adopt the current schema once, then pin it.
+    */
+  def pinnedSchema(spark: org.apache.spark.sql.SparkSession, metadataPath: String,
+      fresh: StructType): StructType = {
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft_cdf_schema")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readPin(): StructType = {
+      val in = fs.open(marker)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(txt).asInstanceOf[StructType]
+    }
+    def check(pinned: StructType): StructType = {
+      if (pinned != fresh) throw new IllegalStateException(
+        s"this stream's schema changed since its checkpoint was created.\n" +
+          s"  pinned : ${pinned.simpleString}\n  current: ${fresh.simpleString}\n" +
+          "A schema change (table evolution, or a reader upgrade adding a meta column) " +
+          "must not silently reshape a running consumer. To adopt the new schema on THIS " +
+          s"checkpoint, delete the pin file $marker and restart; to keep the old shape, " +
+          "read through a view that selects the pinned columns; otherwise start a fresh " +
+          "checkpoint.")
+      pinned
+    }
+    if (fs.exists(marker)) check(readPin())
+    else {
+      fs.mkdirs(marker.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+        s".graft_cdf_schema.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(fresh.json.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, marker)) fresh
+      else { fs.delete(tmp, false); check(readPin()) } // raced twin: theirs wins
+    }
+  }
 
   /** Resolve the stream's starting point ONCE and pin it in the
     * source's metadata dir (the Kafka-source initial-offset pattern):

@@ -81,7 +81,8 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     val spark = ctx.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table streaming requires a path"))
-    val tbl = schema.getOrElse(tableSchema(spark, path))
+    val tbl = CdfSourceProvider.pinnedSchema(spark, metadataPath,
+      schema.getOrElse(tableSchema(spark, path)))
     val cdfDeclared = tbl
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", org.apache.spark.sql.types.LongType)
