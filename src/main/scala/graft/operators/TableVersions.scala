@@ -5720,8 +5720,18 @@ object TableVersions {
     * reading.
     */
   def lastTxn(spark: SparkSession, root: String, app: String): Option[Long] =
-    currentVersion(spark, root)
-      .flatMap(v => commitState(spark, root, Some(v)).txns.get(app))
+    currentVersion(spark, root).flatMap { v =>
+      // the watermark is SCALAR state: serve it without materializing
+      // the listing — pushed snapshot scalar, else the scalar-only
+      // chain walk; the full reconstruction is the last resort
+      val t = pushedPruneThreshold(spark)
+      val sc =
+        (if (t <= 0) None
+         else pushedListing(spark, root, Some(v)).filter(_.totalFiles >= t).map(_.scalar))
+          .orElse(scalarStateAt(spark, root, v))
+          .getOrElse(commitState(spark, root, Some(v)))
+      sc.txns.get(app)
+    }
 
   /** [[append]] tagged with a transaction id: a no-op when (`app`,
     * `batchId`) is already committed. Returns the version holding the
