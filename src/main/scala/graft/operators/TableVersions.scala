@@ -2829,6 +2829,79 @@ object TableVersions {
       .sortBy(_.toSeq.sorted.mkString(",")))
   }
 
+  /** Bin-batch ceiling for the unpartitioned pushed compaction sweep:
+    * at most ~this many member files plan on the driver per commit
+    * (session conf `graft.table.maintBatchFiles`). A batch never splits
+    * a bin across commits, so a single oversized bin may exceed it.
+    */
+  private def maintBatchFiles(spark: SparkSession): Int =
+    spark.conf.get("graft.table.maintBatchFiles", "20000").toInt
+
+  /** UNPARTITIONED whole-table compaction at pushed scale: the bin
+    * plan runs DISTRIBUTED straight over the checkpoint dataset (+
+    * folded tail), only multi-file bins stream back (`toLocalIterator`
+    * — the driver holds one batch, never the listing), and the sweep
+    * commits per ≤[[maintBatchFiles]] batch of whole bins through the
+    * by-path pushed planner. The rebase rule makes the batches
+    * mutually safe (disjoint victims); `planV` pins the shared plan
+    * version so each commit rewrites O(batch). None when the snapshot
+    * is below the pushed threshold, partitioned, or schemaless — the
+    * caller's materialized/per-partition drivers own those shapes.
+    * Some(lastCommitted) when the sweep ran (None inside = nothing to
+    * merge).
+    */
+  private def compactUnpartitionedPushed(spark: SparkSession, root: String,
+      targetBytes: Long): Option[Option[Long]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = pushedPruneThreshold(spark)
+    if (t <= 0) return None
+    val l = pushedListing(spark, root, None)
+      .filter(l => l.totalFiles >= t && l.scalar.schema.isDefined &&
+        l.scalar.partCols.isEmpty)
+      .getOrElse(return None)
+    maintBatchedSweeps.incrementAndGet()
+    val baseListing = spark.read.schema(ckptRowSchema).parquet(l.ckptDir)
+      .select(col("path"), col("bytes"))
+    val removed = l.tailRemoves.toSeq.map(p => relNorm(root, p))
+    val kept =
+      if (removed.isEmpty) baseListing
+      else baseListing.join(removed.toDF("path"), Seq("path"), "left_anti")
+    val all =
+      if (l.tailAdds.isEmpty) kept
+      else kept.union(
+        l.tailAdds.map(fe => (relNorm(root, fe.path), fe.bytes)).toDF("path", "bytes"))
+    val planned = Compaction.plan(all.withColumn("pkey", lit("")),
+        Seq("pkey"), "path", "bytes", targetBytes)
+      .where(col("bin_files") > 1)
+      .select(col("bin"), col("path"))
+      .sort(col("bin"), col("path"))
+    val batchMax = math.max(1, maintBatchFiles(spark))
+    var last: Option[Long] = None
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var curBin = Long.MinValue
+    def flush(): Unit = if (buf.nonEmpty) {
+      val groups = buf.groupBy(_._1).map { case (bin, ms) =>
+        ("", bin) -> ms.map(m => resolvePath(root, m._2)).toSeq
+      }
+      val stB = pushedCandStateByPath(spark, l, buf.iterator.map(_._2).toSet)
+      compactCommit(spark, root, stB,
+        stB.files.map(fe => fe.path -> fe.part).toMap, groups, Some(l.version))
+        .foreach(v => last = Some(v))
+      buf.clear()
+    }
+    val it = planned.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val bin = r.getLong(0)
+      if (buf.size >= batchMax && bin != curBin) flush() // whole bins only
+      curBin = bin
+      buf += ((bin, r.getString(1)))
+    }
+    flush()
+    Some(last)
+  }
+
   /** Rewrite undersized files into ~`targetBytes` bins
     * ([[Compaction.plan]] over the live listing — metadata, so the plan
     * is a driver-sized job) and commit the new layout as the next
@@ -2854,10 +2927,15 @@ object TableVersions {
           var last: Option[Long] = None
           tuples.foreach(p => compact(spark, root, targetBytes, p).foreach(v => last = Some(v)))
           return last
-        case _ => // small or unpartitioned: the materialized listing is the work list
+        case _ =>
+          // unpartitioned at pushed scale: plan bins DISTRIBUTED over
+          // the checkpoint dataset and sweep in bounded bin batches
+          compactUnpartitionedPushed(spark, root, targetBytes) match {
+            case Some(res) => return res
+            case None => // small table: the materialized listing is the work list
+          }
       }
     }
-    val f = fs(spark, root)
     // per-partition maintenance of a pushed snapshot plans inside the
     // checkpoint read and commits O(delta); unscoped passes (and small
     // tables) keep the materialized listing — it IS their work list
@@ -2876,26 +2954,41 @@ object TableVersions {
         Seq("pkey"), "file", "bytes", targetBytes)
       .select("file", "bytes", "pkey", "bin", "bin_files")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
-    val toMerge = planned.filter(_._5 > 1).groupBy(p => (p._3, p._4)) // only multi-file bins rewrite
+    val toMerge = planned.filter(_._5 > 1).groupBy(p => (p._3, p._4))
+      .view.mapValues(_.map(_._1).toSeq).toMap // only multi-file bins rewrite
+    val partOf = scope.map(fe => fe.path -> fe.part).toMap
+    compactCommit(spark, root, st, partOf, toMerge, pst.map(_._2))
+  }
+
+  /** Rewrite the multi-file bins of ONE planned batch and commit — the
+    * shared tail of every compaction driver (materialized,
+    * per-partition pushed, and the bin-batched unpartitioned sweep).
+    *
+    * ONE distributed job for ALL bins (a 100 TB table compacts
+    * thousands of bins; N sequential coalesce(1) jobs would serialize
+    * on the driver): every member file is read once, each row is
+    * routed to its bin by source file (a broadcast map join on the
+    * scan's file path), the frame repartitions ON the bin id and
+    * writes partitioned by it — a bin's rows land in exactly one task,
+    * so each bin still produces exactly one output file. Members' DVs
+    * fold here: the rewrite excludes tombstoned rows and commitRewrite
+    * drops the dead references.
+    */
+  private def compactCommit(spark: SparkSession, root: String, st: CommitState,
+      partOf: Map[String, Map[String, String]],
+      toMerge: Map[(String, Long), Seq[String]],
+      planV: Option[Long]): Option[Long] = {
+    import spark.implicits._
     if (toMerge.isEmpty) return None
+    val f = fs(spark, root)
     val outDir = new Path(root, s"data/compact-${java.util.UUID.randomUUID()}")
     val schema = st.schema
-    val partOf = scope.map(fe => fe.path -> fe.part).toMap
-    // ONE distributed job for ALL bins (a 100 TB table compacts
-    // thousands of bins; N sequential coalesce(1) jobs would serialize
-    // on the driver): every member file is read once, each row is
-    // routed to its bin by source file (a broadcast map join on the
-    // scan's file path), the frame repartitions ON the bin id and
-    // writes partitioned by it — a bin's rows land in exactly one task,
-    // so each bin still produces exactly one output file. Members' DVs
-    // fold here: the rewrite excludes tombstoned rows and commitRewrite
-    // drops the dead references.
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val binIds = toMerge.keys.toSeq.sorted.zipWithIndex.toMap // (pkey, bin) -> id
     val fileBin = toMerge.toSeq.flatMap { case (key, members) =>
-      members.map(m => (normPath(m._1), binIds(key)))
+      members.map(m => (normPath(m), binIds(key)))
     }
-    val memberPaths = toMerge.values.flatten.map(_._1).toSeq.sorted
+    val memberPaths = toMerge.values.flatten.toSeq.sorted
     // compaction is a pure LAYOUT rewrite: it reads and writes the
     // PHYSICAL schema directly (logical names never enter the pass)
     val base = (schema match {
@@ -2912,7 +3005,7 @@ object TableVersions {
     // map each written file back to its bin's ORIGINAL partition tuple
     // (the __gbin=N directory level is routing, not table partitioning)
     val partOfBin = toMerge.map { case (key, members) =>
-      binIds(key) -> partOf.getOrElse(members.head._1, Map.empty[String, String]) }
+      binIds(key) -> partOf.getOrElse(members.head, Map.empty[String, String]) }
     def binOfPath(p: String): Map[String, String] =
       new Path(p).getParent.getName match {
         case seg if seg.startsWith("__gbin=") => partOfBin(seg.stripPrefix("__gbin=").toInt)
@@ -2920,9 +3013,9 @@ object TableVersions {
       }
     val dataSchema = schema.map(physicalSchema).getOrElse(spark.read.parquet(memberPaths.head).schema)
     val newEntries = entriesFor(spark, listParquet(f, outDir), dataSchema, binOfPath)
-    val merged = toMerge.values.flatten.map(_._1).toSet
+    val merged = toMerge.values.flatten.toSet
     commitRewrite(spark, root, merged, newEntries, outDir, dvSnapshotOf(st, merged),
-      op = "COMPACT", planV = pst.map(_._2))
+      op = "COMPACT", planV = planV)
   }
 
   // ------------------------------------------------------------------

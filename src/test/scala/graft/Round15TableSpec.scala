@@ -296,6 +296,64 @@ class Round15TableSpec extends SparkSpec {
     }
   }
 
+  test("unscoped compact of a pushed UNPARTITIONED table sweeps in bounded bin batches: " +
+      "multiple commits, data bit-identical, files merged") {
+    withConf(
+      "graft.table.pushedPruneThreshold" -> "10",
+      "graft.table.parquetCheckpointThreshold" -> "5",
+      "graft.table.checkpointInterval" -> "3",
+      "graft.table.maintBatchFiles" -> "4") {
+      val root = newRoot()
+      (1 to 12).foreach { i =>
+        TableVersions.append(spark, root,
+          Seq((i.toLong, s"s$i")).toDF("k", "s").coalesce(1))
+      }
+      val before = TableVersions.read(spark, root)
+        .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(before.length === 12)
+      val fileSize = TableVersions.commitState(spark, root, None).files.head.bytes
+      val vBefore = TableVersions.currentVersion(spark, root).get
+      val batched0 = TableVersions.maintBatchedSweeps.get()
+      // ~3 files per bin → 4 bins; batch ceiling 4 files → several commits
+      val v = TableVersions.compact(spark, root, targetBytes = fileSize * 3)
+      assert(TableVersions.maintBatchedSweeps.get() === batched0 + 1,
+        "an unscoped compact of a pushed unpartitioned snapshot must take the bin-batched sweep")
+      assert(v.isDefined)
+      assert(v.get >= vBefore + 2, "the sweep commits per bounded bin batch, not once")
+      val after = TableVersions.read(spark, root)
+        .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(after.toSeq === before.toSeq, "compaction must be a pure layout rewrite")
+      assert(TableVersions.commitState(spark, root, None).files.size < 12,
+        "undersized files must have merged")
+    }
+  }
+
+  test("unscoped compact of a pushed unpartitioned table at 200k entries: " +
+      "distributed bin plan, zero full materializations") {
+    withConf(
+      "graft.table.pushedPruneThreshold" -> "1000",
+      "graft.table.parquetCheckpointThreshold" -> "1000") {
+      val root = newRoot()
+      val flat = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+      TableVersions.createEmpty(spark, root, flat)
+      TableVersions.writeCheckpoint(spark, root, 0L,
+        CommitState(syntheticEntries(root, 200000).map(fe =>
+          fe.copy(part = Map.empty, stats = fe.stats - "p")),
+          Some(flat.json), Seq.empty, Map.empty))
+      TableVersions.clearStateCache()
+      val batched0 = TableVersions.maintBatchedSweeps.get()
+      val resolves0 = TableVersions.ckptResolves.get()
+      // targetBytes below every file size: single-file bins only — the
+      // distributed plan finds nothing to merge, no data is touched
+      val v = TableVersions.compact(spark, root, targetBytes = 1L)
+      assert(v === None, "single-file bins: nothing to merge")
+      assert(TableVersions.maintBatchedSweeps.get() === batched0 + 1,
+        "the unpartitioned pushed shape must take the bin-batched sweep")
+      assert(TableVersions.ckptResolves.get() === resolves0,
+        "the distributed bin plan must materialize ZERO full listings at 200k entries")
+    }
+  }
+
   // ------------------------------------------------------------------
   // vacuumDryRun: distributed end to end + horizon-rewrite preview
   // ------------------------------------------------------------------
