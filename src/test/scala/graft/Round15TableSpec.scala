@@ -240,6 +240,28 @@ class Round15TableSpec extends SparkSpec {
     }
   }
 
+  test("appends BEFORE the first checkpoint commit O(delta) from the scalar chain walk") {
+    withConf(
+      "graft.table.parquetCheckpointThreshold" -> "1000",
+      "graft.table.checkpointInterval" -> "100") { // no checkpoint lands in this test
+      val root = newRoot()
+      TableVersions.createEmpty(spark, root, ckSchema, Seq("p"))
+      val big = CommitState(syntheticEntries(root, 50000), Some(ckSchema.json), Seq("p"), Map.empty)
+      assert(TableVersions.tryCommit(spark, root, 1L, big, op = "BULKLOAD"))
+      TableVersions.clearStateCache()
+      TableVersions.append(spark, root,
+        Seq((9000001L, "x", 99)).toDF("k", "s", "p"), Seq("p")) // v2
+      val txt = commitText(root, 2L)
+      assert(txt.contains("\n#BASE 1\n"),
+        "the bootstrap append must commit as a DELTA against the bulk load, " +
+          "not re-render the 50k-entry listing")
+      val addLines = txt.split("\n").count(l => l.nonEmpty && !l.startsWith("#"))
+      assert(addLines === 1, s"the delta carries exactly its own add, got $addLines lines")
+      assert(TableVersions.lastTxn(spark, root, "nosuchapp") === None,
+        "the scalar-walk txn lookup works on the checkpoint-less chain")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Unscoped maintenance: partition-batched driver
   // ------------------------------------------------------------------
