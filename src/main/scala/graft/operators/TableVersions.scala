@@ -2910,9 +2910,10 @@ object TableVersions {
     * concurrently-committable jobs (the rebase rule: disjoint file
     * sets never conflict). An UNSCOPED pass over a pushed partitioned
     * snapshot iterates exactly those per-partition plans, committing
-    * per group — a 1M-file unscoped compact never materializes the
-    * full listing (an unpartitioned table at pushed scale is the one
-    * remaining whole-listing pass: the listing IS its work list).
+    * per group; a pushed UNPARTITIONED snapshot plans its bins
+    * distributed over the checkpoint dataset and sweeps in bounded bin
+    * batches ([[compactUnpartitionedPushed]]) — a 1M-file unscoped
+    * compact never materializes the full listing in either shape.
     * Old versions keep reading their original files — compaction is
     * invisible to time travel until [[vacuum]]. Returns the newest
     * version committed, or None when there is nothing to merge
