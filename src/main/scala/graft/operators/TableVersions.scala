@@ -1255,15 +1255,17 @@ object TableVersions {
     * The era boundary is decided ONCE from the log, never inferred
     * from whichever commits the answer search happens to probe: the
     * ICT floor (lowest version of the contiguous stamped suffix) is
-    * itself found by binary search — stampedness is append-monotone
-    * for every writer of this format, the stamp being unconditional —
-    * and the two eras are then reconciled: if the legacy prefix's
-    * running max already exceeds the target, the suffix inherits it
-    * and the prefix answer IS the answer (a legacy commit with a
-    * future-skewed mtime can never be silently out-answered by a
-    * stamped suffix the search probes first). A foreign interleaving
-    * that breaks suffix contiguity is caught by the unstamped-probe
-    * guard and degrades to the full monotonized scan.
+    * found by binary search — stampedness is append-monotone for
+    * every writer of this format, the stamp being unconditional. A
+    * MIXED log (floor > 0) then resolves by the FULL monotonized
+    * linear scan: the legacy prefix's mtimes carry no ordering
+    * guarantee, and an interleaved old writer could even have left an
+    * unstamped commit above the apparent floor — mixed-era logs are
+    * transitional (the prefix vacuums away), so they pay O(#versions)
+    * head-reads rather than any probe-luck window. Only an
+    * ALL-STAMPED log (floor = 0, the steady state) binary-searches,
+    * and even there any unstamped probe — counter-evidence against
+    * the append-monotone invariant — degrades to the full scan.
     */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
     val f = fs(spark, root)
@@ -1303,35 +1305,20 @@ object TableVersions {
       ans
     }
     var ans = -1
-    if (floor >= vs.size) ans = linearMonotonized()
+    if (floor > 0) ans = linearMonotonized() // mixed or pure-legacy era
     else {
-      // legacy prefix [0, floor): monotonized linear; its running max
-      // is a floor under every later effective instant
-      var preMax = Long.MinValue
-      var preAns = -1
-      var i = 0
-      while (i < floor) {
-        preMax = math.max(preMax, rawOf(i))
-        if (preMax <= tsMillis) preAns = i
-        i += 1
-      }
-      if (preMax > tsMillis) ans = preAns
-      else {
-        // stamped suffix [floor, n): monotone by the writer clamp;
-        // effective instant = max(preMax ≤ target, stamp), so the plain
-        // binary search over stamps is exact here
-        var broken = false
-        var lo = floor; var hi = vs.size - 1
-        ans = preAns
-        while (lo <= hi && !broken) {
-          val mid = (lo + hi) >>> 1
-          instOf(mid) match {
-            case Some(t) => if (t <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
-            case None => broken = true
-          }
+      // all-stamped log: instants are monotone by the writer clamp —
+      // binary search; any unstamped probe degrades to the full scan
+      var broken = false
+      var lo = 0; var hi = vs.size - 1
+      while (lo <= hi && !broken) {
+        val mid = (lo + hi) >>> 1
+        instOf(mid) match {
+          case Some(t) => if (t <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          case None => broken = true
         }
-        if (broken) ans = linearMonotonized()
       }
+      if (broken) ans = linearMonotonized()
     }
     (ans to 0 by -1).iterator.map(vs)
       .find(v => readRaw(f, commitPath(root, v)).isDefined)
