@@ -95,12 +95,15 @@ object Round13Queries {
       val fin = TableVersions.read(spark, roots.corpus)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        graft.operators.LshIndex.updateSignatureTable(oneRoots.lshSignatures,
-          fin.select(col("doc_id"), col("text")), "doc_id", "text", portable = true)
-        graft.operators.SemIndex.updateAssignmentTable(oneRoots.semAssignments,
-          fin.select(col("doc_id"), col("embedding")), "doc_id", "embedding", cents)
-        TermIndex.updateBatch(oneRoots.term,
-          fin.select(col("doc_id"), col("text")), 0L, "doc_id", "text")
+        // three independent stores off one persisted corpus — overlap
+        // the builds (guide §2.6); outputs are path-disjoint
+        graft.operators.Par.run(Seq(
+          () => graft.operators.LshIndex.updateSignatureTable(oneRoots.lshSignatures,
+            fin.select(col("doc_id"), col("text")), "doc_id", "text", portable = true),
+          () => graft.operators.SemIndex.updateAssignmentTable(oneRoots.semAssignments,
+            fin.select(col("doc_id"), col("embedding")), "doc_id", "embedding", cents),
+          () => TermIndex.updateBatch(oneRoots.term,
+            fin.select(col("doc_id"), col("text")), 0L, "doc_id", "text")))
       } finally { fin.unpersist(); () }
     }
     // store equality as ORDER-INSENSITIVE multiset row hashes (sum of

@@ -49,7 +49,7 @@ object IndexTombstones {
       delBatchId: Long): Unit =
     victims.select(col(idCol).as("id")).distinct()
       .withColumn("del_batch", lit(delBatchId))
-      .write.mode("overwrite")
+      .write.options(WriteOpts.data).mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("del_batch")
       .parquet(tombstonePath(indexPath))

@@ -65,11 +65,20 @@ object LshIndex {
     * merged plan doesn't hold the old files open across the swap.
     */
   def updateSignatureTable(path: String, delta: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, k: Int = 3, portable: Boolean = false): Unit = {
-    val spark = delta.sparkSession
-    val deltaSigs = signatures(delta, idCol, textCol, numHashes, k, portable)
+      numHashes: Int = 32, k: Int = 3, portable: Boolean = false): Unit =
+    updateSignatureTableFromSigs(path,
+      signatures(delta, idCol, textCol, numHashes, k, portable), idCol)
+
+  /** [[updateSignatureTable]] from ALREADY-COMPUTED delta signatures —
+    * the seam [[processBatch]] uses so one batch pays the shingle +
+    * minhash pass once (the pair emission and the fold both consume the
+    * same checkpointed signature frame) instead of once per consumer.
+    */
+  private[graft] def updateSignatureTableFromSigs(path: String, deltaSigs: DataFrame,
+      idCol: String): Unit = {
+    val spark = deltaSigs.sparkSession
     if (!exists(spark, path)) {
-      deltaSigs.write.mode("overwrite").parquet(path)
+      deltaSigs.write.options(WriteOpts.data).mode("overwrite").parquet(path)
       return
     }
     // capture BEFORE the filterLive read materializes: a delete recorded
@@ -83,7 +92,7 @@ object LshIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(path + "__merging")
-    merged.write.mode("overwrite").parquet(tmp.toString)
+    merged.write.options(WriteOpts.data).mode("overwrite").parquet(tmp.toString)
     graft.CacheScope.freeCheckpoint(merged) // written out — blocks are dead
     val old = new org.apache.hadoop.fs.Path(path + "__premerge")
     fs.delete(old, true) // stale leftover from a crashed earlier swap
@@ -122,11 +131,20 @@ object LshIndex {
   def pairsForDelta(path: String, delta: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
       k: Int = 3, portable: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = delta.sparkSession
     val deltaSigs = graft.CacheScope.trackCheckpoint(
       signatures(delta, idCol, textCol, numHashes, k, portable)
         .localCheckpoint(true)) // consumed by both join sides below
+    pairsForDeltaFromSigs(path, deltaSigs, idCol, numHashes, bands, minJaccard, portable)
+  }
+
+  /** [[pairsForDelta]] from already-computed (checkpointed) delta
+    * signatures — see [[updateSignatureTableFromSigs]].
+    */
+  private[graft] def pairsForDeltaFromSigs(path: String, deltaSigs: DataFrame,
+      idCol: String, numHashes: Int, bands: Int, minJaccard: Double,
+      portable: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = deltaSigs.sparkSession
     val corpus =
       if (exists(spark, path))
         // a replayed batch's ids may already be stored — the delta copy
@@ -160,13 +178,20 @@ object LshIndex {
   def processBatch(sigPath: String, pairsPath: String, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5, k: Int = 3, portable: Boolean = false): Unit = {
-    pairsForDelta(sigPath, batch, idCol, textCol, numHashes, bands, minJaccard, k, portable)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(pairsPath)
-    updateSignatureTable(sigPath, batch, idCol, textCol, numHashes, k, portable)
+    // one shingle+minhash pass per batch: the pair emission and the
+    // table fold both read the same checkpointed signature frame
+    val deltaSigs = signatures(batch, idCol, textCol, numHashes, k, portable)
+      .localCheckpoint(true)
+    try {
+      pairsForDeltaFromSigs(sigPath, deltaSigs, idCol, numHashes, bands,
+          minJaccard, portable)
+        .withColumn("batch_id", lit(batchId))
+        .write.options(WriteOpts.data).mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(pairsPath)
+      updateSignatureTableFromSigs(sigPath, deltaSigs, idCol)
+    } finally graft.CacheScope.freeCheckpoint(deltaSigs)
   }
 
   /** Streaming wiring: maintain the signature table and the pair log

@@ -86,11 +86,19 @@ object SemIndex {
     * [[LshIndex.updateSignatureTable]].
     */
   def updateAssignmentTable(path: String, delta: DataFrame, idCol: String, vecCol: String,
-      centArr: Seq[(Long, Array[Double])], subCellBits: Int = 0): Unit = {
-    val spark = delta.sparkSession
-    val deltaAsg = assignments(delta, idCol, vecCol, centArr, subCellBits)
+      centArr: Seq[(Long, Array[Double])], subCellBits: Int = 0): Unit =
+    updateAssignmentTableFromAsg(path,
+      assignments(delta, idCol, vecCol, centArr, subCellBits), idCol)
+
+  /** [[updateAssignmentTable]] from ALREADY-COMPUTED delta assignments —
+    * the seam [[processBatch]] uses so one batch pays the assignment
+    * pass once (edge emission and fold share the checkpointed frame).
+    */
+  private[graft] def updateAssignmentTableFromAsg(path: String, deltaAsg: DataFrame,
+      idCol: String): Unit = {
+    val spark = deltaAsg.sparkSession
     if (!exists(spark, path)) {
-      deltaAsg.write.mode("overwrite").parquet(path)
+      deltaAsg.write.options(WriteOpts.data).mode("overwrite").parquet(path)
       return
     }
     // capture BEFORE the filterLive read materializes: a delete recorded
@@ -104,7 +112,7 @@ object SemIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(path + "__merging")
-    merged.write.mode("overwrite").parquet(tmp.toString)
+    merged.write.options(WriteOpts.data).mode("overwrite").parquet(tmp.toString)
     graft.CacheScope.freeCheckpoint(merged) // written out — blocks are dead
     val old = new org.apache.hadoop.fs.Path(path + "__premerge")
     fs.delete(old, true)
@@ -142,10 +150,18 @@ object SemIndex {
   def pairsForDelta(path: String, delta: DataFrame, idCol: String, vecCol: String,
       centArr: Seq[(Long, Array[Double])], threshold: Double = 0.95,
       subCellBits: Int = 0): DataFrame = {
-    val spark = delta.sparkSession
     val deltaAsg = graft.CacheScope.trackCheckpoint(
       assignments(delta, idCol, vecCol, centArr, subCellBits)
         .localCheckpoint(true)) // consumed by both join sides below
+    pairsForDeltaFromAsg(path, deltaAsg, idCol, vecCol, threshold)
+  }
+
+  /** [[pairsForDelta]] from already-computed (checkpointed) delta
+    * assignments — see [[updateAssignmentTableFromAsg]].
+    */
+  private[graft] def pairsForDeltaFromAsg(path: String, deltaAsg: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = deltaAsg.sparkSession
     val corpus =
       if (exists(spark, path))
         // a replayed batch's ids may already be stored — the delta copy
@@ -171,13 +187,19 @@ object SemIndex {
   def processBatch(asgPath: String, pairsPath: String, batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, centArr: Seq[(Long, Array[Double])],
       threshold: Double = 0.95, subCellBits: Int = 0): Unit = {
-    pairsForDelta(asgPath, batch, idCol, vecCol, centArr, threshold, subCellBits)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(pairsPath)
-    updateAssignmentTable(asgPath, batch, idCol, vecCol, centArr, subCellBits)
+    // one assignment pass per batch: edge emission and fold share the
+    // checkpointed frame
+    val deltaAsg = assignments(batch, idCol, vecCol, centArr, subCellBits)
+      .localCheckpoint(true)
+    try {
+      pairsForDeltaFromAsg(asgPath, deltaAsg, idCol, vecCol, threshold)
+        .withColumn("batch_id", lit(batchId))
+        .write.options(WriteOpts.data).mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(pairsPath)
+      updateAssignmentTableFromAsg(asgPath, deltaAsg, idCol)
+    } finally graft.CacheScope.freeCheckpoint(deltaAsg)
   }
 
   /** Streaming wiring: maintain the assignment table and the edge log

@@ -1821,7 +1821,7 @@ object TableVersions {
       // write distribute; ~100k entries per output file
       val slices = math.max(1, math.min(32, rows.size / 100000))
       spark.createDataset(spark.sparkContext.parallelize(rows, slices))
-        .write.parquet(tmp.toString)
+        .write.options(WriteOpts.marker).parquet(tmp.toString)
       if (f.rename(tmp, target)) Some(ref)
       else {
         f.delete(tmp, true)
@@ -1897,7 +1897,7 @@ object TableVersions {
       val outDs = kept.select(cols: _*)
         .unionByName(spark.createDataset(addRows).select(cols: _*))
       val tmp = new Path(versionsDir(root), s".tmp-ckptpq-${java.util.UUID.randomUUID()}")
-      outDs.write.parquet(tmp.toString)
+      outDs.write.options(WriteOpts.marker).parquet(tmp.toString)
       if (!f.rename(tmp, target)) {
         f.delete(tmp, true)
         if (!f.exists(target)) return false // raced twin? absent: give up
@@ -2106,7 +2106,7 @@ object TableVersions {
           r.stats, r.dvFile.map(FirstCkptScan.rel(rootLocal, _)), r.dvRows)
       }
       val tmp = new Path(versionsDir(root), s".tmp-ckptpq-${java.util.UUID.randomUUID()}")
-      spark.createDataset(rows).write.parquet(tmp.toString)
+      spark.createDataset(rows).write.options(WriteOpts.marker).parquet(tmp.toString)
       if (!f.rename(tmp, target)) {
         f.delete(tmp, true)
         if (!f.exists(target)) return false // raced twin? absent: give up
@@ -2346,7 +2346,7 @@ object TableVersions {
     val f = fs(spark, root)
     val df = mapSchema.map(toPhysical(df0, _)).getOrElse(df0)
     val batchDir = new Path(root, s"data/$tag-${java.util.UUID.randomUUID()}")
-    if (partCols.isEmpty) df.write.parquet(batchDir.toString)
+    if (partCols.isEmpty) df.write.options(WriteOpts.data).parquet(batchDir.toString)
     else {
       import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, pmod, xxhash64}
       val dup = partCols.foldLeft(df)((d, c) => d.withColumn(partDirPrefix + c, col(c)))
@@ -2401,7 +2401,8 @@ object TableVersions {
               plainDirs :+ "__g_salt")
           }
         }
-      clustered.write.partitionBy(dirNames: _*).parquet(batchDir.toString)
+      clustered.write.options(WriteOpts.data)
+        .partitionBy(dirNames: _*).parquet(batchDir.toString)
     }
     val files = listParquet(f, batchDir)
     (batchDir, entriesFor(spark, files, df.schema, partOfPath))
@@ -2989,7 +2990,7 @@ object TableVersions {
         fileBin.toDF("__gfp", "__gbin")), Seq("__gfp"))
       .drop("__gfp")
     routed.repartition(col("__gbin"))
-      .write.partitionBy("__gbin").parquet(outDir.toString)
+      .write.options(WriteOpts.data).partitionBy("__gbin").parquet(outDir.toString)
     // map each written file back to its bin's ORIGINAL partition tuple
     // (the __gbin=N directory level is routing, not table partitioning)
     val partOfBin = toMerge.map { case (key, members) =>
@@ -3334,7 +3335,7 @@ object TableVersions {
     // legacy absolute entries joining correctly on the way through
     victims.unionByName(carried)
       .select(relCanonCol(root, col("file")).as("file"), col("pos"))
-      .coalesce(1).write.parquet(dvDir.toString)
+      .coalesce(1).write.options(WriteOpts.data).parquet(dvDir.toString)
     val sidecar = listParquet(f, dvDir).headOption.map(_._1).getOrElse {
       f.delete(dvDir, true); return None // nothing matched and nothing carried
     }
@@ -4279,7 +4280,7 @@ object TableVersions {
     val src = readWithDvs(spark, root, st, scope.map(_.path)) // DVs fold into the new layout
     val clustered = ZOrder.cluster(src, keys, numFiles) // caller keys are logical
     st.schema.map(toPhysical(clustered, _)).getOrElse(clustered)
-      .write.parquet(outDir.toString) // files store physical names
+      .write.options(WriteOpts.data).parquet(outDir.toString) // files store physical names
     val binPart = tuples.headOption.getOrElse(Map.empty)
     val added = entriesFor(spark, listParquet(f, outDir),
       st.schema.map(physicalSchema).getOrElse(src.schema), _ => binPart)
@@ -5187,7 +5188,7 @@ object TableVersions {
               val fixed = df.select(relCanonCol(oldRoot, col("file")).as("file"), col("pos"))
                 .coalesce(1)
               val tmpDir = new Path(d.getPath, s".tmp-rebase-${java.util.UUID.randomUUID()}")
-              fixed.write.parquet(tmpDir.toString)
+              fixed.write.options(WriteOpts.data).parquet(tmpDir.toString)
               val newFile = listParquet(f, tmpDir).head._1
               f.delete(new Path(sidecar), false)
               if (!f.rename(new Path(newFile), new Path(sidecar)))
@@ -5377,7 +5378,7 @@ object TableVersions {
     val name = s"cdf-${java.util.UUID.randomUUID()}"
     val dir = new Path(cdfRootDir(root), name)
     val mapped = st.schema.map(s => toPhysical(changes, s)).getOrElse(changes)
-    mapped.write.parquet(dir.toString)
+    mapped.write.options(WriteOpts.data).parquet(dir.toString)
     val f = fs(spark, root)
     if (listParquet(f, dir).isEmpty) { f.delete(dir, true); None } else Some(name)
   }
@@ -5739,7 +5740,7 @@ object TableVersions {
         .groupBy(input_file_name().as("file"))
         .agg(call_function("graft_bloom_agg", xxhash64(col(physKey)),
           lit(expectedItemsPerFile)).as("bloom"))
-        .write.mode("append").parquet(dir.toString)
+        .write.options(WriteOpts.data).mode("append").parquet(dir.toString)
     }
     val liveNorm = live.map(normPath).toSet
     val keepRaw = haveRaw.filter(p => liveNorm(normPath(p)))
@@ -5750,7 +5751,7 @@ object TableVersions {
       val tmp = new Path(root, s"_bloom/.rewrite-${java.util.UUID.randomUUID()}")
       spark.read.parquet(dir.toString)
         .filter(col("file").isInCollection(keepRaw.toSet))
-        .coalesce(1).write.parquet(tmp.toString)
+        .coalesce(1).write.options(WriteOpts.data).parquet(tmp.toString)
       f.delete(dir, true)
       f.rename(tmp, dir)
     }

@@ -87,7 +87,7 @@ object TermIndex {
 
   private def write(df: DataFrame, path: String, batchId: Long): Unit =
     df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
+      .write.options(WriteOpts.data).mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(path)
@@ -114,14 +114,18 @@ object TermIndex {
     // micro-batch for the life of a maintenance stream.
     val tf = TextAnalysis.bm25Postings(toks, idCol).localCheckpoint(true)
     try {
-      write(tf, postingsPath(root), batchId)
-      write(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), dfPath(root), batchId)
-      // corpus scalars from the postings themselves (dl repeats per
-      // (doc, term); every doc has >= 1 posting since split() never
-      // returns an empty array) — no second tokenization pass
-      write(tf.groupBy(col(idCol)).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
-        scalarsPath(root), batchId)
+      // the three stores derive from the same checkpointed frame and
+      // write to disjoint paths — overlap them (Par scaladoc)
+      Par.run(Seq(
+        () => write(tf, postingsPath(root), batchId),
+        () => write(tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+          dfPath(root), batchId),
+        // corpus scalars from the postings themselves (dl repeats per
+        // (doc, term); every doc has >= 1 posting since split() never
+        // returns an empty array) — no second tokenization pass
+        () => write(tf.groupBy(col(idCol)).agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+          scalarsPath(root), batchId)))
     } finally graft.CacheScope.freeCheckpoint(tf)
   }
 
@@ -153,12 +157,15 @@ object TermIndex {
       // writing would leave data-less partition dirs; the no-write is
       // state-identical since dynamic overwrite of zero rows is a no-op
       if (victimPosts.isEmpty) return
-      write(victimPosts.select(col(idCol)).distinct(), deletesPath(root), batchId)
-      write(victimPosts.groupBy(col("term")).agg((-count(lit(1))).as("df")),
-        dfPath(root), deleteStatsBatchId(batchId))
-      write(victimPosts.groupBy(col(idCol)).agg(max(col("dl")).as("dl"))
-        .agg((-count(lit(1))).as("n_docs"), (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")),
-        scalarsPath(root), deleteStatsBatchId(batchId))
+      // disjoint idempotent partitions off one checkpointed frame —
+      // overlap; a crash leaving any subset replays cleanly (above)
+      Par.run(Seq(
+        () => write(victimPosts.select(col(idCol)).distinct(), deletesPath(root), batchId),
+        () => write(victimPosts.groupBy(col("term")).agg((-count(lit(1))).as("df")),
+          dfPath(root), deleteStatsBatchId(batchId)),
+        () => write(victimPosts.groupBy(col(idCol)).agg(max(col("dl")).as("dl"))
+          .agg((-count(lit(1))).as("n_docs"), (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")),
+          scalarsPath(root), deleteStatsBatchId(batchId))))
     } finally graft.CacheScope.freeCheckpoint(victimPosts)
   }
 

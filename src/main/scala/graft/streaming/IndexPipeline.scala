@@ -65,14 +65,20 @@ object IndexPipeline {
     try {
       TableVersions.appendTxn(b.sparkSession, roots.corpus,
         b.select(col(idCol), col(textCol), col(vecCol)), "index_pipeline", batchId)
-      LshIndex.processBatch(roots.lshSignatures, roots.lshPairs,
-        b.select(col(idCol), col(textCol)), batchId, idCol, textCol,
-        numHashes, bands, minJaccard, k, portable)
-      SemIndex.processBatch(roots.semAssignments, roots.semPairs,
-        b.select(col(idCol), col(vecCol)), batchId, idCol, vecCol,
-        centArr, threshold, subCellBits)
-      TermIndex.updateBatch(roots.term, b.select(col(idCol), col(textCol)),
-        batchId, idCol, textCol)
+      // the three stores are independent (disjoint paths, each
+      // batch-id-idempotent) — overlap their maintenance jobs
+      // (optimization-guide §2.6); a crash leaving any subset updated
+      // is repaired by the same replay that repaired the serialized
+      // form, order across stores never mattered (scaladoc above)
+      graft.operators.Par.run(Seq(
+        () => LshIndex.processBatch(roots.lshSignatures, roots.lshPairs,
+          b.select(col(idCol), col(textCol)), batchId, idCol, textCol,
+          numHashes, bands, minJaccard, k, portable),
+        () => SemIndex.processBatch(roots.semAssignments, roots.semPairs,
+          b.select(col(idCol), col(vecCol)), batchId, idCol, vecCol,
+          centArr, threshold, subCellBits),
+        () => TermIndex.updateBatch(roots.term, b.select(col(idCol), col(textCol)),
+          batchId, idCol, textCol)))
     } finally b.unpersist(blocking = false)
   }
 
@@ -175,21 +181,28 @@ object IndexPipeline {
           s"followCorpus: corpus version $v rewrites existing document ids; " +
             "a followed corpus is append + delete only — new document " +
             "generations must take new ids (tombstoned ids cannot re-index)")
+        // per store the delete→insert order holds (each store's thunk
+        // is not split); ACROSS stores the updates are independent and
+        // overlap (guide §2.6) — the per-version marker below is still
+        // written only after ALL stores advance, so the crash-replay
+        // window is unchanged
         if (!del.isEmpty) {
           val victims = del.select(col(idCol))
-          LshIndex.deleteBatch(roots.lshSignatures, victims, idCol, v)
-          SemIndex.deleteBatch(roots.semAssignments, victims, idCol, v)
-          TermIndex.deleteBatch(roots.term, victims, v, idCol)
+          graft.operators.Par.run(Seq(
+            () => LshIndex.deleteBatch(roots.lshSignatures, victims, idCol, v),
+            () => SemIndex.deleteBatch(roots.semAssignments, victims, idCol, v),
+            () => TermIndex.deleteBatch(roots.term, victims, v, idCol)))
         }
         if (!ins.isEmpty) {
-          LshIndex.processBatch(roots.lshSignatures, roots.lshPairs,
-            ins.select(col(idCol), col(textCol)), v, idCol, textCol,
-            numHashes, bands, minJaccard, k, portable)
-          SemIndex.processBatch(roots.semAssignments, roots.semPairs,
-            ins.select(col(idCol), col(vecCol)), v, idCol, vecCol,
-            centArr, threshold, subCellBits)
-          TermIndex.updateBatch(roots.term, ins.select(col(idCol), col(textCol)),
-            v, idCol, textCol)
+          graft.operators.Par.run(Seq(
+            () => LshIndex.processBatch(roots.lshSignatures, roots.lshPairs,
+              ins.select(col(idCol), col(textCol)), v, idCol, textCol,
+              numHashes, bands, minJaccard, k, portable),
+            () => SemIndex.processBatch(roots.semAssignments, roots.semPairs,
+              ins.select(col(idCol), col(vecCol)), v, idCol, vecCol,
+              centArr, threshold, subCellBits),
+            () => TermIndex.updateBatch(roots.term, ins.select(col(idCol), col(textCol)),
+              v, idCol, textCol)))
         }
         writeProgress(spark, roots, v)
       }
