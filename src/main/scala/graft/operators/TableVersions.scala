@@ -691,6 +691,22 @@ object TableVersions {
       try body finally opTimes.add((what, (System.nanoTime() - t0) / 1e9))
     }
 
+  /** Start `body` on a daemon thread and return a join-handle: the CDC
+    * sidecar stage and the DV/rewrite stage of one upsert/merge are
+    * independent read-only jobs over the same snapshot, so they overlap
+    * (guide §2.6) — the commit forces the handle before referencing the
+    * sidecar. The first failure rethrows its cause at the join point.
+    */
+  private def asyncStage[A](body: => A): () => A = {
+    val task = new java.util.concurrent.FutureTask(
+      new java.util.concurrent.Callable[A] { def call(): A = body })
+    val th = new Thread(task, "graft-async-stage")
+    th.setDaemon(true)
+    th.start()
+    () => try task.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+  }
+
   private def cacheKey(f: FileSystem, p: Path): Option[(String, Long, Long)] =
     try {
       val s = f.getFileStatus(p)
@@ -2346,7 +2362,36 @@ object TableVersions {
     val f = fs(spark, root)
     val df = mapSchema.map(toPhysical(df0, _)).getOrElse(df0)
     val batchDir = new Path(root, s"data/$tag-${java.util.UUID.randomUUID()}")
-    if (partCols.isEmpty) df.write.options(WriteOpts.data).parquet(batchDir.toString)
+    // OPTIMIZED WRITE (Delta's optimizeWrite stance, guide §6 file
+    // sizing): an unpartitioned staged batch otherwise lands one file
+    // per upstream task — task-count-sized, not data-sized (a 32-core
+    // local append of a tiny batch writes 32 ~KB files; a wide cluster
+    // ETL writes thousands). The REBALANCE hint inserts one AQE-managed
+    // exchange whose output coalesces to advisoryPartitionSizeInBytes,
+    // so staged file count tracks BYTES at every scale; every later
+    // read/stat/compact of the table pays per-file overhead that many
+    // fewer times. One extra shuffle of the batch is the documented
+    // trade — `graft.table.optimizeWrite=false` opts a bulk load out.
+    // An EXPLICIT caller layout wins: a batch arriving under its own
+    // repartition/repartitionByRange/rebalance (± partition-local sort)
+    // was clustered ON PURPOSE — key-disjoint files are what make the
+    // commit-stats pruning of later deleteWhere/upsert/reads work — so
+    // the rebalance never second-guesses it.
+    def explicitLayout(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      p match {
+        case s: Sort if !s.global => explicitLayout(s.child)
+        case pj: Project => explicitLayout(pj.child)
+        case _: Repartition | _: RepartitionByExpression | _: RebalancePartitions => true
+        case _ => false
+      }
+    }
+    val sized =
+      if (spark.conf.get("graft.table.optimizeWrite", "true").toBoolean &&
+          !explicitLayout(df.queryExecution.logical))
+        df.hint("rebalance")
+      else df
+    if (partCols.isEmpty) sized.write.options(WriteOpts.data).parquet(batchDir.toString)
     else {
       import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, pmod, xxhash64}
       val dup = partCols.foldLeft(df)((d, c) => d.withColumn(partDirPrefix + c, col(c)))
@@ -3506,9 +3551,9 @@ object TableVersions {
     // of diff-derived delete+insert. Costs two extra candidate-file
     // scans per CDC batch; off by default, same stance as Delta's
     // `delta.enableChangeDataFeed`.
-    val cdfName: Option[String] =
-      if (!cdfEnabled(st)) None
-      else {
+    val cdfNameF: () => Option[String] =
+      if (!cdfEnabled(st)) () => None
+      else asyncStage {
         import org.apache.spark.sql.functions.lit
         val existing =
           if (candidates.isEmpty) emptyLike(spark, st)
@@ -3531,13 +3576,14 @@ object TableVersions {
           stageChangeData(spark, root, st, pre.unionByName(post).unionByName(ins))
         } finally { pre.unpersist(); () }
       }
-    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     if (maxDvFraction > 0.0 && candidates.nonEmpty)
       upsertViaDv(spark, root, st, candidates, updates, keyCol, maxDvFraction,
-          cdfName, planV) match {
+          cdfNameF, planV) match {
         case Some(result) => return result // committed (or true conflict)
         case None => // fraction exceeded / legacy stats — fall back to rewrite
       }
+    val cdfName = cdfNameF()
+    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     val rewritten =
       if (candidates.isEmpty) updates // pure insert
       else {
@@ -3568,7 +3614,7 @@ object TableVersions {
     */
   private def upsertViaDv(spark: SparkSession, root: String, st: CommitState,
       candidates: Seq[String], updates: DataFrame, keyCol: String,
-      maxFraction: Double, cdfName: Option[String] = None,
+      maxFraction: Double, cdfNameF: () => Option[String] = () => None,
       planV: Option[Long] = None): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.col
     val candSet = candidates.toSet
@@ -3576,7 +3622,6 @@ object TableVersions {
     if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
     val totalRows = candEntries.map(_.rows).sum
     val f = fs(spark, root)
-    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     val victims = candidateRowsWithPos(spark, root, st, candidates)
       .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(col("__gv_file").as("file"), col("__gv_pos").as("pos"))
@@ -3589,6 +3634,10 @@ object TableVersions {
     // stage the update rows as NEW files (partition metadata exact)
     val (outDir, added) = stageFiles(spark, root, updates, st.partCols, "upsert",
       mapSchema = st.schema)
+    // join the overlapped CDC sidecar stage only now — everything above
+    // ran concurrently with it (asyncStage scaladoc)
+    val cdfName = cdfNameF()
+    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     staged match {
       case None => // pure insert against the candidates: files only
         Some(commitDvUpdate(spark, root, Map.empty, Map.empty, cdfDirs :+ outDir, added,
@@ -3941,9 +3990,9 @@ object TableVersions {
         // old/new values become update_preimage/update_postimage,
         // deleted rows' old values delete, insert rows insert — one
         // sidecar write, identical for the DV and rewrite paths.
-        val cdfName: Option[String] =
-          if (!cdfEnabled(st)) None
-          else {
+        val cdfNameF: () => Option[String] =
+          if (!cdfEnabled(st)) () => None
+          else asyncStage {
             val updTagSeq = updateTags.map(_._1)
             val tCols: Seq[Column] = tblSchema.fields.toIndexedSeq.map(fd =>
               tBase(fd.name).cast(fd.dataType).as(fd.name))
@@ -3959,13 +4008,12 @@ object TableVersions {
             if (frames.isEmpty) None
             else stageChangeData(spark, root, st, frames.reduce(_.unionByName(_)))
           }
-        val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
 
         // ---- merge-on-read attempt: tombstone changed rows, append images
         if (maxDvFraction > 0.0 && rewriteSet.nonEmpty) {
           mergeViaDv(spark, root, st, rewriteSet, acted, outCols,
             updateTags.map(_._1) ++ deleteTags, changedTags, maxDvFraction,
-            cdfName, schemaEvolved,
+            cdfNameF, schemaEvolved,
             if (schemaEvolved.isDefined) Some(tblSchema) else st.schema,
             planV) match {
             case Some(result) => return result
@@ -3995,6 +4043,9 @@ object TableVersions {
         val result = narrowed.select(outCols: _*)
         val (outDir, added) = stageFiles(spark, root, result, st.partCols, "merge",
           mapSchema = if (schemaEvolved.isDefined) Some(tblSchema) else st.schema)
+        // join the overlapped CDC sidecar stage (asyncStage scaladoc)
+        val cdfName = cdfNameF()
+        val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
         if (rewriteSet.isEmpty && added.isEmpty) {
           // no file rewrites and no insert images: committing would
           // write an identical version — make the no-op observable
@@ -4019,7 +4070,7 @@ object TableVersions {
   private def mergeViaDv(spark: SparkSession, root: String, st: CommitState,
       rewriteSet: Seq[String], acted: DataFrame, outCols: Seq[Column],
       victimTags: Seq[String], changedTags: Seq[String],
-      maxFraction: Double, cdfName: Option[String] = None,
+      maxFraction: Double, cdfNameF: () => Option[String] = () => None,
       schemaEvolved: Option[(String, Option[String])] = None,
       stageSchema: Option[StructType] = None,
       planV: Option[Long] = None): Option[Option[Long]] = {
@@ -4029,7 +4080,6 @@ object TableVersions {
     if (candEntries.exists(_.rows < 0)) return None // legacy: unbounded fraction
     val totalRows = candEntries.map(_.rows).sum
     val f = fs(spark, root)
-    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     if (victimTags.isEmpty) {
       // insert-only path never reaches here (rewriteSet empty); with no
       // changed target rows the DV shape has nothing to tombstone
@@ -4047,6 +4097,9 @@ object TableVersions {
       .select(outCols: _*)
     val (outDir, added) = stageFiles(spark, root, images, st.partCols, "merge",
       mapSchema = stageSchema.orElse(st.schema))
+    // join the overlapped CDC sidecar stage (asyncStage scaladoc)
+    val cdfName = cdfNameF()
+    val cdfDirs = cdfName.map(n => new Path(cdfRootDir(root), n)).toSeq
     staged match {
       case None => // no victim rows materialized: pure insert images
         Some(commitDvUpdate(spark, root, Map.empty, Map.empty, cdfDirs :+ outDir, added,

@@ -152,8 +152,14 @@ class Round8TableSpec extends SparkSpec {
       (1L to 100L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
     val v1 = TableVersions.append(spark, root,
       (101L to 150L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
-    val Some(v2) = TableVersions.upsert(spark, root,
-      Seq((50L, -1L), (999L, -2L)).toDF("k", "v"), "k"): @unchecked
+    // opt the upsert's rewrite staging out of the optimized write so the
+    // table still holds >1 small file — the point here is that the
+    // compaction STEP emits no changes, so there must be one to run
+    spark.conf.set("graft.table.optimizeWrite", "false")
+    val Some(v2) =
+      try TableVersions.upsert(spark, root,
+        Seq((50L, -1L), (999L, -2L)).toDF("k", "v"), "k")
+      finally spark.conf.unset("graft.table.optimizeWrite"): @unchecked
     val Some(v3) = TableVersions.compact(spark, root, 8L << 20): @unchecked
 
     val cdf = TableVersions.readChanges(spark, root, fromExclusive = -1L, to = v3)
