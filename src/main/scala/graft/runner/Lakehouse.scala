@@ -162,10 +162,18 @@ final class Lakehouse(spark: SparkSession, root: String, cfg: Config = Config.de
 
       val stgV = stgVitals.filter(to_date(col("measurement_timestamp"))
         .isin(affected.map(d => lit(d)): _*))
+      // prune the claims/EHR legs to affected±band: attachments only
+      // happen through the ±band join residual, so the candidate set
+      // per rebuilt vitals row is identical (same rationale as
+      // VersionedLakehouse.refreshFactIncremental)
+      val expanded = affected.flatMap(d => (-band to band)
+        .map(o => java.sql.Date.valueOf(d.toLocalDate.plusDays(o.toLong)))).distinct
+      val stgC = stgClaims.filter(col("service_date").isin(expanded.map(d => lit(d)): _*))
+      val stgE = stgEhr.filter(col("visit_date").isin(expanded.map(d => lit(d)): _*))
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
-        write(graft.marts.FactPatientEncounters.build(cfg)(stgV, stgClaims, stgEhr)
+        write(graft.marts.FactPatientEncounters.build(cfg)(stgV, stgC, stgE)
             .withColumn("measurement_date", to_date(col("measurement_timestamp"))),
           SaveMode.Overwrite, s"$curatedDir/fact_patient_encounters",
           partitionCols = Seq("measurement_date"))

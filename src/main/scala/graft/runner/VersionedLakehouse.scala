@@ -99,8 +99,9 @@ final class VersionedLakehouse(spark: SparkSession, root: String, cfg: Config = 
   def stgClaims: DataFrame = processedClaims.transform(Staging.stgInsuranceClaims(cfg))
   def stgEhr: DataFrame = processedEhr.transform(Staging.stgEhrRecords(cfg))
 
-  private def factFrame(stgV: DataFrame): DataFrame =
-    FactPatientEncounters.build(cfg)(stgV, stgClaims, stgEhr)
+  private def factFrame(stgV: DataFrame,
+      stgC: DataFrame = stgClaims, stgE: DataFrame = stgEhr): DataFrame =
+    FactPatientEncounters.build(cfg)(stgV, stgC, stgE)
       .withColumn("measurement_date", to_date(col("measurement_timestamp")))
 
   /** Full fact rebuild as one atomic versioned overwrite. */
@@ -149,11 +150,20 @@ final class VersionedLakehouse(spark: SparkSession, root: String, cfg: Config = 
 
       val stgV = stgVitals.filter(to_date(col("measurement_timestamp"))
         .isin(affected.map(d => lit(d)): _*))
+      // the claims/EHR legs attach ONLY through the ±band join residual
+      // (|datediff| <= proximityDays, FactPatientEncounters), so rows
+      // outside affected±band cannot reach a rebuilt partition — prune
+      // both scans to that window (exact same candidate set per vitals
+      // row; at scale the refresh reads O(window), not O(history))
+      val expanded = affected.flatMap(d => (-band to band)
+        .map(o => java.sql.Date.valueOf(d.toLocalDate.plusDays(o.toLong)))).distinct
+      val stgC = stgClaims.filter(col("service_date").isin(expanded.map(d => lit(d)): _*))
+      val stgE = stgEhr.filter(col("visit_date").isin(expanded.map(d => lit(d)): _*))
       if (TableVersions.currentVersion(spark, factRoot).isEmpty) // refresh before any build
-        TableVersions.appendTxn(spark, factRoot, factFrame(stgV), "fact_refresh", batchId,
-          partitionBy = Seq("measurement_date"))
+        TableVersions.appendTxn(spark, factRoot, factFrame(stgV, stgC, stgE),
+          "fact_refresh", batchId, partitionBy = Seq("measurement_date"))
       else
-        TableVersions.replacePartitions(spark, factRoot, factFrame(stgV),
+        TableVersions.replacePartitions(spark, factRoot, factFrame(stgV, stgC, stgE),
           txn = Some("fact_refresh" -> batchId))
       writeAffectedMarker(batchId, affected)
       affected
